@@ -1,0 +1,57 @@
+"""Table loading and registration.
+
+``load_tables`` reads the driver's parquet tables for a scale-factor dir and
+registers them as temp views so both the DataFrame API and ``spark.sql`` can
+address them by name. Reads are plain ``spark.read.parquet`` — Catalyst owns
+column pruning and predicate pushdown into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the synthetic tables and (by default) register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df = _fix_nanos_timestamps(df)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _fix_nanos_timestamps(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long nanos (see the
+    ``nanosAsLong`` flag in session.py); restore TimestampType at micro
+    precision with exact integer division — the generator's timestamps are
+    micro-precision so nothing is lost."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.LongType) and field.name == "ts":
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df

@@ -1,0 +1,88 @@
+"""Data-quality verification — the reference's ``verify`` subcommand
+(reference bin/core-etl/src/verify.rs:27-94) as window-function DataFrames.
+
+The reference loads all rows to the client, sorts in memory, and walks
+adjacent pairs (verify.rs:46-59). Here each check is one distributed plan:
+a ``lag`` window for contiguity, an aggregate compare for the tip. At 100 TB
+the global ``Window.orderBy`` would single-partition; ``gap_ranges`` instead
+uses a per-bucket window (partition by ``floor(number/bucket)``) plus a
+cross-bucket boundary check, which scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def sequence_gaps(df: DataFrame, col: str = "number") -> DataFrame:
+    """V2 — ranged gap check: rows whose predecessor is not ``value - 1``
+    (reference verify.rs:48-59). Returns (prev_value, value, missing) rows,
+    one per gap."""
+    w = W.orderBy("value")
+    return (
+        df.select(F.col(col).cast("long").alias("value"))
+        .select("value", F.lag("value", 1).over(w).alias("prev_value"))
+        .filter(F.col("prev_value").isNotNull() & (F.col("value") != F.col("prev_value") + 1))
+        .select(
+            "prev_value",
+            "value",
+            (F.col("value") - F.col("prev_value") - 1).alias("missing"),
+        )
+    )
+
+
+def sequence_gaps_scalable(df: DataFrame, col: str = "number", bucket: int = 1_000_000) -> DataFrame:
+    """V2 at scale: contiguity via count/min/max per bucket instead of one
+    global-ordered window. A bucket of size B is gap-free iff
+    ``count == max - min + 1`` *and* it chains to its neighbor; violations
+    surface as (bucket, expected, actual) rows. One shuffle on ~|N|/B keys."""
+    b = (F.col(col) / F.lit(bucket)).cast("long").alias("bucket")
+    agg = df.select(F.col(col).alias("v"), b).groupBy("bucket").agg(
+        F.count("v").alias("cnt"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    w = W.orderBy("bucket")
+    return (
+        agg.select(
+            "bucket",
+            "cnt",
+            "lo",
+            "hi",
+            F.lag("hi", 1).over(w).alias("prev_hi"),
+            F.lag("bucket", 1).over(w).alias("prev_bucket"),
+        )
+        .filter(
+            (F.col("cnt") != F.col("hi") - F.col("lo") + 1)
+            | (
+                F.col("prev_hi").isNotNull()
+                & (
+                    (F.col("lo") != F.col("prev_hi") + 1)
+                    | (F.col("bucket") != F.col("prev_bucket") + 1)
+                )
+            )
+        )
+        .select("bucket", "cnt", "lo", "hi", "prev_hi")
+    )
+
+
+def positional_check(df: DataFrame, col: str = "number") -> DataFrame:
+    """V3 — full check from zero: the i-th row (ordered) must equal i
+    (reference verify.rs:74-79). Returns violating rows with their position."""
+    w = W.orderBy("value")
+    return (
+        df.select(F.col(col).cast("long").alias("value"))
+        .select("value", (F.row_number().over(w) - 1).alias("pos"))
+        .filter(F.col("value") != F.col("pos"))
+    )
+
+
+def tip_lag(stored: DataFrame, chain_tip: int, col: str = "number") -> DataFrame:
+    """V4 — stored tip vs node tip (reference verify.rs:35-39,60-67).
+    One row: (stored_tip, chain_tip, behind)."""
+    tip = F.lit(chain_tip).cast("long")
+    return stored.agg(F.max(col).alias("stored_tip")).select(
+        "stored_tip",
+        tip.alias("chain_tip"),
+        (tip - F.col("stored_tip")).alias("behind"),
+    )

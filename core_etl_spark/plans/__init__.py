@@ -1,0 +1,30 @@
+"""Query registry — the engine's declared capability surface.
+
+Every operator claimed in SURVEY.md §2 is registered here as a
+:class:`QuerySpec`: a Spark builder ``(spark, sf_dir) -> DataFrame`` plus an
+equivalent ANSI-SQL oracle that DuckDB can run on the same parquet tables.
+The driver (and ``tests/test_parity.py``) executes both sides and compares
+row count, schema, and an order-insensitive value hash.
+
+Cross-engine determinism rules used throughout (see ``plans/base.py``):
+
+- money/measure doubles are decimal-cast *before* aggregation so sums are
+  exact and order-independent, then cast back to double for a stable schema;
+- temporal outputs are ISO strings or epoch micros, never raw timestamps;
+- every top-k has a total tiebreaker so the selected row *set* is unique.
+"""
+
+from __future__ import annotations
+
+from .base import REGISTRY, QuerySpec, register, shared_sql  # noqa: F401
+
+# Importing the spec modules populates REGISTRY.
+from . import views_specs  # noqa: F401,E402
+from . import verify_specs  # noqa: F401,E402
+from . import relational  # noqa: F401,E402
+from . import decode_specs  # noqa: F401,E402
+from . import llm_specs  # noqa: F401,E402
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    return dict(REGISTRY)

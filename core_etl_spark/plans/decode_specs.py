@@ -1,0 +1,191 @@
+"""Decode specs — SURVEY §2.2 (T4-T8, T12): CBC20 calldata extraction run
+against *synthetic calldata* built deterministically from the ``customer``
+table, so the DuckDB oracle can replay the exact same fixture and decode.
+
+Fixture shape (one tx per customer key < 150):
+
+- kind = key % 4 → 0: ``transfer``, 1: ``transferFrom``, 2: ``batchTransfer``
+  with N = 1 + key % 3 recipients, 3: unknown selector (must be dropped);
+- key % 5 == 0 targets a *different* contract (must be dropped by the T4
+  address predicate);
+- receipts give status 0 for key % 7 == 0 (exercises the T8 status join).
+
+Addresses are 44-char md5-derived hex; values stay hex strings (u256
+fidelity). The Spark side runs the production decoder
+(:mod:`core_etl_spark.operators.decode`); the oracle re-implements the
+slicing in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.decode import extract_token_transfers
+from .base import register
+
+CONTRACT = "c" * 44
+OTHER_CONTRACT = "d" * 44
+
+_ZWORD = "repeat('0', 64)"
+
+
+def _addr(x: str) -> str:
+    """44-char deterministic hex address from an expression (shared dialect)."""
+    return f"concat(md5(concat('a', {x})), substr(md5(concat('b', {x})), 1, 12))"
+
+
+def _word(a: str) -> str:
+    return f"lpad({a}, 64, '0')"
+
+
+def _vword(x: str) -> str:
+    """64-char value word with a 16-hex-char payload."""
+    return f"lpad(substr(md5(concat('v', {x})), 1, 16), 64, '0')"
+
+
+_K = "CAST(key AS STRING)"
+_N = "(1 + key % 3)"
+
+
+def _batch_words(maker, tag: str) -> str:
+    """N address/value words for N = 1 + key % 3 (bounded CASE keeps the
+    generation in the shared SQL dialect)."""
+    w = [maker(f"concat('{tag}', {_K}, '_', {i})") for i in (1, 2, 3)]
+    return (
+        f"CASE {_N} WHEN 1 THEN {w[0]} "
+        f"WHEN 2 THEN concat({w[0]}, {w[1]}) "
+        f"ELSE concat({w[0]}, {w[1]}, {w[2]}) END"
+    )
+
+
+_COUNT_WORD = f"lpad(CAST({_N} AS STRING), 64, '0')"
+
+#: Shared-dialect fixture CTE: customer keys → synthetic transactions.
+FIXTURE_CTE = f"""
+src AS (
+    SELECT CAST(c_custkey AS BIGINT) AS key FROM customer WHERE c_custkey < 150
+),
+tx AS (
+    SELECT key,
+           key AS block_number,
+           md5(concat('h', {_K})) AS hash,
+           {_addr(f"concat('s', {_K})")} AS from_addr,
+           CASE WHEN key % 5 = 0 THEN '{OTHER_CONTRACT}' ELSE '{CONTRACT}' END AS to_addr,
+           CASE CAST(key % 4 AS INT)
+             WHEN 0 THEN concat('4b40e901',
+                                {_word(_addr(f"concat('t', {_K})"))},
+                                {_vword(_K)})
+             WHEN 1 THEN concat('31f2e679',
+                                {_word(_addr(f"concat('f', {_K})"))},
+                                {_word(_addr(f"concat('t', {_K})"))},
+                                {_vword(_K)})
+             WHEN 2 THEN concat('e86e7c5f', {_ZWORD}, {_ZWORD}, {_COUNT_WORD},
+                                {_batch_words(lambda x: _word(_addr(x)), 't')},
+                                {_COUNT_WORD},
+                                {_batch_words(_vword, 'v')})
+             ELSE concat('deadbeef', {_ZWORD})
+           END AS input
+    FROM src
+)
+"""
+
+_TX_SQL = f"WITH {FIXTURE_CTE} SELECT * FROM tx"
+
+_RECEIPT_STATUS = "CASE WHEN key % 7 = 0 THEN 0 ELSE 1 END"
+
+
+@register(
+    "t45_transfer_decode",
+    tables=("customer",),
+    oracle=f"""
+        WITH {FIXTURE_CTE}
+        SELECT block_number,
+               from_addr,
+               substr(input, 29, 44) AS to_addr,
+               substr(input, 73, 64) AS value,
+               hash AS tx_hash
+        FROM tx
+        WHERE to_addr = '{CONTRACT}' AND substr(input, 1, 8) = '4b40e901'
+    """,
+    tags=("decode", "t4", "t5", "string"),
+)
+def t45(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """T4+T5 — predicate + single-transfer decode: selector match, address
+    match, word slicing (cbc20.rs:25-46). Pure column expressions, fully
+    codegen'd."""
+    from pyspark.sql import functions as F
+
+    from ..operators.decode import SELECTOR_TRANSFER, decode_transfer, is_transfer_call
+
+    tx = spark.sql(_TX_SQL)
+    return (
+        tx.filter(is_transfer_call(F.col("input"), F.col("to_addr"), CONTRACT))
+        .filter(F.substring("input", 1, 8) == SELECTOR_TRANSFER)
+        .select(
+            "block_number",
+            *decode_transfer(F.col("input"), F.col("from_addr"))[:3],
+            F.col("hash").alias("tx_hash"),
+        )
+    )
+
+
+@register(
+    "t4678_cbc20_extract",
+    tables=("customer",),
+    oracle=f"""
+        WITH {FIXTURE_CTE},
+        matched AS (
+            SELECT * FROM tx
+            WHERE to_addr = '{CONTRACT}'
+              AND substr(input, 1, 8) IN ('4b40e901', 'e86e7c5f', '31f2e679')
+        ),
+        single AS (
+            SELECT block_number, from_addr,
+                   substr(input, 29, 44) AS to_addr,
+                   substr(input, 73, 64) AS value,
+                   hash AS tx_hash, CAST(0 AS BIGINT) AS transfer_index, key
+            FROM matched WHERE substr(input, 1, 8) = '4b40e901'
+        ),
+        t_from AS (
+            SELECT block_number,
+                   substr(input, 29, 44) AS from_addr,
+                   substr(input, 93, 44) AS to_addr,
+                   substr(input, 137, 64) AS value,
+                   hash AS tx_hash, CAST(0 AS BIGINT) AS transfer_index, key
+            FROM matched WHERE substr(input, 1, 8) = '31f2e679'
+        ),
+        batch_src AS (
+            SELECT *, CAST('0x' || substr(input, 137, 64) AS BIGINT) AS n
+            FROM matched WHERE substr(input, 1, 8) = 'e86e7c5f'
+        ),
+        batch AS (
+            SELECT b.block_number, b.from_addr,
+                   substr(b.input, 201 + 64 * i.g + 20, 44) AS to_addr,
+                   substr(b.input, CAST(265 + 64 * b.n + 64 * i.g AS INT), 64) AS value,
+                   b.hash AS tx_hash, CAST(i.g AS BIGINT) AS transfer_index, b.key
+            FROM batch_src b
+            JOIN (SELECT unnest(generate_series(0, 2)) AS g) i ON i.g < b.n
+        ),
+        transfers AS (
+            SELECT * FROM single UNION ALL SELECT * FROM t_from UNION ALL SELECT * FROM batch
+        )
+        SELECT block_number, from_addr, to_addr, value, tx_hash,
+               '{CONTRACT}' AS address, transfer_index,
+               CAST({_RECEIPT_STATUS} AS BIGINT) AS status
+        FROM transfers
+    """,
+    tags=("decode", "t4", "t6", "t7", "t8", "t12", "explode", "join"),
+)
+def t4678(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """T4-T8 + T12 — the full extraction pipeline (reference
+    etl.rs:346-384): selector dispatch (3-way filtered union mirroring the
+    SmartContract trait dispatch), batchTransfer 1→N ``posexplode``, hex→int
+    count parse, and the receipt-status broadcast join replacing the
+    reference's per-tx RPC."""
+    from pyspark.sql import functions as F
+
+    tx = spark.sql(_TX_SQL)
+    receipts = tx.select(
+        F.col("hash").alias("tx_hash"), F.expr(_RECEIPT_STATUS).alias("status")
+    )
+    return extract_token_transfers(tx, CONTRACT, receipts=receipts)

@@ -1,0 +1,601 @@
+"""Gap-capability specs — SURVEY §2.8: the full relational surface the
+reference's tables imply but its query layer only has in degenerate form.
+Joins, hash aggregation, distinct, rollup/cube/grouping-sets, windows,
+top-k, set ops, string/date/math/array/JSON functions, subqueries.
+
+Cross-engine determinism: doubles are decimal-cast before SUM (exact,
+order-independent), result cast back to double; avg = exact-sum / count.
+See ``plans/__init__`` for the full rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .base import register, shared_sql
+
+# Exact-decimal money arithmetic (values < 1e10, 2-dec cents; discount/tax
+# are 4-dec fractions). Shared Spark/DuckDB SQL text.
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_PRICE = "CAST(o_totalprice AS DECIMAL(12,2))"
+
+shared_sql(
+    "g01_hash_agg_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tables=("lineitem",),
+    tags=("gap", "agg"),
+    headline=True,
+    doc="TPC-H Q1 shape: scan + partial/final hash agg, 8 aggregates over "
+    "2 group keys. The parquet scan reads only the 7 referenced columns.",
+)
+
+shared_sql(
+    "g02_join_agg_topk_tpch_q3",
+    f"""
+    SELECT o_orderkey,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'HOUSEHOLD'
+      AND o_orderdate < DATE '1998-01-01'
+      AND l_shipdate  > DATE '1998-01-01'
+    GROUP BY o_orderkey, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tables=("customer", "orders", "lineitem"),
+    tags=("gap", "join", "topk"),
+    headline=True,
+    doc="TPC-H Q3 shape: 3-way join + agg + deterministic top-10 (revenue "
+    "is exact-decimal so the tie-broken row set is unique). customer side "
+    "broadcasts under the 64 MB threshold at test SF; at 100 TB AQE keeps "
+    "the small post-filter side broadcast.",
+)
+
+
+@register(
+    "g03_star_join_tpch_q5",
+    tables=("region", "nation", "customer", "orders", "lineitem", "supplier"),
+    oracle=f"""
+        SELECT n_name,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1999-01-01'
+        GROUP BY n_name
+    """,
+    tags=("gap", "join", "agg"),
+    headline=True,
+)
+def g03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q5 shape via the DataFrame API: 6-table star join with explicit
+    ``broadcast`` hints on every dimension table, shuffle only on the
+    fact-fact (orders⋈lineitem) edge."""
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1999-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "g04_semi_join",
+    tables=("customer", "orders"),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+        )
+    """,
+    tags=("gap", "join", "semi"),
+)
+def g04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding at least one pending
+    order. Semi-join never duplicates or widens the left side."""
+    pending = t["orders"].filter(F.col("o_orderstatus") == "P")
+    return (
+        t["customer"]
+        .join(pending, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "g05_anti_join",
+    tables=("customer", "orders"),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("gap", "join", "anti"),
+)
+def g05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+shared_sql(
+    "g06_distinct_count",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey)      AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*)                        AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tables=("orders",),
+    tags=("gap", "distinct", "agg"),
+    doc="Exact distinct aggregation (expand + two-phase agg in Spark).",
+)
+
+
+@register(
+    "g06b_approx_distinct",
+    tables=("orders",),
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    tags=("gap", "distinct", "approx"),
+)
+def g06b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """``approx_count_distinct`` (HyperLogLog++) — the constant-memory
+    distinct for 100 TB cardinality estimation. Sketches are
+    engine-specific, so no cross-engine oracle (rows-only check)."""
+    return t["orders"].agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+shared_sql(
+    "g07_rollup",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tables=("lineitem",),
+    tags=("gap", "rollup"),
+    doc="ROLLUP with GROUPING() markers — subtotal + grand-total rows.",
+)
+
+shared_sql(
+    "g07b_cube",
+    f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(SUM({_PRICE}) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tables=("orders",),
+    tags=("gap", "cube"),
+    doc="CUBE over status × priority.",
+)
+
+shared_sql(
+    "g07c_grouping_sets",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tables=("lineitem",),
+    tags=("gap", "grouping-sets"),
+    doc="Explicit GROUPING SETS (one-dimension marginals + grand total).",
+)
+
+shared_sql(
+    "g08_window_functions",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+           lag(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key,
+           CAST(SUM({_PRICE}) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tables=("orders",),
+    tags=("gap", "window"),
+    headline=True,
+    doc="row_number/rank/lag/lead + running frame sum, partitioned per "
+    "customer — shuffles once on o_custkey, no global sort.",
+)
+
+shared_sql(
+    "g09_topk_per_group",
+    """
+    WITH ranked AS (
+        SELECT p_brand, p_partkey, p_name, p_retailprice,
+               row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    )
+    SELECT p_brand, p_partkey, p_name, p_retailprice, rn
+    FROM ranked WHERE rn <= 3
+    """,
+    tables=("part",),
+    tags=("gap", "window", "topk"),
+    doc="Top-3 per group via ranked window; p_partkey tiebreak makes the "
+    "row set unique.",
+)
+
+shared_sql(
+    "g10_set_ops",
+    """
+    SELECT 'both' AS tag, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1996
+    ) a
+    UNION ALL
+    SELECT 'only_1995' AS tag, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1996
+    ) b
+    """,
+    tables=("orders",),
+    tags=("gap", "setop"),
+    doc="INTERSECT / EXCEPT / UNION ALL in one plan.",
+)
+
+shared_sql(
+    "g11_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name)                          AS name_upper,
+           substr(p_name, 1, 5)                   AS name_prefix,
+           length(p_name)                         AS name_len,
+           p_brand || '/' || p_type               AS brand_type,
+           replace(p_name, ' ', '_')              AS name_snake,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+    FROM part
+    WHERE lower(p_name) LIKE '%bolt%'
+    """,
+    tables=("part",),
+    tags=("gap", "string"),
+    doc="substr/upper/length/concat/replace/regexp_extract/LIKE — the "
+    "string surface behind the reference's hex slicing (T5-T7) and prefix "
+    "matching (K2).",
+)
+
+
+@register(
+    "g12_datetime_functions",
+    tables=("orders",),
+    oracle=f"""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+               CAST(SUM({_PRICE}) AS DOUBLE) AS total,
+               COUNT(*) AS n_orders,
+               CAST(min(year(o_orderdate)) AS INT) AS yr,
+               CAST(min(month(o_orderdate)) AS INT) AS mon
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        GROUP BY date_trunc('month', o_orderdate)
+    """,
+    tags=("gap", "datetime"),
+)
+def g12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """date_trunc/year/month + interval-bounded range — the reference's
+    created_at derivation (T10) and retention cutoff arithmetic (K9)."""
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.count("*").alias("n_orders"),
+            F.min(F.year("o_orderdate")).alias("yr"),
+            F.min(F.month("o_orderdate")).alias("mon"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("month"),
+            "total",
+            "n_orders",
+            "yr",
+            "mon",
+        )
+    )
+
+
+@register(
+    "g13_hex_conversion",
+    tables=("customer",),
+    oracle="""
+        SELECT c_custkey,
+               substr(md5(c_name), 1, 8) AS hex_slice,
+               CAST('0x' || substr(md5(c_name), 1, 8) AS BIGINT) AS hex_as_int
+        FROM customer
+        WHERE c_custkey < 100
+    """,
+    tags=("gap", "math", "decode", "t12"),
+)
+def g13(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """T12 — hex→int parsing (`usize::from_str_radix(...,16)` in the
+    reference, cbc20.rs:62) as ``conv(hex, 16, 10)``; md5 supplies
+    deterministic hex input from testdata."""
+    hx = F.substring(F.md5(F.col("c_name")), 1, 8)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            hx.alias("hex_slice"),
+            F.conv(hx, 16, 10).cast("long").alias("hex_as_int"),
+        )
+    )
+
+
+@register(
+    "g14_json_functions",
+    tables=("events",),
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("gap", "json"),
+)
+def g14(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """JSON extraction from the ``props`` payload column — the engine-side
+    equivalent of the reference's serde on RPC payloads (provider.rs)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "g15_array_functions",
+    tables=("embeddings",),
+    oracle="""
+        SELECT vec_id, label,
+               len(embedding) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+               round(CAST(list_sum(list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(10,3)))) AS DOUBLE), 3) AS coord_sum
+        FROM embeddings
+        WHERE vec_id < 50
+    """,
+    tags=("gap", "array"),
+)
+def g15(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Array surface: size / element_at / element-wise transform + fold —
+    the primitives under the ABI array decode (T6) and the ANN dot products.
+    The fold runs on exact decimals so the sum is order-independent."""
+    dec = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 3).cast("decimal(10,3)"),
+    )
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+            F.round(
+                F.aggregate(
+                    dec,
+                    F.lit(0).cast("decimal(20,3)"),
+                    lambda acc, x: (acc + x).cast("decimal(20,3)"),
+                ).cast("double"),
+                3,
+            ).alias("coord_sum"),
+        )
+    )
+
+
+@register(
+    "g16_tumbling_window",
+    tables=("events",),
+    oracle="""
+        SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
+    """,
+    tags=("gap", "window", "streaming-analog"),
+)
+def g16(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Tumbling 5-minute event-time window — the batch shape of the
+    streaming windowed agg (§2.8 streaming windows; same ``window()``
+    expression runs unchanged under ``readStream``)."""
+    return (
+        t["events"]
+        .filter(F.col("ts") < "2024-01-02 00:00:00")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "g17_sessionization",
+    tables=("events",),
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000) AS BIGINT) AS duration_sec
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    tags=("gap", "window", "session"),
+)
+def g17(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Sessionization: 30-minute-gap cumsum session ids per user (the batch
+    twin of streaming ``session_window``). Two stages, both partitioned by
+    user_id — a single shuffle."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((us - F.unix_micros(F.lag("ts").over(w))) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = gaps.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.floor((F.max(us) - F.min(us)) / 1_000_000).cast("long").alias("duration_sec"),
+    )
+
+
+shared_sql(
+    "g18_pivot_conditional_agg",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signups
+    FROM events
+    GROUP BY user_id
+    """,
+    tables=("events",),
+    tags=("gap", "pivot"),
+    doc="Pivot via conditional aggregation (the portable form of "
+    "``.groupBy().pivot()`` — same physical plan).",
+)
+
+shared_sql(
+    "g19_scalar_subquery",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM({_PRICE}) AS DOUBLE) / COUNT(*) FROM orders)
+    """,
+    tables=("orders",),
+    tags=("gap", "subquery"),
+    doc="Uncorrelated scalar subquery (orders above 2× the mean price); the "
+    "mean is exact-decimal so the threshold is engine-identical.",
+)
+
+shared_sql(
+    "g20_decorrelated_subquery",
+    """
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    JOIN part_avg p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.5 * p.avg_qty
+    """,
+    tables=("lineitem",),
+    tags=("gap", "subquery", "join"),
+    headline=True,
+    doc="TPC-H Q17 shape: correlated aggregate subquery written "
+    "decorrelated (per-key agg + self-join) — one shuffle on l_partkey.",
+)

@@ -1,0 +1,77 @@
+"""Verification specs — SURVEY §2.5 (V1-V4), the reference's ``verify``
+subcommand (bin/core-etl/src/verify.rs:27-94) as distributed window plans,
+exercised on the ``events`` table (contiguous ``event_id`` plays the block
+number; filtering to one event_type injects gaps)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import verify as VF
+from .base import register
+
+
+@register(
+    "v02_sequence_gap_check",
+    tables=("events",),
+    oracle="""
+        WITH s AS (
+            SELECT event_id AS value,
+                   lag(event_id) OVER (ORDER BY event_id) AS prev_value
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT prev_value, value, value - prev_value - 1 AS missing
+        FROM s
+        WHERE prev_value IS NOT NULL AND value <> prev_value + 1
+    """,
+    tags=("verify", "v2", "window"),
+)
+def v02(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """V2 — ranged contiguity check via ``lag`` (reference verify.rs:48-59
+    does a client-side adjacent-pair walk); the click-only subset makes the
+    gap set non-trivial."""
+    clicks = t["events"].filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("number")
+    )
+    return VF.sequence_gaps(clicks)
+
+
+@register(
+    "v03_positional_check",
+    tables=("events",),
+    oracle="""
+        WITH s AS (
+            SELECT event_id AS value,
+                   row_number() OVER (ORDER BY event_id) - 1 AS pos
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT value, pos FROM s WHERE value <> pos
+    """,
+    tags=("verify", "v3", "window"),
+)
+def v03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """V3 — positional check from zero: i-th ordered row must equal i
+    (reference verify.rs:74-79)."""
+    views = t["events"].filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("number")
+    )
+    return VF.positional_check(views)
+
+
+@register(
+    "v04_tip_comparison",
+    tables=("events",),
+    oracle="""
+        SELECT max(event_id) AS stored_tip,
+               CAST(1000000 AS BIGINT) AS chain_tip,
+               CAST(1000000 AS BIGINT) - max(event_id) AS behind
+        FROM events
+    """,
+    tags=("verify", "v4", "agg"),
+)
+def v04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """V4 — stored tip vs chain tip (reference verify.rs:35-39,60-67) with a
+    fixed synthetic chain tip of 1,000,000."""
+    return VF.tip_lag(
+        t["events"].withColumnRenamed("event_id", "number"), 1_000_000
+    )

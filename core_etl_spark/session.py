@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the engine.
+
+Local test mode runs ``local[N]`` (single JVM); the same config block is what
+we'd ship to a 1000-executor cluster — AQE owns runtime re-planning (partition
+coalescing, skew-join splitting), shuffle partitions default to a
+cluster-appropriate count, and Arrow is on for the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "core_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    Settings that matter at 100 TB and are harmless at sf0.001:
+
+    - AQE + coalesce + skew-join: runtime re-plan fixes both over- and
+      under-partitioned shuffles and splits skewed join partitions.
+    - ``spark.sql.session.timeZone=UTC``: deterministic timestamp semantics
+      (and parity with the DuckDB oracle, which is UTC-naive).
+    - Arrow for Pandas UDF transfer (the minhash/ANN/multimodal slow paths).
+    - autoBroadcastJoinThreshold raised to 64 MB: every dim table in the
+      star schema (region/nation/customer/supplier/part at per-executor
+      scale) should broadcast rather than shuffle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # The driver's events.parquet carries TIMESTAMP(NANOS); Spark reads
+        # it as long nanos under this flag and io.load_tables converts back
+        # to a proper TimestampType (micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
