@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **Brute-force cosine top-k** — the exactness baseline: broadcast the
+  query set, one pass over the corpus, per-query top-k via ranked window.
+  Linear in |corpus| × |queries|; right up to ~1e9 corpus rows when the
+  query set is small.
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (sign of ⟨plane, vec⟩) bucket the corpus; queries only score their own
+  bucket. Planes are md5-derived ±1 coefficients, so signatures are
+  deterministic and engine-portable.
+
+Dot products run on exact decimals (coords rounded to 3 dp): sums are
+order-independent, so results are bit-identical across engines — the same
+trick the oracle-parity layer uses everywhere. The final cosine is one
+IEEE-deterministic double expression over exact inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+_DEC = "decimal(10,3)"
+_ACC = "decimal(28,6)"
+
+
+def _dec_vec(v: Column) -> Column:
+    """Embedding coords as exact decimals (3 dp)."""
+    return F.transform(v, lambda x: F.round(x.cast("double"), 3).cast(_DEC))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product: element products then an order-stable
+    exact fold."""
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast(_ACC))
+    return F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the exact-decimal squared norm (computed once per vector)."""
+    dec = _dec_vec(F.col(vec_col))
+    return df.withColumn("_dec", dec).withColumn("_normsq", _dot(F.col("_dec"), F.col("_dec")))
+
+
+def cosine(dot: Column, normsq_a: Column, normsq_b: Column) -> Column:
+    """cosine = dot / sqrt(|a|² · |b|²) — all three inputs exact decimals,
+    one deterministic double expression."""
+    return dot.cast("double") / F.sqrt(normsq_a.cast("double") * normsq_b.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: broadcast queries × corpus,
+    ranked window per query (ties broken by neighbor id). Output
+    (query_id, neighbor_id, rank, cosine_sim)."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_dec").alias("c_dec"),
+        F.col("_normsq").alias("c_normsq"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_dec").alias("q_dec"),
+        F.col("_normsq").alias("q_normsq"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                _dot(F.col("q_dec"), F.col("c_dec")),
+                F.col("q_normsq"),
+                F.col("c_normsq"),
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def hyperplane_signature(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature: bit *p* = sign of ⟨plane_p, v⟩
+    where plane_p[d] = ±1 from the top bit of md5(f"{p}_{d}"). The planes
+    are data-independent constants — Catalyst folds them — so the corpus
+    pass is a single projection."""
+    dec = _dec_vec(vec_col)
+    bits = []
+    for p in range(n_planes):
+        coeffs = F.array(
+            *[
+                F.lit(1).cast(_DEC) if _plane_bit(p, d) else F.lit(-1).cast(_DEC)
+                for d in range(dim)
+            ]
+        )
+        dot = _dot(dec, coeffs)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _plane_bit(p: int, d: int) -> bool:
+    """Deterministic ±1 coefficient source, engine-portable (md5)."""
+    import hashlib
+
+    return hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] >= "8"
+
+
+def _flip_bit(col_name: str, pos: int) -> Column:
+    """Signature column with bit ``pos`` (0-based) flipped."""
+    sig = F.col(col_name)
+    flipped = F.when(F.substring(sig, pos + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(sig, 1, pos), flipped, F.expr(f"substring({col_name}, {pos + 2})")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors whose hyperplane bucket is
+    within hamming-1 of the query's (multi-probe LSH). The probe expansion
+    happens on the (small) query side — corpus keeps exactly one bucket per
+    vector, so the candidate join stays an equi-join: with 6 planes and
+    hamming-1 probing each query touches ~7/64 of a uniformly-bucketed
+    corpus, not all of it."""
+    c = with_norm(corpus, vec_col).withColumn(
+        "bucket", hyperplane_signature(F.col(vec_col), n_planes, dim)
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "bucket",
+        F.col("_dec").alias("c_dec"), F.col("_normsq").alias("c_normsq"),
+    )
+    q = with_norm(queries, vec_col).withColumn(
+        "bucket", hyperplane_signature(F.col(vec_col), n_planes, dim)
+    ).select(
+        F.col(id_col).alias("query_id"), "bucket",
+        F.col("_dec").alias("q_dec"), F.col("_normsq").alias("q_normsq"),
+    )
+    if multiprobe:
+        probes = F.array(F.col("bucket"), *[_flip_bit("bucket", p) for p in range(n_planes)])
+        q = q.withColumn("bucket", F.explode(probes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                _dot(F.col("q_dec"), F.col("c_dec")),
+                F.col("q_normsq"),
+                F.col("c_normsq"),
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+    All-pairs form — at scale, pre-bucket with ``hyperplane_signature`` and
+    only compare within buckets (same trade as ``lsh_ann_topk``)."""
+    n = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_dec").alias("dec"), F.col("_normsq").alias("normsq")
+    )
+    a = n.select(F.col("id").alias("id_a"), F.col("dec").alias("a_dec"), F.col("normsq").alias("a_normsq"))
+    b = n.select(F.col("id").alias("id_b"), F.col("dec").alias("b_dec"), F.col("normsq").alias("b_normsq"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(_dot(F.col("a_dec"), F.col("b_dec")), F.col("a_normsq"), F.col("b_normsq")).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

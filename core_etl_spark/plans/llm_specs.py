@@ -1,4 +1,429 @@
-"""LLM-data-pipeline specs — dedup, similarity search, text analysis over
-``documents``/``embeddings`` (filled by operators/{dedup,similarity,text}.py)."""
+"""LLM-data-pipeline specs — the training-data operators the north star
+adds on top of the reference surface: deduplication (exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine), similarity search
+(brute-force top-k and LSH-bucketed ANN), and text analysis (stats,
+language-ID, token counting, fingerprinting), over ``documents`` and
+``embeddings``.
+
+Oracle portability: every hash in these pipelines is md5-derived, all
+ratios divide exact integers, and all dot products run on exact decimals —
+so even MinHash signatures and ANN rankings are bit-identical in DuckDB.
+Swap md5 for ``xxhash64`` in production for ~2× (same plan shapes).
+"""
 
 from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from .base import register
+
+# --- shared oracle fragments -------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+
+#: (doc_id, shingle) inverted index: distinct word 3-grams, matching
+#: operators.dedup.word_shingles (out-of-range tail elements are NULL and
+#: concat_ws skips them in both engines).
+_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "l01_exact_dedup",
+    tables=("documents",),
+    oracle="""
+        SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup", "exact"),
+)
+def l01(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 fingerprint — one shuffle on
+    the hash, the O(N) baseline every corpus pass starts with."""
+    return D.exact_dup_groups(t["documents"])
+
+
+@register(
+    "l02_text_stats",
+    tables=("documents",),
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_words,
+               len(list_distinct({_TOKS})) AS n_distinct_words,
+               (length(text) - (len({_TOKS}) - 1)) / len({_TOKS}) AS avg_word_len,
+               len(list_filter({_TOKS},
+                   w -> list_contains(['the','of','and','to','a'], w))) / len({_TOKS})
+                   AS stopword_ratio,
+               (len(list_distinct({_TOKS})) / len({_TOKS}))
+                 * (1 - len(list_filter({_TOKS},
+                       w -> list_contains(['the','of','and','to','a'], w))) / len({_TOKS}))
+                   AS quality_score
+        FROM documents
+    """,
+    tags=("llm", "text", "quality"),
+)
+def l02(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Quality scoring: length/diversity/stopword stats as element-wise
+    array expressions — single scan, no shuffle, no UDF."""
+    return X.text_stats(t["documents"]).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "avg_word_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "l03_token_count",
+    tables=("documents",),
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def l03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex segmentation."""
+    return X.token_counts(t["documents"]).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter({_TOKS}, w -> list_contains("
+            f"[{', '.join(repr(w) for w in words)}], w)))"
+        )
+        for lang, words in X.LANG_STOPWORDS.items()
+    }
+    cols = ",\n               ".join(f"{h} AS hits_{lang}" for lang, h in hits.items())
+    langs = list(X.LANG_STOPWORDS)  # precedence order
+    cases = []
+    for i in range(len(langs) - 1, 0, -1):
+        earlier = ", ".join(f"hits_{la}" for la in langs[:i])
+        fn = "greatest" if i > 1 else ""
+        prev = f"greatest({earlier})" if i > 1 else earlier
+        cases.append(f"WHEN hits_{langs[i]} > {prev} THEN '{langs[i]}'")
+    cases.append(f"WHEN hits_{langs[0]} > 0 THEN '{langs[0]}'")
+    case_sql = "\n                 ".join(cases)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+               {cols}
+            FROM documents
+        )
+        SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es, hits_zh,
+               CASE {case_sql}
+                 ELSE 'und' END AS predicted_lang
+        FROM scored
+    """
+
+
+@register(
+    "l04_language_id",
+    tables=("documents",),
+    oracle=_langid_oracle(),
+    tags=("llm", "text", "langid"),
+)
+def l04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts + argmax
+    with fixed precedence. (The synthetic corpus is language-agnostic
+    word salad, so this exercises the operator, not its accuracy.)"""
+    return X.language_id(t["documents"]).select(
+        "doc_id", "lang", "hits_en", "hits_de", "hits_fr", "hits_es", "hits_zh",
+        "predicted_lang",
+    )
+
+
+@register(
+    "l05_fingerprint",
+    tables=("documents",),
+    oracle="""
+        WITH n AS (
+            SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(norm) AS fp_md5,
+               CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS fp_int60,
+               md5(substr(norm, 1, 64)) AS fp_prefix64
+        FROM n
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def l05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Document fingerprinting: md5 + 60-bit integer + 64-char-prefix
+    fingerprints of whitespace-normalized text."""
+    return X.fingerprint(t["documents"]).select("doc_id", "fp_md5", "fp_int60", "fp_prefix64")
+
+
+@register(
+    "l06_ngram_jaccard_dedup",
+    tables=("documents",),
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_inter,
+               n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    tags=("llm", "dedup", "jaccard"),
+    headline=True,
+)
+def l06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via the shingle inverted index —
+    candidate pairs share ≥1 shingle, scored exactly from distinct-shingle
+    counts. The quadratic risk sits in hot shingles; ``max_shingle_df``
+    (off here for oracle fidelity) is the scale valve."""
+    return D.jaccard_pairs(t["documents"], threshold=0.5)
+
+
+def _minhash_oracle(n_hashes: int = 12, rows_per_band: int = 4) -> str:
+    return f"""
+        WITH {_SHINGLE_CTE},
+        mh AS (
+            SELECT doc_id, j.j AS j, min(md5(shingle || '#' || j.j)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {n_hashes - 1})) AS j) j
+            GROUP BY doc_id, j.j
+        ),
+        bands AS (
+            SELECT doc_id, CAST(floor(j / {rows_per_band}) AS INT) AS band,
+                   md5(string_agg(mh, '|' ORDER BY j)) AS bucket
+            FROM mh GROUP BY doc_id, CAST(floor(j / {rows_per_band}) AS INT)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.id_a, i.id_b,
+               i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN cand USING (id_a, id_b)
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    """
+
+
+@register(
+    "l07_minhash_lsh_dedup",
+    tables=("documents",),
+    oracle=_minhash_oracle(),
+    tags=("llm", "dedup", "minhash", "lsh"),
+    headline=True,
+)
+def l07(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """MinHash(12)+LSH(3 bands × 4 rows) near-dup pipeline: shingle →
+    minhash → band-bucket join → exact-Jaccard verification of candidates
+    only. Linear corpus cost — the 100 TB dedup path."""
+    return D.minhash_dedup_pairs(t["documents"], n_hashes=12, rows_per_band=4, threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    bit_exprs = []
+    for p in range(16):
+        votes = (
+            f"list_sum(list_transform(list_transform(list_distinct({_TOKS}), w -> md5(w)), "
+            f"h -> CASE WHEN substr(h, {p + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
+        )
+        bit_exprs.append(f"CASE WHEN {votes} >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bit_exprs)
+    return f"""
+        WITH sigs AS (SELECT doc_id, {sig} AS simhash16 FROM documents)
+        SELECT simhash16, CAST(min(doc_id) AS BIGINT) AS keeper,
+               count(*) AS n_docs
+        FROM sigs GROUP BY simhash16
+    """
+
+
+@register(
+    "l08_simhash_dedup",
+    tables=("documents",),
+    oracle=_simhash_oracle(),
+    tags=("llm", "dedup", "simhash"),
+)
+def l08(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """SimHash(16-bit) buckets: per-bit majority vote over token md5s,
+    grouped by signature (hamming-0 near-dup groups). Element-wise array
+    math — single scan + one groupBy."""
+    return D.simhash_buckets(t["documents"])
+
+
+# --- similarity search -------------------------------------------------------
+
+_DEC_VEC = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(10,3)))"
+)
+
+_VEC_CTE = f"""
+v AS (
+    SELECT vec_id, {_DEC_VEC} AS dec
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, dec,
+           list_sum(list_transform(dec, x -> CAST(x * x AS DECIMAL(28,6)))) AS normsq
+    FROM v
+)
+"""
+
+_PAIR_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(q.dec[i] * c.dec[i] AS DECIMAL(28,6))))"
+)
+
+
+@register(
+    "l09_cosine_topk",
+    tables=("embeddings",),
+    oracle=f"""
+        WITH {_VEC_CTE},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST({_PAIR_DOT} AS DOUBLE)
+                     / sqrt(CAST(q.normsq AS DOUBLE) * CAST(c.normsq AS DOUBLE))
+                     AS cosine_sim
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine_sim
+        FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "ann", "topk"),
+    headline=True,
+)
+def l09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast queries ×
+    corpus scan, exact-decimal dot products (bit-identical ranking), ranked
+    window per query. The exactness baseline for ANN."""
+    emb = t["embeddings"]
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _planes_sql(n_planes: int = 8, dim: int = 64) -> list[str]:
+    planes = []
+    for p in range(n_planes):
+        coeffs = [
+            "1" if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] >= "8" else "-1"
+            for d in range(dim)
+        ]
+        planes.append("[" + ", ".join(coeffs) + "]")
+    return planes
+
+
+def _ann_oracle(n_planes: int = 6, dim: int = 64) -> str:
+    bits = []
+    for p, plane in enumerate(_planes_sql(n_planes, dim)):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(dec[i] * ({plane}[i]) AS DECIMAL(28,6))))"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bits)
+    # hamming-1 multi-probe = join on hamming(q,c) <= 1 (the Spark side
+    # explodes query probes to keep an equi-join; same candidate set)
+    ham = " + ".join(
+        f"(CASE WHEN substr(q.bucket, {p + 1}, 1) <> substr(c.bucket, {p + 1}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+        WITH {_VEC_CTE},
+        sigs AS (SELECT vec_id, dec, normsq, {sig} AS bucket FROM n),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST({_PAIR_DOT} AS DOUBLE)
+                     / sqrt(CAST(q.normsq AS DOUBLE) * CAST(c.normsq AS DOUBLE))
+                     AS cosine_sim
+            FROM sigs q JOIN sigs c ON ({ham}) <= 1 AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine_sim
+        FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "l10_ann_lsh_topk",
+    tables=("embeddings",),
+    oracle=_ann_oracle(),
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def l10(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """LSH-bucketed ANN top-5 (50 queries): 6 random-hyperplane signatures
+    bucket the corpus; each query scores only buckets within hamming-1 of
+    its own (multi-probe, expanded on the query side so the candidate join
+    stays an equi-join). Recall vs l09 measured in tests."""
+    emb = t["embeddings"]
+    out = S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "l11_embedding_neardup",
+    tables=("embeddings",),
+    oracle=f"""
+        WITH {_VEC_CTE},
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(a.dec[i] * b.dec[i] AS DECIMAL(28,6)))) AS DOUBLE)
+                     / sqrt(CAST(a.normsq AS DOUBLE) * CAST(b.normsq AS DOUBLE))
+                     AS cosine_sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def l11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic dedup variant;
+    all-pairs here, bucketed via hyperplane LSH at scale. Threshold 0.4 is
+    calibrated to the synthetic corpus (uniform vectors: max pairwise
+    cosine ≈ 0.51) so the result set is non-trivial."""
+    return S.embedding_near_dups(t["embeddings"], threshold=0.4)
