@@ -1,0 +1,52 @@
+"""u256 quantity helpers.
+
+The reference stores every u256 (block difficulty, tx value, transfer
+amount) as a string because it overflows i64 (reference
+crates/types/src/block.rs:32, transaction.rs:28-36). We keep the same
+policy — **strings are the source of truth** — and derive numerics on
+demand:
+
+- ``hex_u256_to_decimal``: hex word → DecimalType(38,0). Overflow policy:
+  u256 max (~1.16e77) exceeds Decimal(38) (~1e38); values wider than 38
+  digits become NULL (Spark's conv/cast overflow semantics), never silently
+  truncated. For chain-native token amounts (≤ 2^96 wei-style) Decimal(38)
+  is lossless, which covers the reference's CBC20 surface.
+- ``dec_u256_to_decimal``: decimal-string → DecimalType(38,0), same policy.
+- ``hex_to_long``: narrow hex (≤15 chars) → bigint, exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+DEC38 = "decimal(38,0)"
+
+
+def strip_0x(h: Column) -> Column:
+    return F.regexp_replace(F.lower(h), "^0x", "")
+
+
+def hex_to_long(h: Column) -> Column:
+    """Exact hex→bigint for words up to 15 hex chars (60 bits)."""
+    return F.conv(strip_0x(h), 16, 10).cast("long")
+
+
+def hex_u256_to_decimal(h: Column) -> Column:
+    """Hex word → Decimal(38,0). ``conv`` returns the base-10 digits as a
+    string (unsigned 64-bit wraparound applies above 2^64 — so for wide
+    words we parse in two 16-char limbs and recombine in decimal space)."""
+    sig = F.regexp_replace(strip_0x(h), "^0+", "")  # significant digits
+    # lpad TRUNCATES longer inputs, so guard >128-bit first (policy: NULL).
+    x = F.lpad(sig, 32, "0")
+    hi = F.conv(F.substring(x, 1, 16), 16, 10).cast(DEC38)
+    lo = F.conv(F.substring(x, 17, 16), 16, 10).cast(DEC38)
+    two64 = F.lit(str(2**64)).cast(DEC38)  # 2^64 exceeds py4j's long literal
+    # try_*: 128-bit values above Decimal(38) max go NULL under ANSI mode
+    # instead of raising, matching the documented policy.
+    combined = F.try_add(F.try_multiply(hi, two64), lo)
+    return F.when(F.length(sig) > 32, F.lit(None).cast(DEC38)).otherwise(combined)
+
+
+def dec_u256_to_decimal(s: Column) -> Column:
+    """Decimal-string u256 → Decimal(38,0); NULL when > 38 digits."""
+    return s.cast(DEC38)

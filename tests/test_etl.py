@@ -1,0 +1,203 @@
+"""ETL ingest-path tests: fixture generator → T1/T2 normalize → CBC20
+decode (T4-T8) → created_at propagation (T11), plus u256 helpers.
+
+The three calldata golden fixtures are the reference's own worked examples
+(reference crates/contracts/cbc20/src/cbc20.rs:40,47-58,72 comments) — the
+only golden data the reference ships.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_etl_spark.functions import u256
+from core_etl_spark.operators import decode as D
+from core_etl_spark.operators import transforms as T
+from core_etl_spark.schemas import BLOCK_SCHEMA, TRANSACTION_SCHEMA
+from core_etl_spark.sources import fixtures as FX
+
+ADDR_A = "ab416902d2548d52352a05423d13266ee7aaf140a068"[:44]
+ADDR_B = "ab7153b962840676c37ba604c7816b0967cdb645cc54"[:44]
+WORD_1 = "0" * 63 + "1"
+WORD_2 = "0" * 63 + "2"
+CONTRACT = "c" * 44
+SENDER = "d" * 44
+
+# Reference worked examples, cbc20.rs comments.
+TRANSFER_INPUT = "4b40e901" + ("0" * 20 + ADDR_A) + WORD_1
+TRANSFER_FROM_INPUT = "31f2e679" + ("0" * 20 + ADDR_A) + ("0" * 20 + ADDR_A) + WORD_1
+BATCH_INPUT = (
+    "e86e7c5f"
+    + "0" * 62 + "40"
+    + "0" * 62 + "a0"
+    + WORD_2
+    + ("0" * 20 + ADDR_A)
+    + ("0" * 20 + ADDR_B)
+    + WORD_2
+    + WORD_1
+    + WORD_1
+)
+
+
+@pytest.fixture(scope="module")
+def golden_txs(spark):
+    rows = [
+        ("t1", 7, SENDER, CONTRACT, TRANSFER_INPUT),
+        ("t2", 7, SENDER, CONTRACT, TRANSFER_FROM_INPUT),
+        ("t3", 8, SENDER, CONTRACT, BATCH_INPUT),
+        ("t4", 8, SENDER, CONTRACT, "deadbeef" + "0" * 128),  # unknown selector
+        ("t5", 8, SENDER, "e" * 44, TRANSFER_INPUT),  # wrong contract
+    ]
+    return spark.createDataFrame(
+        rows, "hash string, block_number long, from_addr string, to_addr string, input string"
+    )
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return FX.raw_blocks(spark, n_blocks=40, txs_per_block=4).cache()
+
+
+def test_golden_transfer_decode(golden_txs, spark):
+    out = D.extract_token_transfers(golden_txs, CONTRACT)
+    rows = {(r.tx_hash, r.transfer_index): r for r in out.collect()}
+    # unknown selector + wrong contract excluded (T4)
+    assert set(r[0] for r in rows) == {"t1", "t2", "t3"}
+
+    t1 = rows[("t1", 0)]
+    assert (t1.from_addr, t1.to_addr, t1.value) == (SENDER, ADDR_A, WORD_1)
+
+    t2 = rows[("t2", 0)]
+    assert (t2.from_addr, t2.to_addr, t2.value) == (ADDR_A, ADDR_A, WORD_1)
+
+    # batchTransfer: 1 row → 2 rows, indexed, sender from tx originator
+    b0, b1 = rows[("t3", 0)], rows[("t3", 1)]
+    assert (b0.from_addr, b0.to_addr, b0.value) == (SENDER, ADDR_A, WORD_1)
+    assert (b1.from_addr, b1.to_addr, b1.value) == (SENDER, ADDR_B, WORD_1)
+    assert all(r.address == CONTRACT and r.status == 1 for r in rows.values())
+
+
+def test_receipt_status_join(golden_txs, spark):
+    receipts = spark.createDataFrame([("t1", 0), ("t3", 1)], "tx_hash string, status long")
+    out = D.extract_token_transfers(golden_txs, CONTRACT, receipts=receipts)
+    st = {r.tx_hash: r.status for r in out.collect()}
+    assert st["t1"] == 0          # failed receipt propagates
+    assert st["t2"] == 1          # missing receipt defaults success
+    assert st["t3"] == 1
+
+
+def _names_types(schema):
+    return [(f.name, f.dataType) for f in schema.fields]
+
+
+def test_normalize_blocks_schema_and_invariants(raw):
+    blocks = T.normalize_blocks(raw)
+    assert _names_types(blocks.schema) == _names_types(BLOCK_SCHEMA)
+    agg = blocks.agg(
+        F.count("*").alias("n"),
+        F.sum("matured").alias("m"),
+        F.sum(F.when(F.col("transaction_count") == 4, 1).otherwise(0)).alias("tc"),
+        F.count("created_at").alias("ca"),
+    ).collect()[0]
+    assert (agg.n, agg.m, agg.tc, agg.ca) == (40, 0, 40, 40)
+
+
+def test_normalize_transactions_schema_and_nulls(raw):
+    txs = T.normalize_transactions(raw)
+    assert _names_types(txs.schema) == _names_types(TRANSACTION_SCHEMA)
+    assert txs.count() == 160
+    # contract creations: to_addr coalesced to '' (transaction.rs:34)
+    assert txs.filter(F.col("to_addr").isNull()).count() == 0
+    assert txs.filter(F.col("to_addr") == "").count() > 0
+    # tx inherits the parent block's created_at
+    blocks = T.normalize_blocks(raw)
+    j = txs.join(blocks.select("hash", F.col("created_at").alias("b_ca")),
+                 txs["block_hash"] == blocks["hash"])
+    assert j.filter(F.col("created_at") != F.col("b_ca")).count() == 0
+
+
+def test_fixture_chain_contiguity(raw):
+    blocks = T.normalize_blocks(raw)
+    parent = blocks.select(F.col("hash").alias("p_hash"), (F.col("number") + 1).alias("child"))
+    broken = (
+        blocks.filter(F.col("number") > 0)
+        .join(parent, blocks["number"] == parent["child"])
+        .filter(F.col("parent_hash") != F.col("p_hash"))
+    )
+    assert broken.count() == 0
+
+
+def test_address_filter(raw):
+    txs = T.normalize_transactions(raw)
+    kept = T.filter_addresses(txs, {FX.KNOWN_ADDR})
+    assert 0 < kept.count() < txs.count()
+    bad = kept.filter(
+        (F.col("from_addr") != FX.KNOWN_ADDR) & (F.col("to_addr") != FX.KNOWN_ADDR)
+    )
+    assert bad.count() == 0
+
+
+def test_fixture_end_to_end_extraction(raw):
+    """Fixture decode counts follow the calldata cycle: k=31*num+i, CBC20 iff
+    k%3==0 or k%7==0 or k%11==0 (minus every-13th contract creations)."""
+    txs = T.normalize_transactions(raw)
+    receipts = FX.receipts(raw)
+    transfers = D.extract_token_transfers(txs, FX.WATCH_CONTRACT, receipts=receipts)
+    n_single = n_from = n_batch_rows = 0
+    for num in range(40):
+        for i in range(4):
+            k = num * 31 + i
+            if k % 13 == 0:  # contract creation, to=NULL→'' — never matches
+                continue
+            if k % 11 == 0:
+                n_batch_rows += 1 + num % 3
+            elif k % 7 == 0:
+                n_from += 1
+            elif k % 3 == 0:
+                n_single += 1
+    assert transfers.count() == n_single + n_from + n_batch_rows
+    assert transfers.filter(F.col("status") == 0).count() > 0
+    # every decoded address is a 44-char hex word, every value 64-char
+    bad = transfers.filter(
+        (F.length("to_addr") != 44) | (F.length("value") != 64)
+        | (F.length("from_addr") != 44)
+    )
+    assert bad.count() == 0
+
+
+def test_propagate_created_at(raw):
+    blocks = T.normalize_blocks(raw)
+    txs = T.normalize_transactions(raw)
+    transfers = D.extract_token_transfers(txs, FX.WATCH_CONTRACT).withColumn(
+        "created_at", F.lit(None).cast("timestamp")
+    )
+    out = T.propagate_created_at(transfers, txs, blocks)
+    assert out.filter(F.col("created_at").isNull()).count() == 0
+    assert out.count() == transfers.count()
+
+
+def test_u256_hex_to_decimal(spark):
+    cases = [
+        ("00", 0),
+        ("0x1f", 31),
+        ("ffffffffffffffff", 2**64 - 1),          # 64-bit max
+        ("10000000000000000", 2**64),             # needs the two-limb path
+        ("0" * 32 + hex(10**38 - 1)[2:], 10**38 - 1),  # Decimal(38) max, full word
+        ("0" * 32 + "f" * 32, None),              # 2^128-1: 39 digits → NULL
+        ("f" * 64, None),                         # >128 bits → NULL (policy)
+        (WORD_1, 1),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r.v for r in df.select(u256.hex_u256_to_decimal(F.col("h")).alias("v"))
+           .collect()]
+    assert [None if v is None else int(v) for v in got] == [e for _, e in cases]
+
+
+def test_u256_dec_and_long(spark):
+    df = spark.createDataFrame([("123456789012345678901234567890", "ff")], "d string, h string")
+    r = df.select(
+        u256.dec_u256_to_decimal(F.col("d")).alias("d"),
+        u256.hex_to_long(F.col("h")).alias("l"),
+    ).collect()[0]
+    assert int(r.d) == 123456789012345678901234567890 and r.l == 255
