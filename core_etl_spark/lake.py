@@ -1,0 +1,332 @@
+"""The lake — partitioned-Parquet storage layout and mutation semantics.
+
+This is the Spark-first replacement for the reference's storage backends
+(reference crates/storage/sqlite3/src/sqlite3.rs, postgres.rs):
+
+- **Layout** (K1/K2/K3): three tables under a warehouse root, partitioned by
+  ``block_bucket = number div bucket_size`` (transfers additionally by token
+  ``address``, collapsing the reference's table-per-token family,
+  sqlite3.rs:230-270). Rows are sorted by ``number`` within partitions on
+  write, so Parquet min/max stats replace the reference's six b-tree indexes
+  (sqlite3.rs:131-151). At 100 TB the bucket size bounds every mutation to a
+  rewrite of a few hundred MB, and point/range queries prune to one bucket.
+- **Writes** (K4/K5): micro-batch appends; Spark owns buffering, so the
+  reference's 750/500-row thresholds (sqlite3.rs:401, postgres.rs:394)
+  disappear. Module gating (sqlite3.rs:422,443,453) is the ``modules`` set.
+- **Mutations** (K6-K9): Parquet files are immutable, so every mutation is a
+  *partition-scoped* delete-and-rewrite — read ONLY the affected buckets
+  (partition-pruned scan), filter, dynamically overwrite those buckets.
+  Nothing outside the touched partitions is ever rewritten; a reorg at the
+  tip costs one bucket regardless of table size. Fully-emptied buckets are
+  dropped at the directory level (the local-FS stand-in for a metastore
+  ``ALTER TABLE DROP PARTITION``).
+- **Maturity** (K6): recomputed, never stored — ``matured`` is
+  ``number <= tip - depth`` (reference mutates rows in place,
+  sqlite3.rs:213-228; a computed view is both cheaper and can't go stale).
+- **Reorg detection** (K10): the reference discovers reorgs via PK-conflict
+  on insert (etl.rs:147-169); append-only Parquet has no PK, so we check
+  explicitly: an incoming header whose ``parent_hash`` disagrees with the
+  stored hash at ``number - 1`` marks a fork.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schemas import BLOCK_SCHEMA, TOKEN_TRANSFER_SCHEMA, TRANSACTION_SCHEMA
+
+DEFAULT_BUCKET_SIZE = 100_000
+MATURITY_DEPTH = 5  # reference etl.rs:171,253 — 5-block confirmation
+
+BLOCKS, TRANSACTIONS, TOKEN_TRANSFERS = "blocks", "transactions", "token_transfers"
+ALL_MODULES = (BLOCKS, TRANSACTIONS, TOKEN_TRANSFERS)
+
+_SCHEMAS = {
+    BLOCKS: BLOCK_SCHEMA,
+    TRANSACTIONS: TRANSACTION_SCHEMA,
+    TOKEN_TRANSFERS: TOKEN_TRANSFER_SCHEMA,
+}
+#: column holding the block height per table (transfers/txs use block_number)
+_NUMBER_COL = {BLOCKS: "number", TRANSACTIONS: "block_number", TOKEN_TRANSFERS: "block_number"}
+_PARTITION_COLS = {
+    BLOCKS: ["block_bucket"],
+    TRANSACTIONS: ["block_bucket"],
+    TOKEN_TRANSFERS: ["address", "block_bucket"],
+}
+
+
+class Lake:
+    """One warehouse: paths, writes, reads, and partition-scoped mutations."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bucket_size: int = DEFAULT_BUCKET_SIZE,
+        modules: tuple[str, ...] = ALL_MODULES,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.bucket_size = bucket_size
+        self.modules = tuple(modules)
+
+    # --- layout --------------------------------------------------------------
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f.startswith(("block_bucket=", "address="))
+            for f in os.listdir(p)
+        )
+
+    def _bucket(self, number_col: str) -> F.Column:
+        return (F.col(number_col) / F.lit(self.bucket_size)).cast("long").alias(
+            "block_bucket"
+        )
+
+    # --- writes (K4/K5) --------------------------------------------------------
+
+    def write(self, name: str, df: DataFrame, mode: str = "append") -> None:
+        """Append a micro-batch. Adds the bucket column, sorts within
+        partitions by height (clustering for min/max skipping — the index
+        replacement), and writes through the partition layout. ``mode`` may
+        be ``overwrite`` with dynamic partition overwrite for idempotent
+        re-ingest of a bucket (the exactly-once story, SURVEY §7)."""
+        if name not in self.modules:  # K5 module gating
+            return
+        num = _NUMBER_COL[name]
+        out = df.withColumn("block_bucket", self._bucket(num))
+        parts = _PARTITION_COLS[name]
+        (
+            out.repartition(*[F.col(c) for c in parts])
+            .sortWithinPartitions(num)
+            .write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(self.path(name))
+        )
+
+    def write_all(
+        self,
+        blocks: DataFrame | None = None,
+        transactions: DataFrame | None = None,
+        token_transfers: DataFrame | None = None,
+        mode: str = "append",
+    ) -> None:
+        if blocks is not None:
+            self.write(BLOCKS, blocks, mode)
+        if transactions is not None:
+            self.write(TRANSACTIONS, transactions, mode)
+        if token_transfers is not None:
+            self.write(TOKEN_TRANSFERS, token_transfers, mode)
+
+    # --- reads -----------------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            return self.spark.createDataFrame([], _SCHEMAS[name])
+        return self.spark.read.parquet(self.path(name))
+
+    def blocks(self) -> DataFrame:
+        return self.read(BLOCKS)
+
+    def transactions(self) -> DataFrame:
+        return self.read(TRANSACTIONS)
+
+    def token_transfers(self) -> DataFrame:
+        return self.read(TOKEN_TRANSFERS)
+
+    # --- height-pruned lookups ----------------------------------------------------
+    #
+    # Catalyst cannot infer ``block_bucket`` from a ``number`` predicate, so a
+    # bare height filter scans every partition. These helpers add the derived
+    # bucket predicate, turning point/range lookups into one-bucket scans
+    # (check ``PartitionFilters`` in .explain) — the engine's replacement for
+    # the reference's b-tree index lookups (sqlite3.rs:131-151).
+
+    def height_pruned(
+        self, name: str, lo: int | None = None, hi: int | None = None
+    ) -> DataFrame:
+        """Rows of ``name`` with height in [lo, hi], bucket-pruned."""
+        num = _NUMBER_COL[name]
+        df = self.read(name)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = (F.col(num) >= lo) & (
+                F.col("block_bucket") >= lo // self.bucket_size
+            )
+        if hi is not None:
+            cond = cond & (F.col(num) <= hi) & (
+                F.col("block_bucket") <= hi // self.bucket_size
+            )
+        return df.filter(cond)
+
+    def block_by_number(self, n: int) -> DataFrame:
+        """Q2 point lookup, pruned to one bucket (sqlite3.rs:706-719)."""
+        return self.height_pruned(BLOCKS, n, n)
+
+    def blocks_in_range(self, start: int, end: int = -1) -> DataFrame:
+        """Q5 range scan; ``end < 0`` open-ended (sqlite3.rs:684-704)."""
+        return self.height_pruned(BLOCKS, start, end if end >= 0 else None)
+
+    def block_transactions(self, n: int) -> DataFrame:
+        """Q6 — all transactions of one block, pruned (sqlite3.rs:644-657)."""
+        return self.height_pruned(TRANSACTIONS, n, n)
+
+    # --- resume / tip (O3, Q1) ---------------------------------------------------
+
+    def latest_block_number(self) -> int:
+        """Resume point (reference etl.rs:84-89): max height with the Q1
+        fallback chain blocks → transactions → transfers → -1 (the reference
+        returns 0 for empty; -1 distinguishes 'nothing synced' from
+        'genesis synced')."""
+        for name in (BLOCKS, TRANSACTIONS, TOKEN_TRANSFERS):
+            if name in self.modules and self.exists(name):
+                row = self.read(name).agg(F.max(_NUMBER_COL[name]).alias("m")).first()
+                if row and row.m is not None:
+                    return int(row.m)
+        return -1
+
+    # --- maturity (K6) -----------------------------------------------------------
+
+    def blocks_with_maturity(self, depth: int = MATURITY_DEPTH) -> DataFrame:
+        """Blocks with ``matured`` *recomputed* against the current tip —
+        the replacement for the reference's in-place UPDATE
+        (sqlite3.rs:213-228, driven at etl.rs:171,318-321,253). A scalar agg
+        broadcast into a projection; no mutation, can't go stale."""
+        blocks = self.blocks()
+        tip = blocks.agg(F.max("number").alias("tip"))
+        return blocks.crossJoin(F.broadcast(tip)).withColumn(
+            "matured",
+            (F.col("number") <= F.col("tip") - F.lit(depth)).cast("long"),
+        ).drop("tip")
+
+    # --- partition-scoped delete-and-rewrite core --------------------------------
+
+    def _delete_where(self, name: str, heights_pred) -> None:
+        """Delete rows matching ``heights_pred(number_col)`` from ``name`` by
+        rewriting only the buckets that can contain them: the survivors are
+        staged to a scratch dir, then swapped in at the partition-directory
+        level (staged-then-move — the overwrite never races the read plan,
+        and a crash mid-swap loses no committed bucket)."""
+        if name not in self.modules or not self.exists(name):
+            return
+        num = F.col(_NUMBER_COL[name])
+        df = self.spark.read.parquet(self.path(name))
+        buckets = [
+            r.block_bucket
+            for r in df.filter(heights_pred(num)).select("block_bucket").distinct().collect()
+        ]
+        if not buckets:
+            return
+        scoped = df.filter(F.col("block_bucket").isin(buckets))  # pruned scan
+        kept = scoped.filter(~heights_pred(num))
+        parts = _PARTITION_COLS[name]
+        stage = os.path.join(self.root, f".stage_{name}_{os.urandom(6).hex()}")
+        (
+            kept.repartition(*[F.col(c) for c in parts])
+            .sortWithinPartitions(_NUMBER_COL[name])
+            .write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(stage)
+        )
+        try:
+            self._swap_buckets(name, stage, set(buckets))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    @staticmethod
+    def _leaf_partition_dirs(base: str) -> list[str]:
+        """Relative paths of every partition leaf dir holding parquet files."""
+        out = []
+        for dirpath, _, filenames in os.walk(base):
+            if any(f.endswith(".parquet") for f in filenames):
+                out.append(os.path.relpath(dirpath, base))
+        return out
+
+    def _swap_buckets(self, name: str, stage: str, buckets: set[int]) -> None:
+        """Replace every affected bucket's leaf dir with its staged rewrite;
+        affected buckets absent from the stage became empty → dropped (the
+        local-FS stand-in for ``ALTER TABLE DROP PARTITION``)."""
+        target = self.path(name)
+        affected = {f"block_bucket={b}" for b in buckets}
+        for rel in self._leaf_partition_dirs(target):
+            if os.path.basename(rel) in affected:
+                shutil.rmtree(os.path.join(target, rel), ignore_errors=True)
+        for rel in self._leaf_partition_dirs(stage):
+            if os.path.basename(rel) in affected:
+                dst = os.path.join(target, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.move(os.path.join(stage, rel), dst)
+
+    # --- reorg cleanup (K7) --------------------------------------------------------
+
+    def clean_block_data(self, number: int) -> None:
+        """Remove one block's rows across all modules (reference
+        sqlite3.rs:272-325 runs transactional DELETEs over blocks, txs, and
+        every catalog-discovered transfer table). One bucket rewrite per
+        table."""
+        for name in self.modules:
+            self._delete_where(name, lambda c: c == F.lit(number))
+
+    # --- truncate last N (K8) --------------------------------------------------------
+
+    def truncate_from_last_saved(self, n: int) -> None:
+        """Delete the top-N heights: ``number > max(number) - n`` per table
+        (reference sqlite3.rs:327-392 scalar-subquery DELETE; crash recovery
+        truncates 100, export.rs:62)."""
+        tip = self.latest_block_number()
+        if tip < 0:
+            return
+        cutoff = tip - n
+        for name in self.modules:
+            self._delete_where(name, lambda c: c > F.lit(cutoff))
+
+    # --- retention cleanup (K9) -------------------------------------------------------
+
+    def retention_cleanup(self, cutoff_unix: int) -> None:
+        """Drop data older than the cutoff (reference sqlite3.rs:483-536:
+        periodic ``DELETE WHERE created_at < now - retention`` over every
+        table). Heights are time-ordered, so the cutoff maps to one boundary
+        height; whole buckets below it are dropped at the partition level and
+        only the boundary bucket is rewritten."""
+        blocks = self.blocks()
+        if BLOCKS in self.modules and self.exists(BLOCKS):
+            row = (
+                blocks.filter(F.col("timestamp") < F.lit(cutoff_unix))
+                .agg(F.max("number").alias("m"))
+                .first()
+            )
+            if row is None or row.m is None:
+                return
+            boundary = int(row.m)
+        else:
+            return
+        for name in self.modules:
+            self._delete_where(name, lambda c: c <= F.lit(boundary))
+
+    # --- reorg detection (K10) -----------------------------------------------------
+
+    def detect_reorgs(self, incoming_headers: DataFrame) -> DataFrame:
+        """Fork check replacing the reference's PK-conflict signal
+        (etl.rs:147-169): join each incoming header to the stored block at
+        ``number - 1``; a ``parent_hash`` mismatch is a reorg. Returns the
+        offending headers (number, hash, parent_hash, stored_hash). The
+        stored side is partition-pruned to the buckets the headers touch."""
+        stored = self.blocks().select(
+            F.col("number").alias("_p_number"), F.col("hash").alias("stored_hash")
+        )
+        return (
+            incoming_headers.join(
+                stored, incoming_headers["number"] - 1 == stored["_p_number"], "inner"
+            )
+            .filter(F.col("parent_hash") != F.col("stored_hash"))
+            .select("number", "hash", "parent_hash", "stored_hash")
+        )

@@ -1,0 +1,145 @@
+"""Lake tests: partition layout, mutation semantics (reorg / truncate /
+retention), maturity recompute, resume point, and reorg detection — the K1-K10
+surface of SURVEY §2.3 over a temp warehouse."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_etl_spark.lake import Lake
+from core_etl_spark.operators import decode as D
+from core_etl_spark.operators import transforms as T
+from core_etl_spark.sources import fixtures as FX
+
+N_BLOCKS = 40
+BUCKET = 10
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    raw = FX.raw_blocks(spark, n_blocks=N_BLOCKS, txs_per_block=4)
+    blocks = T.normalize_blocks(raw)
+    txs = T.normalize_transactions(raw)
+    transfers = D.extract_token_transfers(txs, FX.WATCH_CONTRACT, FX.receipts(raw))
+    transfers = T.propagate_created_at(transfers, txs, blocks)
+    lk = Lake(spark, str(tmp_path / "wh"), bucket_size=BUCKET)
+    lk.write_all(blocks, txs, transfers)
+    return lk
+
+
+def test_layout_and_roundtrip(lake):
+    assert lake.blocks().count() == N_BLOCKS
+    assert lake.transactions().count() == N_BLOCKS * 4
+    assert lake.token_transfers().count() > 0
+    # physical layout: block_bucket dirs; transfers nested under address
+    buckets = {d for d in os.listdir(lake.path("blocks")) if d.startswith("block_bucket=")}
+    assert buckets == {f"block_bucket={b}" for b in range(N_BLOCKS // BUCKET)}
+    addr_dirs = [d for d in os.listdir(lake.path("token_transfers")) if d.startswith("address=")]
+    assert addr_dirs and os.listdir(os.path.join(lake.path("token_transfers"), addr_dirs[0]))
+
+
+def test_partition_pruned_point_lookup(lake):
+    df = lake.block_by_number(17)
+    assert df.count() == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the derived bucket predicate must reach PartitionFilters in the scan
+    assert "PartitionFilters" in plan and "block_bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
+def test_pruned_range_scan(lake):
+    assert lake.blocks_in_range(15, 24).count() == 10
+    assert lake.blocks_in_range(35).count() == 5  # open-ended
+    assert lake.block_transactions(17).count() == 4
+
+
+def test_latest_and_fallback(lake, spark, tmp_path):
+    assert lake.latest_block_number() == N_BLOCKS - 1
+    empty = Lake(spark, str(tmp_path / "none"))
+    assert empty.latest_block_number() == -1
+    # transactions-only warehouse falls back to block_number
+    txs_only = Lake(spark, str(tmp_path / "txs"), bucket_size=BUCKET)
+    txs_only.write("transactions", lake.transactions())
+    assert txs_only.latest_block_number() == N_BLOCKS - 1
+
+
+def test_maturity_recompute(lake):
+    m = lake.blocks_with_maturity(depth=5)
+    rows = {r.number: r.matured for r in m.collect()}
+    assert rows[N_BLOCKS - 1 - 5] == 1
+    assert rows[N_BLOCKS - 1 - 4] == 0
+    assert rows[0] == 1 and rows[N_BLOCKS - 1] == 0
+
+
+def test_clean_block_data(lake):
+    victim = 17
+    before_tx = lake.transactions().count()
+    tx_in_block = lake.transactions().filter(F.col("block_number") == victim).count()
+    lake.clean_block_data(victim)
+    assert lake.blocks().filter(F.col("number") == victim).count() == 0
+    assert lake.blocks().count() == N_BLOCKS - 1
+    assert lake.transactions().count() == before_tx - tx_in_block
+    assert lake.token_transfers().filter(F.col("block_number") == victim).count() == 0
+    # untouched neighbors survive
+    assert lake.blocks().filter(F.col("number").isin(16, 18)).count() == 2
+
+
+def test_truncate_from_last_saved(lake):
+    lake.truncate_from_last_saved(12)  # cutoff 27: bucket 3 emptied wholly
+    assert lake.latest_block_number() == N_BLOCKS - 1 - 12
+    assert lake.blocks().count() == N_BLOCKS - 12
+    assert lake.transactions().agg(F.max("block_number")).first()[0] == N_BLOCKS - 13
+    # emptied top bucket is gone from disk; boundary bucket survives
+    assert not os.path.exists(os.path.join(lake.path("blocks"), "block_bucket=3"))
+    assert os.path.exists(os.path.join(lake.path("blocks"), "block_bucket=2"))
+
+
+def test_retention_cleanup(lake):
+    # fixture timestamps: epoch + 7*number; cut everything strictly below
+    # block 25's timestamp → blocks 0..24 dropped
+    cutoff = FX._EPOCH + 7 * 25
+    lake.retention_cleanup(cutoff)
+    assert lake.blocks().agg(F.min("number")).first()[0] == 25
+    assert lake.transactions().agg(F.min("block_number")).first()[0] == 25
+    # buckets 0 and 1 dropped wholly at the directory level
+    assert not os.path.exists(os.path.join(lake.path("blocks"), "block_bucket=0"))
+    assert not os.path.exists(os.path.join(lake.path("blocks"), "block_bucket=1"))
+    assert os.path.exists(os.path.join(lake.path("blocks"), "block_bucket=2"))
+
+
+def test_detect_reorgs(lake, spark):
+    # header 20 claims a different parent than the stored block 19
+    good = FX.raw_blocks(spark, n_blocks=N_BLOCKS).select(
+        "number", "hash", "parent_hash", "timestamp"
+    )
+    forked = good.withColumn(
+        "parent_hash",
+        F.when(F.col("number") == 20, F.lit("f" * 64)).otherwise(F.col("parent_hash")),
+    )
+    assert lake.detect_reorgs(good.filter(F.col("number") >= 15)).count() == 0
+    hits = lake.detect_reorgs(forked.filter(F.col("number") >= 15)).collect()
+    assert [h.number for h in hits] == [20]
+    assert hits[0].stored_hash != hits[0].parent_hash
+
+
+def test_module_gating(spark, tmp_path):
+    lk = Lake(spark, str(tmp_path / "gated"), bucket_size=BUCKET, modules=("blocks",))
+    raw = FX.raw_blocks(spark, n_blocks=5)
+    lk.write_all(T.normalize_blocks(raw), T.normalize_transactions(raw))
+    assert lk.blocks().count() == 5
+    assert not lk.exists("transactions")
+    assert lk.transactions().count() == 0  # empty frame with full schema
+
+
+def test_idempotent_bucket_overwrite(lake, spark):
+    """Exactly-once story: re-writing the same bucket with dynamic overwrite
+    leaves counts unchanged (idempotent re-ingest after a crash)."""
+    raw = FX.raw_blocks(spark, n_blocks=N_BLOCKS)
+    blocks = T.normalize_blocks(raw).filter(F.col("number") >= 30)
+    lake.write("blocks", blocks, mode="overwrite")
+    assert lake.blocks().count() == N_BLOCKS
+    assert lake.blocks().filter(F.col("number") >= 30).count() == 10
