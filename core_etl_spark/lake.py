@@ -316,17 +316,30 @@ class Lake:
 
     def detect_reorgs(self, incoming_headers: DataFrame) -> DataFrame:
         """Fork check replacing the reference's PK-conflict signal
-        (etl.rs:147-169): join each incoming header to the stored block at
-        ``number - 1``; a ``parent_hash`` mismatch is a reorg. Returns the
-        offending headers (number, hash, parent_hash, stored_hash). The
-        stored side is partition-pruned to the buckets the headers touch."""
+        (etl.rs:147-169). Two signals, both needed:
+
+        - **same-height conflict** — an incoming header whose ``hash``
+          differs from the stored block at the same ``number`` (this is the
+          literal analogue of the reference's duplicate-PK insert failure);
+        - **parent mismatch** — an incoming header whose ``parent_hash``
+          disagrees with the stored hash at ``number - 1``, invalidating the
+          stored parent.
+
+        Returns one column ``forked_number``: stored heights invalidated by
+        the incoming batch. The caller truncates from ``min(forked_number)``
+        (everything stored above a fork point was built on the dead branch)."""
         stored = self.blocks().select(
-            F.col("number").alias("_p_number"), F.col("hash").alias("stored_hash")
+            F.col("number").alias("_s_number"), F.col("hash").alias("_s_hash")
         )
-        return (
-            incoming_headers.join(
-                stored, incoming_headers["number"] - 1 == stored["_p_number"], "inner"
-            )
-            .filter(F.col("parent_hash") != F.col("stored_hash"))
-            .select("number", "hash", "parent_hash", "stored_hash")
+        inc = incoming_headers.select("number", "hash", "parent_hash")
+        same_height = (
+            inc.join(stored, inc["number"] == stored["_s_number"])
+            .filter(F.col("hash") != F.col("_s_hash"))
+            .select(F.col("_s_number").alias("forked_number"))
         )
+        parent_mismatch = (
+            inc.join(stored, inc["number"] - 1 == stored["_s_number"])
+            .filter(F.col("parent_hash") != F.col("_s_hash"))
+            .select(F.col("_s_number").alias("forked_number"))
+        )
+        return same_height.unionByName(parent_mismatch).distinct()

@@ -1,0 +1,91 @@
+"""Watermarked stream aggregations — SURVEY §2.8's streaming-window row.
+
+The reference's only stream is the block-header tail with its implicit
+5-block maturity delay (etl.rs:171) and stale-header guard (etl.rs:134-136);
+a same-capability engine exposes the general forms: event-time tumbling /
+sliding / session windows with a late-data watermark. These run identically
+over a batch DataFrame (for the DuckDB parity oracle) and a streaming one —
+the functions take either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_watermark(events: DataFrame, ts_col: str = "ts", delay: str = "1 minute") -> DataFrame:
+    """Late-data bound: state for windows older than max(event time) − delay
+    is finalized and dropped — the streaming analogue of the reference's
+    confirmation depth (a block is final 5 blocks ≈ 35 s past the tip)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay)
+    return events  # batch: watermark is a no-op
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "5 minutes",
+    keys: tuple[str, ...] = (),
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Per-window event counts (tumbling). Partial aggregation happens
+    map-side; the shuffle key is (window, *keys) so state is evenly spread
+    unless a key is skewed — salt upstream if one is."""
+    src = with_watermark(events, ts_col, delay)
+    return (
+        src.groupBy(F.window(ts_col, width).alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    keys: tuple[str, ...] = (),
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    src = with_watermark(events, ts_col, delay)
+    return (
+        src.groupBy(F.window(ts_col, width, slide).alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Session windows: gap-based, one state row per open session per key.
+    Only meaningful with keys (a global session degenerates)."""
+    src = with_watermark(events, ts_col, delay)
+    return (
+        src.groupBy(
+            F.session_window(ts_col, gap).alias("w"), *[F.col(k) for k in keys]
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n_events",
+        )
+    )

@@ -112,18 +112,30 @@ def test_retention_cleanup(lake):
 
 
 def test_detect_reorgs(lake, spark):
-    # header 20 claims a different parent than the stored block 19
     good = FX.raw_blocks(spark, n_blocks=N_BLOCKS).select(
         "number", "hash", "parent_hash", "timestamp"
     )
-    forked = good.withColumn(
+    assert lake.detect_reorgs(good.filter(F.col("number") >= 15)).count() == 0
+
+    # header 20 claims a different parent → stored 19 is on a dead branch
+    bad_parent = good.withColumn(
         "parent_hash",
         F.when(F.col("number") == 20, F.lit("f" * 64)).otherwise(F.col("parent_hash")),
     )
-    assert lake.detect_reorgs(good.filter(F.col("number") >= 15)).count() == 0
-    hits = lake.detect_reorgs(forked.filter(F.col("number") >= 15)).collect()
-    assert [h.number for h in hits] == [20]
-    assert hits[0].stored_hash != hits[0].parent_hash
+    hits = lake.detect_reorgs(bad_parent.filter(F.col("number") >= 15)).collect()
+    assert [h.forked_number for h in hits] == [19]
+
+    # header 20 itself re-issued with a new hash → stored 20 conflicts
+    # (the PK-conflict analogue), and stored 20's child link breaks too
+    fork20 = good.withColumn(
+        "hash",
+        F.when(F.col("number") == 20, F.lit("f" * 64)).otherwise(F.col("hash")),
+    )
+    hits = {
+        h.forked_number
+        for h in lake.detect_reorgs(fork20.filter(F.col("number") == 20)).collect()
+    }
+    assert hits == {20}
 
 
 def test_module_gating(spark, tmp_path):

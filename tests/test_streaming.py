@@ -1,0 +1,164 @@
+"""Streaming tests: the tail (file-stream → foreachBatch → lake) end-to-end
+with checkpoint resume and a reorg mid-stream, plus watermarked windowed
+aggregations over a real stream (memory sink)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_etl_spark.lake import Lake
+from core_etl_spark.sources import fixtures as FX
+from core_etl_spark.streaming import tail as TL
+from core_etl_spark.streaming import windows as W
+
+
+def _drop(raw, path):
+    """Land one micro-batch file of raw blocks (the poller's output)."""
+    raw.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    os.makedirs(src, exist_ok=True)
+    return src, ckpt, wh
+
+
+def test_tail_end_to_end(spark, dirs):
+    src, ckpt, wh = dirs
+    lake = Lake(spark, wh, bucket_size=10)
+    all_raw = FX.raw_blocks(spark, n_blocks=30, txs_per_block=3)
+
+    # backfill blocks 0-19 batch-side, then stream the tail 20-29 in 2 drops
+    from core_etl_spark.operators.transforms import normalize_blocks, normalize_transactions
+    backfill = all_raw.filter(F.col("number") < 20)
+    lake.write_all(normalize_blocks(backfill), normalize_transactions(backfill))
+
+    _drop(all_raw.filter(F.col("number").between(20, 24)), src)
+    _drop(all_raw.filter(F.col("number").between(25, 29)), src)
+
+    q = TL.start_tail(
+        spark, lake, src, ckpt,
+        watch_contracts=(FX.WATCH_CONTRACT,),
+        receipts_for=FX.receipts,
+    )
+    q.awaitTermination(120)
+
+    assert lake.latest_block_number() == 29
+    assert lake.blocks().count() == 30
+    assert lake.transactions().count() == 90
+    assert lake.token_transfers().count() > 0
+    assert lake.token_transfers().filter(F.col("created_at").isNull()).count() == 0
+
+
+def test_tail_checkpoint_resume_no_duplicates(spark, dirs):
+    src, ckpt, wh = dirs
+    lake = Lake(spark, wh, bucket_size=10)
+    all_raw = FX.raw_blocks(spark, n_blocks=12, txs_per_block=2)
+
+    _drop(all_raw.filter(F.col("number") < 6), src)
+    TL.start_tail(spark, lake, src, ckpt).awaitTermination(120)
+    assert lake.blocks().count() == 6
+
+    # second run over the SAME dir plus new data: checkpoint skips batch 1
+    _drop(all_raw.filter(F.col("number") >= 6), src)
+    TL.start_tail(spark, lake, src, ckpt).awaitTermination(120)
+    assert lake.blocks().count() == 12
+    assert lake.blocks().select("number").distinct().count() == 12
+
+
+def test_tail_stale_headers_skipped(spark, dirs):
+    src, ckpt, wh = dirs
+    lake = Lake(spark, wh, bucket_size=10)
+    all_raw = FX.raw_blocks(spark, n_blocks=8, txs_per_block=2)
+    from core_etl_spark.operators.transforms import normalize_blocks
+    lake.write("blocks", normalize_blocks(all_raw))  # 0-7 already synced
+
+    _drop(all_raw.filter(F.col("number").between(3, 7)), src)  # all stale
+    TL.start_tail(spark, lake, src, ckpt).awaitTermination(120)
+    assert lake.blocks().count() == 8  # nothing re-inserted
+
+
+def test_tail_reorg_replaces_forked_block(spark, dirs):
+    src, ckpt, wh = dirs
+    lake = Lake(spark, wh, bucket_size=10)
+    all_raw = FX.raw_blocks(spark, n_blocks=10, txs_per_block=2)
+    from core_etl_spark.operators.transforms import normalize_blocks, normalize_transactions
+    lake.write_all(normalize_blocks(all_raw), normalize_transactions(all_raw))
+    old_hash9 = lake.block_by_number(9).first().hash
+
+    # the chain reorged at height 9: new block 9' (different hash), then 10
+    fork9 = (
+        all_raw.filter(F.col("number") == 9)
+        .withColumn("hash", F.lit("9f" * 32))
+        .withColumn("extra_data", F.lit("f0"))
+    )
+    next10 = (
+        all_raw.filter(F.col("number") == 9)
+        .withColumn("number", F.lit(10).cast("long"))
+        .withColumn("parent_hash", F.lit("9f" * 32))
+        .withColumn("hash", F.lit("aa" * 32))
+    )
+    _drop(fork9.unionByName(next10), src)
+    TL.start_tail(spark, lake, src, ckpt).awaitTermination(120)
+
+    assert lake.latest_block_number() == 10
+    assert lake.blocks().count() == 11
+    hash9 = lake.block_by_number(9).first().hash
+    assert hash9 == "9f" * 32 and hash9 != old_hash9
+    # forked block's transactions were cleaned with it
+    assert lake.transactions().filter(
+        (F.col("block_number") == 9) & (F.col("block_hash") == old_hash9)
+    ).count() == 0
+
+
+def _stream_events(spark, tmp_path, rows):
+    path = str(tmp_path / "events_src")
+    df = spark.createDataFrame(rows, "ts timestamp, user_id string")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.readStream.schema("ts timestamp, user_id string").parquet(path)
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(minutes=m), f"u{m % 2}") for m in range(12)]
+    stream = _stream_events(spark, tmp_path, rows)
+
+    out = W.tumbling_counts(stream, width="5 minutes", keys=("user_id",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")          # requires the watermark to close windows
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.minute, r.user_id): r.n_events
+        for r in spark.sql("select * from tumbling_test").collect()
+    }
+    # windows 0-5 and 5-10 are sealed by the watermark; 10-15 still open
+    assert got[(0, "u0")] == 3 and got[(0, "u1")] == 2
+    assert got[(5, "u0")] == 2 and got[(5, "u1")] == 3
+    assert (10, "u0") not in got
+
+
+def test_batch_parity_of_window_helpers(spark, tmp_path):
+    """The same helpers run in batch mode (watermark no-op) — this is what
+    the oracle checks compare."""
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1)
+    rows = [(base + dt.timedelta(minutes=3 * m), f"u{m % 2}") for m in range(8)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id string")
+    tum = W.tumbling_counts(df, width="6 minutes")
+    assert tum.agg(F.sum("n_events")).first()[0] == 8
+    ses = W.session_counts(df, gap="4 minutes", keys=("user_id",))
+    # 3-min cadence per user = 6-min per-user gaps > 4 min → every event its own session
+    assert ses.count() == 8
