@@ -1,0 +1,160 @@
+"""CLI — the reference's ``core-etl`` binary surface (reference
+bin/core-etl/src/main.rs:25-105: export / view / verify subcommands) over
+the Spark engine.
+
+    python -m core_etl_spark.cli export --warehouse WH [--source DIR|--fixture N]
+        [--watch-tokens cbc20:ADDR,...] [--tail DIR --checkpoint CK]
+        [--retention-secs R] [--modules blocks,transactions,token_transfers]
+    python -m core_etl_spark.cli view block --number N | --hash H
+    python -m core_etl_spark.cli view transactions --block N | --hash H
+    python -m core_etl_spark.cli view token-transfers --token A [--from F] [--to T]
+    python -m core_etl_spark.cli view address-transfers --address A [--direction all|to|from]
+    python -m core_etl_spark.cli verify blocks [--from-block N]
+
+Flags mirror main.rs:25-62 where they still mean something on Spark
+(``--threads`` doesn't: fetch parallelism is partitions × executors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import DataFrame
+
+from .lake import ALL_MODULES, Lake
+from .operators import verify as V
+from .operators import views as Q
+from .pipeline import backfill, parse_watch_tokens, run_with_retry
+from .session import get_spark
+from .sources.provider import FixtureBlockProvider
+
+
+def _show(df: DataFrame, n: int = 50) -> None:
+    df.show(n, truncate=False)
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="core_etl_export")
+    modules = tuple(args.modules.split(",")) if args.modules else ALL_MODULES
+    lake = Lake(spark, args.warehouse, bucket_size=args.bucket_size, modules=modules)
+
+    if args.fixture:
+        provider = FixtureBlockProvider(n_blocks=args.fixture)
+    else:
+        raise SystemExit(
+            "only --fixture export is runnable in this environment; a live "
+            "chain needs an RpcBlockProvider transport (see sources/provider.py)"
+        )
+    watch = parse_watch_tokens(args.watch_tokens.split(",") if args.watch_tokens else [],
+                               provider.network_id())
+    contracts = tuple(sorted(set().union(*watch.values()))) if watch else ()
+
+    n = run_with_retry(
+        lambda: backfill(spark, lake, provider, contracts, chunk_size=args.chunk_size),
+        lake,
+    )
+    print(f"backfilled {n} blocks; tip={lake.latest_block_number()}")
+
+    if args.tail:
+        from .streaming.tail import start_tail
+
+        q = start_tail(spark, lake, args.tail, args.checkpoint, contracts,
+                       getattr(provider, "receipts_for", None))
+        q.awaitTermination()
+
+    if args.retention_secs is not None:  # K9, one sweep (no daemon here)
+        lake.retention_cleanup(int(time.time()) - args.retention_secs)
+    return 0
+
+
+def cmd_view(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="core_etl_view")
+    lake = Lake(spark, args.warehouse)
+    if args.entity == "block":
+        if args.number is not None:
+            _show(lake.block_by_number(args.number))
+        elif args.hash:
+            _show(Q.block_by_hash(lake.blocks(), args.hash))
+        else:
+            _show(Q.latest_block_number(lake.blocks(), lake.transactions(),
+                                        lake.token_transfers()))
+    elif args.entity == "transactions":
+        if args.block is not None:
+            _show(lake.block_transactions(args.block))
+        elif args.hash:
+            _show(Q.transaction_by_hash(lake.transactions(), args.hash))
+        else:
+            raise SystemExit("transactions view needs --block or --hash")
+    elif args.entity == "token-transfers":
+        _show(Q.token_transfers_by_token(lake.token_transfers(), args.token,
+                                         args.from_addr, args.to_addr))
+    elif args.entity == "address-transfers":
+        _show(Q.transfers_by_address(lake.token_transfers(), args.address,
+                                     args.direction))
+    return 0
+
+
+def cmd_verify(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="core_etl_verify")
+    lake = Lake(spark, args.warehouse)
+    blocks = (lake.blocks_in_range(args.from_block) if args.from_block is not None
+              else lake.blocks())
+    gaps = V.sequence_gaps_scalable(blocks)
+    n = gaps.count()
+    if n:
+        print(f"FOUND {n} gap(s):")
+        _show(gaps)
+        return 1
+    tip = lake.latest_block_number()
+    print(f"blocks contiguous; tip={tip}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="core-etl-spark")
+    p.add_argument("--warehouse", default="./warehouse")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("export", help="backfill (+ optional streaming tail)")
+    e.add_argument("--fixture", type=int, default=0,
+                   help="use the deterministic fixture chain with N blocks")
+    e.add_argument("--watch-tokens", default="",
+                   help="comma list of type:address (reference -t flag)")
+    e.add_argument("--modules", default="",
+                   help="comma subset of blocks,transactions,token_transfers")
+    e.add_argument("--chunk-size", type=int, default=100_000)
+    e.add_argument("--bucket-size", type=int, default=100_000)
+    e.add_argument("--tail", default="", help="dir of streamed raw-block drops")
+    e.add_argument("--checkpoint", default="./checkpoint")
+    e.add_argument("--retention-secs", type=int, default=None)
+    e.set_defaults(fn=cmd_export)
+
+    v = sub.add_parser("view", help="query the lake")
+    v.add_argument("entity", choices=["block", "transactions", "token-transfers",
+                                      "address-transfers"])
+    v.add_argument("--number", type=int)
+    v.add_argument("--block", type=int)
+    v.add_argument("--hash")
+    v.add_argument("--token")
+    v.add_argument("--from", dest="from_addr")
+    v.add_argument("--to", dest="to_addr")
+    v.add_argument("--address")
+    v.add_argument("--direction", default="all", choices=["all", "to", "from"])
+    v.set_defaults(fn=cmd_view)
+
+    g = sub.add_parser("verify", help="data-quality checks")
+    g.add_argument("entity", choices=["blocks"])
+    g.add_argument("--from-block", type=int, default=None)
+    g.set_defaults(fn=cmd_verify)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

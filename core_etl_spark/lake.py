@@ -198,14 +198,10 @@ class Lake:
     def blocks_with_maturity(self, depth: int = MATURITY_DEPTH) -> DataFrame:
         """Blocks with ``matured`` *recomputed* against the current tip —
         the replacement for the reference's in-place UPDATE
-        (sqlite3.rs:213-228, driven at etl.rs:171,318-321,253). A scalar agg
-        broadcast into a projection; no mutation, can't go stale."""
-        blocks = self.blocks()
-        tip = blocks.agg(F.max("number").alias("tip"))
-        return blocks.crossJoin(F.broadcast(tip)).withColumn(
-            "matured",
-            (F.col("number") <= F.col("tip") - F.lit(depth)).cast("long"),
-        ).drop("tip")
+        (sqlite3.rs:213-228, driven at etl.rs:171,318-321,253)."""
+        from .operators.maintenance import with_maturity
+
+        return with_maturity(self.blocks(), depth)
 
     # --- partition-scoped delete-and-rewrite core --------------------------------
 
@@ -328,18 +324,6 @@ class Lake:
         Returns one column ``forked_number``: stored heights invalidated by
         the incoming batch. The caller truncates from ``min(forked_number)``
         (everything stored above a fork point was built on the dead branch)."""
-        stored = self.blocks().select(
-            F.col("number").alias("_s_number"), F.col("hash").alias("_s_hash")
-        )
-        inc = incoming_headers.select("number", "hash", "parent_hash")
-        same_height = (
-            inc.join(stored, inc["number"] == stored["_s_number"])
-            .filter(F.col("hash") != F.col("_s_hash"))
-            .select(F.col("_s_number").alias("forked_number"))
-        )
-        parent_mismatch = (
-            inc.join(stored, inc["number"] - 1 == stored["_s_number"])
-            .filter(F.col("parent_hash") != F.col("_s_hash"))
-            .select(F.col("_s_number").alias("forked_number"))
-        )
-        return same_height.unionByName(parent_mismatch).distinct()
+        from .operators.maintenance import detect_reorgs
+
+        return detect_reorgs(self.blocks(), incoming_headers)

@@ -1,0 +1,51 @@
+"""Maintenance semantics as pure DataFrame transforms — the logic half of
+the lake's mutations (K6/K10), separated so it can be differential-tested
+against a SQL oracle without a physical warehouse. :class:`~core_etl_spark.
+lake.Lake` composes these with partition-scoped rewrites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MATURITY_DEPTH = 5  # reference etl.rs:171,253
+
+
+def with_maturity(blocks: DataFrame, depth: int = MATURITY_DEPTH) -> DataFrame:
+    """K6 — ``matured`` recomputed against the current tip: ``number <=
+    max(number) - depth`` (the reference mutates rows in place at
+    sqlite3.rs:213-228; recompute can't go stale). The tip aggregate
+    broadcasts into a projection — no per-row shuffle."""
+    tip = blocks.agg(F.max("number").alias("_tip"))
+    return (
+        blocks.crossJoin(F.broadcast(tip))
+        .withColumn(
+            "matured",
+            (F.col("number") <= F.col("_tip") - F.lit(depth)).cast("long"),
+        )
+        .drop("_tip")
+    )
+
+
+def detect_reorgs(stored_blocks: DataFrame, incoming_headers: DataFrame) -> DataFrame:
+    """K10 — stored heights invalidated by an incoming header batch
+    (replaces the reference's insert-PK-conflict signal, etl.rs:147-169).
+
+    Two signals: a same-height hash conflict (the literal PK-conflict
+    analogue) and a parent-hash mismatch at ``number - 1`` (the stored
+    parent is on a dead branch). One column out: ``forked_number``."""
+    stored = stored_blocks.select(
+        F.col("number").alias("_s_number"), F.col("hash").alias("_s_hash")
+    )
+    inc = incoming_headers.select("number", "hash", "parent_hash")
+    same_height = (
+        inc.join(stored, inc["number"] == stored["_s_number"])
+        .filter(F.col("hash") != F.col("_s_hash"))
+        .select(F.col("_s_number").alias("forked_number"))
+    )
+    parent_mismatch = (
+        inc.join(stored, inc["number"] - 1 == stored["_s_number"])
+        .filter(F.col("parent_hash") != F.col("_s_hash"))
+        .select(F.col("_s_number").alias("forked_number"))
+    )
+    return same_height.unionByName(parent_mismatch).distinct()

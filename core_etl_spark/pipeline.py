@@ -1,0 +1,134 @@
+"""Pipeline orchestration — the reference's ETLWorker (reference
+crates/etl/src/etl.rs:47-344) as thin driver-side control flow around
+distributed batch jobs.
+
+- ``ingest_raw`` — the shared normalize→decode→write slice used by both the
+  backfill and the streaming tail.
+- ``backfill`` — O1: chunked range sync from the resume point to the chain
+  tip. The reference spawns ``--threads`` concurrent per-block fetches and
+  joins them (etl.rs:286-309); here each chunk is ONE distributed job whose
+  parallelism is partitions × executors, and the chunk size only bounds
+  checkpoint granularity (how much work a crash can lose), not speed.
+- ``run_with_retry`` — O5: the reference's 10-attempt crash loop that
+  truncates the last 100 blocks before each retry (export.rs:56-69) —
+  unchanged semantics, since truncate-then-rewrite is idempotent here.
+- ``parse_watch_tokens`` — T13: ``type:address`` watch-list parsing with the
+  network-dependent ``ctn`` alias (export.rs:88-114).
+
+Maturity (K6) has no refresh step anywhere in this pipeline: it is computed
+at read time (``Lake.blocks_with_maturity``), so the reference's every-10k
+refresh (etl.rs:318-321) and tip-window update (etl.rs:171) vanish.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .lake import Lake
+from .operators.decode import extract_token_transfers
+from .operators.transforms import normalize_blocks, normalize_transactions
+
+log = logging.getLogger(__name__)
+
+#: network-dependent predefined token addresses (reference export.rs:95-101
+#: resolves the literal ``ctn`` to a per-network contract)
+CTN_ADDRESSES = {
+    1: "cb19" + "a" * 40,  # mainnet
+    3: "ab03" + "b" * 40,  # devin
+}
+
+
+def parse_watch_tokens(specs: list[str], network_id: int = 1) -> dict[str, set[str]]:
+    """T13 — ``["cbc20:<addr>", "cbc20:ctn", ...]`` → {token_type: {addr}}
+    (reference export.rs:88-114)."""
+    out: dict[str, set[str]] = {}
+    for spec in specs:
+        if ":" not in spec:
+            raise ValueError(f"watch token must be type:address, got {spec!r}")
+        token_type, addr = spec.split(":", 1)
+        addr = addr.lower()
+        if addr == "ctn":
+            try:
+                addr = CTN_ADDRESSES[network_id]
+            except KeyError:
+                raise ValueError(f"no ctn alias for network {network_id}") from None
+        out.setdefault(token_type.lower(), set()).add(addr)
+    return out
+
+
+def ingest_raw(
+    lake: Lake,
+    raw: DataFrame,
+    watch_contracts: tuple[str, ...] = (),
+    receipts_for: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """Normalize one batch of raw nested blocks and write all modules."""
+    blocks = normalize_blocks(raw)
+    txs = normalize_transactions(raw)
+    transfers = None
+    if watch_contracts:
+        receipts = receipts_for(raw) if receipts_for else None
+        parts = [extract_token_transfers(txs, c, receipts=receipts) for c in watch_contracts]
+        transfers = parts[0]
+        for p in parts[1:]:
+            transfers = transfers.unionByName(p)
+        blk = blocks.select(F.col("number").alias("_bn"), F.col("created_at").alias("_ca"))
+        transfers = (
+            transfers.join(F.broadcast(blk), F.col("block_number") == F.col("_bn"), "left")
+            .withColumnRenamed("_ca", "created_at")
+            .drop("_bn")
+        )
+    lake.write_all(blocks, txs, transfers)
+
+
+def backfill(
+    spark: SparkSession,
+    lake: Lake,
+    provider,
+    watch_contracts: tuple[str, ...] = (),
+    end: int | None = None,
+    chunk_size: int = 100_000,
+) -> int:
+    """O1+O3 — sync [resume_point, tip] in chunks; returns blocks ingested.
+
+    Chunk size trades crash granularity against job overhead; within a chunk
+    Spark owns all parallelism. Aligning it to the lake's bucket size keeps
+    every chunk's write inside whole partitions (idempotent replay)."""
+    start = lake.latest_block_number() + 1  # O3 resume (etl.rs:84-89)
+    tip = end if end is not None else provider.chain_tip()
+    if tip < start:
+        return 0
+    done = 0
+    for lo in range(start, tip + 1, chunk_size):
+        hi = min(lo + chunk_size - 1, tip)
+        raw = provider.fetch_blocks(spark, lo, hi)
+        receipts_for = getattr(provider, "receipts_for", None)
+        ingest_raw(lake, raw, watch_contracts, receipts_for)
+        done += hi - lo + 1
+        log.info("backfill: synced %d..%d (%d/%d)", lo, hi, done, tip - start + 1)
+    return done
+
+
+def run_with_retry(
+    job: Callable[[], int],
+    lake: Lake,
+    attempts: int = 10,
+    truncate_blocks: int = 100,
+) -> int:
+    """O5 — the reference's crash-recovery loop (export.rs:56-69): on
+    failure, drop the possibly-torn top ``truncate_blocks`` heights and
+    retry; the resume point recomputes from the lake, so the retried job
+    re-ingests exactly the truncated range."""
+    last_err: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            return job()
+        except Exception as e:  # noqa: BLE001 — the reference retries on any error
+            last_err = e
+            log.warning("attempt %d failed: %s; truncating %d and retrying",
+                        attempt + 1, e, truncate_blocks)
+            lake.truncate_from_last_saved(truncate_blocks)
+    raise RuntimeError(f"job failed after {attempts} attempts") from last_err

@@ -23,6 +23,7 @@ from . import views_specs  # noqa: F401,E402
 from . import verify_specs  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import decode_specs  # noqa: F401,E402
+from . import maintenance_specs  # noqa: F401,E402
 from . import llm_specs  # noqa: F401,E402
 
 

@@ -1,0 +1,177 @@
+"""Maintenance & streaming specs — SURVEY §2.3 (K6-K10) and §2.6 (O1-O3).
+
+K6 (maturity) and K10 (reorg detection) are pure transforms, so they get
+full DuckDB oracles over a shared-dialect fixture CTE (same pattern as
+decode_specs). The genuinely stateful ops — K7/K8 partition rewrite, the O2
+streaming tail with checkpointing — run a real temp warehouse inside the
+builder and return a *summary DataFrame* of the resulting state; those are
+rows-only checks by nature (the driver records the weaker gate; the invariant
+assertions live in tests/test_lake.py and tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.maintenance import detect_reorgs, with_maturity
+from .base import register
+
+#: shared-dialect chain fixture: heights 0..149 from customer keys, with a
+#: deterministic hash chain (md5 of the height, parent = md5 of height-1).
+CHAIN_CTE = """
+chain AS (
+    SELECT CAST(c_custkey AS BIGINT) - 1 AS number,
+           md5(concat('blk', CAST(c_custkey - 1 AS STRING))) AS hash,
+           CASE WHEN c_custkey = 1 THEN repeat('0', 32)
+                ELSE md5(concat('blk', CAST(c_custkey - 2 AS STRING))) END AS parent_hash
+    FROM customer WHERE c_custkey <= 150
+)
+"""
+
+_CHAIN_SQL = f"WITH {CHAIN_CTE} SELECT * FROM chain"
+
+
+@register(
+    "k06_maturity_flag",
+    tables=("customer",),
+    oracle=f"""
+        WITH {CHAIN_CTE}
+        SELECT number,
+               CAST(CASE WHEN number <= (SELECT max(number) FROM chain) - 5
+                    THEN 1 ELSE 0 END AS BIGINT) AS matured
+        FROM chain
+    """,
+    tags=("k6", "maintenance", "agg"),
+)
+def k06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """K6 — maturity recomputed against the tip (reference mutates in place
+    at sqlite3.rs:213-228, driven at etl.rs:171; we derive it, so the flag
+    can never go stale). The tip agg broadcasts into the projection."""
+    chain = spark.sql(_CHAIN_SQL)
+    return with_maturity(chain, depth=5).select("number", "matured")
+
+
+@register(
+    "k10_reorg_detect",
+    tables=("customer",),
+    oracle=f"""
+        WITH {CHAIN_CTE},
+        incoming AS (
+            SELECT number,
+                   CASE WHEN number % 40 = 7 THEN md5(concat('fork', CAST(number AS STRING)))
+                        ELSE hash END AS hash,
+                   CASE WHEN number % 40 = 23 THEN md5(concat('fork', CAST(number AS STRING)))
+                        ELSE parent_hash END AS parent_hash
+            FROM chain WHERE number >= 100
+        ),
+        same_height AS (
+            SELECT s.number AS forked_number
+            FROM incoming i JOIN chain s ON i.number = s.number
+            WHERE i.hash <> s.hash
+        ),
+        parent_mismatch AS (
+            SELECT s.number AS forked_number
+            FROM incoming i JOIN chain s ON i.number - 1 = s.number
+            WHERE i.parent_hash <> s.hash
+        )
+        SELECT DISTINCT forked_number
+        FROM (SELECT * FROM same_height UNION ALL SELECT * FROM parent_mismatch)
+    """,
+    tags=("k10", "maintenance", "join"),
+)
+def k10(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """K10 — reorg detection: same-height hash conflicts (the reference's
+    insert-PK-conflict signal, etl.rs:147-169) plus parent-hash mismatches
+    at height-1. Incoming headers 100+ carry injected forks at number%40==7
+    (re-issued hash) and %40==23 (broken parent link)."""
+    chain = spark.sql(_CHAIN_SQL)
+    incoming = chain.filter(F.col("number") >= 100).select(
+        "number",
+        F.when(
+            F.col("number") % 40 == 7,
+            F.md5(F.concat(F.lit("fork"), F.col("number").cast("string"))),
+        ).otherwise(F.col("hash")).alias("hash"),
+        F.when(
+            F.col("number") % 40 == 23,
+            F.md5(F.concat(F.lit("fork"), F.col("number").cast("string"))),
+        ).otherwise(F.col("parent_hash")).alias("parent_hash"),
+    )
+    return detect_reorgs(chain, incoming)
+
+
+def _temp_lake(spark: SparkSession, n_blocks: int, bucket: int = 25):
+    from ..lake import Lake
+    from ..operators.transforms import normalize_blocks, normalize_transactions
+    from ..sources.fixtures import raw_blocks
+
+    root = tempfile.mkdtemp(prefix="lake_spec_")
+    lake = Lake(spark, root, bucket_size=bucket)
+    raw = raw_blocks(spark, n_blocks=n_blocks, txs_per_block=2)
+    lake.write_all(normalize_blocks(raw), normalize_transactions(raw))
+    return lake, root
+
+
+@register(
+    "k78_partition_mutations",
+    tables=(),
+    oracle=None,  # stateful filesystem mutation — rows-only gate
+    tags=("k7", "k8", "maintenance", "mutation"),
+)
+def k78(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """K7+K8 — reorg clean of one height and truncate-last-N as
+    partition-scoped rewrites on a real temp warehouse; returns the
+    table-count summary after each mutation (full invariants in
+    tests/test_lake.py)."""
+    lake, root = _temp_lake(spark, n_blocks=100)
+    try:
+        counts = [("initial", lake.blocks().count(), lake.transactions().count())]
+        lake.clean_block_data(42)
+        counts.append(("after_clean_42", lake.blocks().count(), lake.transactions().count()))
+        lake.truncate_from_last_saved(30)
+        counts.append(("after_truncate_30", lake.blocks().count(), lake.transactions().count()))
+        return spark.createDataFrame(
+            counts, "step string, n_blocks long, n_transactions long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "o2_streaming_tail",
+    tables=(),
+    oracle=None,  # stateful streaming with checkpoint — rows-only gate
+    tags=("o2", "streaming", "k10"),
+)
+def o2(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """O2 — the streaming tail end-to-end on a temp warehouse: backfill
+    0..19, stream 20..29 through foreachBatch with checkpointing, return the
+    final per-table counts (reference etl.rs:126-176; full assertions in
+    tests/test_streaming.py)."""
+    from ..sources.fixtures import WATCH_CONTRACT, raw_blocks, receipts
+    from ..streaming.tail import start_tail
+
+    lake, root = _temp_lake(spark, n_blocks=20, bucket=10)
+    src = os.path.join(root, "incoming")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        tail_raw = raw_blocks(spark, n_blocks=30, txs_per_block=2).filter(
+            F.col("number") >= 20
+        )
+        tail_raw.coalesce(1).write.mode("append").parquet(src)
+        q = start_tail(spark, lake, src, ckpt, (WATCH_CONTRACT,), receipts)
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            [(
+                lake.latest_block_number(),
+                lake.blocks().count(),
+                lake.transactions().count(),
+                lake.token_transfers().count(),
+            )],
+            "tip long, n_blocks long, n_transactions long, n_transfers long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

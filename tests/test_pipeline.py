@@ -1,0 +1,153 @@
+"""Pipeline + provider + CLI tests: chunked backfill with resume, the retry
+loop's truncate-and-replay invariant, distributed RPC fetch plumbing (fake
+transport), watch-token parsing, and the CLI subcommands end-to-end."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_etl_spark import cli, pipeline as P
+from core_etl_spark.lake import Lake
+from core_etl_spark.sources import fixtures as FX
+from core_etl_spark.sources.provider import FixtureBlockProvider, RpcBlockProvider
+
+
+def test_backfill_resume_and_chunks(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=35, txs_per_block=2)
+    n = P.backfill(spark, lake, provider, chunk_size=10)
+    assert n == 35
+    assert lake.latest_block_number() == 34
+    assert lake.blocks().count() == 35
+
+    # resume: nothing new → no-op; extend the chain → only the delta syncs
+    assert P.backfill(spark, lake, provider) == 0
+    provider.n_blocks = 42
+    assert P.backfill(spark, lake, provider) == 7
+    assert lake.latest_block_number() == 41
+    assert lake.blocks().select("number").distinct().count() == 42
+
+
+def test_backfill_with_transfers(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=20, txs_per_block=4)
+    P.backfill(spark, lake, provider, watch_contracts=(FX.WATCH_CONTRACT,))
+    tt = lake.token_transfers()
+    assert tt.count() > 0
+    assert tt.filter(F.col("created_at").isNull()).count() == 0
+    assert tt.filter(F.col("status") == 0).count() > 0  # receipts joined
+
+
+def test_run_with_retry_truncates_and_replays(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=30, txs_per_block=2)
+    calls = {"n": 0}
+
+    def flaky() -> int:
+        calls["n"] += 1
+        got = P.backfill(spark, lake, provider, chunk_size=10)
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after partial sync")
+        return got
+
+    P.run_with_retry(flaky, lake, attempts=3, truncate_blocks=5)
+    assert lake.latest_block_number() == 29
+    assert lake.blocks().select("number").distinct().count() == 30
+    assert lake.blocks().count() == 30  # truncate+replay left no duplicates
+
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        P.run_with_retry(lambda: (_ for _ in ()).throw(ValueError("x")),
+                         lake, attempts=2)
+
+
+def test_parse_watch_tokens():
+    got = P.parse_watch_tokens(["cbc20:0xABC", "cbc20:ctn", "other:dd"], network_id=1)
+    assert got["cbc20"] == {"0xabc", P.CTN_ADDRESSES[1]}
+    assert got["other"] == {"dd"}
+    with pytest.raises(ValueError, match="type:address"):
+        P.parse_watch_tokens(["justanaddress"])
+    with pytest.raises(ValueError, match="no ctn alias"):
+        P.parse_watch_tokens(["cbc20:ctn"], network_id=99)
+
+
+def test_rpc_provider_distributed_fetch(spark):
+    """The mapInPandas fetch path with a deterministic fake transport —
+    the wire format is fake, the distributed plumbing is real."""
+    chain = {r["number"]: r for r in _fake_chain(12)}
+
+    def transport(method: str, params: str) -> str:
+        if method == "xcb_blockNumber":
+            return json.dumps(hex(11))
+        if method == "xcb_getBlockByNumber":
+            num = int(json.loads(params)[0], 16)
+            return json.dumps(chain[num])
+        if method == "xcb_getTransactionReceipt":
+            h = json.loads(params)[0]
+            return json.dumps({"status": 0 if h.endswith("3") else 1})
+        raise AssertionError(method)
+
+    provider = RpcBlockProvider(transport, chunk_size=5)
+    assert provider.chain_tip() == 11
+    raw = provider.fetch_blocks(spark, 0, 11)
+    assert raw.rdd.getNumPartitions() == 3  # ceil(12/5)
+    assert raw.count() == 12
+    assert raw.select("number").distinct().count() == 12
+    rec = provider.receipts_for(raw)
+    got = {r.tx_hash: r.status for r in rec.collect()}
+    assert got["tx0_3"] == 0 and got["tx1_0"] == 1
+
+
+def test_rpc_provider_without_transport_raises(spark):
+    provider = RpcBlockProvider()
+    with pytest.raises(NotImplementedError, match="transport"):
+        provider.chain_tip()
+
+
+def _fake_chain(n: int) -> list[dict]:
+    blocks = []
+    for i in range(n):
+        blocks.append({
+            "number": i, "hash": f"h{i}", "parent_hash": f"h{i-1}",
+            "nonce": "00", "sha3_uncles": "u", "logs_bloom": "b",
+            "transactions_root": "t", "state_root": "s", "receipts_root": "r",
+            "miner": "m", "difficulty": "1", "total_difficulty": "2",
+            "extra_data": "", "energy_limit": 8, "energy_used": 1,
+            "timestamp": 1_700_000_000 + i,
+            "transactions": [
+                {"hash": f"tx{i}_{j}", "nonce": "0", "transaction_index": j,
+                 "from": "a" * 44, "to": "b" * 44, "value": "1",
+                 "energy": "21000", "energy_price": "10", "input": "0x"}
+                for j in range(4)
+            ],
+        })
+    return blocks
+
+
+def test_cli_export_view_verify(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    rc = cli.main([
+        "--warehouse", wh, "export", "--fixture", "25",
+        "--watch-tokens", f"cbc20:{FX.WATCH_CONTRACT}",
+        "--chunk-size", "10", "--bucket-size", "10",
+    ])
+    assert rc == 0
+    assert "backfilled 25 blocks; tip=24" in capsys.readouterr().out
+
+    assert cli.main(["--warehouse", wh, "view", "block", "--number", "7"]) == 0
+    out = capsys.readouterr().out
+    assert "7" in out and "hash" in out
+
+    assert cli.main(["--warehouse", wh, "view", "token-transfers",
+                     "--token", FX.WATCH_CONTRACT]) == 0
+    assert FX.WATCH_CONTRACT in capsys.readouterr().out
+
+    assert cli.main(["--warehouse", wh, "verify", "blocks"]) == 0
+    assert "contiguous" in capsys.readouterr().out
+
+    # knock a hole in the chain → verify fails
+    Lake(spark, wh, bucket_size=10).clean_block_data(12)
+    assert cli.main(["--warehouse", wh, "verify", "blocks"]) == 1
+    assert "gap" in capsys.readouterr().out
