@@ -19,9 +19,25 @@ Everything is DataFrame-native (explode / groupBy / join); no Python UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .text import tokens
+
+
+def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Repartition when the input has fewer partitions than the cluster has
+    cores × ``min_ratio`` — compute-heavy per-row operators (hashing,
+    shingling, signatures) otherwise run on a handful of tasks regardless of
+    cluster size (a single small parquet file = a single task). At scale
+    inputs already carry enough partitions and this is a no-op; the check
+    costs one plan inspection, no job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
 
 
 # --- exact -------------------------------------------------------------------
@@ -48,25 +64,42 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # --- shingling ---------------------------------------------------------------
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (element-wise
-    ``transform`` over the token array — no explode until needed)."""
-    toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingles array) — distinct word n-gram shingles, one row per
+    doc. Docs shorter than *n* tokens yield one partial shingle (all their
+    tokens joined), matching SQL ``concat_ws`` null-dropping semantics.
+
+    Implemented as an Arrow-batched pandas UDF *on purpose*: the pure-column
+    formulation (``transform`` over a ``sequence`` with ``element_at``×n +
+    ``concat_ws`` + ``array_distinct``) is a higher-order-function chain,
+    which Spark evaluates **interpreted, not codegen'd** — measured ~8×
+    slower than this UDF at sf0.1 (4.0 s vs 0.5 s warm for 260k shingles).
+    The batch shape survives at 100 TB: one Arrow exchange per partition,
+    Python cost linear in token count."""
+
+    @pandas_udf("array<string>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        def sh(t: str) -> list[str]:
+            w = t.split(" ")
+            return list(dict.fromkeys(
+                " ".join(w[i : i + n]) for i in range(max(len(w) - (n - 1), 1))
+            ))
+
+        return texts.map(sh)
+
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), _sh(text_col).alias("shingles")
     )
-    return F.array_distinct(grams)
 
 
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingle) inverted-index rows — the exploded form."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    return doc_shingles(df, text_col, id_col, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -83,12 +116,15 @@ def jaccard_pairs(
     """Candidate pairs sharing ≥1 shingle, scored with exact Jaccard and
     filtered to ``threshold``. ``max_shingle_df`` drops ubiquitous shingles
     before the self-join (skew control at scale)."""
-    sh = shingle_table(df, text_col, id_col, n)
+    # Cache: the shingle index feeds 3+ plan branches (both join sides and
+    # the size agg); without materialization each branch re-runs the
+    # tokenize→shingle→explode pipeline (measured 4× slower at sf0.1).
+    sh = shingle_table(df, text_col, id_col, n).cache()
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
             F.col("_df") > max_shingle_df
         )
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -117,42 +153,73 @@ def jaccard_pairs(
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def minhash_signatures(
-    sh: DataFrame, n_hashes: int = 12
-) -> DataFrame:
-    """MinHash signature per doc: permutation *j* is the md5 of
-    ``shingle#j`` (hex strings order like the integers they encode, so the
-    lexicographic ``min`` is the minhash). md5 keeps the signature
-    engine-portable; swap for ``xxhash64`` when oracle parity is not needed
-    (same plan shape, ~2× faster). One shuffle on doc_id."""
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "j",
-        F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("j"))).alias("h"),
+def minhash_signatures(doc_sh: DataFrame, n_hashes: int = 12) -> DataFrame:
+    """MinHash signature per doc, computed **array-side with no shuffle**:
+    permutation *j* is the md5 of ``shingle#j`` (hex strings order like the
+    integers they encode, so ``array_min`` of the hashed array is the
+    minhash). Input is the (doc_id, shingles) array form; output
+    (doc_id, sig array<string>) ordered by permutation. md5 keeps the
+    signature engine-portable; swap for ``xxhash64`` when oracle parity is
+    not needed (same plan shape, ~2× faster)."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, j=j: F.md5(F.concat(s, F.lit(f"#{j}"))),
+                )
+            )
+            for j in range(n_hashes)
+        ]
     )
-    return hashed.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
+    return doc_sh.select("doc_id", sig.alias("sig"))
 
 
 def lsh_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
-    """Band the signature: bucket key = md5 of the band's minhashes in
-    permutation order. Docs sharing (band, key) are candidates."""
-    banded = signatures.withColumn(
-        "band", (F.col("j") / rows_per_band).cast("int")
+    """Band a *materialized* signature table: bucket key = md5 of the band's
+    minhashes in permutation order — an element-wise slice of the sig array,
+    no shuffle. Docs sharing (band, key) are candidates.
+
+    Only call this on a stored/cached signature table: if ``sig`` is a
+    derived expression, projection collapse re-inlines the whole minhash
+    computation once per band (use :func:`band_buckets` for the fused path).
+    """
+    bands = F.transform(
+        F.sequence(F.lit(0), (F.size("sig") / rows_per_band).cast("int") - 1),
+        lambda b: F.md5(
+            F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|")
+        ),
     )
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s["mh"]
-                ),
-                "|",
+    return signatures.select(
+        "doc_id", F.posexplode(bands).alias("band", "bucket")
+    )
+
+
+def band_buckets(
+    doc_sh: DataFrame, n_hashes: int = 12, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH band buckets computed *directly* from the shingle arrays, one
+    expression tree where every per-permutation ``array_min`` appears
+    exactly once (Catalyst collapses projections and would otherwise
+    duplicate the full signature computation per band). No shuffle."""
+
+    def _mh(j: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, F.lit(f"#{j}"))))
+        )
+
+    n_bands = n_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[_mh(b * rows_per_band + r) for r in range(rows_per_band)]
+                )
             )
-        ).alias("bucket")
+            for b in range(n_bands)
+        ]
     )
+    return doc_sh.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
 
 
 def minhash_candidates(
@@ -164,8 +231,8 @@ def minhash_candidates(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """LSH candidate pairs: distinct (id_a < id_b) sharing any band bucket."""
-    sh = shingle_table(df, text_col, id_col, n)
-    buckets = lsh_buckets(minhash_signatures(sh, n_hashes), rows_per_band)
+    doc_sh = doc_shingles(df, text_col, id_col, n)
+    buckets = band_buckets(doc_sh, n_hashes, rows_per_band).cache()
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     return (
@@ -187,9 +254,22 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
     verified with exact Jaccard over the shingle index. Only candidate
-    pairs pay the verification join — the linear-cost 100 TB path."""
-    sh = shingle_table(df, text_col, id_col, n).cache()
-    cand = minhash_candidates(df, text_col, id_col, n, n_hashes, rows_per_band)
+    pairs pay the verification join — the linear-cost 100 TB path.
+
+    The shingle index and the bucket table are cached: each feeds multiple
+    plan branches, and recomputing the tokenize→shingle pipeline per branch
+    dominates wall time otherwise."""
+    doc_sh = doc_shingles(df, text_col, id_col, n).cache()
+    sh = doc_sh.select("doc_id", F.explode("shingles").alias("shingle")).cache()
+    buckets = band_buckets(doc_sh, n_hashes, rows_per_band).cache()
+    a_b = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b_b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a_b.join(b_b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -220,9 +300,14 @@ def minhash_dedup_pairs(
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash over distinct tokens: bit *p* is the majority vote of
     the top bit of hex digit *p* of each token's md5. Computed without
-    explode: per-position votes are element-wise array ops."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(toks, F.md5)
+    explode: per-position votes are element-wise array ops. The md5 array is
+    materialized once — 16 inline copies would each re-tokenize + re-hash
+    (no CSE inside transform lambdas)."""
+    pre = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.array_distinct(tokens(F.col(text_col))), F.md5).alias("_h"),
+    )
+    hashes = F.col("_h")
 
     def bit_votes(p: int) -> Column:
         # +1 when hex digit p ∈ [8,f] (top bit set), else -1; majority → '1'
@@ -235,7 +320,7 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sig = F.concat(
         *[F.when(bit_votes(p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(16)]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash16"))
+    return pre.select("doc_id", sig.alias("simhash16"))
 
 
 def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

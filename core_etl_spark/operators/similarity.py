@@ -36,9 +36,17 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the exact-decimal squared norm (computed once per vector)."""
+    """Attach the exact-decimal squared norm (computed once per vector).
+    Repartitions thin inputs first — the decimal fold is compute-heavy and
+    must not run on a single small-file task."""
+    from .dedup import ensure_parallelism
+
     dec = _dec_vec(F.col(vec_col))
-    return df.withColumn("_dec", dec).withColumn("_normsq", _dot(F.col("_dec"), F.col("_dec")))
+    return (
+        ensure_parallelism(df)
+        .withColumn("_dec", dec)
+        .withColumn("_normsq", _dot(F.col("_dec"), F.col("_dec")))
+    )
 
 
 def cosine(dot: Column, normsq_a: Column, normsq_b: Column) -> Column:
@@ -88,12 +96,17 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_signature(
+    dec: Column, n_planes: int = 8, dim: int = 64
+) -> Column:
     """Random-hyperplane LSH signature: bit *p* = sign of ⟨plane_p, v⟩
     where plane_p[d] = ±1 from the top bit of md5(f"{p}_{d}"). The planes
     are data-independent constants — Catalyst folds them — so the corpus
-    pass is a single projection."""
-    dec = _dec_vec(vec_col)
+    pass is a single projection.
+
+    ``dec`` must be a *materialized* exact-decimal vector column (e.g. the
+    ``_dec`` from ``with_norm``) — an inline ``_dec_vec(...)`` would be
+    re-evaluated once per plane (no CSE inside transform lambdas)."""
     bits = []
     for p in range(n_planes):
         coeffs = F.array(
@@ -140,13 +153,13 @@ def lsh_ann_topk(
     hamming-1 probing each query touches ~7/64 of a uniformly-bucketed
     corpus, not all of it."""
     c = with_norm(corpus, vec_col).withColumn(
-        "bucket", hyperplane_signature(F.col(vec_col), n_planes, dim)
+        "bucket", hyperplane_signature(F.col("_dec"), n_planes, dim)
     ).select(
         F.col(id_col).alias("neighbor_id"), "bucket",
         F.col("_dec").alias("c_dec"), F.col("_normsq").alias("c_normsq"),
     )
     q = with_norm(queries, vec_col).withColumn(
-        "bucket", hyperplane_signature(F.col(vec_col), n_planes, dim)
+        "bucket", hyperplane_signature(F.col("_dec"), n_planes, dim)
     ).select(
         F.col(id_col).alias("query_id"), "bucket",
         F.col("_dec").alias("q_dec"), F.col("_normsq").alias("q_normsq"),

@@ -27,8 +27,9 @@ from .base import register
 _TOKS = "string_split(text, ' ')"
 
 #: (doc_id, shingle) inverted index: distinct word 3-grams, matching
-#: operators.dedup.word_shingles (out-of-range tail elements are NULL and
-#: concat_ws skips them in both engines).
+#: operators.dedup.doc_shingles (short docs yield one partial shingle —
+#: concat_ws drops the out-of-range NULL tail here, the UDF joins what's
+#: left; identical output).
 _SHINGLE_CTE = f"""
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (
