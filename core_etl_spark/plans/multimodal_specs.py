@@ -1,0 +1,72 @@
+"""Multimodal specs — the training-data-pipeline binary-column operators
+(brief: image/audio/video as opaque binary + typed metadata, processed by
+Arrow-batched ``mapInPandas``). No SQL oracle exists for binary codec work,
+so these are rows-only gates; the golden-value assertions live in
+tests/test_multimodal.py. Each spec returns a deterministic summary frame
+over the synthetic fake-codec media table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import multimodal as M
+from .base import register
+
+
+@register(
+    "m01_image_features",
+    tables=(),
+    oracle=None,  # binary decode + numpy feature math — rows-only gate
+    tags=("multimodal", "image", "pandas-udf", "mapInPandas"),
+)
+def m01(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Image decode + feature extraction (mean/std intensity, 16-bin
+    histogram) over the binary payload column via mapInPandas."""
+    media = M.synthetic_media(spark, n_per_kind=30)
+    return M.image_features(media).orderBy("media_id")
+
+
+@register(
+    "m02_image_resize",
+    tables=(),
+    oracle=None,
+    tags=("multimodal", "image", "mapInPandas"),
+)
+def m02(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Nearest-neighbor image resize re-encoded to the payload format;
+    returns the new geometry + payload size per image."""
+    media = M.synthetic_media(spark, n_per_kind=30)
+    return (
+        M.resize_images(media, 4, 4)
+        .select("media_id", "width", "height", F.length("payload").alias("payload_bytes"))
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "m03_audio_features",
+    tables=(),
+    oracle=None,
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def m03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Audio RMS + zero-crossing features over i16 PCM payloads."""
+    media = M.synthetic_media(spark, n_per_kind=30)
+    return M.audio_features(media).orderBy("media_id")
+
+
+@register(
+    "m04_video_frame_sample",
+    tables=(),
+    oracle=None,
+    tags=("multimodal", "video", "mapInPandas", "explode"),
+)
+def m04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Every-2nd-frame sampling: 1 video row → ceil(n/2) frame rows (the
+    binary-column analogue of the batchTransfer 1→N explode)."""
+    media = M.synthetic_media(spark, n_per_kind=30)
+    return (
+        M.sample_frames(media, every_k=2)
+        .select("media_id", "frame_index", F.length("frame_payload").alias("frame_bytes"))
+        .orderBy("media_id", "frame_index")
+    )
