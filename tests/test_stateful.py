@@ -1,0 +1,74 @@
+"""applyInPandasWithState operator tests: state persists across micro-batches
+(two sequential availableNow runs over a growing source) and first-seen dedup
+drops repeats within and across batches."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_etl_spark.streaming import stateful as S
+
+
+def _drop(spark, path, rows):
+    spark.createDataFrame(rows, "fp string, source string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(stream_df, ckpt, mode="update"):
+    """availableNow run through a foreachBatch collector (the memory sink
+    can't recover from a checkpoint); returns all emitted rows."""
+    out = []
+    q = (
+        stream_df.writeStream.foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return out
+
+
+def test_running_counts_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _drop(spark, src, [("a", "s1"), ("b", "s1"), ("c", "s2")])
+
+    def stream():
+        return spark.readStream.schema("fp string, source string").parquet(src)
+
+    rows = _run(S.running_counts(stream(), "source"), ckpt)
+    got = {r.key: r.n_total for r in rows}
+    assert got == {"s1": 2, "s2": 1}
+
+    # second run: state restored from checkpoint, totals accumulate
+    _drop(spark, src, [("d", "s1"), ("e", "s3")])
+    rows = _run(S.running_counts(stream(), "source"), ckpt)
+    got = {r.key: r.n_total for r in rows}
+    assert got == {"s1": 3, "s3": 1}  # only updated keys emit in batch 2
+
+
+def test_first_seen_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # batch 1: x twice, y once
+    _drop(spark, src, [("x", "s"), ("x", "s"), ("y", "s")])
+
+    def stream():
+        return spark.readStream.schema("fp string, source string").parquet(src)
+
+    rows = _run(S.first_seen(stream(), "fp"), ckpt, mode="append")
+    got = {r.key: r.n_dropped_dups for r in rows}
+    assert got == {"x": 1, "y": 0}
+
+    # batch 2: x again (suppressed by state), z new
+    _drop(spark, src, [("x", "s"), ("z", "s")])
+    rows = _run(S.first_seen(stream(), "fp"), ckpt, mode="append")
+    got = {r.key: r.n_dropped_dups for r in rows}
+    assert got == {"z": 0}  # x never re-emitted
