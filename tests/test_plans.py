@@ -1,0 +1,55 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB must
+survive refactors — dim joins broadcast (no sort-merge at headline scale),
+predicates reach the parquet scan, aggregations are partial+final."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from core_etl_spark.plans import all_specs
+
+SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["g02_join_agg_topk_tpch_q3", "g03_star_join_tpch_q5", "g20_decorrelated_subquery"],
+)
+def test_headline_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim-table join regressed to a shuffle join"
+
+
+@pytest.mark.parametrize(
+    "name", ["g01_hash_agg_tpch_q1", "g02_join_agg_topk_tpch_q3", "g03_star_join_tpch_q5"]
+)
+def test_filters_reach_the_scan(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, "no parquet scans found"
+    assert any(p.strip() for p in pushed), "no predicate was pushed to any scan"
+
+
+def test_hash_agg_is_partial_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "g01_hash_agg_tpch_q1")
+    # map-side combine: two HashAggregate nodes around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "g01_hash_agg_tpch_q1")
+    m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    assert m, "no ReadSchema in scan"
+    # the plan string may truncate the schema with '...'; count the field
+    # separators that survived — 16 lineitem columns would show far more
+    cols = [c for c in m.group(1).rstrip(">. ").split(",") if c]
+    assert 0 < len(cols) <= 8, f"scan reads too many columns: {cols}"
