@@ -141,6 +141,48 @@ def k78(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "o1_backfill_pipeline",
+    tables=(),
+    oracle=None,  # stateful warehouse build — rows-only gate
+    tags=("o1", "o3", "pipeline", "etl", "mutation"),
+    headline=True,  # tracks end-to-end ingest cost per round
+)
+def o1(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """O1+O3 — chunked backfill of the fixture chain (normalize + CBC20
+    decode + receipt join + partitioned write), then resume is a no-op.
+    Returns the per-table counts + tip (reference etl.rs:251-336; invariant
+    tests in tests/test_pipeline.py)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..lake import Lake
+    from ..pipeline import backfill
+    from ..sources.fixtures import WATCH_CONTRACT
+    from ..sources.provider import FixtureBlockProvider
+
+    root = _tf.mkdtemp(prefix="backfill_spec_")
+    lake = Lake(spark, root, bucket_size=125)
+    try:
+        provider = FixtureBlockProvider(n_blocks=500, txs_per_block=4)
+        n = backfill(spark, lake, provider, (WATCH_CONTRACT,), chunk_size=250)
+        resumed = backfill(spark, lake, provider)  # must be 0
+        return spark.createDataFrame(
+            [(
+                n,
+                resumed,
+                lake.latest_block_number(),
+                lake.blocks().count(),
+                lake.transactions().count(),
+                lake.token_transfers().count(),
+            )],
+            "n_backfilled long, n_resumed long, tip long, n_blocks long, "
+            "n_transactions long, n_transfers long",
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@register(
     "o2_streaming_tail",
     tables=(),
     oracle=None,  # stateful streaming with checkpoint — rows-only gate
