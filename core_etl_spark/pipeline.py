@@ -112,6 +112,22 @@ def backfill(
     return done
 
 
+def wait_until_synced(provider, poll_seconds: float = 60.0, max_polls: int | None = None) -> bool:
+    """O4 — the lazy-mode gate (reference etl.rs:100-117): poll the node's
+    sync status until it reports synced. Returns True when synced, False if
+    ``max_polls`` ran out. Driver-side control flow, as in the reference."""
+    import time as _time
+
+    polls = 0
+    while provider.syncing():
+        polls += 1
+        if max_polls is not None and polls >= max_polls:
+            return False
+        log.info("node still syncing; next poll in %.0fs", poll_seconds)
+        _time.sleep(poll_seconds)
+    return True
+
+
 def run_with_retry(
     job: Callable[[], int],
     lake: Lake,

@@ -100,6 +100,25 @@ def test_rpc_provider_distributed_fetch(spark):
     assert got["tx0_3"] == 0 and got["tx1_0"] == 1
 
 
+def test_wait_until_synced():
+    class FakeSyncingProvider:
+        """Reports syncing for the first ``n`` polls, then synced."""
+
+        def __init__(self, n):
+            self.n = n
+
+        def syncing(self):
+            self.n -= 1
+            return self.n >= 0
+
+    assert P.wait_until_synced(FakeSyncingProvider(0)) is True
+    assert P.wait_until_synced(FakeSyncingProvider(2), poll_seconds=0.01) is True
+    assert (
+        P.wait_until_synced(FakeSyncingProvider(99), poll_seconds=0.01, max_polls=3)
+        is False
+    )
+
+
 def test_rpc_provider_without_transport_raises(spark):
     provider = RpcBlockProvider()
     with pytest.raises(NotImplementedError, match="transport"):
