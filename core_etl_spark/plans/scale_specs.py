@@ -1,0 +1,84 @@
+"""Scale-technique specs — physical rewrites whose results must equal the
+naive form (each oracle is the plain SQL): salted aggregation, salted join,
+and exact percentiles (the ordered-agg surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import skew
+from .base import register
+
+
+@register(
+    "g21_percentiles",
+    tables=("lineitem",),
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "ordered-agg"),
+)
+def g21(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Exact continuous percentiles per group (linear interpolation — the
+    same definition as DuckDB's quantile_cont), rounded to 4 dp to absorb
+    last-ulp differences in the interpolation arithmetic."""
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "g22_salted_aggregation",
+    tables=("lineitem",),
+    oracle="""
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("skew", "salting", "agg"),
+)
+def g22(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Salted two-stage aggregation — identical result to a plain groupBy
+    (the oracle), but a hot supplier key spreads over 16 reducers before the
+    final ≤16-rows-per-key merge."""
+    li = t["lineitem"]
+    counts = skew.salted_count(li, ["l_suppkey"], agg_col="n")
+    sums = skew.salted_sum(
+        li, ["l_suppkey"], F.col("l_quantity").cast("decimal(20,2)"), agg_col="_total"
+    )
+    return counts.join(sums, "l_suppkey").select(
+        "l_suppkey", "n", F.col("_total").cast("double").alias("total_qty")
+    )
+
+
+@register(
+    "g23_salted_join",
+    tables=("lineitem", "supplier"),
+    oracle="""
+        SELECT l.l_suppkey, s.s_name,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY l.l_suppkey, s.s_name
+    """,
+    tags=("skew", "salting", "join"),
+)
+def g23(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Salted equi-join — the small side replicated per salt so a hot
+    suppkey spreads across tasks; result equals the plain join."""
+    li = t["lineitem"].select(F.col("l_suppkey").alias("s_suppkey"))
+    joined = skew.salted_join(li, t["supplier"].select("s_suppkey", "s_name"), "s_suppkey")
+    return (
+        joined.groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_items"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name", "n_items")
+    )
