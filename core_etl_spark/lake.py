@@ -308,6 +308,52 @@ class Lake:
         for name in self.modules:
             self._delete_where(name, lambda c: c <= F.lit(boundary))
 
+    # --- compaction ---------------------------------------------------------------
+
+    def compact(self, name: str, target_rows_per_file: int = 1_000_000) -> int:
+        """Compact small files: streaming appends leave one file per
+        micro-batch per partition; a month of 7-second blocks is ~370k tiny
+        files — scan-killing at 100 TB. Rewrites each bucket whose file
+        count exceeds rows/target into ⌈rows/target⌉ files (same
+        staged-then-move swap as the mutations, so readers never see a
+        half-compacted bucket). Returns the number of buckets rewritten."""
+        if name not in self.modules or not self.exists(name):
+            return 0
+        df = self.spark.read.parquet(self.path(name))
+        per_bucket = (
+            df.withColumn("_file", F.input_file_name())
+            .groupBy("block_bucket")
+            .agg(
+                F.count("*").alias("_rows"),
+                F.count_distinct("_file").alias("_files"),
+            )
+            .collect()
+        )
+        todo = [
+            (r.block_bucket, int(r._rows))
+            for r in per_bucket
+            if r._files > max(1, -(-int(r._rows) // target_rows_per_file))
+        ]
+        if not todo:
+            return 0
+        buckets = [b for b, _ in todo]
+        scoped = df.filter(F.col("block_bucket").isin(buckets))
+        parts = _PARTITION_COLS[name]
+        n_files = max(1, -(-sum(r for _, r in todo) // target_rows_per_file))
+        stage = os.path.join(self.root, f".stage_{name}_{os.urandom(6).hex()}")
+        (
+            scoped.repartition(n_files, *[F.col(c) for c in parts])
+            .sortWithinPartitions(_NUMBER_COL[name])
+            .write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(stage)
+        )
+        try:
+            self._swap_buckets(name, stage, set(buckets))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return len(buckets)
+
     # --- reorg detection (K10) -----------------------------------------------------
 
     def detect_reorgs(self, incoming_headers: DataFrame) -> DataFrame:

@@ -27,6 +27,7 @@ from . import maintenance_specs  # noqa: F401,E402
 from . import llm_specs  # noqa: F401,E402
 from . import multimodal_specs  # noqa: F401,E402
 from . import scale_specs  # noqa: F401,E402
+from . import corpus_specs  # noqa: F401,E402
 
 
 def all_specs() -> dict[str, QuerySpec]:

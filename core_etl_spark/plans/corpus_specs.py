@@ -1,0 +1,89 @@
+"""Composite corpus-prep spec — the end-to-end shape of a training-data
+pipeline: quality gate → language gate → exact dedup → near-dup removal →
+token budgeting. Each stage is an existing operator; the value here is the
+*composition* (and its oracle): one declarative plan, no materialization
+between stages, so Catalyst fuses the scalar stages into the same scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..operators import text as X
+from .base import register
+from .llm_specs import _SHINGLE_CTE  # shared shingle dialect
+
+
+@register(
+    "c01_corpus_prep",
+    tables=("documents",),
+    oracle=f"""
+        WITH
+        stats AS (
+            SELECT doc_id, text, lang,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents
+        ),
+        quality AS (  -- quality gate: enough words, enough lexical diversity
+            SELECT * FROM stats
+            WHERE n_words >= 20 AND n_distinct * 1.0 / n_words >= 0.4
+        ),
+        exact AS (     -- exact dedup: keep min doc_id per identical text
+            SELECT * FROM quality
+            WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))
+        ),
+        {_SHINGLE_CTE},
+        near_pairs AS (  -- near-dup pairs at jaccard >= 0.6 among survivors
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a
+            JOIN sh b USING (shingle)
+            JOIN sizes sa ON sa.doc_id = a.doc_id
+            JOIN sizes sb ON sb.doc_id = b.doc_id
+            WHERE a.doc_id < b.doc_id
+              AND a.doc_id IN (SELECT doc_id FROM exact)
+              AND b.doc_id IN (SELECT doc_id FROM exact)
+            GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+            HAVING count(*) * 1.0 / (sa.n_sh + sb.n_sh - count(*)) >= 0.6
+        ),
+        survivors AS (   -- drop the higher doc_id of each near-dup pair
+            SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM near_pairs)
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens
+        FROM survivors
+        GROUP BY lang
+    """,
+    tags=("corpus", "composition", "dedup", "quality", "tokens"),
+)
+def c01(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus prep end-to-end: length + lexical-diversity quality gate,
+    exact dedup (keep min id), near-dup removal (Jaccard ≥ 0.6, drop the
+    higher id of each pair), per-language doc and token budget."""
+    docs = t["documents"]
+    stats = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    )
+    quality = stats.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("n_distinct") / F.col("n_words") >= 0.4)
+    )
+    exact = D.exact_dedup(quality, "text", "doc_id")
+    near = D.jaccard_pairs(docs, threshold=0.6)
+    exact_ids = exact.select("doc_id")
+    bad = (
+        near.join(exact_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(exact_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact.join(bad, "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+    )

@@ -138,6 +138,26 @@ def test_detect_reorgs(lake, spark):
     assert hits == {20}
 
 
+def test_compaction(spark, tmp_path):
+    lk = Lake(spark, str(tmp_path / "cw"), bucket_size=20)
+    raw = FX.raw_blocks(spark, n_blocks=40, txs_per_block=2)
+    # simulate streaming: 8 tiny appends of 5 blocks each
+    for lo in range(0, 40, 5):
+        batch = raw.filter(F.col("number").between(lo, lo + 4))
+        lk.write("blocks", T.normalize_blocks(batch))
+    import glob
+    files_before = glob.glob(str(tmp_path / "cw/blocks/**/*.parquet"), recursive=True)
+    assert len(files_before) > 2  # many micro-batch files
+
+    n = lk.compact("blocks", target_rows_per_file=1000)
+    assert n == 2  # both buckets had more files than needed
+    files_after = glob.glob(str(tmp_path / "cw/blocks/**/*.parquet"), recursive=True)
+    assert len(files_after) < len(files_before)
+    assert lk.blocks().count() == 40  # no rows lost
+    assert lk.blocks().select("number").distinct().count() == 40
+    assert lk.compact("blocks", target_rows_per_file=1000) == 0  # idempotent
+
+
 def test_module_gating(spark, tmp_path):
     lk = Lake(spark, str(tmp_path / "gated"), bucket_size=BUCKET, modules=("blocks",))
     raw = FX.raw_blocks(spark, n_blocks=5)
