@@ -308,6 +308,31 @@ class Lake:
         for name in self.modules:
             self._delete_where(name, lambda c: c <= F.lit(boundary))
 
+    # --- bucketed mirrors (co-located joins) ---------------------------------------
+
+    def write_bucketed(self, name: str, df: DataFrame, n_buckets: int = 16) -> str:
+        """Write a hash-bucketed mirror of a table for *shuffle-free* equi-
+        joins on the height key: two tables bucketed the same way co-locate
+        matching keys, so ``blocks ⋈ transactions`` needs no Exchange on
+        either side — the 100 TB answer when both join sides are too big to
+        broadcast and the join recurs (SURVEY §4's bucketing row).
+
+        Bucketing metadata only exists in the session catalog
+        (``saveAsTable``), so mirrors are managed tables named
+        ``<name>_bucketed``; call once per ingest epoch, not per query."""
+        num = _NUMBER_COL[name]
+        table = f"{name}_bucketed"
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, num)
+            .sortBy(num)
+            .format("parquet")
+            .option("path", os.path.join(self.root, "_bucketed", table))
+            .saveAsTable(table)
+        )
+        return table
+
     # --- compaction ---------------------------------------------------------------
 
     def compact(self, name: str, target_rows_per_file: int = 1_000_000) -> int:

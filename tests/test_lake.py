@@ -138,6 +138,19 @@ def test_detect_reorgs(lake, spark):
     assert hits == {20}
 
 
+def test_bucketed_join_has_no_shuffle(lake, spark):
+    """Both sides bucketed on the height key → the equi-join plans with
+    zero Exchange operators (co-located, shuffle-free)."""
+    bt = lake.write_bucketed("blocks", lake.blocks(), n_buckets=4)
+    tt = lake.write_bucketed("transactions", lake.transactions(), n_buckets=4)
+    b = spark.table(bt).select(F.col("number"), "hash")
+    t = spark.table(tt).select(F.col("block_number").alias("number"), "from_addr")
+    joined = b.hint("merge").join(t, "number")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed join still shuffles"
+    assert joined.count() == lake.transactions().count()
+
+
 def test_compaction(spark, tmp_path):
     lk = Lake(spark, str(tmp_path / "cw"), bucket_size=20)
     raw = FX.raw_blocks(spark, n_blocks=40, txs_per_block=2)
