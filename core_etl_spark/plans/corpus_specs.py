@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
-from ..operators import text as X
 from .base import register
 from .llm_specs import _SHINGLE_CTE  # shared shingle dialect
 
