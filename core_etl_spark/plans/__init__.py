@@ -28,6 +28,7 @@ from . import llm_specs  # noqa: F401,E402
 from . import multimodal_specs  # noqa: F401,E402
 from . import scale_specs  # noqa: F401,E402
 from . import corpus_specs  # noqa: F401,E402
+from . import temporal_specs  # noqa: F401,E402
 
 
 def all_specs() -> dict[str, QuerySpec]:
