@@ -181,14 +181,38 @@ class Lake:
 
     # --- resume / tip (O3, Q1) ---------------------------------------------------
 
+    def _max_bucket(self, name: str) -> int | None:
+        """Highest ``block_bucket`` partition value from the directory
+        listing — the local-FS stand-in for a metastore partition listing
+        (``SHOW PARTITIONS``); no data files are read."""
+        best = None
+        for dirpath, dirnames, _ in os.walk(self.path(name)):
+            for d in dirnames:
+                if d.startswith("block_bucket="):
+                    try:
+                        b = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    best = b if best is None else max(best, b)
+        return best
+
     def latest_block_number(self) -> int:
         """Resume point (reference etl.rs:84-89): max height with the Q1
         fallback chain blocks → transactions → transfers → -1 (the reference
         returns 0 for empty; -1 distinguishes 'nothing synced' from
-        'genesis synced')."""
+        'genesis synced').
+
+        The tip can only live in the highest ``block_bucket``, so the scan is
+        pruned to that one partition via the partition listing — at 100 TB
+        this is one bucket's footers instead of the whole table, and this
+        runs at every job start (O3) and before every truncate (K8)."""
         for name in (BLOCKS, TRANSACTIONS, TOKEN_TRANSFERS):
             if name in self.modules and self.exists(name):
-                row = self.read(name).agg(F.max(_NUMBER_COL[name]).alias("m")).first()
+                df = self.read(name)
+                top = self._max_bucket(name)
+                if top is not None:
+                    df = df.filter(F.col("block_bucket") == top)
+                row = df.agg(F.max(_NUMBER_COL[name]).alias("m")).first()
                 if row and row.m is not None:
                     return int(row.m)
         return -1
