@@ -21,6 +21,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the specs depend on, set here so they hold on ANY
+    session (the driver constructs a vanilla one — builder confs in
+    session.py don't reach it):
+
+    - ``nanosAsLong``: events.parquet carries INT64 TIMESTAMP(NANOS) which
+      vanilla Spark rejects with PARQUET_TYPE_ILLEGAL; with the flag the
+      column arrives as long nanos and ``_fix_nanos_timestamps`` restores
+      TimestampType.
+    - UTC session timezone: oracle (DuckDB) parity for date/time functions
+      must not depend on the host zone.
+
+    Both are runtime-settable SQLConfs, safe to set repeatedly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -28,6 +46,7 @@ def load_tables(
     register: bool = True,
 ) -> dict[str, DataFrame]:
     """Load the synthetic tables and (by default) register temp views."""
+    _ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in names:
         path = table_path(sf_dir, name)
