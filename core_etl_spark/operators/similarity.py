@@ -193,19 +193,47 @@ def embedding_near_dups(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_planes: int | None = 4,
+    dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
-    All-pairs form — at scale, pre-bucket with ``hyperplane_signature`` and
-    only compare within buckets (same trade as ``lsh_ann_topk``)."""
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
+    LSH-bucketed: both sides carry a hyperplane signature and only pairs
+    whose buckets are within hamming-1 are scored. The probe expansion
+    happens on the *left* side only (bucket + one flip per plane), so the
+    candidate join is an equi-join on the bucket string — never a cartesian
+    product — and each qualifying pair matches exactly once (the probe set
+    is distinct, the right side keeps one bucket per vector, and
+    ``id_a < id_b`` kills the mirror direction).
+
+    Cost: corpus × (n_planes + 1) exploded rows on the left, one shuffle on
+    the bucket key. Recall is the standard LSH trade — raise ``n_planes``
+    with corpus size to keep buckets small (4 planes / hamming-1 probing =
+    5/16 of the corpus per vector; 16 planes → 17/65536). ``n_planes=None``
+    falls back to exact all-pairs — small corpora only."""
     n = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_dec").alias("dec"), F.col("_normsq").alias("normsq")
     )
-    a = n.select(F.col("id").alias("id_a"), F.col("dec").alias("a_dec"), F.col("normsq").alias("a_normsq"))
-    b = n.select(F.col("id").alias("id_b"), F.col("dec").alias("b_dec"), F.col("normsq").alias("b_normsq"))
+    if not n_planes:
+        a = n.select(F.col("id").alias("id_a"), F.col("dec").alias("a_dec"), F.col("normsq").alias("a_normsq"))
+        b = n.select(F.col("id").alias("id_b"), F.col("dec").alias("b_dec"), F.col("normsq").alias("b_normsq"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        n = n.withColumn("bucket", hyperplane_signature(F.col("dec"), n_planes, dim))
+        a = n.select(
+            F.col("id").alias("id_a"), F.col("dec").alias("a_dec"),
+            F.col("normsq").alias("a_normsq"), "bucket",
+        )
+        if multiprobe:
+            probes = F.array(F.col("bucket"), *[_flip_bit("bucket", p) for p in range(n_planes)])
+            a = a.withColumn("bucket", F.explode(probes))
+        b = n.select(
+            F.col("id").alias("id_b"), F.col("dec").alias("b_dec"),
+            F.col("normsq").alias("b_normsq"), "bucket",
+        )
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             cosine(_dot(F.col("a_dec"), F.col("b_dec")), F.col("a_normsq"), F.col("b_normsq")).alias(

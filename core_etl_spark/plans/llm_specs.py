@@ -176,11 +176,32 @@ def l05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return X.fingerprint(t["documents"]).select("doc_id", "fp_md5", "fp_int60", "fp_prefix64")
 
 
+#: l06's stop-shingle valve: shingles in more than MAX_SHINGLE_DF docs are
+#: dropped *before* the self-join (and before sizes), capping hot-key
+#: fan-out at DF² per shingle. Mirrored exactly in the oracle below.
+MAX_SHINGLE_DF = 64
+
+_SHINGLE_CTE_CAPPED = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+    FROM toks
+),
+hot AS (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF}
+),
+sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
 @register(
     "l06_ngram_jaccard_dedup",
     tables=("documents",),
     oracle=f"""
-        WITH {_SHINGLE_CTE},
+        WITH {_SHINGLE_CTE_CAPPED},
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
             FROM sh a JOIN sh b USING (shingle)
@@ -200,9 +221,10 @@ def l05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 def l06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """n-gram Jaccard near-dup pairs via the shingle inverted index —
     candidate pairs share ≥1 shingle, scored exactly from distinct-shingle
-    counts. The quadratic risk sits in hot shingles; ``max_shingle_df``
-    (off here for oracle fidelity) is the scale valve."""
-    return D.jaccard_pairs(t["documents"], threshold=0.5)
+    counts. The stop-shingle valve is ON (``max_shingle_df=64``) and the
+    oracle mirrors the same document-frequency cap, so parity holds with
+    the hot-key fan-out bounded."""
+    return D.jaccard_pairs(t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF)
 
 
 def _minhash_oracle(n_hashes: int = 12, rows_per_band: int = 4) -> str:
@@ -405,26 +427,46 @@ def l10(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register(
-    "l11_embedding_neardup",
-    tables=("embeddings",),
-    oracle=f"""
+def _neardup_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
+    bits = []
+    for p, plane in enumerate(_planes_sql(n_planes, dim)):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(dec[i] * ({plane}[i]) AS DECIMAL(28,6))))"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bits)
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.bucket, {p + 1}, 1) <> substr(b.bucket, {p + 1}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
         WITH {_VEC_CTE},
+        sigs AS (SELECT vec_id, dec, normsq, {sig} AS bucket FROM n),
         pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(list_sum(list_transform(generate_series(1, 64),
+                   CAST(list_sum(list_transform(generate_series(1, {dim}),
                         i -> CAST(a.dec[i] * b.dec[i] AS DECIMAL(28,6)))) AS DOUBLE)
                      / sqrt(CAST(a.normsq AS DOUBLE) * CAST(b.normsq AS DOUBLE))
                      AS cosine_sim
-            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ({ham}) <= 1
         )
-        SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
-    """,
+        SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {threshold}
+    """
+
+
+@register(
+    "l11_embedding_neardup",
+    tables=("embeddings",),
+    oracle=_neardup_oracle(),
     tags=("llm", "dedup", "embedding"),
 )
 def l11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs — the semantic dedup variant;
-    all-pairs here, bucketed via hyperplane LSH at scale. Threshold 0.4 is
-    calibrated to the synthetic corpus (uniform vectors: max pairwise
-    cosine ≈ 0.51) so the result set is non-trivial."""
+    """Embedding-cosine near-duplicate pairs — the semantic dedup variant,
+    hyperplane-LSH bucketed (4 planes, hamming-1 multiprobe) so the
+    candidate join is an equi-join on the bucket key, never a cartesian
+    product; the oracle mirrors the bucket predicate as hamming(a,b) <= 1.
+    Threshold 0.4 is calibrated to the synthetic corpus (uniform vectors:
+    max pairwise cosine ≈ 0.51) so the result set is non-trivial."""
     return S.embedding_near_dups(t["embeddings"], threshold=0.4)

@@ -45,6 +45,32 @@ def test_hash_agg_is_partial_final(spark, sf_dir):
     assert "Exchange" in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "l06_ngram_jaccard_dedup",
+        "l07_minhash_lsh_dedup",
+        "l10_ann_lsh_topk",
+        "l11_embedding_neardup",
+    ],
+)
+def test_llm_path_has_no_cartesian(spark, sf_dir, name):
+    """The dedup/ANN candidate joins must stay equi-joins — a cartesian
+    product or broadcast-nested-loop here is the 100 TB scale-killer."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
+
+
+def test_l09_broadcasts_query_side(spark, sf_dir):
+    """Brute-force top-k must broadcast the (small) query set, so the
+    corpus side streams without a shuffle."""
+    plan = _plan(spark, sf_dir, "l09_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "l09 no longer broadcasts the query side"
+    )
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "g01_hash_agg_tpch_q1")
     m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
