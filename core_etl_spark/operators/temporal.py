@@ -45,10 +45,17 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts (ties prefer right)
+    # right rows sort before left rows at equal ts (ties prefer right);
+    # right rows that also tie on ts order by their value columns so the
+    # carried value is deterministic across runs (last = greatest values),
+    # not whichever row the shuffle happened to place last
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+        .orderBy(
+            F.col(on).asc(),
+            F.col("_is_left").asc(),
+            *[F.col(f"_r_{c}").asc_nulls_first() for c in right_cols],
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(

@@ -67,7 +67,23 @@ def make_tail_batch_processor(
     running stream by calling it with any raw-blocks DataFrame."""
 
     def process(raw: DataFrame, batch_id: int) -> None:
-        raw = raw.dropDuplicates(["number"])
+        # In-batch dedup must be deterministic: when a micro-batch carries
+        # competing headers at one height (dead-branch + replacement during
+        # a reorg), keep the header some other batch row chains to via
+        # parent_hash (the canonical branch); tie-break on hash so reruns of
+        # the same batch pick the same row. A bare dropDuplicates could keep
+        # the stale header and silently pass the hash-conflict check.
+        from pyspark.sql import Window as W
+
+        children = raw.select(F.col("parent_hash").alias("_child_parent")).distinct()
+        w = W.partitionBy("number").orderBy(F.desc("_chained"), F.desc("hash"))
+        raw = (
+            raw.join(children, raw["hash"] == children["_child_parent"], "left")
+            .withColumn("_chained", F.col("_child_parent").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_child_parent", "_chained", "_rn")
+        )
 
         # Reorg check first (reference: insert failure → clean + resync,
         # etl.rs:147-169). Everything stored at or above the fork point was
