@@ -119,12 +119,30 @@ class Lake:
         token_transfers: DataFrame | None = None,
         mode: str = "append",
     ) -> None:
-        if blocks is not None:
-            self.write(BLOCKS, blocks, mode)
-        if transactions is not None:
-            self.write(TRANSACTIONS, transactions, mode)
-        if token_transfers is not None:
-            self.write(TOKEN_TRANSFERS, token_transfers, mode)
+        """Write up to three modules as CONCURRENT Spark jobs: the sinks are
+        independent (separate directories), so serializing them leaves the
+        cluster idle during each job's commit phase. Wall time per batch is
+        max(write) instead of sum(write); inputs must derive from a
+        materialized batch (see ``pipeline.ingest_raw``) so the concurrent
+        jobs don't race to recompute shared lineage."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [
+            (name, df)
+            for name, df in (
+                (BLOCKS, blocks),
+                (TRANSACTIONS, transactions),
+                (TOKEN_TRANSFERS, token_transfers),
+            )
+            if df is not None
+        ]
+        if len(todo) == 1:
+            self.write(todo[0][0], todo[0][1], mode)
+            return
+        with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+            futures = [pool.submit(self.write, name, df, mode) for name, df in todo]
+            for f in futures:
+                f.result()
 
     # --- reads -----------------------------------------------------------------
 
@@ -208,10 +226,18 @@ class Lake:
         runs at every job start (O3) and before every truncate (K8)."""
         for name in (BLOCKS, TRANSACTIONS, TOKEN_TRANSFERS):
             if name in self.modules and self.exists(name):
-                df = self.read(name)
                 top = self._max_bucket(name)
-                if top is not None:
-                    df = df.filter(F.col("block_bucket") == top)
+                if top is None:
+                    df = self.read(name)
+                else:
+                    # read ONLY the top bucket's leaf dirs — skips the
+                    # full-table file listing, not just the file scan
+                    # (block_bucket is the leaf level in every layout)
+                    depth = len(_PARTITION_COLS[name]) - 1
+                    pattern = os.path.join(
+                        self.path(name), *(["*"] * depth), f"block_bucket={top}"
+                    )
+                    df = self.spark.read.parquet(pattern)
                 row = df.agg(F.max(_NUMBER_COL[name]).alias("m")).first()
                 if row and row.m is not None:
                     return int(row.m)

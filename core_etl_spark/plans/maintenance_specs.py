@@ -166,15 +166,17 @@ def o1(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         provider = FixtureBlockProvider(n_blocks=500, txs_per_block=4)
         n = backfill(spark, lake, provider, (WATCH_CONTRACT,), chunk_size=250)
         resumed = backfill(spark, lake, provider)  # must be 0
+        # one job for the whole summary: three scans in one plan beats four
+        # sequential count jobs (driver round-trips dominate at batch scale)
+        row = (
+            lake.blocks()
+            .agg(F.count("*").alias("nb"), F.max("number").alias("tip"))
+            .crossJoin(lake.transactions().agg(F.count("*").alias("nt")))
+            .crossJoin(lake.token_transfers().agg(F.count("*").alias("nx")))
+            .first()
+        )
         return spark.createDataFrame(
-            [(
-                n,
-                resumed,
-                lake.latest_block_number(),
-                lake.blocks().count(),
-                lake.transactions().count(),
-                lake.token_transfers().count(),
-            )],
+            [(n, resumed, int(row.tip), int(row.nb), int(row.nt), int(row.nx))],
             "n_backfilled long, n_resumed long, tip long, n_blocks long, "
             "n_transactions long, n_transfers long",
         )
