@@ -9,11 +9,13 @@ fetches its blocks inside ``mapInPandas`` — so fetch parallelism equals
 ``partitions × executors`` and scales with the cluster, not with a
 driver-side thread flag.
 
-Transport note: this container has no network access and no ws/json-rpc
-client libs, so :class:`RpcBlockProvider`'s wire call is injectable and the
-default transport raises ``NotImplementedError``. The distributed plumbing —
-range partitioning, Arrow batch shapes, the raw-block schema contract — is
-real and tested with a deterministic fake transport.
+Transport note: the wire call is injectable. The live path is
+:class:`~core_etl_spark.sources.ws.WsJsonRpcTransport` — a dependency-free
+WebSocket JSON-RPC client with the reference's 5×5 s connect-retry policy
+(provider.rs:24-43), unit-tested against an in-process mock server
+(tests/test_ws.py, including fetch through executor partitions). The
+default transport still raises ``NotImplementedError`` so accidental
+network use in tests is loud; wire a live one with ``ws.make_provider()``.
 """
 
 from __future__ import annotations
@@ -33,8 +35,8 @@ Transport = Callable[[str, str], str]
 
 def _no_network(method: str, params: str) -> str:
     raise NotImplementedError(
-        "no network transport in this environment; inject a Transport "
-        "(e.g. a websocket JSON-RPC client) to go live"
+        "no transport injected; use core_etl_spark.sources.ws.make_provider() "
+        "(WsJsonRpcTransport) to go live, or pass a fake Transport in tests"
     )
 
 
