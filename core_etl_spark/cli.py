@@ -4,7 +4,8 @@ the Spark engine.
 
     python -m core_etl_spark.cli export --warehouse WH [--source DIR|--fixture N]
         [--watch-tokens cbc20:ADDR,...] [--tail DIR --checkpoint CK]
-        [--retention-secs R] [--modules blocks,transactions,token_transfers]
+        [-r RETENTION_SECS] [-c CLEANUP_INTERVAL_SECS]
+        [--modules blocks,transactions,token_transfers]
     python -m core_etl_spark.cli view block --number N | --hash H
     python -m core_etl_spark.cli view transactions --block N | --hash H
     python -m core_etl_spark.cli view token-transfers --token A [--from F] [--to T]
@@ -26,7 +27,12 @@ from pyspark.sql import DataFrame
 from .lake import ALL_MODULES, Lake
 from .operators import verify as V
 from .operators import views as Q
-from .pipeline import backfill, parse_watch_tokens, run_with_retry
+from .pipeline import (
+    backfill,
+    parse_watch_tokens,
+    run_with_retry,
+    start_retention_scheduler,
+)
 from .session import get_spark
 from .sources.provider import FixtureBlockProvider
 
@@ -57,15 +63,27 @@ def cmd_export(args: argparse.Namespace) -> int:
     )
     print(f"backfilled {n} blocks; tip={lake.latest_block_number()}")
 
+    # K9 — reference export.rs:30-37: -r/--retention-duration (0 = keep
+    # forever) with a cleanup sweep every -c/--cleanup-interval seconds.
+    # While tailing the sweeps run on a background scheduler; for a one-shot
+    # backfill a single sweep at the end is the whole schedule.
+    stop_retention = None
+    if args.retention_duration > 0:
+        if args.tail:
+            stop_retention = start_retention_scheduler(
+                lake, args.retention_duration, args.cleanup_interval
+            )
+        else:
+            lake.retention_cleanup(int(time.time()) - args.retention_duration)
+
     if args.tail:
         from .streaming.tail import start_tail
 
         q = start_tail(spark, lake, args.tail, args.checkpoint, contracts,
                        getattr(provider, "receipts_for", None))
         q.awaitTermination()
-
-    if args.retention_secs is not None:  # K9, one sweep (no daemon here)
-        lake.retention_cleanup(int(time.time()) - args.retention_secs)
+        if stop_retention is not None:
+            stop_retention()
     return 0
 
 
@@ -128,7 +146,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--bucket-size", type=int, default=100_000)
     e.add_argument("--tail", default="", help="dir of streamed raw-block drops")
     e.add_argument("--checkpoint", default="./checkpoint")
-    e.add_argument("--retention-secs", type=int, default=None)
+    e.add_argument("-r", "--retention-duration", type=int, default=0,
+                   help="seconds of data to retain; 0 keeps everything "
+                        "(reference -r, export.rs:30-32)")
+    e.add_argument("-c", "--cleanup-interval", type=float, default=3600.0,
+                   help="seconds between retention sweeps while tailing "
+                        "(reference -c, export.rs:34-37)")
     e.set_defaults(fn=cmd_export)
 
     v = sub.add_parser("view", help="query the lake")

@@ -138,6 +138,60 @@ def wait_until_synced(provider, poll_seconds: float = 60.0, max_polls: int | Non
     return True
 
 
+def retention_loop(
+    lake: Lake,
+    retention_secs: int,
+    interval_secs: float = 3600.0,
+    clock: Callable[[], float] = None,
+    stop: "threading.Event | None" = None,
+    max_ticks: int | None = None,
+) -> int:
+    """K9 scheduler — the reference's background cleanup task (reference
+    bin/core-etl/src/export.rs:30-37 wires ``-r``/``-c``; the task itself
+    deletes rows older than ``retention_duration`` every
+    ``cleanup_interval`` seconds, sqlite3.rs:483-536). Blocking loop: one
+    cleanup sweep per tick, then wait. Run via
+    :func:`start_retention_scheduler` for the daemon form; returns the tick
+    count (tests drive it with ``max_ticks`` and a fake clock)."""
+    import threading
+    import time as _time
+
+    clock = clock or _time.time
+    stop = stop or threading.Event()
+    ticks = 0
+    while not stop.is_set():
+        lake.retention_cleanup(int(clock()) - retention_secs)
+        ticks += 1
+        if max_ticks is not None and ticks >= max_ticks:
+            break
+        stop.wait(interval_secs)
+    return ticks
+
+
+def start_retention_scheduler(
+    lake: Lake, retention_secs: int, interval_secs: float = 3600.0
+):
+    """Start :func:`retention_loop` on a daemon thread; returns a
+    ``stop()`` callable (sets the event and joins briefly)."""
+    import threading
+
+    stop = threading.Event()
+    t = threading.Thread(
+        target=retention_loop,
+        args=(lake, retention_secs, interval_secs),
+        kwargs={"stop": stop},
+        daemon=True,
+        name="retention-scheduler",
+    )
+    t.start()
+
+    def stopper() -> None:
+        stop.set()
+        t.join(timeout=30)
+
+    return stopper
+
+
 def run_with_retry(
     job: Callable[[], int],
     lake: Lake,

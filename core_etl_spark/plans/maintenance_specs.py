@@ -185,6 +185,99 @@ def o1(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "k09_retention_cleanup",
+    tables=(),
+    oracle=None,  # stateful filesystem mutation — rows-only gate
+    tags=("k9", "maintenance", "retention", "mutation"),
+)
+def k09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """K9 — the retention scheduler end-to-end: one ``retention_loop`` tick
+    with an injected clock sweeps everything older than the window
+    (reference sqlite3.rs:483-536 cadence, export.rs:30-37 flags). Fixture
+    timestamps are EPOCH+7·height, so the cutoff maps to a known boundary
+    height; returns counts before/after (invariants in tests/test_pipeline)."""
+    from ..pipeline import retention_loop
+
+    lake, root = _temp_lake(spark, n_blocks=60, bucket=20)
+    try:
+        before = lake.blocks().count()
+        epoch = 1_700_000_000
+        ticks = retention_loop(
+            lake, retention_secs=3600, interval_secs=0.01,
+            clock=lambda: epoch + 20 * 7 + 3600, max_ticks=1,
+        )  # cutoff ts == EPOCH+140 → heights < 20 expire (strict <)
+        row = (
+            lake.blocks()
+            .agg(F.count("*").alias("nb"), F.min("number").alias("lo"),
+                 F.max("number").alias("hi"))
+            .first()
+        )
+        return spark.createDataFrame(
+            [(ticks, before, int(row.nb), int(row.lo), int(row.hi))],
+            "ticks long, n_before long, n_after long, min_height long, max_height long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "o2b_stateful_streaming",
+    tables=(),
+    oracle=None,  # stateful streaming with checkpoint recovery — rows-only gate
+    tags=("streaming", "stateful", "dedup"),
+)
+def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """§2.8 stateful streaming — ``applyInPandasWithState`` driven through
+    checkpointed availableNow runs: running per-key counters accumulate
+    across two source growths (state recovered from the checkpoint between
+    runs) and first-seen dedup suppresses repeats across batches. Returns
+    the deterministic final emissions (full assertions in
+    tests/test_stateful.py)."""
+    import tempfile as _tf
+
+    from ..streaming import stateful as S
+
+    root = _tf.mkdtemp(prefix="stateful_spec_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "fp string, source string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("fp string, source string").parquet(src)
+
+    def run(df, ckpt, mode):
+        out: list = []
+        q = (
+            df.writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(root, ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return out
+
+    try:
+        drop([("a", "s1"), ("b", "s1"), ("c", "s2"), ("a", "s2")])
+        run(S.running_counts(stream(), "source"), "ck_counts", "update")
+        run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
+        drop([("d", "s1"), ("a", "s3"), ("e", "s1")])
+        counts2 = run(S.running_counts(stream(), "source"), "ck_counts", "update")
+        dedup2 = run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
+        rows = sorted(
+            [("counts", r.key, int(r.n_total)) for r in counts2]
+            + [("first_seen", r.key, int(r.n_dropped_dups)) for r in dedup2]
+        )
+        return spark.createDataFrame(rows, "op string, key string, value long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "o2_streaming_tail",
     tables=(),
     oracle=None,  # stateful streaming with checkpoint — rows-only gate
