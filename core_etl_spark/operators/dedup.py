@@ -153,21 +153,30 @@ def jaccard_pairs(
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def minhash_signatures(doc_sh: DataFrame, n_hashes: int = 12) -> DataFrame:
+def _perm_hash(s: Column, j: int, hash_fn: str) -> Column:
+    """Permutation-*j* hash of one shingle. ``md5`` is the engine-portable
+    choice (hex strings order like the integers they encode, so array_min
+    is the minhash — and DuckDB computes the identical value for the
+    oracle); ``xxhash64`` is the production choice — a 64-bit JVM-native
+    hash, no hex-string materialization, same plan shape, ~2× throughput."""
+    if hash_fn == "md5":
+        return F.md5(F.concat(s, F.lit(f"#{j}")))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s, F.lit(j))
+    raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
+
+
+def minhash_signatures(
+    doc_sh: DataFrame, n_hashes: int = 12, hash_fn: str = "md5"
+) -> DataFrame:
     """MinHash signature per doc, computed **array-side with no shuffle**:
-    permutation *j* is the md5 of ``shingle#j`` (hex strings order like the
-    integers they encode, so ``array_min`` of the hashed array is the
-    minhash). Input is the (doc_id, shingles) array form; output
-    (doc_id, sig array<string>) ordered by permutation. md5 keeps the
-    signature engine-portable; swap for ``xxhash64`` when oracle parity is
-    not needed (same plan shape, ~2× faster)."""
+    permutation *j* hashes every shingle (see ``_perm_hash``) and
+    ``array_min`` takes the minhash. Input is the (doc_id, shingles) array
+    form; output (doc_id, sig array) ordered by permutation."""
     sig = F.array(
         *[
             F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, j=j: F.md5(F.concat(s, F.lit(f"#{j}"))),
-                )
+                F.transform(F.col("shingles"), lambda s, j=j: _perm_hash(s, j, hash_fn))
             )
             for j in range(n_hashes)
         ]
@@ -196,29 +205,29 @@ def lsh_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
 
 
 def band_buckets(
-    doc_sh: DataFrame, n_hashes: int = 12, rows_per_band: int = 4
+    doc_sh: DataFrame, n_hashes: int = 12, rows_per_band: int = 4, hash_fn: str = "md5"
 ) -> DataFrame:
     """LSH band buckets computed *directly* from the shingle arrays, one
     expression tree where every per-permutation ``array_min`` appears
     exactly once (Catalyst collapses projections and would otherwise
-    duplicate the full signature computation per band). No shuffle."""
+    duplicate the full signature computation per band). No shuffle.
+    With ``xxhash64`` the bucket key is a single multi-arg xxhash64 over
+    the band's minhashes — no string concat in the hot path."""
 
     def _mh(j: int) -> Column:
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, F.lit(f"#{j}"))))
+            F.transform(F.col("shingles"), lambda s: _perm_hash(s, j, hash_fn))
         )
 
     n_bands = n_hashes // rows_per_band
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[_mh(b * rows_per_band + r) for r in range(rows_per_band)]
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
+
+    def _bucket(b: int) -> Column:
+        mhs = [_mh(b * rows_per_band + r) for r in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*mhs).cast("string")
+        return F.md5(F.concat_ws("|", *mhs))
+
+    bands = F.array(*[_bucket(b) for b in range(n_bands)])
     return doc_sh.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
 
 
@@ -251,17 +260,22 @@ def minhash_dedup_pairs(
     n_hashes: int = 12,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
     verified with exact Jaccard over the shingle index. Only candidate
     pairs pay the verification join — the linear-cost 100 TB path.
+    ``hash_fn="xxhash64"`` is the production variant (same plan shape, JVM
+    64-bit hashing); the final pair set is hash-independent as long as the
+    true near-dup pairs band-collide, because candidates are re-verified
+    with exact Jaccard either way.
 
     The shingle index and the bucket table are cached: each feeds multiple
     plan branches, and recomputing the tokenize→shingle pipeline per branch
     dominates wall time otherwise."""
     doc_sh = doc_shingles(df, text_col, id_col, n).cache()
     sh = doc_sh.select("doc_id", F.explode("shingles").alias("shingle")).cache()
-    buckets = band_buckets(doc_sh, n_hashes, rows_per_band).cache()
+    buckets = band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).cache()
     a_b = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b_b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (
@@ -297,24 +311,40 @@ def minhash_dedup_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 
-def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash16(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
     """16-bit SimHash over distinct tokens: bit *p* is the majority vote of
-    the top bit of hex digit *p* of each token's md5. Computed without
-    explode: per-position votes are element-wise array ops. The md5 array is
-    materialized once — 16 inline copies would each re-tokenize + re-hash
-    (no CSE inside transform lambdas)."""
+    bit *p* of each token's hash (md5: top bit of hex digit *p*, oracle-
+    portable; xxhash64: literal bit *p* of the 64-bit value, production).
+    Computed without explode: per-position votes are element-wise array
+    ops. The hash array is materialized once — 16 inline copies would each
+    re-tokenize + re-hash (no CSE inside transform lambdas)."""
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    if hash_fn == "md5":
+        hashed = F.transform(tok, F.md5)
+    elif hash_fn == "xxhash64":
+        hashed = F.transform(tok, lambda t: F.xxhash64(t))
+    else:
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
     pre = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(F.array_distinct(tokens(F.col(text_col))), F.md5).alias("_h"),
+        F.col(id_col).alias("doc_id"), hashed.alias("_h")
     )
     hashes = F.col("_h")
 
+    def vote(h: Column, p: int) -> Column:
+        if hash_fn == "md5":
+            # +1 when hex digit p ∈ [8,f] (top bit set), else -1
+            hit = F.substring(h, p + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+        else:
+            hit = F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1
+        return F.when(hit, 1).otherwise(-1)
+
     def bit_votes(p: int) -> Column:
-        # +1 when hex digit p ∈ [8,f] (top bit set), else -1; majority → '1'
-        votes = F.transform(
-            hashes,
-            lambda h: F.when(F.substring(h, p + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1),
-        )
+        votes = F.transform(hashes, lambda h: vote(h, p))
         return F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
 
     sig = F.concat(
@@ -323,11 +353,16 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return pre.select("doc_id", sig.alias("simhash16"))
 
 
-def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Docs grouped by identical SimHash signature (hamming-0 buckets);
     near-dup groups surface as n_docs > 1."""
     return (
-        simhash16(df, text_col, id_col)
+        simhash16(df, text_col, id_col, hash_fn)
         .groupBy("simhash16")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
     )

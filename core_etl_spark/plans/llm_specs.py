@@ -275,6 +275,25 @@ def l07(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return D.minhash_dedup_pairs(t["documents"], n_hashes=12, rows_per_band=4, threshold=0.5)
 
 
+@register(
+    "l07x_minhash_lsh_xxhash",
+    tables=("documents",),
+    oracle=None,  # xxhash64 has no DuckDB twin — equivalence to l07's md5
+    # pair set is asserted in tests/test_llm_ops.py instead
+    tags=("llm", "dedup", "minhash", "lsh", "production"),
+    headline=True,  # benched against l07 to measure the md5 parity tax
+)
+def l07x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """The production MinHash+LSH variant: identical plan shape to l07 but
+    every hash is JVM-native ``xxhash64`` (64-bit longs end to end — no hex
+    strings, no concat in the hot path). The final pair set matches l07
+    whenever true near-dups band-collide under both schemes, because
+    candidates are re-verified with exact Jaccard either way."""
+    return D.minhash_dedup_pairs(
+        t["documents"], n_hashes=12, rows_per_band=4, threshold=0.5, hash_fn="xxhash64"
+    )
+
+
 def _simhash_oracle() -> str:
     bit_exprs = []
     for p in range(16):

@@ -49,6 +49,33 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (3, 4) not in pairs
 
 
+def test_minhash_xxhash_matches_md5_pairs(docs):
+    """The production xxhash64 variant must find the same verified pair set
+    as the md5 (oracle-parity) variant on a corpus whose near-dups band-
+    collide under both schemes — exact-Jaccard verification makes the final
+    set hash-independent."""
+    md5_pairs = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in D.minhash_dedup_pairs(docs, threshold=0.4, hash_fn="md5").collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in D.minhash_dedup_pairs(docs, threshold=0.4, hash_fn="xxhash64").collect()
+    }
+    assert md5_pairs == xx_pairs and md5_pairs
+
+
+def test_simhash_xxhash_groups_exact_dups(docs):
+    """Signatures differ between hash functions, but exact duplicates must
+    share a bucket under either, and both runs are deterministic."""
+    for fn in ("md5", "xxhash64"):
+        sigs = {r.doc_id: r.simhash16 for r in D.simhash16(docs, hash_fn=fn).collect()}
+        assert sigs[0] == sigs[1]  # exact dup pair
+        assert len(sigs[0]) == 16 and set(sigs[0]) <= {"0", "1"}
+        again = {r.doc_id: r.simhash16 for r in D.simhash16(docs, hash_fn=fn).collect()}
+        assert sigs == again
+
+
 def test_simhash_buckets_exact_dups(docs):
     sig = {r.doc_id: r.simhash16 for r in D.simhash16(docs).collect()}
     assert sig[0] == sig[1]  # identical text → identical signature
