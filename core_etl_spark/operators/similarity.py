@@ -188,6 +188,111 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (max cosine,
+    ties → lowest cent_id) — the IVF inverted-list build.
+
+    Plan shape: corpus × broadcast(centroids) (a broadcast nested-loop
+    over a small constant side — K rows, never the corpus), then a
+    ``max_by`` aggregate per vector. The K candidate rows per vector are
+    produced inside one task, so partial aggregation collapses them
+    map-side; the final shuffle carries ~one row per corpus vector —
+    the same cost as any repartition, 100×-safe.
+
+    ``corpus``: (id, dec, normsq) from ``with_norm``.
+    ``centroids``: (cent_id, c_dec, c_normsq)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", cosine(_dot(F.col("dec"), F.col("c_dec")), F.col("normsq"), F.col("c_normsq"))
+    )
+    # max_by over (cos, -cent_id): highest cosine, then lowest centroid id
+    best = F.max_by(
+        F.col("cent_id"), F.struct(F.col("_cos"), (-F.col("cent_id")).alias("neg"))
+    )
+    return scored.groupBy("id").agg(
+        best.alias("cell"),
+        F.first("dec").alias("dec"),
+        F.first("normsq").alias("normsq"),
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: partition the corpus into
+    ``n_centroids`` Voronoi cells, score each query only against the
+    ``nprobe`` cells nearest to it — the classic FAISS-style scale path,
+    complementary to ``lsh_ann_topk`` (data-adaptive cells vs oblivious
+    hyperplanes).
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id —
+    deterministic, so the DuckDB oracle can replay cell assignment
+    bit-for-bit. In production you'd swap in KMeans-trained centroids
+    (``pyspark.ml.clustering.KMeans`` on a sample); every downstream step
+    — broadcast assignment, probe expansion, equi-join on cell — is
+    unchanged, only the centroid table differs.
+
+    Cost at scale: one broadcast pass + one narrow shuffle to build the
+    inverted lists (amortizable: persist the assigned corpus), then each
+    query touches ~nprobe/n_centroids of the corpus via a broadcast
+    equi-join on the cell id — no cartesian product anywhere."""
+    n = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("id"), "_dec", "_normsq"
+    ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
+    cents = n.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("cent_id"),
+        F.col("dec").alias("c_dec"),
+        F.col("normsq").alias("c_normsq"),
+    )
+    lists = ivf_assign_cells(n, cents).select(
+        F.col("id").alias("neighbor_id"), "cell",
+        F.col("dec").alias("c_dec2"), F.col("normsq").alias("c_normsq2"),
+    )
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_dec").alias("q_dec"),
+        F.col("_normsq").alias("q_normsq"),
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", cosine(_dot(F.col("q_dec"), F.col("c_dec")), F.col("q_normsq"), F.col("c_normsq"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cos"), "cent_id")
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"), "q_dec", "q_normsq")
+    )
+
+    scored = (
+        lists.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                _dot(F.col("q_dec"), F.col("c_dec2")),
+                F.col("q_normsq"),
+                F.col("c_normsq2"),
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.9,

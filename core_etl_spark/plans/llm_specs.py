@@ -446,6 +446,79 @@ def l10(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _ivf_oracle(
+    n_centroids: int = 16, nprobe: int = 3, n_queries: int = 30, dim: int = 64
+) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({a}[i] * {b}[i] AS DECIMAL(28,6))))"
+        )
+
+    return f"""
+        WITH {_VEC_CTE},
+        cents AS (
+            SELECT vec_id AS cent_id, dec AS c_dec, normsq AS c_normsq
+            FROM n WHERE vec_id < {n_centroids}
+        ),
+        assign AS (
+            SELECT n.vec_id, n.dec, n.normsq, c.cent_id,
+                   CAST({dot('n.dec', 'c.c_dec')} AS DOUBLE)
+                     / sqrt(CAST(n.normsq AS DOUBLE) * CAST(c.c_normsq AS DOUBLE)) AS cos
+            FROM n CROSS JOIN cents c
+        ),
+        cells AS (
+            SELECT vec_id AS neighbor_id, dec, normsq, cent_id AS cell
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+                  FROM assign)
+            WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, dec AS q_dec, normsq AS q_normsq,
+                   cent_id AS cell
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+                  FROM assign WHERE vec_id < {n_queries})
+            WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, c.neighbor_id,
+                   CAST({dot('p.q_dec', 'c.dec')} AS DOUBLE)
+                     / sqrt(CAST(p.q_normsq AS DOUBLE) * CAST(c.normsq AS DOUBLE))
+                     AS cosine_sim
+            FROM cells c JOIN probes p ON c.cell = p.cell
+            WHERE c.neighbor_id <> p.query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine_sim
+        FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "l12_ann_ivf_topk",
+    tables=("embeddings",),
+    oracle=_ivf_oracle(),
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def l12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """IVF ANN top-5 (30 queries, 16 cells, nprobe=3): corpus partitioned
+    into Voronoi cells by nearest centroid, queries probe only their 3
+    nearest cells — the data-adaptive counterpart to l10's oblivious
+    hyperplanes (FAISS IVF-flat shape). Centroids are the first 16 vectors
+    by id so the oracle replays cell assignment exactly; KMeans-trained
+    centroids are a drop-in swap (same plan). Candidate join is a
+    broadcast equi-join on the cell id — corpus side never expands."""
+    emb = t["embeddings"]
+    out = S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 30), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def _neardup_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
     bits = []
     for p, plane in enumerate(_planes_sql(n_planes, dim)):

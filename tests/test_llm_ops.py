@@ -123,6 +123,50 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
         assert -1.0001 <= r.cosine_sim <= 1.0001
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from core_etl_spark.io import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",), register=False)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = S.brute_force_topk(emb, queries, k=5).collect()
+    ivf = S.ivf_ann_topk(emb, queries, k=5, n_centroids=16, nprobe=3).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert ivf_set
+    # nprobe/n_centroids = 3/16 of the corpus scanned; on uniform vectors
+    # expected recall ≈ that fraction — floor well below to stay robust.
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.08, f"IVF recall collapsed: {recall}"
+    # every result row ranks within [1, k] and carries a sane cosine
+    for r in ivf:
+        assert 1 <= r.rank <= 5
+        assert -1.0001 <= r.cosine_sim <= 1.0001
+
+
+def test_ivf_cells_partition_the_corpus(spark, sf_dir):
+    """Every corpus vector lands in exactly one cell, and every cell id is a
+    centroid id — the inverted lists are a partition of the corpus."""
+    from core_etl_spark.io import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",), register=False)["embeddings"]
+    n = S.with_norm(emb).select(
+        F.col("vec_id").alias("id"),
+        F.col("_dec").alias("dec"),
+        F.col("_normsq").alias("normsq"),
+    )
+    cents = n.filter(F.col("id") < 8).select(
+        F.col("id").alias("cent_id"),
+        F.col("dec").alias("c_dec"),
+        F.col("normsq").alias("c_normsq"),
+    )
+    assigned = S.ivf_assign_cells(n, cents)
+    total = emb.count()
+    assert assigned.count() == total
+    assert assigned.select("id").distinct().count() == total
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+
+
 def test_fingerprint_stability(docs):
     out1 = {r.doc_id: r.fp_int60 for r in X.fingerprint(docs).collect()}
     out2 = {r.doc_id: r.fp_int60 for r in X.fingerprint(docs).collect()}

@@ -62,6 +62,16 @@ def test_llm_path_has_no_cartesian(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
 
 
+def test_l12_ivf_candidate_join_is_equi(spark, sf_dir):
+    """IVF's cell-assignment pass may broadcast-nested-loop over the tiny
+    constant centroid table — that's bounded (K rows) and fine. The
+    corpus-sized candidate join must be a broadcast *hash* equi-join on the
+    cell id: no CartesianProduct anywhere."""
+    plan = _plan(spark, sf_dir, "l12_ann_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "candidate join lost its equi-join shape"
+
+
 def test_l09_broadcasts_query_side(spark, sf_dir):
     """Brute-force top-k must broadcast the (small) query set, so the
     corpus side streams without a shuffle."""
