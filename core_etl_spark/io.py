@@ -39,23 +39,40 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: (session id, sf_dir, table) → DataFrame. A DataFrame is a reusable lazy
+#: plan; re-creating it per query re-reads the parquet footer for schema
+#: inference and re-registers the temp view — pure fixed overhead (~0.15 s
+#: per call) that dominates sub-second queries. The testdata tables are
+#: immutable (mutation specs copy them first), so memoizing is safe.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[DataFrame, bool]] = {}
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
     names: tuple[str, ...] = TESTDATA_TABLES,
     register: bool = True,
+    refresh: bool = False,
 ) -> dict[str, DataFrame]:
-    """Load the synthetic tables and (by default) register temp views."""
+    """Load the synthetic tables and (by default) register temp views.
+    Repeat calls on the same session reuse the cached lazy plans;
+    ``refresh=True`` bypasses the cache (e.g. after overwriting files)."""
     _ensure_session_confs(spark)
+    sid = id(spark)
     out: dict[str, DataFrame] = {}
     for name in names:
-        path = table_path(sf_dir, name)
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
-        df = _fix_nanos_timestamps(df)
-        if register:
+        key = (sid, os.path.normpath(sf_dir), name)
+        hit = None if refresh else _TABLE_CACHE.get(key)
+        if hit is None:
+            path = table_path(sf_dir, name)
+            if not os.path.exists(path):
+                continue
+            hit = (_fix_nanos_timestamps(spark.read.parquet(path)), False)
+        df, registered = hit
+        if register and not registered:
             df.createOrReplaceTempView(name)
+            registered = True
+        _TABLE_CACHE[key] = (df, registered)
         out[name] = df
     return out
 
