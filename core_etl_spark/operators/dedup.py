@@ -116,15 +116,26 @@ def jaccard_pairs(
     """Candidate pairs sharing ≥1 shingle, scored with exact Jaccard and
     filtered to ``threshold``. ``max_shingle_df`` drops ubiquitous shingles
     before the self-join (skew control at scale)."""
-    # Cache: the shingle index feeds 3+ plan branches (both join sides and
-    # the size agg); without materialization each branch re-runs the
+    # Materialize: the shingle index feeds 3+ plan branches (both join sides
+    # and the size agg); without materialization each branch re-runs the
     # tokenize→shingle→explode pipeline (measured 4× slower at sf0.1).
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    # ``localCheckpoint`` rather than ``.cache()``: cached plans live in the
+    # CacheManager until an explicit unpersist (impossible here — the result
+    # is lazy and the terminal action is the caller's), so a long session
+    # running many specs accumulates them until eviction churn; checkpointed
+    # RDDs are reclaimed by the ContextCleaner as soon as the result
+    # DataFrame is dropped. (Cluster note: localCheckpoint trades lineage
+    # for speed — an executor loss fails the job instead of recomputing;
+    # acceptable for a bounded dedup job, use .persist(DISK_ONLY_2) when
+    # running on preemptible nodes.)
+    sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
             F.col("_df") > max_shingle_df
         )
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti").cache()
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti").localCheckpoint(
+            eager=True
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -241,7 +252,7 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: distinct (id_a < id_b) sharing any band bucket."""
     doc_sh = doc_shingles(df, text_col, id_col, n)
-    buckets = band_buckets(doc_sh, n_hashes, rows_per_band).cache()
+    buckets = band_buckets(doc_sh, n_hashes, rows_per_band).localCheckpoint(eager=True)
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     return (
@@ -270,12 +281,19 @@ def minhash_dedup_pairs(
     true near-dup pairs band-collide, because candidates are re-verified
     with exact Jaccard either way.
 
-    The shingle index and the bucket table are cached: each feeds multiple
-    plan branches, and recomputing the tokenize→shingle pipeline per branch
-    dominates wall time otherwise."""
-    doc_sh = doc_shingles(df, text_col, id_col, n).cache()
-    sh = doc_sh.select("doc_id", F.explode("shingles").alias("shingle")).cache()
-    buckets = band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).cache()
+    The shingle index and the bucket table are materialized via eager
+    ``localCheckpoint`` (not ``.cache()`` — see :func:`jaccard_pairs`): each
+    feeds multiple plan branches, and recomputing the tokenize→shingle
+    pipeline per branch dominates wall time otherwise; checkpointed blocks
+    are reclaimed when the result DataFrame goes out of scope, so long
+    multi-spec sessions don't accumulate pinned storage."""
+    doc_sh = doc_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = doc_sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=True)
+    buckets = band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).localCheckpoint(
+        eager=True
+    )
     a_b = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b_b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (
