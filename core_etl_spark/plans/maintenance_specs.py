@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -103,6 +104,23 @@ def k10(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return detect_reorgs(chain, incoming)
 
 
+@contextmanager
+def _shuffle_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to the stateful fixture specs:
+    their inputs are a few hundred rows, so the session's cluster-sized
+    partition count buys nothing and costs a task (and, for streaming, a
+    state-store instance) per partition per micro-batch. Restored on exit —
+    the production pipeline keeps the session default, which IS sized to the
+    data (SURVEY §4)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _temp_lake(spark: SparkSession, n_blocks: int, bucket: int = 25):
     from ..lake import Lake
     from ..operators.transforms import normalize_blocks, normalize_transactions
@@ -126,18 +144,19 @@ def k78(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     partition-scoped rewrites on a real temp warehouse; returns the
     table-count summary after each mutation (full invariants in
     tests/test_lake.py)."""
-    lake, root = _temp_lake(spark, n_blocks=100)
-    try:
-        counts = [("initial", lake.blocks().count(), lake.transactions().count())]
-        lake.clean_block_data(42)
-        counts.append(("after_clean_42", lake.blocks().count(), lake.transactions().count()))
-        lake.truncate_from_last_saved(30)
-        counts.append(("after_truncate_30", lake.blocks().count(), lake.transactions().count()))
-        return spark.createDataFrame(
-            counts, "step string, n_blocks long, n_transactions long"
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    with _shuffle_partitions(spark, 8):
+        lake, root = _temp_lake(spark, n_blocks=100)
+        try:
+            counts = [("initial", lake.blocks().count(), lake.transactions().count())]
+            lake.clean_block_data(42)
+            counts.append(("after_clean_42", lake.blocks().count(), lake.transactions().count()))
+            lake.truncate_from_last_saved(30)
+            counts.append(("after_truncate_30", lake.blocks().count(), lake.transactions().count()))
+            return spark.createDataFrame(
+                counts, "step string, n_blocks long, n_transactions long"
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -163,18 +182,20 @@ def o1(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     root = _tf.mkdtemp(prefix="backfill_spec_")
     lake = Lake(spark, root, bucket_size=125)
     try:
-        provider = FixtureBlockProvider(n_blocks=500, txs_per_block=4)
-        n = backfill(spark, lake, provider, (WATCH_CONTRACT,), chunk_size=250)
-        resumed = backfill(spark, lake, provider)  # must be 0
-        # one job for the whole summary: three scans in one plan beats four
-        # sequential count jobs (driver round-trips dominate at batch scale)
-        row = (
-            lake.blocks()
-            .agg(F.count("*").alias("nb"), F.max("number").alias("tip"))
-            .crossJoin(lake.transactions().agg(F.count("*").alias("nt")))
-            .crossJoin(lake.token_transfers().agg(F.count("*").alias("nx")))
-            .first()
-        )
+        with _shuffle_partitions(spark, 8):
+            provider = FixtureBlockProvider(n_blocks=500, txs_per_block=4)
+            n = backfill(spark, lake, provider, (WATCH_CONTRACT,), chunk_size=250)
+            resumed = backfill(spark, lake, provider)  # must be 0
+            # one job for the whole summary: three scans in one plan beats
+            # four sequential count jobs (driver round-trips dominate at
+            # batch scale)
+            row = (
+                lake.blocks()
+                .agg(F.count("*").alias("nb"), F.max("number").alias("tip"))
+                .crossJoin(lake.transactions().agg(F.count("*").alias("nt")))
+                .crossJoin(lake.token_transfers().agg(F.count("*").alias("nx")))
+                .first()
+            )
         return spark.createDataFrame(
             [(n, resumed, int(row.tip), int(row.nb), int(row.nt), int(row.nx))],
             "n_backfilled long, n_resumed long, tip long, n_blocks long, "
@@ -198,26 +219,27 @@ def k09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     height; returns counts before/after (invariants in tests/test_pipeline)."""
     from ..pipeline import retention_loop
 
-    lake, root = _temp_lake(spark, n_blocks=60, bucket=20)
-    try:
-        before = lake.blocks().count()
-        epoch = 1_700_000_000
-        ticks = retention_loop(
-            lake, retention_secs=3600, interval_secs=0.01,
-            clock=lambda: epoch + 20 * 7 + 3600, max_ticks=1,
-        )  # cutoff ts == EPOCH+140 → heights < 20 expire (strict <)
-        row = (
-            lake.blocks()
-            .agg(F.count("*").alias("nb"), F.min("number").alias("lo"),
-                 F.max("number").alias("hi"))
-            .first()
-        )
-        return spark.createDataFrame(
-            [(ticks, before, int(row.nb), int(row.lo), int(row.hi))],
-            "ticks long, n_before long, n_after long, min_height long, max_height long",
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    with _shuffle_partitions(spark, 8):
+        lake, root = _temp_lake(spark, n_blocks=60, bucket=20)
+        try:
+            before = lake.blocks().count()
+            epoch = 1_700_000_000
+            ticks = retention_loop(
+                lake, retention_secs=3600, interval_secs=0.01,
+                clock=lambda: epoch + 20 * 7 + 3600, max_ticks=1,
+            )  # cutoff ts == EPOCH+140 → heights < 20 expire (strict <)
+            row = (
+                lake.blocks()
+                .agg(F.count("*").alias("nb"), F.min("number").alias("lo"),
+                     F.max("number").alias("hi"))
+                .first()
+            )
+            return spark.createDataFrame(
+                [(ticks, before, int(row.nb), int(row.lo), int(row.hi))],
+                "ticks long, n_before long, n_after long, min_height long, max_height long",
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -261,18 +283,22 @@ def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         q.awaitTermination(300)
         return out
 
+    # 4 partitions, not 32: the state-store partition count is pinned to
+    # shuffle partitions at the first batch, and this spec pays that setup
+    # cost ×4 runs (measured 14.8 s → ~4 s at fixture size).
     try:
-        drop([("a", "s1"), ("b", "s1"), ("c", "s2"), ("a", "s2")])
-        run(S.running_counts(stream(), "source"), "ck_counts", "update")
-        run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
-        drop([("d", "s1"), ("a", "s3"), ("e", "s1")])
-        counts2 = run(S.running_counts(stream(), "source"), "ck_counts", "update")
-        dedup2 = run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
-        rows = sorted(
-            [("counts", r.key, int(r.n_total)) for r in counts2]
-            + [("first_seen", r.key, int(r.n_dropped_dups)) for r in dedup2]
-        )
-        return spark.createDataFrame(rows, "op string, key string, value long")
+        with _shuffle_partitions(spark, 4):
+            drop([("a", "s1"), ("b", "s1"), ("c", "s2"), ("a", "s2")])
+            run(S.running_counts(stream(), "source"), "ck_counts", "update")
+            run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
+            drop([("d", "s1"), ("a", "s3"), ("e", "s1")])
+            counts2 = run(S.running_counts(stream(), "source"), "ck_counts", "update")
+            dedup2 = run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
+            rows = sorted(
+                [("counts", r.key, int(r.n_total)) for r in counts2]
+                + [("first_seen", r.key, int(r.n_dropped_dups)) for r in dedup2]
+            )
+            return spark.createDataFrame(rows, "op string, key string, value long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -291,24 +317,25 @@ def o2(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     from ..sources.fixtures import WATCH_CONTRACT, raw_blocks, receipts
     from ..streaming.tail import start_tail
 
-    lake, root = _temp_lake(spark, n_blocks=20, bucket=10)
-    src = os.path.join(root, "incoming")
-    ckpt = os.path.join(root, "ckpt")
-    try:
-        tail_raw = raw_blocks(spark, n_blocks=30, txs_per_block=2).filter(
-            F.col("number") >= 20
-        )
-        tail_raw.coalesce(1).write.mode("append").parquet(src)
-        q = start_tail(spark, lake, src, ckpt, (WATCH_CONTRACT,), receipts)
-        q.awaitTermination(300)
-        return spark.createDataFrame(
-            [(
-                lake.latest_block_number(),
-                lake.blocks().count(),
-                lake.transactions().count(),
-                lake.token_transfers().count(),
-            )],
-            "tip long, n_blocks long, n_transactions long, n_transfers long",
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    with _shuffle_partitions(spark, 8):
+        lake, root = _temp_lake(spark, n_blocks=20, bucket=10)
+        src = os.path.join(root, "incoming")
+        ckpt = os.path.join(root, "ckpt")
+        try:
+            tail_raw = raw_blocks(spark, n_blocks=30, txs_per_block=2).filter(
+                F.col("number") >= 20
+            )
+            tail_raw.coalesce(1).write.mode("append").parquet(src)
+            q = start_tail(spark, lake, src, ckpt, (WATCH_CONTRACT,), receipts)
+            q.awaitTermination(120)
+            return spark.createDataFrame(
+                [(
+                    lake.latest_block_number(),
+                    lake.blocks().count(),
+                    lake.transactions().count(),
+                    lake.token_transfers().count(),
+                )],
+                "tip long, n_blocks long, n_transactions long, n_transfers long",
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
