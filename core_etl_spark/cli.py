@@ -2,7 +2,8 @@
 bin/core-etl/src/main.rs:25-105: export / view / verify subcommands) over
 the Spark engine.
 
-    python -m core_etl_spark.cli export --warehouse WH [--source DIR|--fixture N]
+    python -m core_etl_spark.cli export --warehouse WH
+        [--fixture N | --network mainnet|devin | --url ws://NODE]
         [--watch-tokens cbc20:ADDR,...] [--tail DIR --checkpoint CK]
         [-r RETENTION_SECS] [-c CLEANUP_INTERVAL_SECS]
         [--modules blocks,transactions,token_transfers]
@@ -49,10 +50,12 @@ def cmd_export(args: argparse.Namespace) -> int:
     if args.fixture:
         provider = FixtureBlockProvider(n_blocks=args.fixture)
     else:
-        raise SystemExit(
-            "only --fixture export is runnable in this environment; a live "
-            "chain needs an RpcBlockProvider transport (see sources/provider.py)"
-        )
+        # live chain: WS JSON-RPC transport with the reference's connect
+        # policy (S1); --url overrides the named network's endpoint
+        from .sources.ws import make_provider
+
+        provider = make_provider(args.network, url=args.url or None,
+                                 chunk_size=args.chunk_size)
     watch = parse_watch_tokens(args.watch_tokens.split(",") if args.watch_tokens else [],
                                provider.network_id())
     contracts = tuple(sorted(set().union(*watch.values()))) if watch else ()
@@ -79,9 +82,24 @@ def cmd_export(args: argparse.Namespace) -> int:
     if args.tail:
         from .streaming.tail import start_tail
 
+        # Live provider → the poller bridges the WS new-heads subscription
+        # into the tail's drop directory (reference etl.rs:126-176 runs
+        # subscription→fetch→ETL in one loop; see streaming/poller.py for
+        # why the handoff goes through files). Fixture/offline runs leave
+        # the drop dir externally fed and drain it available-now.
+        poller = None
+        transport = getattr(provider, "transport", None)
+        if transport is not None and hasattr(transport, "subscribe_blocks"):
+            from .streaming.poller import HeadPoller
+
+            poller = HeadPoller(spark, transport, args.tail,
+                                batch_size=args.poll_batch_size).start()
         q = start_tail(spark, lake, args.tail, args.checkpoint, contracts,
-                       getattr(provider, "receipts_for", None))
+                       getattr(provider, "receipts_for", None),
+                       trigger_interval="10 seconds" if poller else None)
         q.awaitTermination()
+        if poller is not None:
+            poller.stop()
         if stop_retention is not None:
             stop_retention()
     return 0
@@ -138,6 +156,13 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("export", help="backfill (+ optional streaming tail)")
     e.add_argument("--fixture", type=int, default=0,
                    help="use the deterministic fixture chain with N blocks")
+    e.add_argument("--network", default="mainnet",
+                   help="named chain to export from (reference -n flag); "
+                        "ignored with --fixture")
+    e.add_argument("--url", default="",
+                   help="explicit ws:// RPC endpoint (overrides --network)")
+    e.add_argument("--poll-batch-size", type=int, default=1,
+                   help="heads per raw-block drop while tailing live")
     e.add_argument("--watch-tokens", default="",
                    help="comma list of type:address (reference -t flag)")
     e.add_argument("--modules", default="",

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -72,6 +73,13 @@ class Lake:
         self.root = root
         self.bucket_size = bucket_size
         self.modules = tuple(modules)
+        #: serializes partition mutations against concurrent batch
+        #: processing: the retention scheduler thread's stage-and-swap
+        #: (rmtree + move of bucket dirs) must not race the streaming
+        #: tail's reorg-check reads (both hold this around their critical
+        #: sections; re-entrant so a mutation inside the tail's own batch
+        #: doesn't self-deadlock).
+        self.mutex = threading.RLock()
 
     # --- layout --------------------------------------------------------------
 
@@ -263,6 +271,10 @@ class Lake:
         and a crash mid-swap loses no committed bucket)."""
         if name not in self.modules or not self.exists(name):
             return
+        with self.mutex:
+            self._delete_where_locked(name, heights_pred)
+
+    def _delete_where_locked(self, name: str, heights_pred) -> None:
         num = F.col(_NUMBER_COL[name])
         df = self.spark.read.parquet(self.path(name))
         buckets = [
@@ -343,20 +355,21 @@ class Lake:
         table). Heights are time-ordered, so the cutoff maps to one boundary
         height; whole buckets below it are dropped at the partition level and
         only the boundary bucket is rewritten."""
-        blocks = self.blocks()
-        if BLOCKS in self.modules and self.exists(BLOCKS):
-            row = (
-                blocks.filter(F.col("timestamp") < F.lit(cutoff_unix))
-                .agg(F.max("number").alias("m"))
-                .first()
-            )
-            if row is None or row.m is None:
+        with self.mutex:  # one consistent sweep vs the streaming tail
+            blocks = self.blocks()
+            if BLOCKS in self.modules and self.exists(BLOCKS):
+                row = (
+                    blocks.filter(F.col("timestamp") < F.lit(cutoff_unix))
+                    .agg(F.max("number").alias("m"))
+                    .first()
+                )
+                if row is None or row.m is None:
+                    return
+                boundary = int(row.m)
+            else:
                 return
-            boundary = int(row.m)
-        else:
-            return
-        for name in self.modules:
-            self._delete_where(name, lambda c: c <= F.lit(boundary))
+            for name in self.modules:
+                self._delete_where(name, lambda c: c <= F.lit(boundary))
 
     # --- bucketed mirrors (co-located joins) ---------------------------------------
 

@@ -38,7 +38,13 @@ OP_CONT, OP_TEXT, OP_BIN, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 
 
 
 class WsError(ConnectionError):
-    """Handshake failure, protocol violation, or a JSON-RPC error reply."""
+    """Handshake failure, protocol violation, or a dead connection."""
+
+
+class RpcError(WsError):
+    """A JSON-RPC *error reply* — the connection is healthy, the request
+    was rejected. Never triggers a reconnect/resend (retrying a rejected
+    request would just be rejected again)."""
 
 
 # --- network config (reference network.rs:3-18) ------------------------------
@@ -162,18 +168,31 @@ class _WsSocket:
         self._sock.sendall(header + mask + masked)
 
     def recv_text(self) -> str:
-        """Next complete text message; answers pings, raises on close."""
+        """Next complete text message; answers pings, raises on close.
+
+        ``socket.timeout`` escapes untouched only when it fires *between*
+        frames (no partial bytes consumed) — the caller may simply call
+        again (idle subscription). A timeout mid-frame leaves the stream
+        unparseable, so it becomes :class:`WsError` → reconnect."""
         parts: list[bytes] = []
         while True:
-            b1, b2 = self._recv_exact(2)
+            try:
+                b1, b2 = self._recv_exact(2)
+            except socket.timeout:
+                if not parts and not self._buf:
+                    raise
+                raise WsError("timed out mid-frame; stream position lost") from None
             fin, opcode = b1 & 0x80, b1 & 0x0F
             masked, n = b2 & 0x80, b2 & 0x7F
-            if n == 126:
-                (n,) = struct.unpack(">H", self._recv_exact(2))
-            elif n == 127:
-                (n,) = struct.unpack(">Q", self._recv_exact(8))
-            mask = self._recv_exact(4) if masked else b""
-            payload = self._recv_exact(n)
+            try:
+                if n == 126:
+                    (n,) = struct.unpack(">H", self._recv_exact(2))
+                elif n == 127:
+                    (n,) = struct.unpack(">Q", self._recv_exact(8))
+                mask = self._recv_exact(4) if masked else b""
+                payload = self._recv_exact(n)
+            except socket.timeout:
+                raise WsError("timed out mid-frame; stream position lost") from None
             if mask:
                 payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
             if opcode == OP_PING:
@@ -214,7 +233,22 @@ class WsJsonRpcTransport:
     Notifications that arrive while waiting for a call's response are
     queued, so request/response and the new-heads subscription share one
     socket without losing messages (the reference multiplexes the same way
-    through its pubsub frontend)."""
+    through its pubsub frontend).
+
+    Concurrency/failure model:
+
+    - ``_lock`` serializes connect + send + request-id allocation;
+      ``_rx_lock`` admits exactly one receiver at a time. A receiver routes
+      whatever arrives — replies into ``_replies`` by id, subscription
+      pushes into ``_notes`` — so the subscription loop receiving on a
+      quiet socket never starves (or consumes) a concurrent RPC reply.
+    - Any connection-level failure (``OSError``, server close, mid-frame
+      timeout) marks the socket dead; the next use reconnects with the
+      full retry policy, and an in-flight RPC is re-sent once. JSON-RPC
+      *error replies* (:class:`RpcError`) never reconnect or re-send.
+    - ``socket.timeout`` between frames is not a failure: the 30 s socket
+      timeout just bounds each blocking recv so an idle subscription
+      (quiet chain) keeps polling instead of dying."""
 
     def __init__(
         self,
@@ -236,20 +270,25 @@ class WsJsonRpcTransport:
         self.namespace = namespace
         self._ws: _WsSocket | None = None
         self._lock = threading.Lock()
+        self._rx_lock = threading.Lock()
         self._next_id = 0
         self._notes: deque = deque()
+        self._replies: dict[int, dict] = {}
 
     # sockets don't pickle — drop live state, reconnect in the executor
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_ws"] = None
         state["_lock"] = None
+        state["_rx_lock"] = None
         state["_notes"] = deque()
+        state["_replies"] = {}
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._lock = threading.Lock()
+        self._rx_lock = threading.Lock()
 
     def _connect(self) -> None:
         try:
@@ -268,48 +307,103 @@ class WsJsonRpcTransport:
             f"could not connect to {self.url} after {self.retries + 1} attempts"
         ) from last
 
-    def __call__(self, method: str, params_json: str) -> str:
+    def _mark_dead(self) -> None:
+        """Drop the socket so the next use reconnects (retry policy and
+        all). In-flight replies are gone with the connection."""
         with self._lock:
-            if self._ws is None:
-                self._connect()
-            self._next_id += 1
-            rid = self._next_id
-            self._ws.send_text(
-                json.dumps(
-                    {
-                        "jsonrpc": "2.0",
-                        "id": rid,
-                        "method": method,
-                        "params": json.loads(params_json),
-                    }
-                )
-            )
-            while True:
-                msg = json.loads(self._ws.recv_text())
-                if msg.get("id") == rid:
-                    if "error" in msg:
-                        raise WsError(f"{method}: {msg['error']}")
-                    return json.dumps(msg.get("result"))
-                if "method" in msg and msg["method"].endswith("_subscription"):
-                    self._notes.append(msg.get("params", {}))
+            if self._ws is not None:
+                try:
+                    self._ws._sock.close()
+                except OSError:
+                    pass
+                self._ws = None
+            self._replies.clear()
+
+    def _recv_one(self) -> None:
+        """Receive ONE message (holding ``_rx_lock``) and route it: replies
+        by id into ``_replies``, subscription pushes into ``_notes``."""
+        with self._rx_lock:
+            ws = self._ws
+            if ws is None:
+                raise WsError("connection lost")
+            msg = json.loads(ws.recv_text())
+        if msg.get("id") is not None:
+            self._replies[msg["id"]] = msg
+        elif "method" in msg and msg["method"].endswith("_subscription"):
+            self._notes.append(msg.get("params", {}))
+
+    def __call__(self, method: str, params_json: str) -> str:
+        last: Exception | None = None
+        for _attempt in range(2):  # original send + one resend after reconnect
+            try:
+                with self._lock:
+                    if self._ws is None:
+                        self._connect()
+                    self._next_id += 1
+                    rid = self._next_id
+                    self._ws.send_text(
+                        json.dumps(
+                            {
+                                "jsonrpc": "2.0",
+                                "id": rid,
+                                "method": method,
+                                "params": json.loads(params_json),
+                            }
+                        )
+                    )
+            except (WsError, OSError) as e:
+                if self._ws is None:
+                    raise  # _connect already ran the full retry policy
+                last = e  # send on a dead socket — reconnect and resend
+                self._mark_dead()
+                continue
+            try:
+                while True:
+                    msg = self._replies.pop(rid, None)
+                    if msg is not None:
+                        if "error" in msg:
+                            raise RpcError(f"{method}: {msg['error']}")
+                        return json.dumps(msg.get("result"))
+                    self._recv_one()
+            except RpcError:
+                raise
+            except (WsError, OSError) as e:
+                # dead socket while awaiting the reply (server close, reset,
+                # mid-frame timeout, or a plain 30 s reply timeout):
+                # reconnect and re-send once (the retry policy must cover
+                # mid-session loss, not just the initial connect)
+                last = e
+                self._mark_dead()
+        raise WsError(f"{method}: request failed after reconnect") from last
 
     def subscribe_blocks(self) -> Iterator[dict]:
         """S2 — the new-heads subscription (provider.rs:45-47): subscribe
         via ``<ns>_subscribe(["newHeads"])`` and yield each header payload
         as it arrives. Blocking generator; drive it from the poller that
-        lands raw-block files for the streaming tail."""
+        lands raw-block files for the streaming tail
+        (:class:`~core_etl_spark.streaming.poller.HeadPoller`).
+
+        Survives both quiet chains (each 30 s recv timeout just polls
+        again) and connection loss (reconnect with the retry policy, then
+        re-subscribe — the reference provider behaves the same way)."""
         sub_id = json.loads(self(f"{self.namespace}_subscribe", '["newHeads"]'))
 
         def heads() -> Iterator[dict]:
+            nonlocal sub_id
             while True:
                 while self._notes:
                     params = self._notes.popleft()
                     if params.get("subscription") == sub_id:
                         yield params.get("result")
-                with self._lock:
-                    msg = json.loads(self._ws.recv_text())
-                if "method" in msg and msg["method"].endswith("_subscription"):
-                    self._notes.append(msg.get("params", {}))
+                try:
+                    self._recv_one()
+                except socket.timeout:
+                    continue  # idle between heads — keep listening
+                except (WsError, OSError):
+                    self._mark_dead()
+                    sub_id = json.loads(
+                        self(f"{self.namespace}_subscribe", '["newHeads"]')
+                    )
 
         return heads()
 

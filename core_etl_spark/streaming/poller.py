@@ -1,0 +1,139 @@
+"""Head poller — bridges the WS new-heads subscription (S2) into the
+file-based micro-batch source the streaming tail consumes.
+
+The reference's sync loop IS this bridge: it blocks on the subscription,
+fetches each announced block, and hands it to the ETL one at a time
+(reference crates/etl/src/etl.rs:126-176, provider.rs:45-47). Here the two
+halves are decoupled through the filesystem so each runs in its natural
+execution model:
+
+- the poller (one driver-side daemon thread) consumes
+  ``WsJsonRpcTransport.subscribe_blocks()``, fetches every announced height
+  via ``<ns>_getBlockByNumber`` — block-at-a-time, the reference's cadence —
+  and appends one parquet drop per batch under ``out_dir``;
+- ``start_tail`` (streaming/tail.py) tails ``out_dir`` with exactly-once
+  checkpointing and runs the distributed normalize/decode/write per
+  micro-batch.
+
+The handoff makes the live path restartable from either side: a poller
+crash loses nothing already dropped (the tail's checkpoint replays), and a
+tail crash loses nothing announced (drops accumulate until consumed).
+
+Scale note: per-head RPC on the driver is the right shape here — a chain
+tip advances one block at a time, so the poller's throughput ceiling is
+chain cadence, not cluster size. Catch-up of a deep backlog belongs to the
+backfill path (``pipeline.backfill``), whose fetch runs distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+
+from pyspark.sql import SparkSession
+
+from .tail import RAW_BLOCK_DDL
+
+log = logging.getLogger(__name__)
+
+
+class HeadPoller:
+    """Daemon thread: subscription → raw-block parquet drops.
+
+    ``transport`` is a :class:`~core_etl_spark.sources.ws.WsJsonRpcTransport`
+    (or any object with ``subscribe_blocks()`` and ``(method, params) ->
+    json`` calling). ``batch_size`` > 1 coalesces consecutive heads into one
+    drop (fewer files when the chain bursts); ``max_blocks`` stops after N
+    blocks (tests; production runs until ``stop()``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        transport,
+        out_dir: str,
+        namespace: str = "xcb",
+        batch_size: int = 1,
+        max_blocks: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.transport = transport
+        self.out_dir = out_dir
+        self.namespace = namespace
+        self.batch_size = max(1, batch_size)
+        self.max_blocks = max_blocks
+        self.blocks_written = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run_safe, daemon=True, name="head-poller"
+        )
+
+    # --- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "HeadPoller":
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 35.0) -> None:
+        """Signal the loop to exit and wait for it. The subscription recv
+        wakes at least every socket-timeout interval, so the join is
+        bounded by that."""
+        self._stop.set()
+        self._thread.join(timeout)
+
+    def join(self, timeout: float | None = None) -> None:
+        self._thread.join(timeout)
+
+    @property
+    def alive(self) -> bool:
+        return self._thread.is_alive()
+
+    # --- loop ----------------------------------------------------------------
+
+    def _run_safe(self) -> None:
+        try:
+            self._run()
+        except Exception:  # noqa: BLE001 — daemon thread: log, don't kill the driver
+            log.exception("head poller died")
+
+    def _run(self) -> None:
+        pending: list[dict] = []
+        for head in self.transport.subscribe_blocks():
+            if self._stop.is_set():
+                break
+            raw = self._fetch_full(head)
+            if raw is not None:
+                pending.append(raw)
+            if len(pending) >= self.batch_size:
+                self._drop(pending)
+                pending = []
+            if self.max_blocks is not None and self.blocks_written + len(
+                pending
+            ) >= self.max_blocks:
+                break
+        if pending:
+            self._drop(pending)
+
+    def _fetch_full(self, head: dict) -> dict | None:
+        """One ``getBlockByNumber(number, full_txs=True)`` per head —
+        the header push carries no transactions (etl.rs:137-139 refetches
+        the same way)."""
+        number = head.get("number")
+        if number is None:
+            return None
+        if isinstance(number, str):  # hex-quantity form
+            number = int(number, 16)
+        payload = self.transport(
+            f"{self.namespace}_getBlockByNumber", json.dumps([hex(number), True])
+        )
+        return json.loads(payload)
+
+    def _drop(self, raws: list[dict]) -> None:
+        """Append one parquet drop. ``coalesce(1)``: a drop is at most
+        ``batch_size`` blocks — one file per micro-batch is the point."""
+        df = self.spark.createDataFrame(raws, RAW_BLOCK_DDL)
+        df.coalesce(1).write.mode("append").parquet(self.out_dir)
+        self.blocks_written += len(raws)
+        log.info("head poller: dropped %d block(s) (total %d)",
+                 len(raws), self.blocks_written)

@@ -67,6 +67,10 @@ def make_tail_batch_processor(
     running stream by calling it with any raw-blocks DataFrame."""
 
     def process(raw: DataFrame, batch_id: int) -> None:
+        with lake.mutex:
+            _process_locked(raw)
+
+    def _process_locked(raw: DataFrame) -> None:
         # In-batch dedup must be deterministic: when a micro-batch carries
         # competing headers at one height (dead-branch + replacement during
         # a reorg), keep the header some other batch row chains to via
@@ -140,16 +144,21 @@ def start_tail(
     checkpoint_dir: str,
     watch_contracts: tuple[str, ...] = (),
     receipts_for: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_interval: str | None = None,
 ):
     """O2 — wire the stream to the batch processor with exactly-once
     checkpointing (the reference's resume point is the DB max, etl.rs:83-89;
-    ours is the checkpointed source offset + idempotent bucket writes)."""
+    ours is the checkpointed source offset + idempotent bucket writes).
+
+    ``trigger_interval=None`` runs available-now (drain the drops, then
+    terminate — batch catch-up and tests); a live tail passes a processing
+    interval (e.g. ``"10 seconds"``) and runs until stopped."""
     raw = stream_raw_blocks(spark, source_dir)
-    return (
-        raw.writeStream.foreachBatch(
-            make_tail_batch_processor(lake, watch_contracts, receipts_for)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = raw.writeStream.foreachBatch(
+        make_tail_batch_processor(lake, watch_contracts, receipts_for)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -140,6 +140,81 @@ def test_distributed_fetch_through_executors(spark):
         assert srv.connect_attempts >= 1
 
 
+def test_reconnects_after_mid_session_drop():
+    """The retry policy covers mid-session loss, not just the first connect:
+    a server-side close leaves the next call to reconnect and re-send."""
+    with MockWsRpcServer(HANDLERS) as srv:
+        t = WsJsonRpcTransport(url=srv.url, retries=3, retry_delay=0.05)
+        assert json.loads(t("xcb_blockNumber", "[]")) == "0x29"
+        srv.drop_connection()
+        assert json.loads(t("xcb_blockNumber", "[]")) == "0x29"
+        assert srv.connect_attempts == 2
+        t.close()
+
+
+def test_rpc_error_does_not_resend():
+    """JSON-RPC error replies raise once — no reconnect, no silent resend."""
+    with MockWsRpcServer(HANDLERS) as srv:
+        t = WsJsonRpcTransport(url=srv.url, retries=0)
+        with pytest.raises(WsError, match="no method"):
+            t("xcb_bogus", "[]")
+        assert srv.connect_attempts == 1  # never reconnected
+        t.close()
+
+
+def test_subscription_survives_idle_timeout():
+    """A quiet chain (> socket timeout between heads) must not kill the
+    subscription: each idle recv timeout just polls again."""
+    with MockWsRpcServer(HANDLERS) as srv:
+        t = WsJsonRpcTransport(url=srv.url, retries=0, timeout=0.3)
+        heads = t.subscribe_blocks()
+        got: list[dict] = []
+
+        def consume():
+            for h in heads:
+                got.append(h)
+                return
+
+        c = threading.Thread(target=consume, daemon=True)
+        c.start()
+        time.sleep(1.0)  # several idle timeouts pass
+        srv.push_head(_block(7))
+        c.join(5)
+        assert [h["number"] for h in got] == [7]
+        t.close()
+
+
+def test_subscription_resubscribes_after_drop():
+    """Connection loss mid-subscription: reconnect with the retry policy,
+    re-subscribe, keep yielding."""
+    with MockWsRpcServer(HANDLERS) as srv:
+        t = WsJsonRpcTransport(url=srv.url, retries=3, retry_delay=0.05, timeout=1.0)
+        heads = t.subscribe_blocks()
+        got: list[dict] = []
+
+        def consume():
+            for h in heads:
+                got.append(h)
+                if len(got) == 2:
+                    return
+
+        c = threading.Thread(target=consume, daemon=True)
+        c.start()
+        time.sleep(0.1)
+        srv.push_head(_block(5))
+        deadline = time.time() + 5
+        while len(got) < 1 and time.time() < deadline:
+            time.sleep(0.02)
+        srv.drop_connection()
+        while len(srv._sub_ids) < 2 and time.time() < deadline:
+            time.sleep(0.02)  # client reconnecting + re-subscribing
+        assert len(srv._sub_ids) == 2
+        srv.push_head(_block(6))
+        c.join(5)
+        assert [h["number"] for h in got] == [5, 6]
+        t.close()
+
+
 def test_network_config_env_override(monkeypatch):
     assert known_networks()["mainnet"].network_id == 1
     assert network_url("devin").startswith("wss://")

@@ -52,6 +52,23 @@ class MockWsRpcServer:
             except OSError:
                 pass
 
+    def drop_connection(self) -> None:
+        """Close the live connection server-side (mid-session loss drills);
+        the accept loop keeps running, so the client can reconnect.
+        ``shutdown`` first: a bare ``close`` defers the FIN while the serve
+        thread sits in ``recv`` on the same fd, so the client would never
+        notice the drop."""
+        self._conn_ready.clear()
+        if self._conn is not None:
+            try:
+                self._conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                self._conn.close()
+            except OSError:
+                pass
+
     def __enter__(self):
         return self
 
