@@ -9,6 +9,7 @@ column pruning and predicate pushdown into the scan.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,12 +40,17 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-#: (session id, sf_dir, table) → DataFrame. A DataFrame is a reusable lazy
-#: plan; re-creating it per query re-reads the parquet footer for schema
-#: inference and re-registers the temp view — pure fixed overhead (~0.15 s
-#: per call) that dominates sub-second queries. The testdata tables are
-#: immutable (mutation specs copy them first), so memoizing is safe.
-_TABLE_CACHE: dict[tuple[int, str, str], tuple[DataFrame, bool]] = {}
+#: session → {(sf_dir, table) → (DataFrame, registered)}. A DataFrame is a
+#: reusable lazy plan; re-creating it per query re-reads the parquet footer
+#: for schema inference and re-registers the temp view — pure fixed overhead
+#: (~0.15 s per call) that dominates sub-second queries. The testdata tables
+#: are immutable (mutation specs copy them first), so memoizing is safe.
+#: Weakly keyed by the session so entries (and the DataFrames pinning the
+#: session) die with it — a module-global dict would keep every stopped
+#: session's plans alive for the process lifetime.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_tables(
@@ -58,11 +64,11 @@ def load_tables(
     Repeat calls on the same session reuse the cached lazy plans;
     ``refresh=True`` bypasses the cache (e.g. after overwriting files)."""
     _ensure_session_confs(spark)
-    sid = id(spark)
+    session_cache = _TABLE_CACHE.setdefault(spark, {})
     out: dict[str, DataFrame] = {}
     for name in names:
-        key = (sid, os.path.normpath(sf_dir), name)
-        hit = None if refresh else _TABLE_CACHE.get(key)
+        key = (os.path.normpath(sf_dir), name)
+        hit = None if refresh else session_cache.get(key)
         if hit is None:
             path = table_path(sf_dir, name)
             if not os.path.exists(path):
@@ -72,7 +78,7 @@ def load_tables(
         if register and not registered:
             df.createOrReplaceTempView(name)
             registered = True
-        _TABLE_CACHE[key] = (df, registered)
+        session_cache[key] = (df, registered)
         out[name] = df
     return out
 

@@ -77,6 +77,10 @@ def make_tail_batch_processor(
         # parent_hash (the canonical branch); tie-break on hash so reruns of
         # the same batch pick the same row. A bare dropDuplicates could keep
         # the stale header and silently pass the hash-conflict check.
+        # Caveat: at the batch TIP no child exists to chain from, so a tip-
+        # height tie falls through to the hash tie-break — deterministic but
+        # arbitrary, possibly the dead branch. Safe: if the wrong tip wins,
+        # the next batch's parent-mismatch check flags it and resyncs.
         from pyspark.sql import Window as W
 
         children = raw.select(F.col("parent_hash").alias("_child_parent")).distinct()
