@@ -35,16 +35,22 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC))
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", parallelize: bool = True
+) -> DataFrame:
     """Attach the exact-decimal squared norm (computed once per vector).
     Repartitions thin inputs first — the decimal fold is compute-heavy and
-    must not run on a single small-file task."""
+    must not run on a single small-file task. Pass ``parallelize=False``
+    for a small side that is about to be broadcast: spreading ten query
+    rows over the cluster just buys an extra shuffle stage before the
+    broadcast collect."""
     from .dedup import ensure_parallelism
 
     dec = _dec_vec(F.col(vec_col))
+    if parallelize:
+        df = ensure_parallelism(df)
     return (
-        ensure_parallelism(df)
-        .withColumn("_dec", dec)
+        df.withColumn("_dec", dec)
         .withColumn("_normsq", _dot(F.col("_dec"), F.col("_dec")))
     )
 
@@ -70,7 +76,7 @@ def brute_force_topk(
         F.col("_dec").alias("c_dec"),
         F.col("_normsq").alias("c_normsq"),
     )
-    q = with_norm(queries, vec_col).select(
+    q = with_norm(queries, vec_col, parallelize=False).select(
         F.col(id_col).alias("query_id"),
         F.col("_dec").alias("q_dec"),
         F.col("_normsq").alias("q_normsq"),
@@ -158,7 +164,7 @@ def lsh_ann_topk(
         F.col(id_col).alias("neighbor_id"), "bucket",
         F.col("_dec").alias("c_dec"), F.col("_normsq").alias("c_normsq"),
     )
-    q = with_norm(queries, vec_col).withColumn(
+    q = with_norm(queries, vec_col, parallelize=False).withColumn(
         "bucket", hyperplane_signature(F.col("_dec"), n_planes, dim)
     ).select(
         F.col(id_col).alias("query_id"), "bucket",
@@ -257,7 +263,7 @@ def ivf_ann_topk(
         F.col("dec").alias("c_dec2"), F.col("normsq").alias("c_normsq2"),
     )
 
-    q = with_norm(queries, vec_col).select(
+    q = with_norm(queries, vec_col, parallelize=False).select(
         F.col(id_col).alias("query_id"),
         F.col("_dec").alias("q_dec"),
         F.col("_normsq").alias("q_normsq"),
