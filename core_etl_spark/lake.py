@@ -222,19 +222,63 @@ class Lake:
                     best = b if best is None else max(best, b)
         return best
 
+    def _footer_max(self, name: str, top_bucket: int) -> int | None:
+        """Max height inside one bucket from parquet footer statistics —
+        pure driver-side metadata, no cluster job (the write path sorts by
+        height within partitions, so row-group min/max stats are always
+        present and tight). Returns None when stats are unavailable and the
+        caller must fall back to a scan."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+            return None
+        col = _NUMBER_COL[name]
+        best = None
+        for dirpath, _, files in os.walk(self.path(name)):
+            if os.path.basename(dirpath) != f"block_bucket={top_bucket}":
+                continue
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                except Exception:  # noqa: BLE001 — torn file → scan fallback
+                    return None
+                idx = next(
+                    (i for i in range(md.num_columns)
+                     if md.schema.column(i).name == col),
+                    None,
+                )
+                if idx is None:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    best = st.max if best is None else max(best, st.max)
+        return int(best) if best is not None else None
+
     def latest_block_number(self) -> int:
         """Resume point (reference etl.rs:84-89): max height with the Q1
         fallback chain blocks → transactions → transfers → -1 (the reference
         returns 0 for empty; -1 distinguishes 'nothing synced' from
         'genesis synced').
 
-        The tip can only live in the highest ``block_bucket``, so the scan is
-        pruned to that one partition via the partition listing — at 100 TB
-        this is one bucket's footers instead of the whole table, and this
-        runs at every job start (O3) and before every truncate (K8)."""
+        The tip can only live in the highest ``block_bucket``, so the lookup
+        prunes to that one partition via the directory listing and then
+        answers from parquet footer statistics alone — a driver-side
+        metadata read, no cluster job. At 100 TB this is one bucket's
+        footers instead of the whole table, and it runs at every job start
+        (O3) and before every truncate (K8). (On an object store the same
+        role falls to the table format's column stats — e.g. Delta/Iceberg
+        manifest entries — rather than raw footer reads.)"""
         for name in (BLOCKS, TRANSACTIONS, TOKEN_TRANSFERS):
             if name in self.modules and self.exists(name):
                 top = self._max_bucket(name)
+                if top is not None:
+                    m = self._footer_max(name, top)
+                    if m is not None:
+                        return m
                 if top is None:
                     df = self.read(name)
                 else:
