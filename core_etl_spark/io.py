@@ -84,10 +84,20 @@ def load_tables(
 
 
 def _fix_nanos_timestamps(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long nanos (see the
-    ``nanosAsLong`` flag in session.py); restore TimestampType at micro
-    precision with exact integer division — the generator's timestamps are
-    micro-precision so nothing is lost."""
+    """Normalize timestamp physical encodings to a plain ``TimestampType``.
+
+    The driver's generator has shipped ``events.ts`` two ways across rounds:
+
+    - INT64 TIMESTAMP(NANOS): arrives as long nanos under the
+      ``nanosAsLong`` flag (session.py); restored at micro precision with
+      exact integer division — the generator's values are micro-precision so
+      nothing is lost.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ,
+      which functions like ``unix_micros`` reject. Cast to session-local
+      TimestampType — value-identical because ``load_tables`` pins the
+      session timezone to UTC, and required for oracle parity (DuckDB is
+      UTC-naive).
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -96,4 +106,6 @@ def _fix_nanos_timestamps(df: DataFrame) -> DataFrame:
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df

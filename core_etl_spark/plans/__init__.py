@@ -18,12 +18,7 @@ from __future__ import annotations
 
 from .base import REGISTRY, QuerySpec, register, shared_sql  # noqa: F401
 
-# Importing the spec modules populates REGISTRY.  Registration order is
-# execution order for any budgeted runner (the driver walks ``queries()``
-# in dict order), so the cheap oracle-checked blocks register FIRST and the
-# heavyweight stateful specs (temp-warehouse builds, streaming runs in
-# maintenance_specs) register LAST — a budget truncation then costs
-# rows-only entries, never oracle coverage.
+# Importing the spec modules populates REGISTRY.
 from . import views_specs  # noqa: F401,E402
 from . import verify_specs  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -35,6 +30,49 @@ from . import corpus_specs  # noqa: F401,E402
 from . import temporal_specs  # noqa: F401,E402
 from . import maintenance_specs  # noqa: F401,E402
 
+# The driver walks ``queries()`` in dict order and snapshots a bounded prefix
+# (every CORRECTNESS_r*.json to date stops at exactly 50 entries, out of 70
+# registered), so ``all_specs`` front-loads the specs with the least
+# historical driver coverage. Rotating the front of the list each round gives
+# every spec a driver-witnessed row across consecutive snapshots even though
+# no single snapshot can hold all of them. Specs not named here follow in
+# registration order; pytest runs the full registry regardless of order.
+_SNAPSHOT_PRIORITY: tuple[str, ...] = (
+    # Never driver-witnessed through r03 (r02 verdict's top directive).
+    "l10_ann_lsh_topk",
+    "l11_embedding_neardup",
+    "l12_ann_ivf_topk",
+    "m01_image_features",
+    "m02_image_resize",
+    "m03_audio_features",
+    "m04_video_frame_sample",
+    "g21_percentiles",
+    "g22_salted_aggregation",
+    "g23_salted_join",
+    "c01_corpus_prep",
+    "j01_asof_join",
+    "j02_range_join",
+    # Failed in r03 (TIMESTAMP_NTZ regression, fixed in io.py) — needs a
+    # fresh green row to prove the fix.
+    "g17_sessionization",
+    # Oracle-backed maintenance specs that fell outside the r03 snapshot.
+    "k06_maturity_flag",
+    "k10_reorg_detect",
+    # Rows-only maintenance/streaming specs, also absent from r03.
+    "k78_partition_mutations",
+    "o1_backfill_pipeline",
+    "k09_retention_cleanup",
+    "o2b_stateful_streaming",
+    "o2_streaming_tail",
+)
+
 
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _SNAPSHOT_PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
