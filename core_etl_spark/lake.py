@@ -207,38 +207,64 @@ class Lake:
 
     # --- resume / tip (O3, Q1) ---------------------------------------------------
 
-    def _max_bucket(self, name: str) -> int | None:
-        """Highest ``block_bucket`` partition value from the directory
-        listing — the local-FS stand-in for a metastore partition listing
-        (``SHOW PARTITIONS``); no data files are read."""
-        best = None
-        for dirpath, dirnames, _ in os.walk(self.path(name)):
-            for d in dirnames:
-                if d.startswith("block_bucket="):
-                    try:
-                        b = int(d.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    best = b if best is None else max(best, b)
-        return best
+    def _bucket_leaf_dirs(self, name: str) -> dict[int, list[str]]:
+        """Committed ``block_bucket=*`` leaf dirs keyed by bucket value,
+        from the partition layout alone — one ``listdir`` per layout level
+        (the local-FS stand-in for a metastore ``SHOW PARTITIONS``), never a
+        full tree walk; no data files are read. Hidden entries
+        (``_temporary`` task-attempt trees, ``_SUCCESS``, dotfiles) are
+        pruned at every level, mirroring Hadoop's hiddenFileFilter — an
+        in-flight or crashed write must not leak uncommitted partitions
+        into tip/resume/truncate decisions."""
+        parents = [self.path(name)]
+        for col in _PARTITION_COLS[name][:-1]:
+            nxt: list[str] = []
+            for p in parents:
+                try:
+                    entries = os.listdir(p)
+                except OSError:
+                    continue
+                nxt.extend(
+                    os.path.join(p, d)
+                    for d in entries
+                    if d.startswith(f"{col}=")
+                )
+            parents = nxt
+        leaves: dict[int, list[str]] = {}
+        for p in parents:
+            try:
+                entries = os.listdir(p)
+            except OSError:
+                continue
+            for d in entries:
+                if not d.startswith("block_bucket="):
+                    continue
+                try:
+                    b = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                leaves.setdefault(b, []).append(os.path.join(p, d))
+        return leaves
 
-    def _footer_max(self, name: str, top_bucket: int) -> int | None:
-        """Max height inside one bucket from parquet footer statistics —
-        pure driver-side metadata, no cluster job (the write path sorts by
-        height within partitions, so row-group min/max stats are always
-        present and tight). Returns None when stats are unavailable and the
-        caller must fall back to a scan."""
+    def _footer_max(self, name: str, leaf_dirs: list[str]) -> int | None:
+        """Max height across one bucket's leaf dirs from parquet footer
+        statistics — pure driver-side metadata, no cluster job (the write
+        path sorts by height within partitions, so row-group min/max stats
+        are always present and tight). Returns None when stats are
+        unavailable and the caller must fall back to a scan."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover — pyarrow ships with pyspark
             return None
         col = _NUMBER_COL[name]
         best = None
-        for dirpath, _, files in os.walk(self.path(name)):
-            if os.path.basename(dirpath) != f"block_bucket={top_bucket}":
-                continue
+        for dirpath in leaf_dirs:
+            try:
+                files = os.listdir(dirpath)
+            except OSError:
+                return None
             for f in files:
-                if not f.endswith(".parquet"):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
                     continue
                 try:
                     md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
@@ -274,9 +300,10 @@ class Lake:
         manifest entries — rather than raw footer reads.)"""
         for name in (BLOCKS, TRANSACTIONS, TOKEN_TRANSFERS):
             if name in self.modules and self.exists(name):
-                top = self._max_bucket(name)
+                leaves = self._bucket_leaf_dirs(name)
+                top = max(leaves) if leaves else None
                 if top is not None:
-                    m = self._footer_max(name, top)
+                    m = self._footer_max(name, leaves[top])
                     if m is not None:
                         return m
                 if top is None:
@@ -285,11 +312,7 @@ class Lake:
                     # read ONLY the top bucket's leaf dirs — skips the
                     # full-table file listing, not just the file scan
                     # (block_bucket is the leaf level in every layout)
-                    depth = len(_PARTITION_COLS[name]) - 1
-                    pattern = os.path.join(
-                        self.path(name), *(["*"] * depth), f"block_bucket={top}"
-                    )
-                    df = self.spark.read.parquet(pattern)
+                    df = self.spark.read.parquet(*leaves[top])
                 row = df.agg(F.max(_NUMBER_COL[name]).alias("m")).first()
                 if row and row.m is not None:
                     return int(row.m)
@@ -345,10 +368,17 @@ class Lake:
 
     @staticmethod
     def _leaf_partition_dirs(base: str) -> list[str]:
-        """Relative paths of every partition leaf dir holding parquet files."""
+        """Relative paths of every committed partition leaf dir holding
+        parquet files. Hidden subtrees (``_temporary``, dotdirs) are pruned
+        so an in-flight write's task-attempt dirs can never be swapped in as
+        if they were committed partitions."""
         out = []
-        for dirpath, _, filenames in os.walk(base):
-            if any(f.endswith(".parquet") for f in filenames):
+        for dirpath, dirnames, filenames in os.walk(base):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            if any(
+                f.endswith(".parquet") and not f.startswith(("_", "."))
+                for f in filenames
+            ):
                 out.append(os.path.relpath(dirpath, base))
         return out
 

@@ -67,6 +67,34 @@ def test_latest_and_fallback(lake, spark, tmp_path):
     assert txs_only.latest_block_number() == N_BLOCKS - 1
 
 
+def test_latest_ignores_uncommitted_writes(lake):
+    """A crashed/in-flight write leaves _temporary task-attempt trees (and
+    stray hidden files); the tip must answer from committed data only, like
+    Hadoop's hiddenFileFilter — else resume would skip real blocks (K8/O3)."""
+    import shutil
+
+    blocks_dir = lake.path("blocks")
+    committed = next(
+        d for d in os.listdir(blocks_dir) if d.startswith("block_bucket=")
+    )
+    tmp = os.path.join(
+        blocks_dir, "_temporary", "0", "attempt_1", "block_bucket=999"
+    )
+    os.makedirs(tmp)
+    # a real parquet file (copied from a committed leaf) inside the
+    # uncommitted tree — footer stats exist but must not be trusted
+    src_leaf = os.path.join(blocks_dir, committed)
+    src_file = next(f for f in os.listdir(src_leaf) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(src_leaf, src_file), os.path.join(tmp, src_file))
+    # hidden file inside a committed leaf dir must be skipped too
+    open(os.path.join(src_leaf, ".part-inflight.parquet"), "w").close()
+    assert lake.latest_block_number() == N_BLOCKS - 1
+    # transfers layout (address=*/block_bucket=*) gets the same treatment
+    tdir = lake.path("token_transfers")
+    os.makedirs(os.path.join(tdir, "_temporary", "0", "address=x", "block_bucket=7"))
+    assert lake.latest_block_number() == N_BLOCKS - 1
+
+
 def test_maturity_recompute(lake):
     m = lake.blocks_with_maturity(depth=5)
     rows = {r.number: r.matured for r in m.collect()}
