@@ -44,20 +44,25 @@ def main() -> None:
         specs[name].builder(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
+        per_run = []
         for _ in range(RUNS):
             spark.catalog.clearCache()  # operators rebuild their own caches
             t0 = time.perf_counter()
             specs[name].builder(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            per_run.append(round(time.perf_counter() - t0, 4))
+        runs[name] = per_run
+        timings[name] = min(per_run)
 
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # per-run wall times so readers can separate host contention from
+        # real regressions (r2's recorded l07 was 2.6× its idle-machine time)
+        "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -224,6 +224,44 @@ def ivf_assign_cells(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """KMeans-trained IVF centroids — the production swap for the
+    deterministic first-K-by-id table ``ivf_ann_topk`` defaults to.
+
+    ``pyspark.ml.clustering.KMeans`` (distributed Lloyd's with k-means||
+    init) trains on an optional sample; the K fitted centers come back to
+    the driver (K × dim doubles — bytes, not data) and are re-emitted in
+    the exact shape ``ivf_assign_cells`` consumes: (cent_id, c_dec,
+    c_normsq). Every downstream step — broadcast assignment, probe
+    expansion, equi-join on cell — is unchanged, only this table differs.
+
+    At 100 TB train on a sample (``sample_fraction`` ≈ 1e-5 → ~1e6
+    vectors): centroid quality converges long before the full corpus, and
+    the sample pass is a narrow scan, no shuffle beyond KMeans' own
+    aggregations."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    feats = feats.select(array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = corpus.sparkSession.createDataFrame(
+        centers, "cent_id long, emb array<double>"
+    )
+    return cdf.select(
+        "cent_id", _dec_vec(F.col("emb")).alias("c_dec")
+    ).withColumn("c_normsq", _dot(F.col("c_dec"), F.col("c_dec")))
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -232,6 +270,7 @@ def ivf_ann_topk(
     nprobe: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: partition the corpus into
     ``n_centroids`` Voronoi cells, score each query only against the
@@ -239,12 +278,12 @@ def ivf_ann_topk(
     complementary to ``lsh_ann_topk`` (data-adaptive cells vs oblivious
     hyperplanes).
 
-    Centroids here are the first ``n_centroids`` corpus vectors by id —
+    Default centroids are the first ``n_centroids`` corpus vectors by id —
     deterministic, so the DuckDB oracle can replay cell assignment
-    bit-for-bit. In production you'd swap in KMeans-trained centroids
-    (``pyspark.ml.clustering.KMeans`` on a sample); every downstream step
-    — broadcast assignment, probe expansion, equi-join on cell — is
-    unchanged, only the centroid table differs.
+    bit-for-bit. Pass ``centroids=kmeans_centroids(corpus, ...)`` for the
+    production data-adaptive cells; every downstream step — broadcast
+    assignment, probe expansion, equi-join on cell — is unchanged, only
+    the centroid table differs.
 
     Cost at scale: one broadcast pass + one narrow shuffle to build the
     inverted lists (amortizable: persist the assigned corpus), then each
@@ -253,11 +292,14 @@ def ivf_ann_topk(
     n = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("id"), "_dec", "_normsq"
     ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
-    cents = n.filter(F.col("id") < n_centroids).select(
-        F.col("id").alias("cent_id"),
-        F.col("dec").alias("c_dec"),
-        F.col("normsq").alias("c_normsq"),
-    )
+    if centroids is not None:
+        cents = centroids  # e.g. kmeans_centroids(): (cent_id, c_dec, c_normsq)
+    else:
+        cents = n.filter(F.col("id") < n_centroids).select(
+            F.col("id").alias("cent_id"),
+            F.col("dec").alias("c_dec"),
+            F.col("normsq").alias("c_normsq"),
+        )
     lists = ivf_assign_cells(n, cents).select(
         F.col("id").alias("neighbor_id"), "cell",
         F.col("dec").alias("c_dec2"), F.col("normsq").alias("c_normsq2"),

@@ -55,6 +55,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # Failed in r03 (TIMESTAMP_NTZ regression, fixed in io.py) — needs a
     # fresh green row to prove the fix.
     "g17_sessionization",
+    # New this round: bucketed (scale-safe) variant of the v02 gap check.
+    "v02b_sequence_gap_scalable",
     # Oracle-backed maintenance specs that fell outside the r03 snapshot.
     "k06_maturity_flag",
     "k10_reorg_detect",

@@ -37,6 +37,46 @@ def v02(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "v02b_sequence_gap_scalable",
+    tables=("events",),
+    oracle="""
+        WITH s AS (
+            SELECT event_id AS v,
+                   CAST(floor(event_id / 1000) AS BIGINT) AS bucket
+            FROM events WHERE event_type = 'click'
+        ),
+        agg AS (
+            SELECT bucket, CAST(COUNT(v) AS BIGINT) AS cnt,
+                   MIN(v) AS lo, MAX(v) AS hi
+            FROM s GROUP BY bucket
+        ),
+        chained AS (
+            SELECT bucket, cnt, lo, hi,
+                   lag(hi) OVER (ORDER BY bucket) AS prev_hi,
+                   lag(bucket) OVER (ORDER BY bucket) AS prev_bucket
+            FROM agg
+        )
+        SELECT bucket, cnt, lo, hi, prev_hi
+        FROM chained
+        WHERE cnt <> hi - lo + 1
+           OR (prev_hi IS NOT NULL
+               AND (lo <> prev_hi + 1 OR bucket <> prev_bucket + 1))
+    """,
+    tags=("verify", "v2", "scale"),
+)
+def v02b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """V2 at scale — contiguity via per-bucket count/min/max chaining
+    instead of one globally-ordered window: the only global sort left is
+    over ~|N|/B aggregated bucket rows (trivial at any scale), versus v02's
+    single-partition sort of every value. Same gap *information* as v02 in
+    coarser form (which buckets violate contiguity)."""
+    clicks = t["events"].filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("number")
+    )
+    return VF.sequence_gaps_scalable(clicks, bucket=1000)
+
+
+@register(
     "v03_positional_check",
     tables=("events",),
     oracle="""

@@ -172,3 +172,33 @@ def test_fingerprint_stability(docs):
     out2 = {r.doc_id: r.fp_int60 for r in X.fingerprint(docs).collect()}
     assert out1 == out2
     assert out1[0] == out1[1] != out1[3]
+
+
+def test_ivf_kmeans_centroids_recall(spark, sf_dir):
+    """KMeans-trained centroids (the production swap) must not lose recall
+    vs the deterministic first-K-by-id centroid table, on the same probe
+    budget — data-adaptive Voronoi cells should cover at least as well."""
+    from core_etl_spark.io import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",), register=False)["embeddings"]
+    # queries disjoint from the first-K centroid ids: a query that IS a
+    # centroid probes its own perfectly-aligned cell (recall inflated to
+    # ~0.84 on this fixture) — that's self-query bias, not centroid quality
+    queries = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    bf_set = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_ann_topk(
+                emb, queries, k=5, n_centroids=16, nprobe=3, centroids=centroids
+            ).collect()
+        }
+        return len(bf_set & got) / len(bf_set)
+
+    km = S.kmeans_centroids(emb, n_centroids=16, seed=7)
+    r_km, r_first = recall(km), recall(None)
+    assert r_km >= r_first, f"kmeans recall {r_km} < first-K recall {r_first}"

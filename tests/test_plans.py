@@ -89,3 +89,14 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     # separators that survived — 16 lineitem columns would show far more
     cols = [c for c in m.group(1).rstrip(">. ").split(",") if c]
     assert 0 < len(cols) <= 8, f"scan reads too many columns: {cols}"
+
+
+def test_v02b_sorts_only_aggregated_buckets(spark, sf_dir):
+    """The scalable gap check's only global sort must sit ABOVE the bucket
+    aggregation (sorting ~|N|/B rows), never on the raw value stream — the
+    whole point of v02b vs v02 at 100 TB."""
+    plan = _plan(spark, sf_dir, "v02b_sequence_gap_scalable")
+    assert plan.count("HashAggregate") >= 2, "bucket agg lost its partial phase"
+    # every Sort node must order by bucket (post-agg), not the raw value col
+    for m in re.finditer(r"Sort \[([^\]]*)\]", plan):
+        assert "bucket" in m.group(1), f"raw-value sort leaked into plan: {m.group(1)}"
