@@ -1,0 +1,60 @@
+"""Deterministic corpus sampling for training-data mixing.
+
+Domain/language mixing wants *reproducible* per-stratum sampling: the same
+corpus and rates must select the same documents on every run, every engine,
+and every retry — ``df.sample()`` (per-partition RNG, order-dependent) gives
+none of that. The hash-gate trick does: a document is kept iff the first 8
+hex chars of ``md5(salt:key)`` fall below the stratum's rate threshold.
+
+- **Deterministic**: pure function of (salt, key) — retries, speculative
+  tasks, and re-runs agree row-for-row.
+- **Engine-portable**: md5 hex is identical in Spark and DuckDB, so the
+  oracle replays the exact selection (lexicographic compare on fixed-width
+  lowercase hex == numeric compare on the 32-bit prefix).
+- **Scale-shape**: one narrow filter pass, no shuffle, no RNG state; rate
+  changes recompose (a 1% sample is a strict subset of a 10% sample with
+  the same salt — handy for nested eval/train splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HEX_SPACE = 16**8
+
+
+def rate_threshold(rate: float) -> str:
+    """Fixed-width lowercase hex threshold for a keep-rate in [0, 1].
+    ``rate >= 1`` returns ``"g"``, which sorts above every hex digit, so
+    the strict ``<`` gate keeps all rows (no off-by-one at the top)."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * _HEX_SPACE), 0), "08x")
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value → keep fraction (e.g. upsample low-resource
+    languages, downsample boilerplate-heavy domains). Unlisted strata get
+    ``default_rate``. The salt namespaces the selection: different salts
+    give independent samples, the same salt gives nested ones.
+    """
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        1,
+        8,
+    )
+    thr = F.lit(rate_threshold(default_rate))
+    for value, rate in rates.items():
+        thr = F.when(F.col(strata_col) == value, F.lit(rate_threshold(rate))).otherwise(
+            thr
+        )
+    return df.filter(h < thr)

@@ -107,3 +107,74 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.conv(F.substring(full, 1, 15), 16, 10).cast("long").alias("fp_int60"),
         F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Repetition / boilerplate detection — the standard pre-training
+    prefilter (C4/Gopher-style): fraction of duplicate word ``n``-grams
+    within the document and the relative frequency of its most common
+    token. Pure array expressions over the token list — one corpus pass,
+    no explode, no shuffle; per-doc cost is O(tokens · distinct-tokens),
+    bounded by document length, independent of corpus size."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_grams = F.greatest(n_tok - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    top_tok_hits = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    return df.select(
+        "*",
+        n_grams.alias("n_ngrams"),
+        (F.lit(1) - F.size(F.array_distinct(grams)) / n_grams).alias(
+            "dup_ngram_ratio"
+        ),
+        (top_tok_hits / n_tok).alias("top_token_ratio"),
+    )
+
+
+#: PII patterns, deliberately portable between Spark's and DuckDB's regex
+#: engines (no lookaround, no shorthand classes).
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+PII_PHONE = "[+][0-9]-[0-9][0-9][0-9]-[0-9]{7}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: count and mask email addresses and phone numbers.
+    Single-pass column expressions (``regexp_extract_all`` to count,
+    nested ``regexp_replace`` to mask) — Spark's regexp_replace is global,
+    matching DuckDB's ``'g'`` flag. Extend ``PII_*`` with SSN/IP/IBAN
+    patterns as needed; the plan shape is unchanged."""
+    text = F.col(text_col)
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary top-k: explode tokens, count, take the k most
+    frequent (count desc, token asc tiebreak). The count is partial+final
+    (map-side combine collapses each partition's token stream before the
+    one shuffle on token), and the top-k is ``orderBy().limit(k)`` —
+    Spark plans TakeOrderedAndProject, a distributed heap per partition
+    + driver merge of k·P rows, never a single-partition sort of the
+    vocabulary."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), "token").limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n"), "token")  # over k rows only
+    return top.select("token", "n", F.row_number().over(w).alias("rank"))

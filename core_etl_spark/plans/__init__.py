@@ -55,8 +55,14 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # Failed in r03 (TIMESTAMP_NTZ regression, fixed in io.py) — needs a
     # fresh green row to prove the fix.
     "g17_sessionization",
-    # New this round: bucketed (scale-safe) variant of the v02 gap check.
+    # New this round: bucketed (scale-safe) variant of the v02 gap check,
+    # plus the round-4 text-pipeline additions.
     "v02b_sequence_gap_scalable",
+    "l13_repetition_stats",
+    "l14_pii_scrub",
+    "l15_stratified_sample",
+    "l16_vocab_topk",
+    "l12b_ann_ivf_kmeans",
     # Oracle-backed maintenance specs that fell outside the r03 snapshot.
     "k06_maturity_flag",
     "k10_reorg_detect",

@@ -519,6 +519,27 @@ def l12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "l12b_ann_ivf_kmeans",
+    tables=("embeddings",),
+    oracle=None,  # KMeans training is iterative — not SQL-expressible
+    tags=("llm", "similarity", "ann", "ivf", "kmeans"),
+)
+def l12b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """IVF ANN with KMeans-trained centroids — the production variant of
+    l12 (data-adaptive Voronoi cells via pyspark.ml KMeans, fixed seed).
+    Same downstream plan as l12: broadcast assignment, probe expansion,
+    equi-join on cell. Rows-only check (training is iterative, no SQL
+    twin); tests/test_llm_ops.py asserts its recall ≥ the first-K variant
+    on unbiased queries."""
+    emb = t["embeddings"]
+    cents = S.kmeans_centroids(emb, n_centroids=16, seed=7)
+    out = S.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 30), k=5, nprobe=3, centroids=cents
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def _neardup_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
     bits = []
     for p, plane in enumerate(_planes_sql(n_planes, dim)):
@@ -562,3 +583,128 @@ def l11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     Threshold 0.4 is calibrated to the synthetic corpus (uniform vectors:
     max pairwise cosine ≈ 0.51) so the result set is non-trivial."""
     return S.embedding_near_dups(t["embeddings"], threshold=0.4)
+
+
+@register(
+    "l13_repetition_stats",
+    tables=("documents",),
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (
+            SELECT doc_id, t,
+                   list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+                                  i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                       AS grams
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_ngrams,
+               1 - len(list_distinct(grams)) / len(grams) AS dup_ngram_ratio,
+               list_max(list_transform(list_distinct(t),
+                        w -> len(list_filter(t, x -> x = w)))) / len(t)
+                   AS top_token_ratio
+        FROM g
+    """,
+    tags=("llm", "text", "repetition"),
+)
+def l13(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Repetition/boilerplate prefilter (C4/Gopher-style): duplicate
+    5-gram fraction + most-common-token frequency, as pure array
+    expressions — one corpus pass, no shuffle."""
+    return X.repetition_stats(t["documents"]).select(
+        "doc_id", "n_ngrams", "dup_ngram_ratio", "top_token_ratio"
+    )
+
+
+#: The corpus carries no real PII, so the spec synthesizes a contact tail
+#: per document (deterministically, from doc_id) and scrubs it — the
+#: redaction work is real, the oracle mirrors the same construction.
+_PII_TAIL_SPARK = (
+    lambda F, c: F.concat(
+        c,
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+    )
+)
+
+
+@register(
+    "l14_pii_scrub",
+    tables=("documents",),
+    oracle=f"""
+        WITH e AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS text2
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2, '{X.PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text2, '{X.PII_PHONE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(regexp_replace(text2, '{X.PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{X.PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+        FROM e
+    """,
+    tags=("llm", "text", "pii"),
+)
+def l14(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """PII redaction: count + mask emails/phones with engine-portable
+    regexes; single projection pass, no shuffle."""
+    docs = t["documents"].withColumn(
+        "text2", _PII_TAIL_SPARK(F, F.col("text"))
+    )
+    return X.pii_scrub(docs, "text2").select(
+        "doc_id", "n_emails", "n_phones", "scrubbed"
+    )
+
+
+@register(
+    "l15_stratified_sample",
+    tables=("documents",),
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN 'g'
+                        WHEN 'fr' THEN '40000000' WHEN 'es' THEN '40000000'
+                        WHEN 'zh' THEN 'g' ELSE '19999999' END
+    """,
+    tags=("llm", "sampling", "mixing"),
+)
+def l15(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: md5 hash-gate
+    per language (upsample low-resource langs, downsample en) — pure
+    filter, no shuffle, reproducible across engines/retries; the oracle
+    replays the exact selection."""
+    from ..operators.sampling import deterministic_stratified_sample
+
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 1.0}
+    return deterministic_stratified_sample(
+        t["documents"], rates, strata_col="lang", default_rate=0.1, salt="mix1"
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "l16_vocab_topk",
+    tables=("documents",),
+    oracle="""
+        SELECT token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT token, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token
+        ) WHERE rank <= 50
+    """,
+    tags=("llm", "vocab", "topk"),
+)
+def l16(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus vocabulary top-50: map-side-combined token counts, then a
+    TakeOrderedAndProject top-k (distributed heaps, never a
+    single-partition vocabulary sort)."""
+    return X.vocab_topk(t["documents"], k=50)

@@ -202,3 +202,50 @@ def test_ivf_kmeans_centroids_recall(spark, sf_dir):
     km = S.kmeans_centroids(emb, n_centroids=16, seed=7)
     r_km, r_first = recall(km), recall(None)
     assert r_km >= r_first, f"kmeans recall {r_km} < first-K recall {r_first}"
+
+
+def test_repetition_stats_known_values(spark):
+    from core_etl_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a b a b"), (1, "w x y z q r s t")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    # doc 0: 4 5-grams, only 2 distinct ("a b a b a" / "b a b a b")
+    assert out[0].n_ngrams == 4 and abs(out[0].dup_ngram_ratio - 0.5) < 1e-12
+    assert abs(out[0].top_token_ratio - 0.5) < 1e-12
+    # doc 1: all tokens and grams unique
+    assert out[1].dup_ngram_ratio == 0.0
+    assert abs(out[1].top_token_ratio - 0.125) < 1e-12
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from core_etl_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@x-corp.io and b@c.com call +1-555-0012345 now")],
+        "doc_id long, text string",
+    )
+    r = TX.pii_scrub(df).collect()[0]
+    assert r.n_emails == 2 and r.n_phones == 1
+    assert "@" not in r.scrubbed and "555" not in r.scrubbed
+    assert r.scrubbed.count("<EMAIL>") == 2 and r.scrubbed.count("<PHONE>") == 1
+
+
+def test_stratified_sample_is_deterministic_and_nested(spark, sf_dir):
+    from core_etl_spark.io import load_tables
+    from core_etl_spark.operators.sampling import deterministic_stratified_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",), register=False)["documents"]
+    small = deterministic_stratified_sample(docs, {"en": 0.1}, default_rate=0.0)
+    big = deterministic_stratified_sample(docs, {"en": 0.6}, default_rate=0.0)
+    s1 = {r.doc_id for r in small.collect()}
+    s2 = {r.doc_id for r in small.collect()}
+    b = {r.doc_id for r in big.collect()}
+    assert s1 == s2, "sampling not deterministic across runs"
+    assert s1 <= b, "lower rate must select a subset of a higher rate (same salt)"
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert 0 < len(b) < n_en
+    # rate 1.0 keeps every row of the stratum ("g" threshold, no top gap)
+    full = deterministic_stratified_sample(docs, {"en": 1.0}, default_rate=0.0)
+    assert full.count() == n_en
