@@ -63,6 +63,9 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l15_stratified_sample",
     "l16_vocab_topk",
     "l12b_ann_ivf_kmeans",
+    "c02_corpus_mix",
+    "g16b_sliding_window",
+    "t3_address_filter",
     # Oracle-backed maintenance specs that fell outside the r03 snapshot.
     "k06_maturity_flag",
     "k10_reorg_detect",

@@ -86,3 +86,66 @@ def c01(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "c02_corpus_mix",
+    tables=("documents",),
+    oracle="""
+        WITH
+        rep AS (
+            SELECT doc_id, text, lang,
+                   string_split(text, ' ') AS t
+            FROM documents
+        ),
+        gated AS (  -- repetition gate: most-common-token frequency cap
+            SELECT doc_id, text, lang FROM rep
+            WHERE list_max(list_transform(list_distinct(t),
+                        w -> len(list_filter(t, x -> x = w)))) * 1.0 / len(t)
+                  <= 0.12
+        ),
+        exact AS (   -- exact dedup: keep min doc_id per identical text
+            SELECT * FROM gated
+            WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY md5(text))
+        ),
+        mixed AS (   -- deterministic per-language mixing rates
+            SELECT * FROM exact
+            WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN 'g'
+                            WHEN 'fr' THEN '66666666' WHEN 'es' THEN '66666666'
+                            WHEN 'zh' THEN 'g' ELSE '19999999' END
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+                   AS total_bpe_tokens
+        FROM mixed
+        GROUP BY lang
+    """,
+    tags=("corpus", "composition", "sampling", "repetition", "tokens"),
+)
+def c02(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus mixing end-to-end (the round-4 composite): repetition gate
+    (top-token frequency ≤ 0.12) → exact dedup (keep min id) →
+    deterministic stratified sampling per language (upsample de/zh,
+    downsample en/fr/es) → per-language doc + BPE-token budget. One
+    declarative plan; the scalar gates fuse into the scan, the only
+    shuffles are the dedup group and the final tiny aggregate."""
+    from ..operators import text as X
+    from ..operators.sampling import deterministic_stratified_sample
+
+    gated = (
+        X.repetition_stats(t["documents"])
+        .filter(F.col("top_token_ratio") <= 0.12)
+        .select("doc_id", "text", "lang")
+    )
+    exact = D.exact_dedup(gated, "text", "doc_id")
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.4, "es": 0.4, "zh": 1.0}
+    mixed = deterministic_stratified_sample(
+        exact, rates, strata_col="lang", default_rate=0.1, salt="mix1"
+    )
+    return X.token_counts(mixed).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+    )

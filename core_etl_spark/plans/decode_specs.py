@@ -189,3 +189,39 @@ def t4678(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         F.col("hash").alias("tx_hash"), F.expr(_RECEIPT_STATUS).alias("status")
     )
     return extract_token_transfers(tx, CONTRACT, receipts=receipts)
+
+
+def _addr_py(x: str) -> str:
+    """Python twin of ``_addr`` for building literal watch lists."""
+    import hashlib
+
+    return (
+        hashlib.md5(f"a{x}".encode()).hexdigest()
+        + hashlib.md5(f"b{x}".encode()).hexdigest()[:12]
+    )
+
+
+#: Watch list for the T3 spec: two senders + the off-contract recipient —
+#: exercises both sides of the (from OR to) predicate.
+_WATCH = sorted([_addr_py("s3"), _addr_py("s17"), OTHER_CONTRACT])
+
+
+@register(
+    "t3_address_filter",
+    tables=("customer",),
+    oracle=f"""
+        WITH {FIXTURE_CTE}
+        SELECT key, from_addr, to_addr FROM tx
+        WHERE from_addr IN ({", ".join(repr(a) for a in _WATCH)})
+           OR to_addr IN ({", ".join(repr(a) for a in _WATCH)})
+    """,
+    tags=("t3", "filter", "pushdown"),
+)
+def t3(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """T3 — address watch filter (reference etl.rs:199-204) over the
+    shared synthetic tx fixture: keep a tx iff sender or recipient is
+    watched. The in-set predicate compiles to a scan-level filter."""
+    from ..operators.transforms import filter_addresses
+
+    tx = spark.sql(_TX_SQL)
+    return filter_addresses(tx, _WATCH).select("key", "from_addr", "to_addr")

@@ -492,6 +492,48 @@ def g16(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "g16b_sliding_window",
+    tables=("events",),
+    oracle="""
+        SELECT CAST(ws AS VARCHAR) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT event_type,
+                   unnest([time_bucket(INTERVAL '5 minutes', ts),
+                           time_bucket(INTERVAL '5 minutes', ts)
+                               - INTERVAL '5 minutes']) AS ws
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        )
+        GROUP BY ws, event_type
+    """,
+    tags=("gap", "window", "streaming-analog", "sliding"),
+)
+def g16b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding 10-minute/5-minute event-time window — each event lands in
+    width/slide = 2 windows (the oracle unnests the two containing window
+    starts). Uses the streaming operator verbatim: ``withWatermark`` is a
+    no-op on a batch frame, so the exact production expression is what
+    gets parity-checked (§2.8 streaming windows)."""
+    from ..streaming import windows as SW
+
+    return (
+        SW.sliding_counts(
+            t["events"].filter(F.col("ts") < "2024-01-02 00:00:00"),
+            width="10 minutes",
+            slide="5 minutes",
+            keys=("event_type",),
+        )
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("n_events"),
+        )
+    )
+
+
+@register(
     "g17_sessionization",
     tables=("events",),
     oracle="""

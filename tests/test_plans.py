@@ -100,3 +100,21 @@ def test_v02b_sorts_only_aggregated_buckets(spark, sf_dir):
     # every Sort node must order by bucket (post-agg), not the raw value col
     for m in re.finditer(r"Sort \[([^\]]*)\]", plan):
         assert "bucket" in m.group(1), f"raw-value sort leaked into plan: {m.group(1)}"
+
+
+def test_l16_vocab_topk_is_take_ordered(spark, sf_dir):
+    """The vocabulary top-k must plan as TakeOrderedAndProject (distributed
+    heaps + driver merge), never a single-partition sort of the vocab."""
+    plan = _plan(spark, sf_dir, "l16_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2, "token count lost map-side combine"
+
+
+@pytest.mark.parametrize(
+    "name", ["l13_repetition_stats", "l14_pii_scrub", "l15_stratified_sample"]
+)
+def test_single_pass_text_ops_have_no_shuffle(spark, sf_dir, name):
+    """Repetition stats, PII scrub, and hash-gate sampling are pure
+    projection/filter passes — any Exchange in the plan is a regression."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan, f"{name} grew a shuffle"
