@@ -112,10 +112,21 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    shingle_key: str = "string",
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 shingle, scored with exact Jaccard and
     filtered to ``threshold``. ``max_shingle_df`` drops ubiquitous shingles
-    before the self-join (skew control at scale)."""
+    before the self-join (skew control at scale).
+
+    ``shingle_key="xxhash64"`` replaces the shingle string with its 64-bit
+    JVM-native hash before the valve/self-join — the production choice: the
+    shuffle carries 8-byte longs instead of ~(6·n)-byte strings, join
+    comparisons are integer equality, and the result is identical unless
+    two *distinct* shingles of the same corpus collide in 64 bits
+    (expected collisions ≈ m²/2⁶⁵: ~3 corpus-wide at 10¹⁰ distinct
+    shingles, each inflating a handful of pair intersections by 1 — never
+    dropping a true pair). Keep the default string
+    key where bit-exactness against an external oracle matters."""
     # Materialize: the shingle index feeds 3+ plan branches (both join sides
     # and the size agg); without materialization each branch re-runs the
     # tokenize→shingle→explode pipeline (measured 4× slower at sf0.1).
@@ -128,7 +139,12 @@ def jaccard_pairs(
     # for speed — an executor loss fails the job instead of recomputing;
     # acceptable for a bounded dedup job, use .persist(DISK_ONLY_2) when
     # running on preemptible nodes.)
-    sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = shingle_table(df, text_col, id_col, n)
+    if shingle_key == "xxhash64":
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    elif shingle_key != "string":
+        raise ValueError(f"shingle_key must be string or xxhash64, got {shingle_key!r}")
+    sh = sh.localCheckpoint(eager=True)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
             F.col("_df") > max_shingle_df

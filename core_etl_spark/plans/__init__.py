@@ -66,6 +66,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "c02_corpus_mix",
     "g16b_sliding_window",
     "t3_address_filter",
+    "l06x_ngram_jaccard_xxhash",
     # Oracle-backed maintenance specs that fell outside the r03 snapshot.
     "k06_maturity_flag",
     "k10_reorg_detect",

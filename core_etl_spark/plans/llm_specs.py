@@ -227,6 +227,26 @@ def l06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return D.jaccard_pairs(t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF)
 
 
+@register(
+    "l06x_ngram_jaccard_xxhash",
+    tables=("documents",),
+    oracle=None,  # DuckDB has no xxhash64; pair-set equivalence with the
+    # md5/string path is asserted in tests/test_llm_ops.py
+    tags=("llm", "dedup", "jaccard", "xxhash"),
+    headline=True,
+)
+def l06x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """l06's production variant: the shingle self-join runs on xxhash64'd
+    8-byte keys instead of ~18-byte strings — same pairs (collision odds in
+    the docstring), ~2× less shuffle volume at 100 TB."""
+    return D.jaccard_pairs(
+        t["documents"],
+        threshold=0.5,
+        max_shingle_df=MAX_SHINGLE_DF,
+        shingle_key="xxhash64",
+    )
+
+
 def _minhash_oracle(n_hashes: int = 12, rows_per_band: int = 4) -> str:
     return f"""
         WITH {_SHINGLE_CTE},

@@ -249,3 +249,23 @@ def test_stratified_sample_is_deterministic_and_nested(spark, sf_dir):
     # rate 1.0 keeps every row of the stratum ("g" threshold, no top gap)
     full = deterministic_stratified_sample(docs, {"en": 1.0}, default_rate=0.0)
     assert full.count() == n_en
+
+
+def test_jaccard_xxhash_matches_string_pairs(spark, sf_dir):
+    """The hashed-shingle-key production path must produce the identical
+    scored pair set as the string-key path (no 64-bit collisions on the
+    fixture corpus, and none plausible at its size)."""
+    from core_etl_spark.io import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",), register=False)["documents"]
+    str_pairs = {
+        (r.id_a, r.id_b, r.n_inter, round(r.jaccard, 12))
+        for r in D.jaccard_pairs(docs, threshold=0.5, max_shingle_df=64).collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b, r.n_inter, round(r.jaccard, 12))
+        for r in D.jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=64, shingle_key="xxhash64"
+        ).collect()
+    }
+    assert str_pairs == xx_pairs and str_pairs
