@@ -201,3 +201,39 @@ def test_u256_dec_and_long(spark):
         u256.hex_to_long(F.col("h")).alias("l"),
     ).collect()[0]
     assert int(r.d) == 123456789012345678901234567890 and r.l == 255
+
+
+def test_load_tables_normalizes_both_ts_encodings(spark, tmp_path):
+    """The driver's generator has shipped events.ts two ways across rounds:
+    INT64 TIMESTAMP(NANOS) (read as long under nanosAsLong) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    load_tables must deliver plain TimestampType with identical values
+    for both."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_etl_spark.io import load_tables
+
+    t0 = dt.datetime(2024, 1, 1, 12, 30, 0, 250000)
+    micros = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    nanos_dir = tmp_path / "enc_nanos"
+    ntz_dir = tmp_path / "enc_ntz"
+    for d in (nanos_dir, ntz_dir):
+        d.mkdir()
+    pq.write_table(
+        pa.table({"event_id": [1], "ts": pa.array([micros * 1000], pa.timestamp("ns"))}),
+        str(nanos_dir / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({"event_id": [1], "ts": pa.array([micros], pa.timestamp("us"))}),
+        str(ntz_dir / "events.parquet"),
+    )
+
+    for d in (nanos_dir, ntz_dir):
+        df = load_tables(spark, str(d), ("events",), register=False)["events"]
+        assert str(df.schema["ts"].dataType) == "TimestampType()", str(d)
+        [row] = df.collect()
+        assert row.ts == t0, (str(d), row.ts)
