@@ -400,3 +400,60 @@ def simhash_buckets(
         .groupBy("simhash16")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
     )
+
+
+def neardup_components(pairs: DataFrame) -> DataFrame:
+    """Near-duplicate pair closure → (doc_id, component) with component =
+    min doc_id of the connected group — the step that turns any pairwise
+    dedup output (``jaccard_pairs``, ``minhash_dedup_pairs``, embedding
+    near-dups) into keep/drop groups: keep ``doc_id == component``, drop
+    the rest.
+
+    Iterative min-label propagation as a driver loop of joins: each round
+    every node takes the min of its own label and its neighbors' labels;
+    converges in graph-diameter rounds (near-dup components are shallow —
+    dup clusters are cliques or short chains, so 2-4 rounds in practice;
+    the loop is bounded by ``max_iter`` as a runaway guard). The
+    convergence check is an aggregate (count of changed labels), never a
+    data-sized collect. At extreme scale swap in the large-star/small-star
+    alternation (O(log n) rounds on pathological chains); the per-round
+    plan here — shuffle on node id, map-side-combined min — is the same
+    building block."""
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(32):  # max_iter guard; diameter rounds in practice
+        nbr_min = (
+            edges.join(
+                labels.withColumnsRenamed({"id": "v", "label": "_nl"}), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("_nl").alias("_nmin"))
+            .withColumnRenamed("u", "id")
+        )
+        new = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "id")
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))

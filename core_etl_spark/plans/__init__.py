@@ -67,6 +67,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g16b_sliding_window",
     "t3_address_filter",
     "l06x_ngram_jaccard_xxhash",
+    "l17_neardup_components",
     # Oracle-backed maintenance specs that fell outside the r03 snapshot.
     "k06_maturity_flag",
     "k10_reorg_detect",

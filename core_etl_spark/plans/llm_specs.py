@@ -247,6 +247,49 @@ def l06x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+@register(
+    "l17_neardup_components",
+    tables=("documents",),
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLE_CTE_CAPPED},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+        )
+        SELECT id AS doc_id, min(r) AS component
+        FROM reach GROUP BY id
+    """,
+    tags=("llm", "dedup", "components", "iterative"),
+)
+def l17(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Near-dup connected components over l06's verified pair set:
+    (doc_id, component=min reachable doc_id) — keep one doc per
+    component. Spark side is iterative min-label propagation (driver loop
+    of joins, converges in diameter rounds); the oracle computes the same
+    closure with a recursive CTE."""
+    pairs = D.jaccard_pairs(
+        t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    return D.neardup_components(pairs)
+
+
 def _minhash_oracle(n_hashes: int = 12, rows_per_band: int = 4) -> str:
     return f"""
         WITH {_SHINGLE_CTE},

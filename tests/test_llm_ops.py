@@ -269,3 +269,19 @@ def test_jaccard_xxhash_matches_string_pairs(spark, sf_dir):
         ).collect()
     }
     assert str_pairs == xx_pairs and str_pairs
+
+
+def test_neardup_components_chain_and_clique(spark):
+    """Label propagation must close chains (multi-round) and cliques
+    (single round), leaving separate groups separate."""
+    pairs = spark.createDataFrame(
+        # chain 0-1-2-3-4 (diameter 4), clique {10,11,12}, pair {20,21}
+        [(0, 1), (1, 2), (2, 3), (3, 4),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r.doc_id: r.component for r in D.neardup_components(pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
