@@ -162,3 +162,33 @@ def test_batch_parity_of_window_helpers(spark, tmp_path):
     ses = W.session_counts(df, gap="4 minutes", keys=("user_id",))
     # 3-min cadence per user = 6-min per-user gaps > 4 min → every event its own session
     assert ses.count() == 8
+
+
+def test_streaming_sliding_window_with_watermark(spark, tmp_path):
+    """sliding_counts under a real readStream: every event lands in
+    width/slide = 2 windows, and only watermark-sealed windows emit in
+    append mode — the live twin of the g16b batch-parity spec."""
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(minutes=m), "u0") for m in range(12)]
+    stream = _stream_events(spark, tmp_path, rows)
+
+    out = W.sliding_counts(stream, width="10 minutes", slide="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_slide"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: r.n_events
+        for r in spark.sql("select * from sliding_test").collect()
+    }
+    # watermark = max ts (0:11) - 1 min = 0:10 seals windows ending <= 0:10:
+    # [23:55, 0:05) holds minutes 0-4, [0:00, 0:10) holds minutes 0-9
+    sealed = {w.minute: n for w, n in got.items()}
+    assert sealed[55] == 5 and sealed[0] == 10
+    assert all(w.minute in (55, 0) for w in got), got
