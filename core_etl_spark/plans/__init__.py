@@ -68,6 +68,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "t3_address_filter",
     "l06x_ngram_jaccard_xxhash",
     "l17_neardup_components",
+    "g21b_approx_sketches",
+    "k11_compaction",
     # Oracle-backed maintenance specs that fell outside the r03 snapshot.
     "k06_maturity_flag",
     "k10_reorg_detect",

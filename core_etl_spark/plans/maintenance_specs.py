@@ -339,3 +339,48 @@ def o2(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "k11_compaction",
+    tables=(),
+    oracle=None,  # stateful filesystem rewrite — rows-only gate
+    tags=("maintenance", "compaction", "small-files"),
+)
+def k11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """§4 maintenance — small-file compaction: micro-batch appends leave
+    one file per batch per partition; ``compact`` rewrites oversized
+    buckets via the same staged-then-move swap as the mutations (readers
+    never see a half-compacted bucket) and is idempotent. Returns the
+    before/after file counts and the rewrite count (full invariants in
+    tests/test_lake.py::test_compaction)."""
+    import glob as _glob
+
+    from ..operators import transforms as _T
+    from ..sources import fixtures as _FX
+
+    from ..lake import Lake
+
+    with _shuffle_partitions(spark, 8):
+        root = tempfile.mkdtemp(prefix="compact_spec_")
+        lake = Lake(spark, root, bucket_size=20)
+        try:
+            raw = _FX.raw_blocks(spark, n_blocks=40, txs_per_block=2)
+            for lo in range(0, 40, 5):  # 8 micro-batch appends
+                lake.write(
+                    "blocks",
+                    _T.normalize_blocks(raw.filter(F.col("number").between(lo, lo + 4))),
+                )
+            pat = os.path.join(root, "blocks", "**", "*.parquet")
+            files_before = len(_glob.glob(pat, recursive=True))
+            n_rewritten = lake.compact("blocks", target_rows_per_file=1000)
+            files_after = len(_glob.glob(pat, recursive=True))
+            n_again = lake.compact("blocks", target_rows_per_file=1000)
+            return spark.createDataFrame(
+                [(files_before, n_rewritten, files_after, n_again,
+                  lake.blocks().count())],
+                "files_before long, buckets_rewritten long, files_after long, "
+                "rewrites_when_clean long, n_blocks long",
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)

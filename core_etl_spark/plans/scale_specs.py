@@ -82,3 +82,29 @@ def g23(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.count("*").alias("n_items"))
         .select(F.col("s_suppkey").alias("l_suppkey"), "s_name", "n_items")
     )
+
+
+@register(
+    "g21b_approx_sketches",
+    tables=("lineitem",),
+    oracle=None,  # sketch outputs are algorithm-specific (HLL++ / KLL-style
+    # quantile digest); accuracy vs the exact aggregates is asserted in
+    # tests/test_parity_extra assertions below (tests/test_llm_ops.py)
+    tags=("agg", "sketch", "approx", "scale"),
+)
+def g21b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Sketch aggregates — the single-pass scale substitutes for exact
+    distinct/percentiles: HLL++ ``approx_count_distinct`` (rsd 1%) and
+    ``percentile_approx`` (accuracy 10k). At 100 TB these are the
+    default: bounded memory per group, one pass, mergeable partials —
+    exact forms (g06, g21) stay for small groups and oracle parity."""
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -285,3 +285,34 @@ def test_neardup_components_chain_and_clique(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """g21b's sketches must land within their advertised error of the
+    exact aggregates (HLL++ rsd=1% -> allow 3%; percentile_approx with
+    accuracy 10k is near-exact at fixture size -> allow 1% relative)."""
+    from core_etl_spark.io import load_tables
+    from core_etl_spark.plans import all_specs
+
+    load_tables(spark, sf_dir)
+    li = load_tables(spark, sf_dir, ("lineitem",), register=False)["lineitem"]
+    approx = {
+        r.l_returnflag: r
+        for r in all_specs()["g21b_approx_sketches"].builder(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_parts - e.parts) <= max(3, 0.03 * e.parts)
+        assert abs(a.p50_approx - e.p50) <= 0.01 * e.p50
+        assert abs(a.p95_approx - e.p95) <= 0.01 * e.p95
