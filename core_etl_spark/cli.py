@@ -132,6 +132,39 @@ def cmd_view(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_similarity(args: argparse.Namespace) -> int:
+    """ANN search over an embeddings table — the user-facing entry point
+    for the similarity surface (brute-force / LSH / IVF, with
+    ``--centroids kmeans`` selecting data-adaptive IVF cells instead of
+    the deterministic first-K default)."""
+    from pyspark.sql import functions as F
+
+    from .operators import similarity as S
+
+    spark = get_spark(app_name="core_etl_similarity")
+    emb = spark.read.parquet(args.embeddings)
+    queries = emb.filter(F.col(args.id_col) < args.n_queries)
+    if args.method == "exact":
+        out = S.brute_force_topk(emb, queries, k=args.k,
+                                 vec_col=args.vec_col, id_col=args.id_col)
+    elif args.method == "lsh":
+        out = S.lsh_ann_topk(emb, queries, k=args.k,
+                             vec_col=args.vec_col, id_col=args.id_col)
+    else:  # ivf
+        cents = None
+        if args.centroids == "kmeans":
+            cents = S.kmeans_centroids(
+                emb, n_centroids=args.n_centroids, vec_col=args.vec_col,
+                sample_fraction=args.sample_fraction,
+            )
+        out = S.ivf_ann_topk(emb, queries, k=args.k,
+                             n_centroids=args.n_centroids, nprobe=args.nprobe,
+                             vec_col=args.vec_col, id_col=args.id_col,
+                             centroids=cents)
+    _show(out.orderBy("query_id", "rank"), args.n_queries * args.k)
+    return 0
+
+
 def cmd_verify(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="core_etl_verify")
     lake = Lake(spark, args.warehouse)
@@ -196,6 +229,24 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("entity", choices=["blocks"])
     g.add_argument("--from-block", type=int, default=None)
     g.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("similarity", help="ANN search over an embeddings table")
+    s.add_argument("--embeddings", required=True,
+                   help="parquet path with (id, array<float>) columns")
+    s.add_argument("--method", default="ivf", choices=["exact", "lsh", "ivf"])
+    s.add_argument("--centroids", default="firstk", choices=["firstk", "kmeans"],
+                   help="IVF cell source: deterministic first-K vectors or "
+                        "KMeans-trained (production)")
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--n-queries", type=int, default=10,
+                   help="use vectors with id < N as the query set")
+    s.add_argument("--n-centroids", type=int, default=16)
+    s.add_argument("--nprobe", type=int, default=3)
+    s.add_argument("--sample-fraction", type=float, default=None,
+                   help="KMeans training sample (None = full table)")
+    s.add_argument("--vec-col", default="embedding")
+    s.add_argument("--id-col", default="vec_id")
+    s.set_defaults(fn=cmd_similarity)
     return p
 
 

@@ -481,40 +481,52 @@ class Lake:
         half-compacted bucket). Returns the number of buckets rewritten."""
         if name not in self.modules or not self.exists(name):
             return 0
-        df = self.spark.read.parquet(self.path(name))
-        per_bucket = (
-            df.withColumn("_file", F.input_file_name())
-            .groupBy("block_bucket")
-            .agg(
-                F.count("*").alias("_rows"),
-                F.count_distinct("_file").alias("_files"),
+        # The whole scan→stage→swap must hold the lake mutex: a micro-batch
+        # append committed between the scan and the swap would land in a
+        # bucket the swap then replaces with the stale staged rewrite,
+        # silently dropping the committed rows (same discipline as
+        # _delete_where and retention_cleanup).
+        with self.mutex:
+            df = self.spark.read.parquet(self.path(name))
+            per_bucket = (
+                df.withColumn("_file", F.input_file_name())
+                .groupBy("block_bucket")
+                .agg(
+                    F.count("*").alias("_rows"),
+                    F.count_distinct("_file").alias("_files"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        todo = [
-            (r.block_bucket, int(r._rows))
-            for r in per_bucket
-            if r._files > max(1, -(-int(r._rows) // target_rows_per_file))
-        ]
-        if not todo:
-            return 0
-        buckets = [b for b, _ in todo]
-        scoped = df.filter(F.col("block_bucket").isin(buckets))
-        parts = _PARTITION_COLS[name]
-        n_files = max(1, -(-sum(r for _, r in todo) // target_rows_per_file))
-        stage = os.path.join(self.root, f".stage_{name}_{os.urandom(6).hex()}")
-        (
-            scoped.repartition(n_files, *[F.col(c) for c in parts])
-            .sortWithinPartitions(_NUMBER_COL[name])
-            .write.mode("overwrite")
-            .partitionBy(*parts)
-            .parquet(stage)
-        )
-        try:
-            self._swap_buckets(name, stage, set(buckets))
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
-        return len(buckets)
+            todo = [
+                (r.block_bucket, int(r._rows))
+                for r in per_bucket
+                if r._files > max(1, -(-int(r._rows) // target_rows_per_file))
+            ]
+            if not todo:
+                return 0
+            buckets = [b for b, _ in todo]
+            scoped = df.filter(F.col("block_bucket").isin(buckets))
+            parts = _PARTITION_COLS[name]
+            num = _NUMBER_COL[name]
+            n_files = max(1, -(-sum(r for _, r in todo) // target_rows_per_file))
+            stage = os.path.join(self.root, f".stage_{name}_{os.urandom(6).hex()}")
+            # Range-partition on (partition cols, number): an oversized bucket
+            # spreads across several sorted tasks instead of collapsing to one
+            # writer, and maxRecordsPerFile enforces the per-file target even
+            # when a single task still holds more than one file's worth.
+            (
+                scoped.repartitionByRange(n_files, *[F.col(c) for c in parts], F.col(num))
+                .sortWithinPartitions(num)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", target_rows_per_file)
+                .partitionBy(*parts)
+                .parquet(stage)
+            )
+            try:
+                self._swap_buckets(name, stage, set(buckets))
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            return len(buckets)
 
     # --- reorg detection (K10) -----------------------------------------------------
 

@@ -402,7 +402,7 @@ def simhash_buckets(
     )
 
 
-def neardup_components(pairs: DataFrame) -> DataFrame:
+def neardup_components(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
     """Near-duplicate pair closure → (doc_id, component) with component =
     min doc_id of the connected group — the step that turns any pairwise
     dedup output (``jaccard_pairs``, ``minhash_dedup_pairs``, embedding
@@ -429,7 +429,8 @@ def neardup_components(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(32):  # max_iter guard; diameter rounds in practice
+    changed = -1
+    for _ in range(max_iter):  # diameter rounds in practice
         nbr_min = (
             edges.join(
                 labels.withColumnsRenamed({"id": "v", "label": "_nl"}), "v"
@@ -456,4 +457,96 @@ def neardup_components(pairs: DataFrame) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Silently-wrong labels are worse than a loud failure: a component
+        # whose diameter exceeds max_iter would otherwise come back split.
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use "
+            "neardup_components_star (O(log n) rounds on long chains)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via large-star/small-star alternation — the
+    extreme-scale swap documented in :func:`neardup_components`. Converges
+    in O(log n) rounds regardless of component diameter (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm), versus diameter rounds for min-label propagation: a
+    100-million-node pathological chain finishes in ~27 rounds instead of
+    100 million.
+
+    Each round is two passes over the edge set; every pass is one shuffle
+    (groupBy node, min over neighbors, re-emit edges) with map-side
+    combine. Edge count never grows: both operations replace a node's
+    edges with edges to its minimum neighborhood node. Convergence check
+    is an aggregate count, never a data-sized collect.
+
+    - **large-star**: for each node ``u``, connect every *strictly larger*
+      neighbor to ``m = min(N(u) ∪ {u})``.
+    - **small-star**: connect every ``≤ u`` neighbor (and ``u``) to ``m``.
+
+    Returns the same (doc_id, component) frame as
+    :func:`neardup_components`, component = min doc id of the group."""
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # Both directions so every node sees its full neighborhood.
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr = und.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = nbr.select("u", F.least("u", "_mn").alias("m"))
+        return (
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # Orient edges high→low so N(u) here is the ≤-neighborhood.
+        lo = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        nbr = lo.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            lo.join(nbr, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(nbr.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .select(F.least("u", "v").alias("v"), F.greatest("u", "v").alias("u"))
+            .select("u", "v")
+        )
+
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # Converged when the edge set is a fixed star forest: small-star of
+        # a star forest re-emits exactly the same (child → root) edges.
+        delta = new.exceptAll(edges).limit(1).count() + edges.exceptAll(new).limit(1).count()
+        edges = new
+        if delta == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_components_star did not converge in {max_iter} rounds"
+        )
+    roots = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        nodes.join(roots, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("component", "id").alias("component"),
+        )
+    )

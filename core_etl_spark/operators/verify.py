@@ -36,7 +36,14 @@ def sequence_gaps_scalable(df: DataFrame, col: str = "number", bucket: int = 1_0
     global-ordered window. A bucket of size B is gap-free iff
     ``count == max - min + 1`` *and* it chains to its neighbor; violations
     surface as (bucket, expected, actual) rows. One shuffle on ~|N|/B keys."""
-    b = (F.col(col) / F.lit(bucket)).cast("long").alias("bucket")
+    # Exact integer floor-division: the double form ((col / bucket)
+    # .cast("long")) truncates toward zero — wrong bucket for negative keys
+    # vs the SQL oracle's floor() — and loses exactness above 2^53. `div`
+    # stays integral; correcting the negative-remainder case makes it floor.
+    bucket = int(bucket)
+    q = F.expr(f"`{col}` div {bucket}")
+    r = F.col(col) % F.lit(bucket)
+    b = F.when(r < 0, q - 1).otherwise(q).alias("bucket")
     agg = df.select(F.col(col).alias("v"), b).groupBy("bucket").agg(
         F.count("v").alias("cnt"),
         F.min("v").alias("lo"),

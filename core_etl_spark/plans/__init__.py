@@ -38,42 +38,80 @@ from . import maintenance_specs  # noqa: F401,E402
 # no single snapshot can hold all of them. Specs not named here follow in
 # registration order; pytest runs the full registry regardless of order.
 _SNAPSHOT_PRIORITY: tuple[str, ...] = (
-    # Never driver-witnessed through r03 (r02 verdict's top directive).
-    "l10_ann_lsh_topk",
-    "l11_embedding_neardup",
-    "l12_ann_ivf_topk",
+    # r05 rotation: the 33 specs with no r04 row (latest evidence is r03)
+    # lead, so every one of them gets a fresh driver-witnessed row. The
+    # t45/t4678 decode core goes first — it is the heart of the reference
+    # surface and its evidence is the oldest that matters.
+    "t45_transfer_decode",
+    "t4678_cbc20_extract",
+    "g02_join_agg_topk_tpch_q3",
+    "g03_star_join_tpch_q5",
+    "g04_semi_join",
+    "g05_anti_join",
+    "g06_distinct_count",
+    "g06b_approx_distinct",
+    "g07_rollup",
+    "g07b_cube",
+    "g07c_grouping_sets",
+    "g08_window_functions",
+    "g09_topk_per_group",
+    "g10_set_ops",
+    "g11_string_functions",
+    "g12_datetime_functions",
+    "g13_hex_conversion",
+    "g14_json_functions",
+    "g15_array_functions",
+    "g16_tumbling_window",
+    "g18_pivot_conditional_agg",
+    "g19_scalar_subquery",
+    "g20_decorrelated_subquery",
+    "l01_exact_dedup",
+    "l02_text_stats",
+    "l03_token_count",
+    "l04_language_id",
+    "l05_fingerprint",
+    "l06_ngram_jaccard_dedup",
+    "l07_minhash_lsh_dedup",
+    "l07x_minhash_lsh_xxhash",
+    "l08_simhash_dedup",
+    "l09_cosine_topk",
+    # Red in r04 (canon-unsafe list column, fixed this round): needs its
+    # first-ever green row.
     "m01_image_features",
-    "m02_image_resize",
-    "m03_audio_features",
-    "m04_video_frame_sample",
+    # Remaining slots up to the 50-cap: oracle-backed specs refreshed in
+    # r04, cheapest/most-informative first, so the bounded prefix stays
+    # maximally oracle-checked (ADVICE r04: rows-only stateful specs go to
+    # the tail — they all hold green r04 rows already).
+    "k06_maturity_flag",
+    "k10_reorg_detect",
+    "v02b_sequence_gap_scalable",
+    "g16b_sliding_window",
+    "g17_sessionization",
+    "t3_address_filter",
     "g21_percentiles",
+    "l17_neardup_components",
     "g22_salted_aggregation",
     "g23_salted_join",
-    "c01_corpus_prep",
     "j01_asof_join",
     "j02_range_join",
-    # Failed in r03 (TIMESTAMP_NTZ regression, fixed in io.py) — needs a
-    # fresh green row to prove the fix.
-    "g17_sessionization",
-    # New this round: bucketed (scale-safe) variant of the v02 gap check,
-    # plus the round-4 text-pipeline additions.
-    "v02b_sequence_gap_scalable",
     "l13_repetition_stats",
     "l14_pii_scrub",
     "l15_stratified_sample",
     "l16_vocab_topk",
-    "l12b_ann_ivf_kmeans",
-    "c02_corpus_mix",
-    "g16b_sliding_window",
-    "t3_address_filter",
-    "l06x_ngram_jaccard_xxhash",
-    "l17_neardup_components",
+    # ---- 50-cap boundary lands around here; everything below is witnessed
+    # in r04 and/or rows-only. Stateful/streaming specs stay last so budget
+    # truncation never costs oracle coverage.
     "g21b_approx_sketches",
+    "c01_corpus_prep",
+    "c02_corpus_mix",
+    "l10_ann_lsh_topk",
+    "l11_embedding_neardup",
+    "l12_ann_ivf_topk",
+    "l12b_ann_ivf_kmeans",
+    "m02_image_resize",
+    "m03_audio_features",
+    "m04_video_frame_sample",
     "k11_compaction",
-    # Oracle-backed maintenance specs that fell outside the r03 snapshot.
-    "k06_maturity_flag",
-    "k10_reorg_detect",
-    # Rows-only maintenance/streaming specs, also absent from r03.
     "k78_partition_mutations",
     "o1_backfill_pipeline",
     "k09_retention_cleanup",

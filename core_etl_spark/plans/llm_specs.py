@@ -568,6 +568,7 @@ def _ivf_oracle(
     tables=("embeddings",),
     oracle=_ivf_oracle(),
     tags=("llm", "similarity", "ann", "ivf"),
+    headline=True,  # r04 verdict: ANN surface was oracle-green but never benched
 )
 def l12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """IVF ANN top-5 (30 queries, 16 cells, nprobe=3): corpus partitioned

@@ -21,9 +21,19 @@ from .base import register
 )
 def m01(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """Image decode + feature extraction (mean/std intensity, 16-bin
-    histogram) over the binary payload column via mapInPandas."""
+    histogram) over the binary payload column via mapInPandas.
+
+    The histogram is serialized to a comma-joined string: the driver's
+    canonicalizer sorts result frames with pandas, which cannot factorize
+    Python list cells (r04: ``TypeError: unhashable type: 'list'``).
+    The feature math itself is untouched — only the spec projection changes.
+    """
     media = M.synthetic_media(spark, n_per_kind=30)
-    return M.image_features(media).orderBy("media_id")
+    feats = M.image_features(media)
+    return feats.withColumn(
+        "histogram",
+        F.array_join(F.transform("histogram", lambda x: x.cast("string")), ","),
+    ).orderBy("media_id")
 
 
 @register(

@@ -199,6 +199,23 @@ def test_compaction(spark, tmp_path):
     assert lk.compact("blocks", target_rows_per_file=1000) == 0  # idempotent
 
 
+def test_compaction_honors_per_file_target(spark, tmp_path):
+    """An oversized bucket must split into ~ceil(rows/target) files, not
+    collapse to one giant file (scan-parallelism at 100 TB)."""
+    import glob
+
+    lk = Lake(spark, str(tmp_path / "cw2"), bucket_size=100)
+    raw = FX.raw_blocks(spark, n_blocks=90, txs_per_block=2)
+    for lo in range(0, 90, 5):  # 18 micro-batches, all into one bucket
+        batch = raw.filter(F.col("number").between(lo, lo + 4))
+        lk.write("blocks", T.normalize_blocks(batch))
+    assert lk.compact("blocks", target_rows_per_file=30) == 1
+    files = glob.glob(str(tmp_path / "cw2/blocks/**/*.parquet"), recursive=True)
+    assert 3 <= len(files) <= 4  # 90 rows / 30-per-file target
+    assert lk.blocks().count() == 90
+    assert lk.blocks().select("number").distinct().count() == 90
+
+
 def test_module_gating(spark, tmp_path):
     lk = Lake(spark, str(tmp_path / "gated"), bucket_size=BUCKET, modules=("blocks",))
     raw = FX.raw_blocks(spark, n_blocks=5)

@@ -287,6 +287,84 @@ def test_neardup_components_chain_and_clique(spark):
                    20: 20, 21: 20}
 
 
+def _cc_oracle(edge_list):
+    """Driver-side union-find oracle for component labels (min id)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_neardup_components_adversarial_depth(spark):
+    """A shuffled long-path component (diameter ~30) — the adversarial
+    shape for label propagation, which needs diameter rounds. Asserts
+    convergence within the guard and exact labels vs a union-find oracle;
+    random extra components make sure separate groups stay separate."""
+    import random
+
+    rng = random.Random(17)
+    nodes = list(range(100, 131))  # path of 31 nodes, diameter 30
+    rng.shuffle(nodes)
+    edge_list = list(zip(nodes, nodes[1:]))
+    # A few disjoint random blobs of 2-5 nodes each.
+    nxt = 1000
+    for _ in range(6):
+        size = rng.randint(2, 5)
+        blob = list(range(nxt, nxt + size))
+        nxt += size + rng.randint(1, 3)
+        for i in range(1, size):
+            edge_list.append((blob[i], blob[rng.randrange(i)]))
+    rng.shuffle(edge_list)
+    expect = _cc_oracle(edge_list)
+    pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    out = {r.doc_id: r.component for r in D.neardup_components(pairs).collect()}
+    assert out == expect
+
+
+def test_neardup_components_raises_when_unconverged(spark):
+    """The runaway guard must fail loudly, not return split components."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_components(pairs, max_iter=2)
+
+
+def test_neardup_components_star_matches_propagation(spark):
+    """large-star/small-star must produce identical labels to min-label
+    propagation on every shape: long path, clique, pair, singletons-free
+    random graph — and in far fewer rounds on the path."""
+    import random
+
+    rng = random.Random(23)
+    edge_list = [(i, i + 1) for i in range(40)]  # path, diameter 40
+    edge_list += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    edge_list.append((200, 201))
+    for _ in range(20):  # random component
+        edge_list.append((rng.randint(300, 330), rng.randint(300, 330)))
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    expect = _cc_oracle(edge_list)
+    pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    # max_iter=12 ≪ diameter 40: would fail if rounds scaled with diameter.
+    out = {
+        r.doc_id: r.component
+        for r in D.neardup_components_star(pairs, max_iter=12).collect()
+    }
+    assert out == expect
+
+
 def test_approx_sketches_within_tolerance(spark, sf_dir):
     """g21b's sketches must land within their advertised error of the
     exact aggregates (HLL++ rsd=1% -> allow 3%; percentile_approx with

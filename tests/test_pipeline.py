@@ -172,6 +172,24 @@ def test_cli_export_view_verify(spark, tmp_path, capsys):
     assert "gap" in capsys.readouterr().out
 
 
+def test_cli_similarity_kmeans_end_to_end(spark, sf_dir, capsys):
+    """The similarity subcommand must run every method end-to-end on the
+    real embeddings table, and --centroids kmeans must select the
+    KMeans-trained IVF cells (task: close the loop l12b proved)."""
+    emb = f"{sf_dir}/embeddings.parquet"
+    for extra in (["--method", "exact"],
+                  ["--method", "lsh"],
+                  ["--method", "ivf", "--centroids", "firstk"],
+                  ["--method", "ivf", "--centroids", "kmeans",
+                   "--n-centroids", "8"]):
+        assert cli.main(["similarity", "--embeddings", emb,
+                         "--n-queries", "3", "--k", "2"] + extra) == 0
+        out = capsys.readouterr().out
+        assert "query_id" in out and "neighbor_id" in out
+        # 3 queries × top-2 → 6 result rows, each ranked 1..2
+        assert out.count("\n") > 6
+
+
 def test_retention_loop_ticks_and_sweeps(spark, tmp_path):
     """K9 scheduler: each tick deletes data older than the retention window
     against the injected clock (reference sqlite3.rs:483-536 cadence)."""
