@@ -180,6 +180,55 @@ def jaccard_pairs(
 
 # --- MinHash + LSH -----------------------------------------------------------
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that overlap an
+    evaluation set, the training-data-pipeline step that keeps test data
+    out of the corpus (the published recipe: n-gram overlap against the
+    benchmark, as in GPT-3/C4-style dedup-vs-eval passes).
+
+    Per corpus doc: ``n_sh`` distinct word n-grams, ``n_hit`` of them that
+    appear anywhere in the benchmark, ``contamination = n_hit/n_sh``, and
+    the ``contaminated`` flag at ``threshold``.
+
+    100 TB shape: the benchmark side is always small (an eval suite is
+    thousands of prompts — MBs of shingles), so its distinct-shingle set
+    **broadcasts**; the corpus-side scan joins without a shuffle, and the
+    only shuffle anywhere is the map-side-combinable groupBy(doc_id) on
+    hit counts. Corpus is touched exactly once."""
+    c_sh = shingle_table(corpus, text_col, id_col, n)
+    b_sh = (
+        shingle_table(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # ONE corpus pass: left-join the broadcast benchmark set with a hit
+    # flag, then a single map-side-combinable aggregate yields both the
+    # shingle count and the hit count — no second scan, no doc_id re-join.
+    return (
+        c_sh.join(F.broadcast(b_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_sh")).alias("contamination"),
+            (F.col("n_hit") / F.col("n_sh") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 def _perm_hash(s: Column, j: int, hash_fn: str) -> Column:
     """Permutation-*j* hash of one shingle. ``md5`` is the engine-portable
     choice (hex strings order like the integers they encode, so array_min

@@ -58,3 +58,42 @@ def deterministic_stratified_sample(
             thr
         )
     return df.filter(h < thr)
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test/...) by
+    hash bucket — the reproducible alternative to ``randomSplit`` (whose
+    per-partition RNG reshuffles rows whenever partitioning changes).
+
+    ``weights`` maps split name → fraction; fractions must sum to ≤ 1
+    (any remainder falls into the **last** named split, so weights that
+    sum to 1 partition exactly). Same hash-gate scheme as the sampler:
+    a row's split is decided by where ``md5(salt:key)``'s 32-bit hex
+    prefix falls among the cumulative thresholds — deterministic,
+    engine-portable (the oracle replays it), and a narrow projection
+    with no shuffle or RNG state. The same salt keeps splits stable as
+    the corpus grows: existing docs never migrate between splits when
+    new docs arrive (the leakage-safety property randomSplit lacks)."""
+    names = list(weights)
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        1,
+        8,
+    )
+    # chained whens from the lowest cumulative bound upward, so the first
+    # matching threshold wins; rows above every bound land in the last split
+    bounds = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        bounds.append((name, rate_threshold(cum)))
+    expr = F.lit(names[-1])
+    for name, bound in reversed(bounds):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

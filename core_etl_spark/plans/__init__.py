@@ -78,6 +78,12 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # Red in r04 (canon-unsafe list column, fixed this round): needs its
     # first-ever green row.
     "m01_image_features",
+    # New in r05 (star connected components, benchmark decontamination,
+    # sequence packing): first driver rows.
+    "l18_neardup_components_star",
+    "l19_decontamination",
+    "l20_sequence_packing",
+    "l21_hash_split",
     # Remaining slots up to the 50-cap: oracle-backed specs refreshed in
     # r04, cheapest/most-informative first, so the bounded prefix stays
     # maximally oracle-checked (ADVICE r04: rows-only stateful specs go to
@@ -94,13 +100,13 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g23_salted_join",
     "j01_asof_join",
     "j02_range_join",
+    # ---- 50-cap boundary lands around here; everything below is witnessed
+    # in r04 and/or rows-only. Stateful/streaming specs stay last so budget
+    # truncation never costs oracle coverage.
     "l13_repetition_stats",
     "l14_pii_scrub",
     "l15_stratified_sample",
     "l16_vocab_topk",
-    # ---- 50-cap boundary lands around here; everything below is witnessed
-    # in r04 and/or rows-only. Stateful/streaming specs stay last so budget
-    # truncation never costs oracle coverage.
     "g21b_approx_sketches",
     "c01_corpus_prep",
     "c02_corpus_mix",

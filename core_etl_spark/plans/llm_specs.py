@@ -772,3 +772,159 @@ def l16(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     TakeOrderedAndProject top-k (distributed heaps, never a
     single-partition vocabulary sort)."""
     return X.vocab_topk(t["documents"], k=50)
+
+
+@register(
+    "l18_neardup_components_star",
+    tables=("documents",),
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLE_CTE_CAPPED},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+        )
+        SELECT id AS doc_id, min(r) AS component
+        FROM reach GROUP BY id
+    """,
+    tags=("llm", "dedup", "components", "iterative", "star"),
+)
+def l18(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Same closure as l17 but via large-star/small-star alternation
+    (Kiveris et al. SoCC'14) — O(log n) rounds independent of component
+    diameter, the variant that survives pathological long chains at
+    extreme scale. Identical oracle to l17: both algorithms must agree."""
+    pairs = D.jaccard_pairs(
+        t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    return D.neardup_components_star(pairs)
+
+
+#: l19's benchmark split: every 17th doc plays the eval suite; the rest is
+#: the training corpus being screened.
+_BENCH_PRED = "doc_id % 17 = 0"
+
+
+@register(
+    "l19_decontamination",
+    tables=("documents",),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 2, 1)),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+            FROM toks
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE {_BENCH_PRED}),
+        corp AS (SELECT * FROM sh WHERE NOT ({_BENCH_PRED})),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
+        hits AS (
+            SELECT c.doc_id, count(*) AS n_hit
+            FROM corp c JOIN bench USING (shingle) GROUP BY c.doc_id
+        )
+        SELECT s.doc_id, s.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+               COALESCE(h.n_hit, 0) / s.n_sh AS contamination,
+               COALESCE(h.n_hit, 0) / s.n_sh >= 0.2 AS contaminated
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("llm", "decontamination", "broadcast"),
+)
+def l19(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose word-3-gram
+    overlap with the (broadcast) eval-set shingle table exceeds 20% —
+    the keep-test-data-out-of-train pass every LLM corpus needs. The
+    benchmark side is always tiny, so the join is shuffle-free on the
+    corpus side."""
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return D.decontaminate(corpus, bench, threshold=0.2)
+
+
+def _split_oracle() -> str:
+    from ..operators.sampling import rate_threshold
+
+    t90 = rate_threshold(0.9)
+    t95 = rate_threshold(0.9 + 0.05)
+    return f"""
+        SELECT doc_id, lang,
+               CASE
+                 WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{t90}' THEN 'train'
+                 WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{t95}' THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    """
+
+
+@register(
+    "l21_hash_split",
+    tables=("documents",),
+    oracle=_split_oracle(),
+    tags=("llm", "split", "deterministic"),
+)
+def l21(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by md5 hash gate — the
+    reproducible, growth-stable alternative to randomSplit: a doc's split
+    never changes as the corpus grows, so later crawls can't leak val
+    docs into train. Narrow projection, no shuffle, no RNG state."""
+    from ..operators.sampling import deterministic_split
+
+    return deterministic_split(
+        t["documents"], {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "lang", "split")
+
+
+@register(
+    "l20_sequence_packing",
+    tables=("documents",),
+    oracle="""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_before
+            FROM t
+        )
+        SELECT lang, doc_id, n_tokens,
+               cum_before // 512 AS chunk_id,
+               cum_before % 512 AS chunk_offset,
+               (cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1
+                   AS spans_chunks
+        FROM c
+    """,
+    tags=("llm", "packing", "window"),
+)
+def l20(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Sequence packing: concatenate-and-chunk documents into 512-token
+    context windows per language shard — each doc gets the (chunk_id,
+    offset) where it starts and how many windows it spans. Window
+    cumsum per group; parallelism = shards, the layout training jobs
+    consume anyway."""
+    from ..operators.packing import pack_sequences
+
+    return pack_sequences(t["documents"], ctx_len=512, group_col="lang")

@@ -394,3 +394,73 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
         assert abs(a.approx_parts - e.parts) <= max(3, 0.03 * e.parts)
         assert abs(a.p50_approx - e.p50) <= 0.01 * e.p50
         assert abs(a.p95_approx - e.p95) <= 0.01 * e.p95
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    """A corpus doc sharing 3-grams with the benchmark must be flagged at
+    the threshold; clean docs must come back with zero hits."""
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains 'quick brown fox' + 'brown fox jumps' -> heavy overlap
+            (1, "a quick brown fox jumps right now"),
+            (2, "completely unrelated text with no shared phrases at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.decontaminate(corpus, bench, threshold=0.2).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: 5 shingles ('a quick brown','quick brown fox','brown fox jumps',
+    # 'fox jumps right','jumps right now'), 2 of them in the benchmark
+    assert out[1].n_sh == 5 and out[1].n_hit == 2
+    assert abs(out[1].contamination - 0.4) < 1e-12 and out[1].contaminated
+    assert out[2].n_hit == 0 and not out[2].contaminated
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must tile each group's token stream exactly: offsets stay
+    inside the window, consecutive docs abut (offset = prev offset +
+    prev tokens, mod ctx), and spans_chunks counts boundary crossings."""
+    from core_etl_spark.operators.packing import pack_sequences
+
+    rows = [(f"g{g}", i, "w " * (7 * (i % 5) + 1)) for g in (1, 2) for i in range(20)]
+    df = spark.createDataFrame(
+        [(g, i, t.strip()) for g, i, t in rows], "lang string, doc_id long, text string"
+    )
+    out = pack_sequences(df, ctx_len=16, group_col="lang").collect()
+    assert len(out) == 40
+    by_group: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.lang, r.doc_id)):
+        by_group.setdefault(r.lang, []).append(r)
+    for rs in by_group.values():
+        cum = 0
+        for r in rs:
+            assert 0 <= r.chunk_offset < 16
+            assert r.chunk_id == cum // 16 and r.chunk_offset == cum % 16
+            last = cum + r.n_tokens - 1
+            assert r.spans_chunks == last // 16 - cum // 16 + 1
+            cum += r.n_tokens
+
+
+def test_deterministic_split_partitions_and_stays_stable(spark, sf_dir):
+    """Every doc lands in exactly one split, proportions are near the
+    weights, and growing the corpus never migrates an existing doc."""
+    from core_etl_spark.io import load_tables
+    from core_etl_spark.operators.sampling import deterministic_split
+
+    docs = load_tables(spark, sf_dir, ("documents",), register=False)["documents"]
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    full = {r.doc_id: r.split for r in deterministic_split(docs, w).collect()}
+    n = len(full)
+    assert set(full.values()) <= {"train", "val", "test"}
+    counts = {s: sum(1 for v in full.values() if v == s) for s in w}
+    assert abs(counts["train"] / n - 0.9) < 0.06
+    # growth stability: the same docs in a half-corpus get the same split
+    half = {
+        r.doc_id: r.split
+        for r in deterministic_split(docs.limit(n // 2), w).collect()
+    }
+    assert all(full[d] == s for d, s in half.items())
