@@ -84,6 +84,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l19_decontamination",
     "l20_sequence_packing",
     "l21_hash_split",
+    "o2c_stream_dedup_watermark",
     # Remaining slots up to the 50-cap: oracle-backed specs refreshed in
     # r04, cheapest/most-informative first, so the bounded prefix stays
     # maximally oracle-checked (ADVICE r04: rows-only stateful specs go to
@@ -99,10 +100,10 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g22_salted_aggregation",
     "g23_salted_join",
     "j01_asof_join",
-    "j02_range_join",
     # ---- 50-cap boundary lands around here; everything below is witnessed
     # in r04 and/or rows-only. Stateful/streaming specs stay last so budget
     # truncation never costs oracle coverage.
+    "j02_range_join",
     "l13_repetition_stats",
     "l14_pii_scrub",
     "l15_stratified_sample",

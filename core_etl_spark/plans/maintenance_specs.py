@@ -304,6 +304,69 @@ def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "o2c_stream_dedup_watermark",
+    tables=(),
+    oracle=None,  # streaming state + watermark eviction — rows-only gate
+    tags=("streaming", "dedup", "watermark"),
+)
+def o2c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """§2.8 streaming dedup with bounded state —
+    ``dropDuplicatesWithinWatermark`` keyed on the content fingerprint,
+    driven through two checkpointed availableNow runs: duplicates inside
+    the horizon are suppressed (including across micro-batches via the
+    recovered state store), distinct keys all pass. The watermark bound is
+    what distinguishes this from o2b's first_seen: state is evicted as
+    event time advances, so a continuous crawl never accumulates it."""
+    import tempfile as _tf
+    from datetime import datetime as _dt
+
+    from ..streaming.stateful import dedup_within_watermark
+
+    root = _tf.mkdtemp(prefix="wmdedup_spec_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "fp string, ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        out: list = []
+        q = (
+            dedup_within_watermark(
+                spark.readStream.schema("fp string, ts timestamp").parquet(src),
+                keys=("fp",),
+                delay="10 minutes",
+            )
+            .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return out
+
+    T = lambda m, s: _dt(2024, 1, 1, 12, m, s)  # noqa: E731
+    try:
+        with _shuffle_partitions(spark, 4):
+            # batch 1: a+b distinct, a repeated within the horizon
+            drop([("a", T(0, 0)), ("b", T(0, 30)), ("a", T(1, 0))])
+            first = run()
+            # batch 2: dup of a (state recovered from checkpoint, still in
+            # horizon) must be dropped; c is new and passes
+            drop([("a", T(2, 0)), ("c", T(2, 30))])
+            second = run()
+        rows = sorted(
+            [("run1", r.fp) for r in first] + [("run2", r.fp) for r in second]
+        )
+        return spark.createDataFrame(rows, "run string, fp string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "o2_streaming_tail",
     tables=(),
     oracle=None,  # stateful streaming with checkpoint — rows-only gate

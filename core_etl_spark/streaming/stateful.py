@@ -115,3 +115,29 @@ def first_seen(
             timeoutConf=_timeout_conf(timeout_ms),
         )
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("fp",),
+    ts_col: str = "ts",
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming exact-dedup with *bounded* state — the built-in
+    counterpart to :func:`first_seen`: ``dropDuplicatesWithinWatermark``
+    keeps one state row per key only until the watermark passes the key's
+    event time, then evicts it. That bound is what lets an ingest dedup
+    run forever on a continuous crawl: plain ``dropDuplicates`` pins every
+    key it has ever seen (state grows with the corpus), while the
+    watermark variant holds state proportional to keys-per-delay-window.
+    The trade is the same horizon every streaming dedup accepts: a key
+    recurring later than ``delay`` is emitted again (cross-horizon dedup
+    belongs to the batch compaction pass, operators/dedup.py).
+
+    On a batch DataFrame this degrades to plain ``dropDuplicates`` over
+    the keys (the batch oracle shape)."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(list(keys))
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

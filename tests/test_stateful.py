@@ -72,3 +72,24 @@ def test_first_seen_dedup(spark, tmp_path):
     rows = _run(S.first_seen(stream(), "fp"), ckpt, mode="append")
     got = {r.key: r.n_dropped_dups for r in rows}
     assert got == {"z": 0}  # x never re-emitted
+
+
+def test_dedup_within_watermark_bounds_state(spark):
+    """The built-in bounded-state dedup must suppress dups inside the
+    horizon (in-batch and across checkpointed runs) and pass distinct
+    keys — the o2c spec's invariants, asserted directly."""
+    from core_etl_spark.plans.base import REGISTRY
+
+    out = REGISTRY["o2c_stream_dedup_watermark"].builder(spark, "").collect()
+    rows = sorted((r.run, r.fp) for r in out)
+    assert rows == [("run1", "a"), ("run1", "b"), ("run2", "c")]
+
+
+def test_dedup_within_watermark_batch_fallback(spark):
+    """On a batch frame the operator degrades to plain dropDuplicates."""
+    from core_etl_spark.streaming.stateful import dedup_within_watermark
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", None)], "fp string, ts timestamp"
+    )
+    assert dedup_within_watermark(df).count() == 2
