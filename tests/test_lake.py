@@ -233,3 +233,32 @@ def test_idempotent_bucket_overwrite(lake, spark):
     lake.write("blocks", blocks, mode="overwrite")
     assert lake.blocks().count() == N_BLOCKS
     assert lake.blocks().filter(F.col("number") >= 30).count() == 10
+
+
+def test_compact_concurrent_with_appends_loses_nothing(spark, tmp_path):
+    """The r05 mutex fix: compact()'s scan-stage-swap holds the lake lock,
+    so a micro-batch append can never land between the scan and the swap
+    and be silently dropped by the stale staged rewrite. Hammer appends
+    from a thread (taking the mutex like the streaming tail does) while
+    compacting in a loop, then account for every row."""
+    import threading
+
+    lk = Lake(spark, str(tmp_path / "ccw"), bucket_size=50)
+    raw = FX.raw_blocks(spark, n_blocks=200, txs_per_block=1)
+    norm = T.normalize_blocks(raw).localCheckpoint(eager=True)
+    lk.write("blocks", norm.filter(F.col("number") < 20))
+
+    def appender():
+        for lo in range(20, 200, 20):
+            batch = norm.filter(F.col("number").between(lo, lo + 19))
+            with lk.mutex:  # same discipline as the streaming tail writer
+                lk.write("blocks", batch)
+
+    th = threading.Thread(target=appender)
+    th.start()
+    for _ in range(6):
+        lk.compact("blocks", target_rows_per_file=100)
+    th.join()
+    lk.compact("blocks", target_rows_per_file=100)
+    assert lk.blocks().count() == 200
+    assert lk.blocks().select("number").distinct().count() == 200

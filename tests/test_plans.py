@@ -118,3 +118,30 @@ def test_single_pass_text_ops_have_no_shuffle(spark, sf_dir, name):
     projection/filter passes — any Exchange in the plan is a regression."""
     plan = _plan(spark, sf_dir, name)
     assert "Exchange" not in plan, f"{name} grew a shuffle"
+
+
+def test_l19_decontamination_single_corpus_pass(spark, sf_dir):
+    """The benchmark shingle set must broadcast (never shuffle the corpus
+    for the join), and the corpus must be scanned once: exactly one
+    doc_id Exchange downstream of the join, no SortMergeJoin, no
+    cartesian."""
+    plan = _plan(spark, sf_dir, "l19_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert plan.count("hashpartitioning(doc_id") == 1, (
+        "corpus is being re-scanned/re-shuffled — decontamination must be one pass"
+    )
+
+
+def test_l20_packing_single_exchange(spark, sf_dir):
+    """Sequence packing is one window per shard: exactly one Exchange
+    (the group hash-partition) and no join."""
+    plan = _plan(spark, sf_dir, "l20_sequence_packing")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_l21_hash_split_no_shuffle(spark, sf_dir):
+    """Split assignment is a narrow projection — zero Exchange."""
+    plan = _plan(spark, sf_dir, "l21_hash_split")
+    assert "Exchange" not in plan
