@@ -105,3 +105,51 @@ def test_repetition_stats_match_python_reference(spark, docs):
         assert out[i].n_ngrams == len(grams)
         assert abs(out[i].dup_ngram_ratio - dup) < 1e-12
         assert abs(out[i].top_token_ratio - top) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+    st.integers(min_value=2, max_value=64),
+)
+def test_pack_sequences_matches_python_reference(spark, token_counts, ctx):
+    """Packing must equal the straight-line reference: walk docs in order,
+    keep a running token offset, cut every ctx tokens."""
+    from core_etl_spark.operators.packing import pack_sequences
+
+    rows = [("g", i, "w " * n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(
+        [(g, i, t.strip()) for g, i, t in rows],
+        "lang string, doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.chunk_id, r.chunk_offset, r.spans_chunks)
+        for r in pack_sequences(df, ctx_len=ctx, group_col="lang").collect()
+    }
+    cum = 0
+    for i, n in enumerate(token_counts):
+        first, last = cum, cum + n - 1
+        assert got[i] == (first // ctx, first % ctx, last // ctx - first // ctx + 1)
+        cum += n
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=60, unique=True))
+def test_deterministic_split_matches_python_reference(spark, ids):
+    """The split each id lands in must equal the straight-line md5-gate
+    reference, for any id set (the engine-portability property the DuckDB
+    oracle relies on)."""
+    import hashlib
+
+    from core_etl_spark.operators.sampling import deterministic_split, rate_threshold
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.split for r in deterministic_split(df, w).collect()}
+
+    t80, t90 = rate_threshold(0.8), rate_threshold(0.8 + 0.1)
+    for i in ids:
+        h = hashlib.md5(f"split1:{i}".encode()).hexdigest()[:8]
+        expect = "train" if h < t80 else ("val" if h < t90 else "test")
+        assert got[i] == expect, i
