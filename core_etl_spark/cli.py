@@ -165,6 +165,54 @@ def cmd_similarity(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    """Training-corpus pipeline entry points over a documents parquet:
+    dedup-aware prep report, decontamination against a benchmark set,
+    deterministic splits, and sequence packing. Each action is one
+    declarative plan; ``--out`` writes parquet instead of printing."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as D
+    from .operators.packing import pack_sequences
+    from .operators.sampling import deterministic_split
+
+    spark = get_spark(app_name="core_etl_corpus")
+    docs = spark.read.parquet(args.documents)
+    if args.action == "prep":
+        stats = docs.select(
+            "doc_id", "text", "lang",
+            F.size(F.split("text", " ")).alias("n_words"),
+            F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+        )
+        quality = stats.filter(
+            (F.col("n_words") >= args.min_words)
+            & (F.col("n_distinct") / F.col("n_words") >= args.min_diversity)
+        )
+        out = D.exact_dedup(quality, "text", "doc_id").groupBy("lang").agg(
+            F.count("*").alias("n_docs"), F.sum("n_words").alias("total_tokens")
+        )
+    elif args.action == "decontaminate":
+        bench = spark.read.parquet(args.benchmark)
+        out = D.decontaminate(docs, bench, threshold=args.threshold)
+        if args.drop:  # emit the clean corpus instead of the report
+            keep = out.filter(~F.col("contaminated")).select("doc_id")
+            out = docs.join(keep, "doc_id", "left_semi")
+    elif args.action == "split":
+        weights = {}
+        for part in args.weights.split(","):
+            name, frac = part.split("=", 1)
+            weights[name] = float(frac)
+        out = deterministic_split(docs, weights).select("doc_id", "lang", "split")
+    else:  # pack
+        out = pack_sequences(docs, ctx_len=args.ctx_len, group_col=args.group_col)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        _show(out)
+    return 0
+
+
 def cmd_verify(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="core_etl_verify")
     lake = Lake(spark, args.warehouse)
@@ -247,6 +295,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--vec-col", default="embedding")
     s.add_argument("--id-col", default="vec_id")
     s.set_defaults(fn=cmd_similarity)
+
+    c = sub.add_parser("corpus", help="training-corpus pipeline over documents")
+    c.add_argument("action", choices=["prep", "decontaminate", "split", "pack"])
+    c.add_argument("--documents", required=True, help="documents parquet path")
+    c.add_argument("--out", default="", help="write parquet here instead of printing")
+    c.add_argument("--min-words", type=int, default=20)
+    c.add_argument("--min-diversity", type=float, default=0.4)
+    c.add_argument("--benchmark", default="", help="benchmark parquet (decontaminate)")
+    c.add_argument("--threshold", type=float, default=0.2)
+    c.add_argument("--drop", action="store_true",
+                   help="decontaminate: emit the clean corpus, not the report")
+    c.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")
+    c.add_argument("--ctx-len", type=int, default=512)
+    c.add_argument("--group-col", default="lang")
+    c.set_defaults(fn=cmd_corpus)
     return p
 
 

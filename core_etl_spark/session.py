@@ -61,3 +61,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
+    """Switch stateful streaming to the RocksDB state store — the
+    production choice for large state (continuous-ingest dedup horizons,
+    per-key counters over millions of keys): the default provider keeps
+    all state in executor heap, RocksDB spills to local disk and, with
+    changelog checkpointing, uploads only per-batch deltas instead of
+    full snapshots. Runtime-settable; applies to queries started after
+    the call (existing checkpoints keep their original provider)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_STATE_PROVIDER)
+    if changelog:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )

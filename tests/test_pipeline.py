@@ -230,3 +230,33 @@ def test_cli_export_retention_sweep(tmp_path, capsys):
 
     lake = Lake(get_spark(app_name="t"), wh, bucket_size=10)
     assert lake.blocks().count() == 0
+
+
+def test_cli_corpus_actions_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """Every corpus action must run on the real documents table; --out
+    must write parquet; decontaminate --drop must remove flagged docs."""
+    docs = f"{sf_dir}/documents.parquet"
+    assert cli.main(["corpus", "prep", "--documents", docs]) == 0
+    assert "total_tokens" in capsys.readouterr().out
+
+    assert cli.main(["corpus", "split", "--documents", docs,
+                     "--weights", "train=0.8,val=0.2"]) == 0
+    out = capsys.readouterr().out
+    assert "train" in out
+
+    packed = str(tmp_path / "packed")
+    assert cli.main(["corpus", "pack", "--documents", docs,
+                     "--ctx-len", "128", "--out", packed]) == 0
+    pdf = spark.read.parquet(packed)
+    assert pdf.count() == spark.read.parquet(docs).count()
+    assert {"chunk_id", "chunk_offset", "spans_chunks"} <= set(pdf.columns)
+
+    # decontaminate against itself: every doc fully contaminated -> --drop
+    # empties the corpus; report mode flags all rows
+    assert cli.main(["corpus", "decontaminate", "--documents", docs,
+                     "--benchmark", docs]) == 0
+    assert "true" in capsys.readouterr().out
+    cleaned = str(tmp_path / "clean")
+    assert cli.main(["corpus", "decontaminate", "--documents", docs,
+                     "--benchmark", docs, "--drop", "--out", cleaned]) == 0
+    assert spark.read.parquet(cleaned).count() == 0

@@ -93,3 +93,37 @@ def test_dedup_within_watermark_batch_fallback(spark):
         [("a", None), ("a", None), ("b", None)], "fp string, ts timestamp"
     )
     assert dedup_within_watermark(df).count() == 2
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, tmp_path):
+    """The production state-store swap must be a pure config change: the
+    same stateful operators produce the same emissions under RocksDB
+    (disk-spilling, changelog checkpoints) as under the default provider."""
+    import os
+
+    from core_etl_spark.session import use_rocksdb_state
+    from core_etl_spark.streaming.stateful import first_seen
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "fp string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    use_rocksdb_state(spark)
+    try:
+        out: list = []
+        q = (
+            first_seen(spark.readStream.schema("fp string").parquet(src), "fp")
+            .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted((r.key, r.n_dropped_dups) for r in out) == [("a", 1), ("b", 0)]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
