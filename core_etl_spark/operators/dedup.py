@@ -579,11 +579,23 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_cnt = -1
     for _ in range(max_iter):
         new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # Converged when the edge set is a fixed star forest: small-star of
         # a star forest re-emits exactly the same (child → root) edges.
-        delta = new.exceptAll(edges).limit(1).count() + edges.exceptAll(new).limit(1).count()
+        # Cheap pre-filter first — unequal cardinality proves non-converged
+        # without the exceptAll shuffles (which move the full edge set);
+        # only a matching count pays for the exact set comparison.
+        new_cnt = new.count()
+        if new_cnt == prev_cnt:
+            delta = (
+                new.exceptAll(edges).limit(1).count()
+                + edges.exceptAll(new).limit(1).count()
+            )
+        else:
+            delta = 1
+        prev_cnt = new_cnt
         edges = new
         if delta == 0:
             break

@@ -31,8 +31,8 @@ from . import temporal_specs  # noqa: F401,E402
 from . import maintenance_specs  # noqa: F401,E402
 
 # The driver walks ``queries()`` in dict order and snapshots a bounded prefix
-# (every CORRECTNESS_r*.json to date stops at exactly 50 entries, out of 70
-# registered), so ``all_specs`` front-loads the specs with the least
+# (every CORRECTNESS_r*.json to date stops at exactly 50 entries; the
+# registry holds 88), so ``all_specs`` front-loads the specs with the least
 # historical driver coverage. Rotating the front of the list each round gives
 # every spec a driver-witnessed row across consecutive snapshots even though
 # no single snapshot can hold all of them. Specs not named here follow in
