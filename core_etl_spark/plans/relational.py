@@ -263,6 +263,76 @@ shared_sql(
 )
 
 shared_sql(
+    "g08b_window_distribution",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+           CAST(percent_rank() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS cume,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS cheapest_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS priciest_key
+    FROM orders
+    """,
+    tables=("orders",),
+    tags=("gap", "window", "distribution"),
+    doc="Distribution window functions (ntile/percent_rank/cume_dist) + "
+    "first/last_value with an explicit full frame — the §2.8 window rows "
+    "g08 doesn't cover; unique (price, key) ordering keeps ntile "
+    "deterministic.",
+)
+
+
+@register(
+    "g24_time_range_frame",
+    tables=("events",),
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   -- floor before the cast: DuckDB rounds double->BIGINT,
+                   -- Spark's unix_timestamp truncates
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   CAST(value AS DECIMAL(12,2)) AS v
+            FROM events
+        )
+        SELECT user_id, event_id, epoch_s,
+               COUNT(*) OVER w AS n_trailing,
+               CAST(SUM(v) OVER w AS DOUBLE) AS sum_trailing
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("gap", "window", "range-frame", "temporal"),
+)
+def g24(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Time-range window frame: per user, count/sum of events in the
+    trailing 10 minutes — RANGE BETWEEN 600 PRECEDING on epoch seconds
+    (the sliding-lookback shape ROWS frames can't express; peers at one
+    timestamp all see the same frame, so the result is order-independent).
+    Shuffles once on user_id; frame evaluation is a per-partition sweep."""
+    e = t["events"].select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-600, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "epoch_s",
+        F.count("*").over(w).alias("n_trailing"),
+        F.sum("v").over(w).cast("double").alias("sum_trailing"),
+    )
+
+
+shared_sql(
     "g09_topk_per_group",
     """
     WITH ranked AS (
