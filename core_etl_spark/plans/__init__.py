@@ -86,6 +86,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l21_hash_split",
     "g08b_window_distribution",
     "g24_time_range_frame",
+    "g25_recursive_cte",
+    "g26_lateral_topk",
     "o2c_stream_dedup_watermark",
     # Remaining slots up to the 50-cap: oracle-backed specs refreshed in
     # r04, cheapest/most-informative first, so the bounded prefix stays
@@ -98,11 +100,11 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g17_sessionization",
     "t3_address_filter",
     "g21_percentiles",
-    "l17_neardup_components",
-    "g22_salted_aggregation",
     # ---- 50-cap boundary lands around here; everything below is witnessed
     # in r04 and/or rows-only. Stateful/streaming specs stay last so budget
     # truncation never costs oracle coverage.
+    "l17_neardup_components",
+    "g22_salted_aggregation",
     "g23_salted_join",
     "j01_asof_join",
     "j02_range_join",

@@ -333,6 +333,50 @@ def g24(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 shared_sql(
+    "g25_recursive_cte",
+    """
+    WITH RECURSIVE nxt AS (
+      SELECT user_id, event_id,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
+      FROM events WHERE event_type = 'click'
+    ),
+    walk(user_id, event_id, hop) AS (
+      SELECT user_id, CAST(min(event_id) AS BIGINT), 0 FROM nxt GROUP BY user_id
+      UNION ALL
+      SELECT n.user_id, n.next_id, w.hop + 1
+      FROM walk w JOIN nxt n ON n.user_id = w.user_id AND n.event_id = w.event_id
+      WHERE n.next_id IS NOT NULL AND w.hop < 8
+    )
+    SELECT user_id, event_id, CAST(hop AS BIGINT) AS hop FROM walk
+    """,
+    tables=("events",),
+    tags=("gap", "recursive-cte", "iterative"),
+    doc="Recursive CTE (Spark 4 native): per-user chain walk from the "
+    "first click, hop-numbered, depth-bounded — the declarative "
+    "counterpart to the driver-loop iteration in neardup_components; "
+    "each recursion step is one self-join the engine plans like any "
+    "other (linear chain -> bounded rounds).",
+)
+
+shared_sql(
+    "g26_lateral_topk",
+    """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) l
+    """,
+    tables=("customer", "orders"),
+    tags=("gap", "lateral", "topk"),
+    doc="Correlated LATERAL subquery with per-row ORDER BY/LIMIT — the "
+    "SQL-standard spelling of top-k-per-group (g09's window form); "
+    "Catalyst decorrelates it to a ranked window over one join, not a "
+    "per-customer loop.",
+)
+
+shared_sql(
     "g09_topk_per_group",
     """
     WITH ranked AS (
