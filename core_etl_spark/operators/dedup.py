@@ -229,6 +229,45 @@ def decontaminate(
     )
 
 
+def editdist_pairs(
+    df: DataFrame,
+    max_dist: int = 20,
+    prefix_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: (id_a, id_b, edit_dist) for
+    documents whose whitespace-normalized text is within ``max_dist``
+    Levenshtein edits — the curation pass that catches small in-place
+    edits (typo fixes, template fills) that shingle-based Jaccard can
+    miss on short texts.
+
+    Levenshtein is O(len²) per pair, so all-pairs is never an option: the
+    **blocking key** (first ``prefix_len`` normalized chars) turns the
+    candidate set into an equi-join — only docs sharing a prefix block
+    are compared, the same blocking discipline record-linkage systems
+    use. At 100 TB the block sizes bound the quadratic term; skewed
+    blocks (boilerplate prefixes) should be capped or salted upstream,
+    exactly like l06's stop-shingle valve."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    b = df.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("_t"),
+        F.substring(norm, 1, prefix_len).alias("_blk"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, F.col("a._blk") == F.col("b._blk"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a._t"), F.col("b._t")).cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
 def _perm_hash(s: Column, j: int, hash_fn: str) -> Column:
     """Permutation-*j* hash of one shingle. ``md5`` is the engine-portable
     choice (hex strings order like the integers they encode, so array_min

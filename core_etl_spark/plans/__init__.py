@@ -84,6 +84,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l19_decontamination",
     "l20_sequence_packing",
     "l21_hash_split",
+    "l22_editdist_dedup",
     "g08b_window_distribution",
     "g24_time_range_frame",
     "g25_recursive_cte",
@@ -99,10 +100,10 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g16b_sliding_window",
     "g17_sessionization",
     "t3_address_filter",
-    "g21_percentiles",
     # ---- 50-cap boundary lands around here; everything below is witnessed
     # in r04 and/or rows-only. Stateful/streaming specs stay last so budget
     # truncation never costs oracle coverage.
+    "g21_percentiles",
     "l17_neardup_components",
     "g22_salted_aggregation",
     "g23_salted_join",

@@ -895,6 +895,29 @@ def l21(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "l22_editdist_dedup",
+    tables=("documents",),
+    oracle=r"""
+        WITH n AS (
+            SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        b AS (SELECT doc_id, t, substring(t, 1, 16) AS blk FROM n)
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(levenshtein(x.t, y.t) AS BIGINT) AS edit_dist
+        FROM b x JOIN b y USING (blk)
+        WHERE x.doc_id < y.doc_id AND levenshtein(x.t, y.t) <= 20
+    """,
+    tags=("llm", "dedup", "editdist", "blocking"),
+)
+def l22(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking: Levenshtein ≤ 20
+    among docs sharing a 16-char normalized prefix — the record-linkage
+    blocking discipline that keeps the quadratic distance off all-pairs."""
+    return D.editdist_pairs(t["documents"], max_dist=20, prefix_len=16)
+
+
+@register(
     "l20_sequence_packing",
     tables=("documents",),
     oracle="""

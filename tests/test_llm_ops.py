@@ -464,3 +464,23 @@ def test_deterministic_split_partitions_and_stays_stable(spark, sf_dir):
         for r in deterministic_split(docs.limit(n // 2), w).collect()
     }
     assert all(full[d] == s for d, s in half.items())
+
+
+def test_editdist_pairs_blocking_and_distance(spark):
+    """Pairs within the edit budget AND sharing the prefix block are
+    found; near-identical texts with different prefixes are (by design)
+    not compared — the blocking trade documented on the operator."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),   # dist 3
+            (2, "the quick brown fox leaps over a sleepy dog"),   # same block
+            (3, "a totally different prefix but same suffix dog"),  # other block
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.edit_dist for r in
+           D.editdist_pairs(docs, max_dist=15, prefix_len=16).collect()}
+    assert out[(0, 1)] == 3
+    assert (0, 2) in out and out[(0, 2)] <= 15
+    assert all(3 not in pair for pair in out)  # blocked out by prefix
