@@ -197,6 +197,15 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         if args.drop:  # emit the clean corpus instead of the report
             keep = out.filter(~F.col("contaminated")).select("doc_id")
             out = docs.join(keep, "doc_id", "left_semi")
+    elif args.action == "dedup":
+        # full near-dup path: Jaccard pairs -> connected components ->
+        # keep one doc per component (star variant: diameter-proof)
+        pairs = D.jaccard_pairs(
+            docs, threshold=args.threshold_jaccard
+        ).select("id_a", "id_b").localCheckpoint(eager=True)
+        comp = D.neardup_components_star(pairs)
+        drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+        out = docs.join(drop, "doc_id", "left_anti")
     elif args.action == "split":
         weights = {}
         for part in args.weights.split(","):
@@ -297,13 +306,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_similarity)
 
     c = sub.add_parser("corpus", help="training-corpus pipeline over documents")
-    c.add_argument("action", choices=["prep", "decontaminate", "split", "pack"])
+    c.add_argument("action",
+                   choices=["prep", "dedup", "decontaminate", "split", "pack"])
     c.add_argument("--documents", required=True, help="documents parquet path")
     c.add_argument("--out", default="", help="write parquet here instead of printing")
     c.add_argument("--min-words", type=int, default=20)
     c.add_argument("--min-diversity", type=float, default=0.4)
     c.add_argument("--benchmark", default="", help="benchmark parquet (decontaminate)")
     c.add_argument("--threshold", type=float, default=0.2)
+    c.add_argument("--threshold-jaccard", type=float, default=0.5,
+                   help="dedup: near-dup pair threshold")
     c.add_argument("--drop", action="store_true",
                    help="decontaminate: emit the clean corpus, not the report")
     c.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")

@@ -235,6 +235,7 @@ def editdist_pairs(
     prefix_len: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_df: int | None = None,
 ) -> DataFrame:
     """Blocked edit-distance near-dup pairs: (id_a, id_b, edit_dist) for
     documents whose whitespace-normalized text is within ``max_dist``
@@ -246,15 +247,26 @@ def editdist_pairs(
     **blocking key** (first ``prefix_len`` normalized chars) turns the
     candidate set into an equi-join — only docs sharing a prefix block
     are compared, the same blocking discipline record-linkage systems
-    use. At 100 TB the block sizes bound the quadratic term; skewed
-    blocks (boilerplate prefixes) should be capped or salted upstream,
-    exactly like l06's stop-shingle valve."""
+    use. At 100 TB the block sizes bound the quadratic term; a skewed
+    block (a boilerplate prefix shared by millions of docs) would turn
+    quadratic, so ``max_block_df`` is the valve — blocks larger than it
+    are excluded wholesale (agg + broadcast anti-join, the same shape as
+    l06's stop-shingle valve; the dropped docs are exactly the
+    boilerplate family a separate exact-dedup pass already collapses)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     b = df.select(
         F.col(id_col).alias("doc_id"),
         norm.alias("_t"),
         F.substring(norm, 1, prefix_len).alias("_blk"),
     )
+    if max_block_df is not None:
+        hot = (
+            b.groupBy("_blk")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_block_df)
+            .select("_blk")
+        )
+        b = b.join(F.broadcast(hot), "_blk", "left_anti")
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, F.col("a._blk") == F.col("b._blk"))

@@ -484,3 +484,19 @@ def test_editdist_pairs_blocking_and_distance(spark):
     assert out[(0, 1)] == 3
     assert (0, 2) in out and out[(0, 2)] <= 15
     assert all(3 not in pair for pair in out)  # blocked out by prefix
+
+
+def test_editdist_block_valve_drops_hot_blocks(spark):
+    """max_block_df must exclude oversized prefix blocks wholesale (the
+    boilerplate-skew valve) while leaving small blocks untouched."""
+    rows = [(i, "boilerplate header repeated everywhere " + str(i)) for i in range(6)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "the quick brown fox jumps over the lazy cat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r.id_a, r.id_b) for r in
+              D.editdist_pairs(docs, max_dist=40, prefix_len=16,
+                               max_block_df=4).collect()}
+    assert capped == {(100, 101)}  # hot block excluded, small block kept
+    uncapped = {(r.id_a, r.id_b) for r in
+                D.editdist_pairs(docs, max_dist=40, prefix_len=16).collect()}
+    assert (0, 1) in uncapped and (100, 101) in uncapped

@@ -260,3 +260,21 @@ def test_cli_corpus_actions_end_to_end(spark, sf_dir, tmp_path, capsys):
     assert cli.main(["corpus", "decontaminate", "--documents", docs,
                      "--benchmark", docs, "--drop", "--out", cleaned]) == 0
     assert spark.read.parquet(cleaned).count() == 0
+
+
+def test_cli_corpus_dedup_keeps_one_per_component(spark, sf_dir, tmp_path):
+    """The dedup action must drop every non-keeper of each near-dup
+    component and keep everything else."""
+    docs = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "deduped")
+    assert cli.main(["corpus", "dedup", "--documents", docs,
+                     "--out", out]) == 0
+    import core_etl_spark.operators.dedup as D
+
+    src = spark.read.parquet(docs)
+    pairs = D.jaccard_pairs(src, threshold=0.5).select("id_a", "id_b")
+    comp = D.neardup_components_star(pairs)
+    n_dropped = comp.filter(F.col("doc_id") != F.col("component")).count()
+    kept = spark.read.parquet(out)
+    assert kept.count() == src.count() - n_dropped
+    assert n_dropped > 0  # fixture has near-dups; the action must act
