@@ -143,8 +143,24 @@ def cmd_similarity(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="core_etl_similarity")
     emb = spark.read.parquet(args.embeddings)
+    if args.build_index:
+        cents = None
+        if args.centroids == "kmeans":
+            cents = S.kmeans_centroids(
+                emb, n_centroids=args.n_centroids, vec_col=args.vec_col,
+                sample_fraction=args.sample_fraction,
+            )
+        S.write_ivf_index(emb, args.build_index, n_centroids=args.n_centroids,
+                          vec_col=args.vec_col, id_col=args.id_col,
+                          centroids=cents)
+        print(f"wrote IVF index: {args.build_index}")
+        return 0
     queries = emb.filter(F.col(args.id_col) < args.n_queries)
-    if args.method == "exact":
+    if args.index:
+        out = S.ivf_index_topk(spark, args.index, queries, k=args.k,
+                               nprobe=args.nprobe, vec_col=args.vec_col,
+                               id_col=args.id_col)
+    elif args.method == "exact":
         out = S.brute_force_topk(emb, queries, k=args.k,
                                  vec_col=args.vec_col, id_col=args.id_col)
     elif args.method == "lsh":
@@ -303,6 +319,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="KMeans training sample (None = full table)")
     s.add_argument("--vec-col", default="embedding")
     s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--build-index", default="",
+                   help="build a persisted IVF index at this path and exit")
+    s.add_argument("--index", default="",
+                   help="query a persisted IVF index instead of building cells")
     s.set_defaults(fn=cmd_similarity)
 
     c = sub.add_parser("corpus", help="training-corpus pipeline over documents")

@@ -395,3 +395,91 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# --- persisted IVF index (build once, probe many) ----------------------------
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF inverted lists to parquet **partitioned by
+    cell** — the build-once/probe-many shape ``ivf_ann_topk``'s docstring
+    promises. The one-off build pays the broadcast assignment; after
+    that every query batch reads only its probed cells *from disk*:
+    the cell filter is a partition predicate, so a probe touches
+    ~nprobe/n_centroids of the files, not the corpus. Centroids (K rows)
+    are stored alongside so the index is self-contained."""
+    n = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("id"), "_dec", "_normsq"
+    ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = n.filter(F.col("id") < n_centroids).select(
+            F.col("id").alias("cent_id"),
+            F.col("dec").alias("c_dec"),
+            F.col("normsq").alias("c_normsq"),
+        )
+    lists = ivf_assign_cells(n, cents)
+    lists.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF index. The probed cell ids (a
+    queries × nprobe handful of ints — bounded, driver-safe) become a
+    literal partition filter on the lists table, so the scan prunes to
+    the probed directories before any row is read — at 100 TB the query
+    cost is proportional to nprobe/n_centroids of the index, which is
+    the entire point of building one."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = with_norm(queries, vec_col, parallelize=False).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_dec").alias("q_dec"),
+        F.col("_normsq").alias("q_normsq"),
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos",
+        cosine(_dot(F.col("q_dec"), F.col("c_dec")), F.col("q_normsq"), F.col("c_normsq")),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cos"), "cent_id")
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"), "q_dec", "q_normsq")
+        .localCheckpoint(eager=True)
+    )
+    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cell").isin(cells))
+    scored = (
+        lists.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine(
+                _dot(F.col("q_dec"), F.col("dec")),
+                F.col("q_normsq"),
+                F.col("normsq"),
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

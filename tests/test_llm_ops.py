@@ -500,3 +500,29 @@ def test_editdist_block_valve_drops_hot_blocks(spark):
     uncapped = {(r.id_a, r.id_b) for r in
                 D.editdist_pairs(docs, max_dist=40, prefix_len=16).collect()}
     assert (0, 1) in uncapped and (100, 101) in uncapped
+
+
+def test_ivf_persisted_index_matches_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted IVF index must return exactly the in-memory IVF
+    result, and a small query set's probe must reach the parquet scan as
+    a partition filter covering fewer than all cells — the probe reads
+    nprobe-worth of directories, not the corpus."""
+    import re
+
+    from core_etl_spark.io import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",), register=False)["embeddings"]
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.ivf_index_topk(spark, path, queries, k=5, nprobe=3)
+    mem = S.ivf_ann_topk(emb, queries, k=5, n_centroids=16, nprobe=3)
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in mem.collect()}
+    assert got == want and got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = next(x for x in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if x)
+    m = re.search(r"IN(?:SET)?\s*\(?([\d,\s]+)\)?", pf)
+    assert m, f"no cell IN-list in partition filter: {pf}"
+    n_cells = len(re.findall(r"\d+", m.group(1)))
+    assert n_cells <= 9, f"3 queries x nprobe 3 must prune to <=9 cells, saw {pf}"

@@ -278,3 +278,17 @@ def test_cli_corpus_dedup_keeps_one_per_component(spark, sf_dir, tmp_path):
     kept = spark.read.parquet(out)
     assert kept.count() == src.count() - n_dropped
     assert n_dropped > 0  # fixture has near-dups; the action must act
+
+
+def test_cli_similarity_persisted_index(spark, sf_dir, tmp_path, capsys):
+    """--build-index then --index: the CLI round-trip over a persisted
+    IVF index returns ranked neighbors."""
+    emb = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "ivf_idx")
+    assert cli.main(["similarity", "--embeddings", emb,
+                     "--build-index", idx, "--n-centroids", "8"]) == 0
+    assert "wrote IVF index" in capsys.readouterr().out
+    assert cli.main(["similarity", "--embeddings", emb, "--index", idx,
+                     "--n-queries", "3", "--k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "neighbor_id" in out and "rank" in out
