@@ -32,17 +32,75 @@ from . import maintenance_specs  # noqa: F401,E402
 
 # The driver walks ``queries()`` in dict order and snapshots a bounded prefix
 # (every CORRECTNESS_r*.json to date stops at exactly 50 entries; the
-# registry holds 88), so ``all_specs`` front-loads the specs with the least
+# registry holds 93), so ``all_specs`` front-loads the specs with the least
 # historical driver coverage. Rotating the front of the list each round gives
 # every spec a driver-witnessed row across consecutive snapshots even though
 # no single snapshot can hold all of them. Specs not named here follow in
 # registration order; pytest runs the full registry regardless of order.
 _SNAPSHOT_PRIORITY: tuple[str, ...] = (
-    # r05 rotation: the 33 specs with no r04 row (latest evidence is r03)
-    # lead, so every one of them gets a fresh driver-witnessed row. The
-    # t45/t4678 decode core goes first — it is the heart of the reference
-    # surface and its evidence is the oldest that matters.
+    # r06 rotation. l20 leads: it is the one spec whose latest driver row is
+    # red (r5 hash-fail, dtype-only — the oracle now CASTs the HUGEINT-derived
+    # columns) and it needs its first green hash row.
+    "l20_sequence_packing",
+    # Then the 43 specs with no r05 row (latest evidence r04, one more silent
+    # round would leave them two rounds stale). Oracle-backed specs first,
+    # grouped by family; rows-only/stateful specs go to the tail of the 50 so
+    # budget truncation never costs oracle coverage.
+    "q01_latest_with_fallback",
+    "q02_point_by_number",
+    "q03_point_by_string_key",
+    "q04_full_scan",
+    "q05_range_scan",
+    "q05b_range_scan_open",
+    "q06_children_of_parent",
+    "q07_point_composite_key",
+    "q08_dynamic_conjuncts",
+    "q09_union_all_projection",
+    "q10_direction_dispatch",
+    "q11_catalog_partitions",
+    "v02_sequence_gap_check",
+    "v03_positional_check",
+    "v04_tip_comparison",
+    "g01_hash_agg_tpch_q1",
+    "g21_percentiles",
+    "g22_salted_aggregation",
+    "g23_salted_join",
+    "g21b_approx_sketches",
+    "j01_asof_join",
+    "j02_range_join",
+    "l06x_ngram_jaccard_xxhash",
+    "l10_ann_lsh_topk",
+    "l11_embedding_neardup",
+    "l12_ann_ivf_topk",
+    "l12b_ann_ivf_kmeans",
+    "l13_repetition_stats",
+    "l14_pii_scrub",
+    "l15_stratified_sample",
+    "l16_vocab_topk",
+    "l17_neardup_components",
+    "c01_corpus_prep",
+    "c02_corpus_mix",
+    "m02_image_resize",
+    "m03_audio_features",
+    "m04_video_frame_sample",
+    # Mutation / pipeline / streaming specs (rows-only or slow) — still
+    # inside the 50 so their evidence refreshes, but last among the stale.
+    "k78_partition_mutations",
+    "k11_compaction",
+    "k09_retention_cleanup",
+    "o1_backfill_pipeline",
+    "o2b_stateful_streaming",
+    "o2_streaming_tail",
+    # ---- 44 so far. Remaining slots to the 50-cap: cheap oracle specs
+    # refreshed green in r05 (kept warm so the decode core and mutation
+    # detectors never go two rounds without a row).
     "t45_transfer_decode",
+    "t3_address_filter",
+    "k06_maturity_flag",
+    "k10_reorg_detect",
+    "g13_hex_conversion",
+    "v02b_sequence_gap_scalable",
+    # ---- 50-cap boundary. Everything below holds a green r05 row.
     "t4678_cbc20_extract",
     "g02_join_agg_topk_tpch_q3",
     "g03_star_join_tpch_q5",
@@ -54,17 +112,22 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g07b_cube",
     "g07c_grouping_sets",
     "g08_window_functions",
+    "g08b_window_distribution",
     "g09_topk_per_group",
     "g10_set_ops",
     "g11_string_functions",
     "g12_datetime_functions",
-    "g13_hex_conversion",
     "g14_json_functions",
     "g15_array_functions",
     "g16_tumbling_window",
+    "g16b_sliding_window",
+    "g17_sessionization",
     "g18_pivot_conditional_agg",
     "g19_scalar_subquery",
     "g20_decorrelated_subquery",
+    "g24_time_range_frame",
+    "g25_recursive_cte",
+    "g26_lateral_topk",
     "l01_exact_dedup",
     "l02_text_stats",
     "l03_token_count",
@@ -75,68 +138,26 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l07x_minhash_lsh_xxhash",
     "l08_simhash_dedup",
     "l09_cosine_topk",
-    # Red in r04 (canon-unsafe list column, fixed this round): needs its
-    # first-ever green row.
-    "m01_image_features",
-    # New in r05 (star connected components, benchmark decontamination,
-    # sequence packing): first driver rows.
     "l18_neardup_components_star",
     "l19_decontamination",
-    "l20_sequence_packing",
     "l21_hash_split",
     "l22_editdist_dedup",
-    "g08b_window_distribution",
-    "g24_time_range_frame",
-    "g25_recursive_cte",
-    "g26_lateral_topk",
+    "m01_image_features",
     "o2c_stream_dedup_watermark",
-    # Remaining slots up to the 50-cap: oracle-backed specs refreshed in
-    # r04, cheapest/most-informative first, so the bounded prefix stays
-    # maximally oracle-checked (ADVICE r04: rows-only stateful specs go to
-    # the tail — they all hold green r04 rows already).
-    "k06_maturity_flag",
-    "k10_reorg_detect",
-    "v02b_sequence_gap_scalable",
-    "g16b_sliding_window",
-    "g17_sessionization",
-    "t3_address_filter",
-    # ---- 50-cap boundary lands around here; everything below is witnessed
-    # in r04 and/or rows-only. Stateful/streaming specs stay last so budget
-    # truncation never costs oracle coverage.
-    "g21_percentiles",
-    "l17_neardup_components",
-    "g22_salted_aggregation",
-    "g23_salted_join",
-    "j01_asof_join",
-    "j02_range_join",
-    "l13_repetition_stats",
-    "l14_pii_scrub",
-    "l15_stratified_sample",
-    "l16_vocab_topk",
-    "g21b_approx_sketches",
-    "c01_corpus_prep",
-    "c02_corpus_mix",
-    "l10_ann_lsh_topk",
-    "l11_embedding_neardup",
-    "l12_ann_ivf_topk",
-    "l12b_ann_ivf_kmeans",
-    "m02_image_resize",
-    "m03_audio_features",
-    "m04_video_frame_sample",
-    "k11_compaction",
-    "k78_partition_mutations",
-    "o1_backfill_pipeline",
-    "k09_retention_cleanup",
-    "o2b_stateful_streaming",
-    "o2_streaming_tail",
 )
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    # A typo or renamed spec here would silently waste one of the driver's 50
+    # snapshot slots — fail loudly instead (ADVICE r05).
+    unknown = set(_SNAPSHOT_PRIORITY) - set(REGISTRY)
+    if unknown:
+        raise AssertionError(
+            f"_SNAPSHOT_PRIORITY names not in REGISTRY: {sorted(unknown)}"
+        )
     ordered: dict[str, QuerySpec] = {}
     for name in _SNAPSHOT_PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+        ordered[name] = REGISTRY[name]
     for name, spec in REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec

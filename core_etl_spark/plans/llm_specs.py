@@ -933,11 +933,15 @@ def l22(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                 AS cum_before
             FROM t
         )
+        -- DuckDB's windowed SUM(BIGINT) yields HUGEINT; without these casts
+        -- the //-derived columns arrive in pandas as float64 (5.0) while
+        -- Spark emits int64 (5) and the driver's value hash diverges even
+        -- though every value is identical (r5 l20 red cell).
         SELECT lang, doc_id, n_tokens,
-               cum_before // 512 AS chunk_id,
-               cum_before % 512 AS chunk_offset,
-               (cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1
-                   AS spans_chunks
+               CAST(cum_before // 512 AS BIGINT) AS chunk_id,
+               CAST(cum_before % 512 AS BIGINT) AS chunk_offset,
+               CAST((cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1
+                   AS BIGINT) AS spans_chunks
         FROM c
     """,
     tags=("llm", "packing", "window"),

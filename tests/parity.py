@@ -52,6 +52,22 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         return problems
     a, b = _normalize(spdf), _normalize(oracle_pdf)
     for c in a.columns:
+        # The driver's canonical hash stringifies values, so an int64 5 on one
+        # side vs a float64 5.0 on the other hash-mismatches even when every
+        # value is numerically identical (r4 m01, r5 l20 — both slipped past
+        # the object-equality branch below where 5 == 5.0). Flag the dtype
+        # split itself; oracles must CAST to the integer type Spark emits.
+        int_a = pd.api.types.is_integer_dtype(a[c])
+        int_b = pd.api.types.is_integer_dtype(b[c])
+        if int_a != int_b and (
+            pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c])
+        ):
+            problems.append(
+                f"col {c}: int-vs-float dtype split spark={a[c].dtype} "
+                f"oracle={b[c].dtype} — driver hash stringifies 5 vs 5.0 "
+                "differently; CAST the oracle column"
+            )
+            continue
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
             av, bv = a[c].to_numpy(), b[c].to_numpy()
             for i, (x, y) in enumerate(zip(av, bv)):

@@ -30,3 +30,52 @@ def test_spec_matches_oracle(name, spark, sf_dir, duck):
     oracle_pdf = duck.execute(spec.oracle).fetchdf()
     problems = compare(df, oracle_pdf)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# The exact l20 oracle text that shipped in r5: DuckDB's windowed SUM(BIGINT)
+# returns HUGEINT, so the //-derived columns fetch as float64 while Spark
+# emits int64 — cell-for-cell identical values, divergent driver hash.
+_L20_ORACLE_R5 = """
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *, COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+        FROM t
+    )
+    SELECT lang, doc_id, n_tokens,
+           cum_before // 512 AS chunk_id,
+           cum_before % 512 AS chunk_offset,
+           (cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1
+               AS spans_chunks
+    FROM c
+"""
+
+
+def test_harness_catches_int_vs_float_dtype_split(spark, sf_dir, duck):
+    """Regression for the r5 l20 red cell: the old object-equality branch
+    passed `5 == 5.0`, so a float64 oracle column vs an int64 Spark column
+    sailed through locally while the driver's stringify-hash failed. The
+    harness must now flag the dtype split itself."""
+    spec = SPECS["l20_sequence_packing"]
+    df = spec.builder(spark, sf_dir)
+    stale_pdf = duck.execute(_L20_ORACLE_R5).fetchdf()
+    import pandas as pd
+
+    assert any(
+        pd.api.types.is_float_dtype(stale_pdf[c])
+        for c in ("chunk_id", "chunk_offset", "spans_chunks")
+    ), "precondition: the stale oracle must fetch HUGEINT-derived cols as float"
+    problems = compare(df, stale_pdf)
+    assert problems and any("int-vs-float" in p for p in problems), (
+        "harness failed to flag the dtype split that broke the driver hash: "
+        f"{problems}"
+    )
+    # And the shipped (CAST-fixed) oracle is clean under the stricter check.
+    fixed_pdf = duck.execute(spec.oracle).fetchdf()
+    assert not compare(df, fixed_pdf)
