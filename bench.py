@@ -6,15 +6,22 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Methodology — steady-state, cold-cache:
 
-- one untimed warmup pass over EVERY headline query absorbs JVM/codegen
-  startup, JIT compilation of the hot expression paths, and Python worker
-  spin-up (the pandas-UDF operators), so timed numbers reflect the execution
-  cost a long-running cluster would see, not first-query warmup;
+- queries run grouped by FAMILY (relational → llm → pipeline), each family
+  fully warmed and timed before the next family touches the session: r05
+  showed the five sub-second relational queries drifting +22–55% with
+  unchanged plans when the whole 12-query set (cache-heavy dedup pipelines,
+  the o1 lake writer) was warmed up front — heap/GC pressure the small
+  queries then paid. Family isolation (plus an explicit JVM GC at each
+  family boundary) times them in the session state they'd actually run in;
+- the per-family untimed warmup pass absorbs JVM/codegen startup, JIT
+  compilation of the hot expression paths, and Python worker spin-up (the
+  pandas-UDF operators), so timed numbers reflect the execution cost a
+  long-running cluster would see, not first-query warmup;
 - ``spark.catalog.clearCache()`` before every timed run: operators that
   cache intermediates (the dedup pipelines) must rebuild them inside the
   timed window — we measure work, not cache hits;
-- each query runs twice, report the min (standard noise floor for a shared
-  machine); results are fully materialized via count().
+- each query runs RUNS times, report the min (standard noise floor for a
+  shared machine); results are fully materialized via count().
 """
 
 from __future__ import annotations
@@ -40,6 +47,17 @@ def _runs_for(name: str) -> int:
     return 5 if any(name.startswith(p) for p in EXTRA_RUNS) else RUNS
 
 
+def _family(name: str) -> int:
+    """Bench isolation groups, timed in this order: light relational SQL
+    first (before anything cache-heavy touches the session), then the
+    llm/dedup/similarity pipelines, then the lake-writing pipeline specs."""
+    if name.startswith("g"):
+        return 0
+    if name.startswith(("l", "m", "c", "j")):
+        return 1
+    return 2  # o*, k*: ingest / mutation paths
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -48,20 +66,25 @@ def main() -> None:
     specs = {n: s for n, s in all_specs().items() if s.headline}
     names = sorted(specs)
 
-    for name in names:  # warmup: JIT + codegen + Python workers
-        specs[name].builder(spark, sf_dir).count()
-
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in names:
-        per_run = []
-        for _ in range(_runs_for(name)):
-            spark.catalog.clearCache()  # operators rebuild their own caches
-            t0 = time.perf_counter()
+    for fam in sorted({_family(n) for n in names}):
+        fam_names = [n for n in names if _family(n) == fam]
+        for name in fam_names:  # warmup: JIT + codegen + Python workers
             specs[name].builder(spark, sf_dir).count()
-            per_run.append(round(time.perf_counter() - t0, 4))
-        runs[name] = per_run
-        timings[name] = min(per_run)
+        for name in fam_names:
+            per_run = []
+            for _ in range(_runs_for(name)):
+                spark.catalog.clearCache()  # operators rebuild their own caches
+                t0 = time.perf_counter()
+                specs[name].builder(spark, sf_dir).count()
+                per_run.append(round(time.perf_counter() - t0, 4))
+            runs[name] = per_run
+            timings[name] = min(per_run)
+        # drop the family's cache debris + collect before the next family so
+        # its timings start from a quiet heap
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "headline_query_wall_seconds",

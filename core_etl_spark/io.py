@@ -38,6 +38,12 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (this round's driver
+    # encoding) read directly as TimestampType instead of TIMESTAMP_NTZ —
+    # value-identical under the UTC session zone, and it drops the
+    # per-column cast projection _fix_nanos_timestamps would otherwise put
+    # above every scan of events/orders/lineitem.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 #: session → {(sf_dir, table) → (DataFrame, registered)}. A DataFrame is a

@@ -76,9 +76,10 @@ class Lake:
         #: serializes partition mutations against concurrent batch
         #: processing: the retention scheduler thread's stage-and-swap
         #: (rmtree + move of bucket dirs) must not race the streaming
-        #: tail's reorg-check reads (both hold this around their critical
-        #: sections; re-entrant so a mutation inside the tail's own batch
-        #: doesn't self-deadlock).
+        #: tail's reorg-check reads, and compact's scan→stage→swap must not
+        #: race ANY writer — so write/write_all take this too (ADVICE r05).
+        #: Re-entrant so a mutation inside the tail's own batch doesn't
+        #: self-deadlock.
         self.mutex = threading.RLock()
 
     # --- layout --------------------------------------------------------------
@@ -105,7 +106,20 @@ class Lake:
         partitions by height (clustering for min/max skipping — the index
         replacement), and writes through the partition layout. ``mode`` may
         be ``overwrite`` with dynamic partition overwrite for idempotent
-        re-ingest of a bucket (the exactly-once story, SURVEY §7)."""
+        re-ingest of a bucket (the exactly-once story, SURVEY §7).
+
+        Holds the lake mutex: ``compact``'s scan→stage→swap is only safe if
+        every writer serializes against it — a write landing between
+        compact's scan and its directory swap would be silently dropped by
+        the stale staged rewrite. Re-entrant for the streaming tail's outer
+        hold."""
+        with self.mutex:
+            self._write_unlocked(name, df, mode)
+
+    def _write_unlocked(self, name: str, df: DataFrame, mode: str) -> None:
+        # Lock-free body so write_all's pool workers (different threads — an
+        # RLock hold doesn't extend to them) can run concurrently under the
+        # single group hold taken by the submitting thread.
         if name not in self.modules:  # K5 module gating
             return
         num = _NUMBER_COL[name]
@@ -144,13 +158,20 @@ class Lake:
             )
             if df is not None
         ]
-        if len(todo) == 1:
-            self.write(todo[0][0], todo[0][1], mode)
-            return
-        with ThreadPoolExecutor(max_workers=len(todo)) as pool:
-            futures = [pool.submit(self.write, name, df, mode) for name, df in todo]
-            for f in futures:
-                f.result()
+        # One mutex hold around the whole group: the sinks stay concurrent
+        # with each other (workers run the lock-free body) while the group as
+        # a unit serializes against compact/retention stage-and-swap.
+        with self.mutex:
+            if len(todo) == 1:
+                self._write_unlocked(todo[0][0], todo[0][1], mode)
+                return
+            with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+                futures = [
+                    pool.submit(self._write_unlocked, name, df, mode)
+                    for name, df in todo
+                ]
+                for f in futures:
+                    f.result()
 
     # --- reads -----------------------------------------------------------------
 

@@ -81,6 +81,21 @@ def deterministic_split(
     the corpus grows: existing docs never migrate between splits when
     new docs arrive (the leakage-safety property randomSplit lacks)."""
     names = list(weights)
+    if not names:
+        raise ValueError("deterministic_split: weights must name at least one split")
+    # Validate up front: a negative weight, or earlier weights already
+    # summing past 1, saturates an intermediate threshold at >= 1 ("g",
+    # which sorts above all hex) — every later named split would silently
+    # receive zero rows instead of failing (ADVICE r05).
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"deterministic_split: negative weight {name}={w}")
+    head = sum(weights[n] for n in names[:-1])
+    if head > 1.0:
+        raise ValueError(
+            "deterministic_split: weights before the last split sum to "
+            f"{head} > 1 — splits after the excess would be empty"
+        )
     h = F.substring(
         F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
         1,

@@ -91,16 +91,18 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "o1_backfill_pipeline",
     "o2b_stateful_streaming",
     "o2_streaming_tail",
-    # ---- 44 so far. Remaining slots to the 50-cap: cheap oracle specs
+    # New in r06 (star-CC closure bench spec): needs its first driver row.
+    "l18b_star_cc_chains",
+    # ---- 45 so far. Remaining slots to the 50-cap: cheap oracle specs
     # refreshed green in r05 (kept warm so the decode core and mutation
     # detectors never go two rounds without a row).
     "t45_transfer_decode",
     "t3_address_filter",
     "k06_maturity_flag",
     "k10_reorg_detect",
-    "g13_hex_conversion",
     "v02b_sequence_gap_scalable",
     # ---- 50-cap boundary. Everything below holds a green r05 row.
+    "g13_hex_conversion",
     "t4678_cbc20_extract",
     "g02_join_agg_topk_tpch_q3",
     "g03_star_join_tpch_q5",

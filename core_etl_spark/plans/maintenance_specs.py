@@ -136,25 +136,58 @@ def _temp_lake(spark: SparkSession, n_blocks: int, bucket: int = 25):
 @register(
     "k78_partition_mutations",
     tables=(),
-    oracle=None,  # stateful filesystem mutation — rows-only gate
+    # The mutation end-state IS deterministic: the fixture chain is pure
+    # md5 expressions over range(100) (sources/fixtures.py:30-33), and
+    # clean(42) + truncate_from_last_saved(30) are two DELETEs (reference
+    # sqlite3.rs:272-392) — so DuckDB can regenerate the whole surviving
+    # warehouse and the riskiest code in lake.py sits under the driver's
+    # value hash instead of a row count (VERDICT r05 stretch #7).
+    oracle="""
+        WITH b AS (
+            SELECT range AS number,
+                   md5('blk' || CAST(range AS VARCHAR))
+                     || md5('blk' || CAST(range AS VARCHAR) || 'x') AS hash,
+                   CASE WHEN range = 0 THEN repeat('0', 64)
+                        ELSE md5('blk' || CAST(range - 1 AS VARCHAR))
+                          || md5('blk' || CAST(range - 1 AS VARCHAR) || 'x')
+                   END AS parent_hash,
+                   CAST(1700000000 + range * 7 AS BIGINT) AS ts
+            FROM range(0, 100)
+        )
+        SELECT CAST(number AS BIGINT) AS number, hash, parent_hash, ts,
+               CAST(2 AS BIGINT) AS n_txs
+        FROM b
+        WHERE number <> 42      -- clean_block_data(42)
+          AND number <= 99 - 30 -- truncate_from_last_saved(30): tip stays 99
+    """,
     tags=("k7", "k8", "maintenance", "mutation"),
 )
 def k78(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """K7+K8 — reorg clean of one height and truncate-last-N as
-    partition-scoped rewrites on a real temp warehouse; returns the
-    table-count summary after each mutation (full invariants in
-    tests/test_lake.py)."""
+    partition-scoped rewrites on a real temp warehouse; returns the full
+    surviving blocks table joined (full-outer, so orphaned tx rows would
+    surface as null-hash rows) with per-height tx counts — the exact
+    end-state the oracle regenerates. Invariants in tests/test_lake.py."""
     with _shuffle_partitions(spark, 8):
         lake, root = _temp_lake(spark, n_blocks=100)
         try:
-            counts = [("initial", lake.blocks().count(), lake.transactions().count())]
             lake.clean_block_data(42)
-            counts.append(("after_clean_42", lake.blocks().count(), lake.transactions().count()))
             lake.truncate_from_last_saved(30)
-            counts.append(("after_truncate_30", lake.blocks().count(), lake.transactions().count()))
-            return spark.createDataFrame(
-                counts, "step string, n_blocks long, n_transactions long"
+            final = lake.blocks().select(
+                "number", "hash", "parent_hash", F.col("timestamp").alias("ts")
             )
+            txn = (
+                lake.transactions()
+                .groupBy(F.col("block_number").alias("number"))
+                .agg(F.count("*").alias("n_txs"))
+            )
+            out = final.join(txn, "number", "full_outer").select(
+                "number", "hash", "parent_hash", "ts",
+                F.coalesce("n_txs", F.lit(0)).alias("n_txs"),
+            )
+            # the lake dirs die with the spec, so materialize before cleanup
+            out = out.localCheckpoint(eager=True)
+            return out
         finally:
             shutil.rmtree(root, ignore_errors=True)
 

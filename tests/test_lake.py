@@ -236,11 +236,13 @@ def test_idempotent_bucket_overwrite(lake, spark):
 
 
 def test_compact_concurrent_with_appends_loses_nothing(spark, tmp_path):
-    """The r05 mutex fix: compact()'s scan-stage-swap holds the lake lock,
-    so a micro-batch append can never land between the scan and the swap
-    and be silently dropped by the stale staged rewrite. Hammer appends
-    from a thread (taking the mutex like the streaming tail does) while
-    compacting in a loop, then account for every row."""
+    """r05 closed compact()'s side (scan-stage-swap holds the lake lock);
+    r06 closes the writer side: ``Lake.write`` itself takes the mutex, so a
+    BARE write — pipeline.ingest_raw/backfill never took the lock
+    voluntarily — can no longer land between compact's scan and its swap
+    and be silently dropped by the stale staged rewrite (ADVICE r05).
+    Hammer bare appends from a thread while compacting in a loop, then
+    account for every row."""
     import threading
 
     lk = Lake(spark, str(tmp_path / "ccw"), bucket_size=50)
@@ -251,8 +253,7 @@ def test_compact_concurrent_with_appends_loses_nothing(spark, tmp_path):
     def appender():
         for lo in range(20, 200, 20):
             batch = norm.filter(F.col("number").between(lo, lo + 19))
-            with lk.mutex:  # same discipline as the streaming tail writer
-                lk.write("blocks", batch)
+            lk.write("blocks", batch)  # no voluntary lock — write takes it
 
     th = threading.Thread(target=appender)
     th.start()

@@ -466,6 +466,27 @@ def test_deterministic_split_partitions_and_stays_stable(spark, sf_dir):
     assert all(full[d] == s for d, s in half.items())
 
 
+def test_deterministic_split_rejects_bad_weights(spark, sf_dir):
+    """Invalid weights must fail loudly: a negative weight or a head sum
+    over 1 saturates an intermediate hash threshold at 'g' and the later
+    splits would silently receive zero rows (ADVICE r05)."""
+    import pytest as _pytest
+
+    from core_etl_spark.io import load_tables
+    from core_etl_spark.operators.sampling import deterministic_split
+
+    docs = load_tables(spark, sf_dir, ("documents",), register=False)["documents"]
+    with _pytest.raises(ValueError, match="negative"):
+        deterministic_split(docs, {"train": -0.1, "val": 0.5})
+    with _pytest.raises(ValueError, match="> 1"):
+        deterministic_split(docs, {"a": 0.8, "b": 0.7, "c": 0.1})
+    with _pytest.raises(ValueError, match="at least one"):
+        deterministic_split(docs, {})
+    # weights summing to exactly 1 (and a remainder-absorbing tail) stay legal
+    deterministic_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    deterministic_split(docs, {"train": 1.0, "rest": 0.0})
+
+
 def test_editdist_pairs_blocking_and_distance(spark):
     """Pairs within the edit budget AND sharing the prefix block are
     found; near-identical texts with different prefixes are (by design)

@@ -272,12 +272,75 @@ def test_cli_corpus_dedup_keeps_one_per_component(spark, sf_dir, tmp_path):
     import core_etl_spark.operators.dedup as D
 
     src = spark.read.parquet(docs)
-    pairs = D.jaccard_pairs(src, threshold=0.5).select("id_a", "id_b")
+    # the CLI defaults the stop-shingle valve ON (--max-shingle-df 64);
+    # mirror it on the reference side
+    pairs = D.jaccard_pairs(src, threshold=0.5, max_shingle_df=64).select(
+        "id_a", "id_b"
+    )
     comp = D.neardup_components_star(pairs)
     n_dropped = comp.filter(F.col("doc_id") != F.col("component")).count()
     kept = spark.read.parquet(out)
     assert kept.count() == src.count() - n_dropped
     assert n_dropped > 0  # fixture has near-dups; the action must act
+
+
+def test_cli_corpus_dedup_editdist_valve_defaults_on(spark, tmp_path):
+    """The editdist dedup path must ship with the hot-block valve ON: a
+    boilerplate prefix shared by more docs than --max-block-df is excluded
+    from pairing wholesale (those docs all survive), while a genuine
+    near-dup pair in a small block is still collapsed (VERDICT r05 #5)."""
+    hot = [(i, "boilerplate header, all docs alike " + str(i), "en")
+           for i in range(10)]
+    near = [(100, "a quick brown fox jumps over the dog", "en"),
+            (101, "a quick brown fox jumps over the fog", "en")]
+    docs = str(tmp_path / "docs_hot")
+    spark.createDataFrame(hot + near, "doc_id long, text string, lang string") \
+        .write.parquet(docs)
+    out = str(tmp_path / "deduped_hot")
+    assert cli.main(["corpus", "dedup", "--documents", docs,
+                     "--method", "editdist", "--max-dist", "5",
+                     "--max-block-df", "4", "--out", out]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert set(range(10)) <= kept  # hot block excised from pairing, not dropped
+    assert len(kept & {100, 101}) == 1  # the real near-dup pair collapsed
+    # valve off (0): the hot block IS pairable and its docs collapse too
+    out2 = str(tmp_path / "deduped_novalve")
+    assert cli.main(["corpus", "dedup", "--documents", docs,
+                     "--method", "editdist", "--max-dist", "5",
+                     "--max-block-df", "0", "--out", out2]) == 0
+    kept2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert len(kept2 & set(range(10))) == 1
+
+
+def test_cli_corpus_prep_builds_probeable_index(spark, sf_dir, tmp_path, capsys):
+    """prep --build-index must write a persisted IVF index of the PREPPED
+    corpus only (quality-filtered + exact-deduped), and the similarity
+    --index path must probe it: build-once → probe-many, end to end."""
+    docs = f"{sf_dir}/documents.parquet"
+    emb = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "prep_ivf")
+    assert cli.main(["corpus", "prep", "--documents", docs,
+                     "--embeddings", emb, "--build-index", idx,
+                     "--n-centroids", "8"]) == 0
+    assert "wrote IVF index" in capsys.readouterr().out
+    # index holds exactly the survivors' vectors
+    import core_etl_spark.operators.dedup as D
+
+    src = spark.read.parquet(docs).select(
+        "doc_id", "text", "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    ).filter((F.col("n_words") >= 20)
+             & (F.col("n_distinct") / F.col("n_words") >= 0.4))
+    survivors = {r.doc_id for r in D.exact_dedup(src, "text", "doc_id")
+                 .select("doc_id").collect()}
+    emb_ids = {r.vec_id for r in spark.read.parquet(emb).collect()}
+    indexed = {r.id for r in spark.read.parquet(f"{idx}/lists").collect()}
+    assert indexed == survivors & emb_ids
+    # and the persisted index answers queries through the normal CLI path
+    assert cli.main(["similarity", "--embeddings", emb, "--index", idx,
+                     "--n-queries", "3", "--k", "2"]) == 0
+    assert "query_id" in capsys.readouterr().out
 
 
 def test_cli_similarity_persisted_index(spark, sf_dir, tmp_path, capsys):
