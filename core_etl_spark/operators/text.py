@@ -178,3 +178,124 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
 
     w = W.orderBy(F.desc("n"), "token")  # over k rows only
     return top.select("token", "n", F.row_number().over(w).alias("rank"))
+
+
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    chunk_words: int = 3,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-corpus boilerplate removal at sub-document granularity — the
+    RefinedWeb/CCNet "repeated paragraph" pass adapted to whitespace
+    corpora: split each document into consecutive ``chunk_words``-word
+    chunks, count each chunk's document frequency across the corpus, and
+    rebuild every document's text with chunks appearing in more than
+    ``max_df`` documents removed (navigation bars, license headers,
+    template fills — the text that repeats across pages verbatim).
+
+    Scale shape: one explode pass (corpus → chunk rows), one partial+final
+    groupBy for document frequency, one left join to mark hot chunks (the
+    optimizer broadcasts the hot side when it is small, which boilerplate
+    by definition is), and one groupBy to reassemble — order restored via
+    ``array_sort`` on (pos, chunk) structs, never a window over the whole
+    corpus. Returns (id, clean_text, n_kept, n_dropped); a fully-
+    boilerplate document comes back with empty text, not silently missing.
+    """
+    words = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, (i * chunk_words + 1).cast("int"), chunk_words), " "
+        ),
+    )
+    base = df.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
+    hot = (
+        base.groupBy("chunk")
+        .agg(F.count_distinct(id_col).alias("_dc"))
+        .filter(F.col("_dc") > max_df)
+        .select("chunk", F.lit(1).alias("_hot"))
+    )
+    marked = base.join(hot, "chunk", "left")
+    keep_struct = F.when(F.col("_hot").isNull(), F.struct("pos", "chunk"))
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(keep_struct)), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(keep_struct).alias("n_kept"),
+        F.count("_hot").alias("n_dropped"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-fit / OOV-rate analysis: build the corpus's top-
+    ``vocab_size`` vocabulary (count desc, token asc — deterministic), then
+    score every document by the fraction of its tokens OUTSIDE that
+    vocabulary. High OOV rate flags documents a fixed-vocab tokenizer
+    would fragment (code, foreign scripts, mojibake) — a standard
+    curation signal before training-set admission.
+
+    The vocabulary is a top-k (TakeOrderedAndProject, k·P rows to the
+    driver) and joins back as a broadcast; per-document scoring is then
+    one explode + partial+final groupBy. ``oov_rate`` is an exact
+    long/long IEEE divide — bit-identical across engines."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    marked = tok.join(F.broadcast(vocab), "token", "left")
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (F.count("*") - F.count("_in_vocab")).alias("n_oov"),
+        (
+            (F.count("*") - F.count("_in_vocab")) / F.count("*")
+        ).alias("oov_rate"),
+    )
+
+
+def dedup_chunks_within_doc(
+    df: DataFrame,
+    chunk_words: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition scrub — the within-page line-dedup pass
+    (trafilatura/CCNet style): drop repeated ``chunk_words``-word chunks
+    inside a single document, keeping the first occurrence in place.
+    Complements :func:`remove_boilerplate_chunks` (cross-document) and
+    ``repetition_stats`` (which only measures).
+
+    Scale shape: ZERO shuffle — a pure higher-order array expression per
+    row (a chunk at 1-based position i survives iff ``array_position``
+    finds its first occurrence at i), so at 100 TB this is a narrow
+    projection fused into whatever scan precedes it."""
+    words = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, (i * chunk_words + 1).cast("int"), chunk_words), " "
+        ),
+    )
+    kept = F.filter(
+        chunks, lambda c, i: F.array_position(chunks, c) == (i + 1).cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(chunks) - F.size(kept)).cast("long").alias("n_dropped"),
+    )

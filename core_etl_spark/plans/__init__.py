@@ -91,17 +91,22 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "o1_backfill_pipeline",
     "o2b_stateful_streaming",
     "o2_streaming_tail",
-    # New in r06 (star-CC closure bench spec): needs its first driver row.
+    # New in r06 (star-CC closure bench spec; chunk-level boilerplate
+    # removal; OOV-rate scoring; intra-doc repetition scrub; cleaning
+    # composite): first driver rows.
     "l18b_star_cc_chains",
-    # ---- 45 so far. Remaining slots to the 50-cap: cheap oracle specs
-    # refreshed green in r05 (kept warm so the decode core and mutation
-    # detectors never go two rounds without a row).
+    "l23_boilerplate_chunks",
+    "l24_vocab_coverage",
+    "l25_intradoc_chunk_dedup",
+    "c03_corpus_clean",
+    # ---- 49 so far. One slot to the 50-cap: the decode core, kept warm
+    # so it never goes two rounds without a row.
     "t45_transfer_decode",
+    # ---- 50-cap boundary. Everything below holds a green r05 row.
     "t3_address_filter",
     "k06_maturity_flag",
     "k10_reorg_detect",
     "v02b_sequence_gap_scalable",
-    # ---- 50-cap boundary. Everything below holds a green r05 row.
     "g13_hex_conversion",
     "t4678_cbc20_extract",
     "g02_join_agg_topk_tpch_q3",

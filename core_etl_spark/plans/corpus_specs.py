@@ -149,3 +149,90 @@ def c02(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
     )
+
+
+@register(
+    "c03_corpus_clean",
+    tables=("documents",),
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        p AS (SELECT doc_id, words,
+                     unnest(generate_series(
+                         0, CAST(ceil(len(words)/3.0) AS BIGINT) - 1)) AS pos
+              FROM w),
+        c AS (SELECT doc_id, pos,
+                     array_to_string(words[(pos*3+1):(pos*3+3)], ' ') AS chunk
+              FROM p),
+        dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS dc
+                  FROM c GROUP BY chunk),
+        m AS (SELECT c.doc_id, c.pos, c.chunk, (dc > 2) AS hot
+              FROM c JOIN dfreq USING (chunk)),
+        boiler AS (
+            SELECT doc_id,
+                   coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                            FILTER (NOT hot), '') AS text1
+            FROM m GROUP BY doc_id
+        ),
+        w2 AS (SELECT doc_id, string_split(text1, ' ') AS words
+               FROM boiler WHERE text1 <> ''),
+        p2 AS (SELECT doc_id, words,
+                      unnest(generate_series(
+                          0, CAST(ceil(len(words)/2.0) AS BIGINT) - 1)) AS pos
+               FROM w2),
+        c2 AS (SELECT doc_id, pos,
+                      array_to_string(words[(pos*2+1):(pos*2+2)], ' ') AS chunk
+               FROM p2),
+        r2 AS (SELECT *, row_number() OVER (
+                   PARTITION BY doc_id, chunk ORDER BY pos) AS rn
+               FROM c2),
+        scrub AS (
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY pos) FILTER (rn = 1) AS text2
+            FROM r2 GROUP BY doc_id
+        ),
+        gated AS (SELECT doc_id, text2 FROM scrub
+                  WHERE len(string_split(text2, ' ')) >= 10),
+        exact AS (
+            SELECT g.* FROM gated g
+            WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY md5(text2))
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(e.text2, ' '))) AS BIGINT)
+                   AS total_tokens
+        FROM exact e JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """,
+    tags=("corpus", "composition", "boilerplate", "repetition", "dedup"),
+)
+def c03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus cleaning end-to-end — the r06 composite stacking the two new
+    sub-document passes before admission: cross-document boilerplate-chunk
+    removal (3-word chunks in >2 docs excised) → within-document
+    repetition scrub (repeated 2-word chunks collapse to first
+    occurrence; zero-shuffle expression) → min-length gate (≥10 words)
+    → exact dedup of the CLEANED text (dedup after cleaning catches docs
+    that differed only in boilerplate) → per-language doc/token budget."""
+    from ..operators import text as X
+
+    docs = t["documents"]
+    boiler = X.remove_boilerplate_chunks(docs, chunk_words=3, max_df=2)
+    b2 = boiler.filter(F.col("clean_text") != "").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scrub = X.dedup_chunks_within_doc(b2, chunk_words=2)
+    gated = scrub.filter(F.size(F.split("clean_text", " ")) >= 10)
+    exact = D.exact_dedup(
+        gated.select("doc_id", F.col("clean_text").alias("text")),
+        "text",
+        "doc_id",
+    )
+    return (
+        exact.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        )
+    )

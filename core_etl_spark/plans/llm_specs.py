@@ -775,6 +775,102 @@ def l16(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "l23_boilerplate_chunks",
+    tables=("documents",),
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        p AS (SELECT doc_id, words,
+                     unnest(generate_series(
+                         0, CAST(ceil(len(words) / 3.0) AS BIGINT) - 1)) AS pos
+              FROM w),
+        c AS (SELECT doc_id, pos,
+                     array_to_string(words[(pos*3+1):(pos*3+3)], ' ') AS chunk
+              FROM p),
+        dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS dc
+                  FROM c GROUP BY chunk),
+        m AS (SELECT c.doc_id, c.pos, c.chunk, (dc > 2) AS hot
+              FROM c JOIN dfreq USING (chunk))
+        SELECT doc_id,
+               coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                        FILTER (NOT hot), '') AS clean_text,
+               CAST(count(*) FILTER (NOT hot) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (hot) AS BIGINT) AS n_dropped
+        FROM m GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "boilerplate", "chunks"),
+)
+def l23(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Sub-document boilerplate removal (RefinedWeb's repeated-paragraph
+    pass, word-chunk granularity): 3-word chunks appearing in more than
+    2 documents are excised from every document; text reassembled in
+    order. One explode + one doc-frequency agg + one join + one
+    reassembly groupBy."""
+    return X.remove_boilerplate_chunks(
+        t["documents"], chunk_words=3, max_df=2
+    )
+
+
+@register(
+    "l24_vocab_coverage",
+    tables=("documents",),
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        vocab AS (
+            SELECT token FROM tok GROUP BY token
+            ORDER BY count(*) DESC, token LIMIT 30
+        ),
+        m AS (SELECT doc_id, (v.token IS NOT NULL) AS inv
+              FROM tok LEFT JOIN vocab v USING (token))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (NOT inv) AS BIGINT) AS n_oov,
+               count(*) FILTER (NOT inv) / count(*) AS oov_rate
+        FROM m GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "vocab", "oov"),
+)
+def l24(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Tokenizer-fit scoring: per-document OOV rate against the corpus's
+    top-30 vocabulary (deterministic count-desc/token-asc top-k,
+    broadcast back). oov_rate is one exact long/long IEEE divide —
+    bit-identical across engines."""
+    return X.vocab_coverage(t["documents"], vocab_size=30)
+
+
+@register(
+    "l25_intradoc_chunk_dedup",
+    tables=("documents",),
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents),
+        p AS (SELECT doc_id, words,
+                     unnest(generate_series(
+                         0, CAST(ceil(len(words) / 2.0) AS BIGINT) - 1)) AS pos
+              FROM w),
+        c AS (SELECT doc_id, pos,
+                     array_to_string(words[(pos*2+1):(pos*2+2)], ' ') AS chunk
+              FROM p),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id, chunk ORDER BY pos) AS rn
+              FROM c)
+        SELECT doc_id,
+               coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                        FILTER (rn = 1), '') AS clean_text,
+               CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+        FROM r GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "repetition", "intradoc"),
+)
+def l25(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Within-document repetition scrub: repeated 2-word chunks collapse
+    to their first occurrence, in place. Zero-shuffle pure array
+    expression (the oracle needs a window; Spark doesn't)."""
+    return X.dedup_chunks_within_doc(t["documents"], chunk_words=2)
+
+
+@register(
     "l18_neardup_components_star",
     tables=("documents",),
     oracle=f"""
@@ -813,6 +909,47 @@ def l18(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     pairs = D.jaccard_pairs(
         t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF
     ).select("id_a", "id_b").localCheckpoint(eager=True)
+    return D.neardup_components_star(pairs)
+
+
+@register(
+    "l18b_star_cc_chains",
+    tables=("documents",),
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 16 <> 15
+        ),
+        edges AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.id = e2.v
+        )
+        SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """,
+    tags=("llm", "dedup", "components", "iterative", "star"),
+    headline=True,  # VERDICT r05 #6: the dedup-closure path (the most
+    # iterative code in the repo) had no bench row — a regression there
+    # was invisible
+)
+def l18b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Star-CC closure cost in isolation: a deterministic synthetic edge
+    set (doc_id → doc_id+1 chains within groups of 16) replaces Jaccard
+    candidate generation, so this row tracks the iterative
+    large-star/small-star convergence loop itself — pair generation is
+    already benched by l06/l07. Chain edges force multi-round
+    convergence (diameter 16 → ≤ ~5 rounds)."""
+    docs = t["documents"].select("doc_id")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 16 != 15)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
     return D.neardup_components_star(pairs)
 
 

@@ -547,3 +547,92 @@ def test_ivf_persisted_index_matches_and_prunes(spark, sf_dir, tmp_path):
     assert m, f"no cell IN-list in partition filter: {pf}"
     n_cells = len(re.findall(r"\d+", m.group(1)))
     assert n_cells <= 9, f"3 queries x nprobe 3 must prune to <=9 cells, saw {pf}"
+
+
+def test_remove_boilerplate_chunks_hand_case(spark):
+    """A chunk shared by 3 docs (max_df=2) is excised from each; unique
+    chunks survive in order; an all-boilerplate doc returns empty text."""
+    from core_etl_spark.operators.text import remove_boilerplate_chunks
+
+    boiler = "copyright acme corp"
+    rows = [
+        (1, f"{boiler} alpha beta gamma"),
+        (2, f"{boiler} delta epsilon zeta"),
+        (3, f"{boiler} eta theta iota"),
+        (4, boiler),  # nothing but the hot chunk
+        (5, "kappa lambda mu nu xi omicron"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in remove_boilerplate_chunks(df, chunk_words=3, max_df=2).collect()
+    }
+    assert got[1] == ("alpha beta gamma", 1, 1)
+    assert got[2] == ("delta epsilon zeta", 1, 1)
+    assert got[3] == ("eta theta iota", 1, 1)
+    assert got[4] == ("", 0, 1)  # present, not silently dropped
+    assert got[5] == ("kappa lambda mu nu xi omicron", 2, 0)
+
+
+def test_remove_boilerplate_chunks_partial_tail_and_order(spark):
+    """Trailing partial chunks are preserved, and reassembly keeps the
+    original chunk order."""
+    from core_etl_spark.operators.text import remove_boilerplate_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "z z z")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean_text
+           for r in remove_boilerplate_chunks(df, chunk_words=3, max_df=2)
+           .collect()}
+    assert got[1] == "a b c d e f g h"  # 3+3+2 words, nothing hot
+    assert got[2] == "z z z"
+
+
+def test_vocab_coverage_hand_case(spark):
+    """OOV rate against a size-2 vocabulary: counts and the exact divide."""
+    from core_etl_spark.operators.text import vocab_coverage
+
+    # corpus counts: the=4, cat=3, sat=2, mat=1 -> vocab(2) = {the, cat}
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat sat the mat"),
+        (3, "the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_coverage(df, vocab_size=2).collect()
+    }
+    assert got[1] == (3, 1, 1 / 3)
+    assert got[2] == (5, 2, 2 / 5)
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_dedup_chunks_within_doc_hand_case(spark):
+    """Repeated chunks collapse to their first occurrence in place; a
+    repeat appearing later in the doc is dropped wherever it recurs."""
+    from core_etl_spark.operators.text import dedup_chunks_within_doc
+
+    rows = [
+        (1, "a b a b c"),        # chunks [a b][a b][c] -> "a b c"
+        (2, "x y z w"),          # no repeats
+        (3, "p q r s p q p q"),  # [p q][r s][p q][p q] -> "p q r s"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_dropped)
+           for r in dedup_chunks_within_doc(df, chunk_words=2).collect()}
+    assert got[1] == ("a b c", 1)
+    assert got[2] == ("x y z w", 0)
+    assert got[3] == ("p q r s", 2)
+
+
+def test_dedup_chunks_within_doc_is_shuffle_free(spark):
+    """The operator must stay a narrow projection: no Exchange in the
+    physical plan (its 100 TB contract)."""
+    from core_etl_spark.operators.text import dedup_chunks_within_doc
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = dedup_chunks_within_doc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
