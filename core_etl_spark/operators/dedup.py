@@ -187,6 +187,7 @@ def decontaminate(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination — flag training documents that overlap an
     evaluation set, the training-data-pipeline step that keeps test data
@@ -201,7 +202,16 @@ def decontaminate(
     thousands of prompts — MBs of shingles), so its distinct-shingle set
     **broadcasts**; the corpus-side scan joins without a shuffle, and the
     only shuffle anywhere is the map-side-combinable groupBy(doc_id) on
-    hit counts. Corpus is touched exactly once."""
+    hit counts. Corpus is touched exactly once.
+
+    When the "benchmark" is itself corpus-sized (decontaminating crawl N
+    against crawls 1..N-1, or a multi-GB eval-suite union), broadcasting
+    its shingle set stops being possible — pass
+    ``broadcast_benchmark=False`` and the join becomes a shuffle hash join
+    on the shingle key (both sides hash-partitioned; Catalyst's runtime
+    bloom-filter injection prunes corpus shingles before the exchange when
+    the benchmark side is selective). Same answer, same single corpus
+    pass; only the physical join strategy changes."""
     c_sh = shingle_table(corpus, text_col, id_col, n)
     b_sh = (
         shingle_table(benchmark, text_col, id_col, n)
@@ -209,11 +219,13 @@ def decontaminate(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    # ONE corpus pass: left-join the broadcast benchmark set with a hit
-    # flag, then a single map-side-combinable aggregate yields both the
-    # shingle count and the hit count — no second scan, no doc_id re-join.
+    b_side = F.broadcast(b_sh) if broadcast_benchmark else b_sh.hint("shuffle_hash")
+    # ONE corpus pass: left-join the (broadcast or shuffled) benchmark set
+    # with a hit flag, then a single map-side-combinable aggregate yields
+    # both the shingle count and the hit count — no second scan, no doc_id
+    # re-join.
     return (
-        c_sh.join(F.broadcast(b_sh), "shingle", "left")
+        c_sh.join(b_side, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sh"),

@@ -112,3 +112,45 @@ def deterministic_split(
     for name, bound in reversed(bounds):
         expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    salt: str = "ep0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment — the
+    last step before a corpus is written out for training: every epoch wants
+    the documents in a (reproducible) pseudorandom order, sliced into
+    ``n_shards`` balanced output shards that data-loader workers consume
+    independently.
+
+    Each row gets ``shard = int(md5(salt:key)[0:8], 16) % n_shards`` and
+    ``pos`` = its 1-based rank within the shard by the same hash (key as
+    total tiebreaker). The salt is the epoch seed: a new salt reshuffles,
+    the same salt replays bit-for-bit on any engine and any partitioning.
+
+    Scale shape: ONE hash-partition shuffle on ``shard`` + an in-partition
+    sort — exactly the ``repartition(n_shards).sortWithinPartitions`` layout
+    a sharded writer wants, so the window rank adds no extra exchange over
+    the write itself. md5 spreads keys uniformly, so shards stay balanced
+    (±sqrt) at any scale; no RNG state, no driver-side ordering.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        1,
+        8,
+    )
+    shard = (F.conv(h, 16, 10).cast("long") % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )

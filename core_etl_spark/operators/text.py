@@ -299,3 +299,58 @@ def dedup_chunks_within_doc(
         F.array_join(kept, " ").alias("clean_text"),
         (F.size(chunks) - F.size(kept)).cast("long").alias("n_dropped"),
     )
+
+
+#: Default weights for :func:`hashed_linear_classifier` — 16 integer weights,
+#: one per hex-nibble feature bucket. Integers keep the score an exact
+#: rational (sum_int / n_tokens), so the classifier is bit-identical across
+#: engines; a trained model would drop in real (quantized) weights here.
+QC_WEIGHTS_16: tuple[int, ...] = (3, -2, 1, 0, 2, -1, -3, 1, 0, 2, -2, 1, -1, 3, 0, -2)
+
+
+def hashed_linear_classifier(
+    df: DataFrame,
+    weights: tuple[int, ...] = QC_WEIGHTS_16,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "qc1",
+) -> DataFrame:
+    """fastText/CCNet-style document quality classifier: a linear model over
+    hashed bag-of-words features, the standard cheap quality gate applied to
+    every web-crawl corpus before training.
+
+    Each token hashes into one of ``len(weights)`` feature buckets
+    (``md5(salt#token)`` first nibble); the document score is the mean bucket
+    weight over ALL tokens (term frequency included, as a real linear model
+    scores), and ``keep = score >= threshold``.
+
+    Scale shape: ZERO shuffle — the whole model is a higher-order array
+    expression (``transform`` + ``aggregate``) evaluated per row inside
+    whole-stage codegen; at 100 TB this fuses into the corpus scan. The
+    weight table is a literal array, so there is no lookup join; a 2^18
+    -bucket production model would broadcast the weight array instead —
+    the plan shape is unchanged.
+    """
+    n_buckets = len(weights)
+    if n_buckets < 1 or n_buckets > 16:
+        raise ValueError("weights must have 1..16 entries (one hex nibble)")
+    w_arr = F.array(*[F.lit(int(w)) for w in weights])
+    toks = tokens(F.col(text_col))
+    bucket = lambda t: (  # noqa: E731 — first md5 nibble as an int bucket
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}#"), t)), 1, 1), 16, 10)
+        .cast("int") % n_buckets
+    )
+    score_sum = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(w_arr, bucket(t) + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        score_sum.alias("score_sum"),
+        n.cast("long").alias("n_tokens"),
+        (score_sum / n).alias("score"),
+        (score_sum / n >= F.lit(threshold)).alias("keep"),
+    )

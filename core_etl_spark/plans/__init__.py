@@ -80,9 +80,6 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l17_neardup_components",
     "c01_corpus_prep",
     "c02_corpus_mix",
-    "m02_image_resize",
-    "m03_audio_features",
-    "m04_video_frame_sample",
     # Mutation / pipeline / streaming specs (rows-only or slow) — still
     # inside the 50 so their evidence refreshes, but last among the stale.
     "k78_partition_mutations",
@@ -99,10 +96,20 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l24_vocab_coverage",
     "l25_intradoc_chunk_dedup",
     "c03_corpus_clean",
-    # ---- 49 so far. One slot to the 50-cap: the decode core, kept warm
-    # so it never goes two rounds without a row.
+    "l19x_decontamination_shuffle",
+    "l26_training_shuffle",
+    "l27_quality_classifier",
+    "c04_fuzzy_dedup",
+    # ---- 50-cap boundary. With 102 specs and a 50-row snapshot, three
+    # r04-witnessed rows must wait for r07: m02–m04 (rows-only multimodal
+    # stub variants, code untouched since r04, and the family core m01
+    # holds a green r05 row) — first in line next rotation. Everything
+    # below holds a green r05 row; t45 (r05-green) yields its warm slot to
+    # the four first-row specs above.
+    "m02_image_resize",
+    "m03_audio_features",
+    "m04_video_frame_sample",
     "t45_transfer_decode",
-    # ---- 50-cap boundary. Everything below holds a green r05 row.
     "t3_address_filter",
     "k06_maturity_flag",
     "k10_reorg_detect",

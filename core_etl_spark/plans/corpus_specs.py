@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
 from .base import register
-from .llm_specs import _SHINGLE_CTE  # shared shingle dialect
+from .llm_specs import _SHINGLE_CTE, _minhash_pair_ctes  # shared oracle dialect
 
 
 @register(
@@ -235,4 +235,51 @@ def c03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
         )
+    )
+
+
+@register(
+    "c04_fuzzy_dedup",
+    tables=("documents",),
+    oracle=f"""
+        WITH RECURSIVE {_minhash_pair_ctes()},
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM mpairs
+            UNION ALL SELECT id_b, id_a FROM mpairs
+        ),
+        reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    """,
+    tags=("corpus", "composition", "dedup", "minhash", "components"),
+)
+def c04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """The full fuzzy-dedup pipeline (the SlimPajama/FineWeb recipe) in one
+    composite: MinHash(12)+LSH(3×4) candidate pairs → exact-Jaccard
+    verification (≥0.5) → large-star/small-star connected components →
+    keep ONE document per component (the min doc_id) — returning the
+    surviving corpus, singletons included.
+
+    Scale shape: pair generation is linear (banded LSH, candidates-only
+    verification), the closure is O(log n) rounds at any duplicate-cluster
+    diameter, and the final anti-join is a hash semi-join on doc_id —
+    duplicates lost to the cluster canonical never travel, so the join's
+    build side is only the loser set (dup-rate × corpus, typically a few
+    percent). The oracle replays pairs + closure with a recursive CTE."""
+    docs = t["documents"]
+    pairs = (
+        D.minhash_dedup_pairs(docs, n_hashes=12, rows_per_band=4, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = D.neardup_components_star(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )

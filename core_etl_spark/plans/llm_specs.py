@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as X
-from .base import register
+from .base import REGISTRY, register
 
 # --- shared oracle fragments -------------------------------------------------
 
@@ -290,9 +290,13 @@ def l17(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return D.neardup_components(pairs)
 
 
-def _minhash_oracle(n_hashes: int = 12, rows_per_band: int = 4) -> str:
-    return f"""
-        WITH {_SHINGLE_CTE},
+def _minhash_pair_ctes(
+    n_hashes: int = 12, rows_per_band: int = 4, threshold: float = 0.5
+) -> str:
+    """CTE chain ending in ``mpairs(id_a, id_b, jaccard)`` — the verified
+    MinHash+LSH near-dup pair set. Shared by the l07 oracle and the c04
+    fuzzy-dedup composite (which closes the pairs into components)."""
+    return f"""{_SHINGLE_CTE},
         mh AS (
             SELECT doc_id, j.j AS j, min(md5(shingle || '#' || j.j)) AS mh
             FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {n_hashes - 1})) AS j) j
@@ -313,14 +317,22 @@ def _minhash_oracle(n_hashes: int = 12, rows_per_band: int = 4) -> str:
             FROM sh a JOIN sh b USING (shingle)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT i.id_a, i.id_b,
-               i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
-        FROM inter i
-        JOIN cand USING (id_a, id_b)
-        JOIN sizes sa ON sa.doc_id = i.id_a
-        JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+        ),
+        mpairs AS (
+            SELECT i.id_a, i.id_b,
+                   i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+            FROM inter i
+            JOIN cand USING (id_a, id_b)
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {threshold}
+        )"""
+
+
+def _minhash_oracle(n_hashes: int = 12, rows_per_band: int = 4) -> str:
+    return f"""
+        WITH {_minhash_pair_ctes(n_hashes, rows_per_band)}
+        SELECT id_a, id_b, jaccard FROM mpairs
     """
 
 
@@ -1092,3 +1104,102 @@ def l20(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     from ..operators.packing import pack_sequences
 
     return pack_sequences(t["documents"], ctx_len=512, group_col="lang")
+
+
+@register(
+    "l19x_decontamination_shuffle",
+    tables=("documents",),
+    # Same answer as l19 — only the physical join strategy differs — so the
+    # spec reuses l19's oracle verbatim and earns a full hash row.
+    oracle=REGISTRY["l19_decontamination"].oracle,
+    tags=("llm", "decontamination", "shuffle", "scale"),
+)
+def l19x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """l19's corpus-vs-corpus scale path: when the "benchmark" side is
+    itself too big to broadcast (screening crawl N against all earlier
+    crawls), the shingle join runs as a shuffle hash join instead —
+    both sides hash-partitioned on the shingle key, Catalyst's runtime
+    bloom-filter injection pruning the probe side. Identical semantics
+    (shares l19's oracle); tests/test_plans.py asserts the broadcast is
+    really gone from this plan and present in l19's."""
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return D.decontaminate(
+        corpus, bench, threshold=0.2, broadcast_benchmark=False
+    )
+
+
+@register(
+    "l26_training_shuffle",
+    tables=("documents",),
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   substring(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, hx,
+                   CAST(CAST('0x' || hx AS BIGINT) % 8 AS INT) AS shard
+            FROM h
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+        FROM s
+    """,
+    tags=("llm", "shuffle", "sharding", "deterministic"),
+)
+def l26(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment: every doc lands in
+    one of 8 output shards in a reproducible pseudorandom order (salt =
+    epoch seed) — the write layout a sharded training data-loader reads.
+    One hash-partition exchange + in-partition sort, the same layout the
+    sharded writer needs anyway."""
+    from ..operators.sampling import shuffle_shards
+
+    return shuffle_shards(t["documents"], n_shards=8, salt="ep0").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+def _qc_oracle() -> str:
+    from ..operators.text import QC_WEIGHTS_16
+
+    w = ", ".join(str(x) for x in QC_WEIGHTS_16)
+    wexpr = (
+        f"[{w}][(CAST('0x' || substr(md5('qc1#' || w), 1, 1) AS INT) % 16) + 1]"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(toks, w -> {wexpr}))
+                        AS BIGINT) AS score_sum,
+                   CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM t
+        )
+        SELECT doc_id, score_sum, n_tokens,
+               score_sum / n_tokens AS score,
+               score_sum / n_tokens >= 0.0 AS keep
+        FROM s
+    """
+
+
+@register(
+    "l27_quality_classifier",
+    tables=("documents",),
+    oracle=_qc_oracle(),
+    tags=("llm", "quality", "classifier", "hashing-trick"),
+)
+def l27(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """fastText/CCNet-style quality gate: a linear model over hashed
+    bag-of-words features (16 buckets, integer weights), scored per doc
+    as a zero-shuffle higher-order array expression — the cheap
+    classifier pass every web corpus goes through before training."""
+    from ..operators.text import hashed_linear_classifier
+
+    return hashed_linear_classifier(t["documents"], threshold=0.0)

@@ -636,3 +636,110 @@ def test_dedup_chunks_within_doc_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
     plan = dedup_chunks_within_doc(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hashed_classifier_hand_case(spark):
+    """Score must equal the hand-computed mean bucket weight (term
+    frequency included), and the keep gate must apply the threshold."""
+    import hashlib
+
+    from core_etl_spark.operators.text import QC_WEIGHTS_16, hashed_linear_classifier
+
+    text = "alpha beta alpha gamma"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = hashed_linear_classifier(df).collect()[0]
+
+    def w(tok: str) -> int:
+        nib = int(hashlib.md5(f"qc1#{tok}".encode()).hexdigest()[0], 16)
+        return QC_WEIGHTS_16[nib % 16]
+
+    toks = text.split(" ")
+    expected = sum(w(t) for t in toks)
+    assert out.score_sum == expected
+    assert out.n_tokens == 4
+    assert abs(out.score - expected / 4) < 1e-12
+    assert out.keep == (expected / 4 >= 0.0)
+
+
+def test_shuffle_shards_layout_and_determinism(spark, sf_dir):
+    """Shards must partition the corpus with contiguous 1..n positions per
+    shard, replay identically across runs and partitionings, and
+    reshuffle under a different salt (epoch)."""
+    from core_etl_spark.io import load_tables
+    from core_etl_spark.operators.sampling import shuffle_shards
+
+    docs = load_tables(spark, sf_dir, ("documents",), register=False)["documents"]
+    out = shuffle_shards(docs, n_shards=4, salt="ep0").select(
+        "doc_id", "shard", "pos"
+    )
+    rows = out.collect()
+    n = docs.count()
+    assert len(rows) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # every shard's positions are exactly 1..len (dense rank, no gaps)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # deterministic under repartitioning
+    again = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in shuffle_shards(docs.repartition(13), n_shards=4, salt="ep0")
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert all(again[r.doc_id] == (r.shard, r.pos) for r in rows)
+    # a different epoch salt actually reshuffles
+    ep1 = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_shards(docs, n_shards=4, salt="ep1")
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert any(ep1[r.doc_id] != (r.shard, r.pos) for r in rows)
+
+
+def test_decontaminate_shuffle_matches_broadcast(spark, sf_dir):
+    """broadcast_benchmark=False changes only the physical join — the
+    flagged set and every count must be identical."""
+    from core_etl_spark.io import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",), register=False)["documents"]
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    a = D.decontaminate(corpus, bench, threshold=0.2)
+    b = D.decontaminate(corpus, bench, threshold=0.2, broadcast_benchmark=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_fuzzy_dedup_composite_keeps_one_per_component(spark):
+    """c04 semantics on a hand-built corpus: each near-dup cluster
+    collapses to its min doc_id; singletons and exact-unique docs all
+    survive."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    other = (
+        "spark executes declarative plans with catalyst and tungsten over "
+        "columnar parquet data at cluster scale every day"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0 -> same cluster
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, other),
+        (4, other.replace("day", "night")),  # near dup of 3
+        (5, "a tiny singleton document with entirely distinct words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = (
+        D.minhash_dedup_pairs(docs, n_hashes=12, rows_per_band=4, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = D.neardup_components_star(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    survivors = {
+        r.doc_id
+        for r in docs.join(losers, "doc_id", "left_anti").select("doc_id").collect()
+    }
+    assert survivors == {0, 3, 5}

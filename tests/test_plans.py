@@ -145,3 +145,33 @@ def test_l21_hash_split_no_shuffle(spark, sf_dir):
     """Split assignment is a narrow projection — zero Exchange."""
     plan = _plan(spark, sf_dir, "l21_hash_split")
     assert "Exchange" not in plan
+
+
+def test_l19x_decontamination_shuffle_join(spark, sf_dir):
+    """The corpus-vs-corpus scale path must NOT broadcast the benchmark
+    side: the shingle join runs as a shuffle hash join (both sides
+    hash-partitioned on the key) — the strategy that survives a
+    benchmark too big for a broadcast."""
+    plan = _plan(spark, sf_dir, "l19x_decontamination_shuffle")
+    assert "ShuffledHashJoin" in plan, "shuffle_hash hint lost"
+    assert "BroadcastHashJoin" not in plan, (
+        "l19x regressed to broadcast — that's l19; this spec exists to "
+        "prove the no-broadcast path"
+    )
+
+
+def test_l26_training_shuffle_single_exchange(spark, sf_dir):
+    """Epoch shuffle + shard rank is exactly one hash-partition Exchange
+    (on shard) + in-partition sort — the same layout the sharded writer
+    needs, so the rank is free at write time."""
+    plan = _plan(spark, sf_dir, "l26_training_shuffle")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "Join" not in plan
+
+
+def test_l27_quality_classifier_no_shuffle(spark, sf_dir):
+    """The hashed linear model is a per-row array expression — zero
+    Exchange; at 100 TB it fuses into the corpus scan."""
+    plan = _plan(spark, sf_dir, "l27_quality_classifier")
+    assert "Exchange" not in plan
