@@ -150,13 +150,25 @@ def cmd_similarity(args: argparse.Namespace) -> int:
                 emb, n_centroids=args.n_centroids, vec_col=args.vec_col,
                 sample_fraction=args.sample_fraction,
             )
-        S.write_ivf_index(emb, args.build_index, n_centroids=args.n_centroids,
-                          vec_col=args.vec_col, id_col=args.id_col,
-                          centroids=cents)
-        print(f"wrote IVF index: {args.build_index}")
+        if args.pq:
+            S.write_ivfpq_index(emb, args.build_index,
+                                n_centroids=args.n_centroids,
+                                vec_col=args.vec_col, id_col=args.id_col,
+                                centroids=cents)
+            print(f"wrote IVF-PQ index: {args.build_index}")
+        else:
+            S.write_ivf_index(emb, args.build_index,
+                              n_centroids=args.n_centroids,
+                              vec_col=args.vec_col, id_col=args.id_col,
+                              centroids=cents)
+            print(f"wrote IVF index: {args.build_index}")
         return 0
     queries = emb.filter(F.col(args.id_col) < args.n_queries)
-    if args.index:
+    if args.index and args.pq:
+        out = S.ivfpq_index_topk(spark, args.index, queries, k=args.k,
+                                 nprobe=args.nprobe, vec_col=args.vec_col,
+                                 id_col=args.id_col)
+    elif args.index:
         out = S.ivf_index_topk(spark, args.index, queries, k=args.k,
                                nprobe=args.nprobe, vec_col=args.vec_col,
                                id_col=args.id_col)
@@ -352,6 +364,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build a persisted IVF index at this path and exit")
     s.add_argument("--index", default="",
                    help="query a persisted IVF index instead of building cells")
+    s.add_argument("--pq", action="store_true",
+                   help="with --build-index/--index: compressed IVF-PQ lists "
+                        "(m codes per vector, ADC scoring) instead of raw "
+                        "vectors")
     s.set_defaults(fn=cmd_similarity)
 
     c = sub.add_parser("corpus", help="training-corpus pipeline over documents")

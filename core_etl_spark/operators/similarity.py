@@ -483,3 +483,409 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+# --- product quantization (PQ) ------------------------------------------------
+#
+# IVF narrows WHERE to look; PQ shrinks WHAT is stored: each vector becomes
+# m small codes (here 4 × 4-bit = 2 bytes vs 256 bytes of float32 — 128×),
+# and query-time distances are looked up from a per-query table instead of
+# touching raw floats (ADC — asymmetric distance computation). This is the
+# FAISS IVF-PQ decomposition re-expressed as DataFrame ops: encoding is a
+# zero-shuffle projection, search is a broadcast join + array lookups.
+# All arithmetic stays in the module's exact-decimal scheme, so codes and
+# rankings are bit-identical across engines (the l28 oracle replays them).
+
+
+def _subdist(sub: Column, centroid_lits: list) -> Column:
+    """Exact-decimal squared L2 between a subvector column and a constant
+    centroid: (x-c)² terms cast to the exact accumulator, order-stable
+    fold. Catalyst constant-folds the centroid array."""
+    cent = F.array(*[F.lit(str(c)).cast(_DEC) for c in centroid_lits])
+    terms = F.zip_with(sub, cent, lambda x, c: ((x - c) * (x - c)).cast(_ACC))
+    return F.aggregate(terms, F.lit(0).cast(_ACC), lambda a, x: (a + x).cast(_ACC))
+
+
+def pq_codebooks_first_k(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list]]:
+    """Deterministic PQ codebooks: sub-codebook j = the j-th subvector
+    slices of the first ``ksub`` corpus vectors by id (the PQ analogue of
+    ``ivf_ann_topk``'s first-K centroids — replayable by the oracle).
+    Returns ``codebooks[j][code] -> list of Decimal`` — a bounded collect
+    of ksub rows (the training artifact is bytes, never data-sized)."""
+    rows = (
+        corpus.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).alias("id"), _dec_vec(F.col(vec_col)).alias("dec"))
+        .orderBy("id")
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"pq_codebooks_first_k: corpus has < {ksub} vectors")
+    dim = len(rows[0].dec)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [list(r.dec[j * dsub : (j + 1) * dsub]) for r in rows] for j in range(m)
+    ]
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 7,
+) -> list[list[list]]:
+    """Production PQ codebooks: an independent KMeans per subvector (the
+    classic PQ trainer). Each of the m fits sees only a dim/m-wide slice —
+    at 100 TB train on a sample; the returned artifact is m × ksub × dim/m
+    doubles (bytes). Downstream (encode / ADC) is unchanged — only the
+    constant tables differ, exactly like ``kmeans_centroids`` vs first-K
+    for IVF."""
+    from decimal import Decimal
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    feats = feats.localCheckpoint(eager=True)  # m fits share one sample scan
+    first = feats.first()
+    if first is None:
+        raise ValueError("pq_codebooks_kmeans: empty corpus")
+    dim = len(first.v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = feats.select(
+            array_to_vector(F.slice("v", j * dsub + 1, dsub)).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + j, featuresCol="features").fit(sub)
+        books.append(
+            [
+                [Decimal(f"{x:.3f}") for x in center]
+                for center in model.clusterCenters()
+            ]
+        )
+    return books
+
+
+def _pq_code_array(dec: Column, codebooks: list[list[list]]) -> Column:
+    """m codes from an exact-decimal vector column: code_j = argmin over
+    the j-th sub-codebook of exact squared L2 (ties → lowest code, via
+    first-min ``array_position``)."""
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(dec, j * dsub + 1, dsub)
+        dists = F.array(*[_subdist(sub, word) for word in book])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*code_cols)
+
+
+def _pq_table_array(dec: Column, codebooks: list[list[list]]) -> Column:
+    """The ADC lookup table for one query vector: tables[j][code] = exact
+    squared L2 between the query's j-th subvector and that code word."""
+    dsub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[_subdist(F.slice(dec, j * dsub + 1, dsub), word) for word in book]
+            )
+            for j, book in enumerate(codebooks)
+        ]
+    )
+
+
+def _adc_dist(codes: Column, tables: Column) -> Column:
+    """Asymmetric distance: m table lookups + an exact fold."""
+    return F.aggregate(
+        F.zip_with(codes, tables, lambda code, tab: F.element_at(tab, code + 1)),
+        F.lit(0).cast(_ACC),
+        lambda a, x: (a + x).cast(_ACC),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as m codes: code_j = argmin over the j-th
+    sub-codebook of exact squared L2 (ties → lowest code, via first-min
+    ``array_position``). ZERO shuffle — the entire encoder is a constant-
+    folded projection fused into the corpus scan; at 100 TB this is the
+    one full pass that turns 256 B/vector into 2 B/vector."""
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        _pq_code_array(_dec_vec(F.col(vec_col)), codebooks).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list]] | None = None,
+) -> DataFrame:
+    """PQ top-k by asymmetric distance (ADC): encode the corpus once, then
+    per query build the m × ksub table of exact subvector distances and
+    score every code word by m array lookups — no raw floats touched at
+    query time.
+
+    Plan shape at 100 TB: the encoded corpus (id + m codes) is ~128×
+    smaller than the raw vectors and is the only thing scanned per query
+    batch; queries-with-tables broadcast (queries × m × ksub decimals —
+    KBs), the scored rows collapse through the same per-query top-k window
+    as every other ANN path. Compose with IVF cells to prune WHERE to look
+    before PQ shrinks WHAT is read. Output (query_id, neighbor_id, rank,
+    adc_dist) — distances exact-decimal, so ranking is engine-portable."""
+    cb = codebooks if codebooks is not None else pq_codebooks_first_k(
+        corpus, m, ksub, vec_col, id_col
+    )
+    codes = pq_encode(corpus, cb, vec_col, id_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_table_array(_dec_vec(F.col(vec_col)), cb).alias("tables"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist(F.col("codes"), F.col("tables")).cast("double").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list]] | None = None,
+) -> DataFrame:
+    """Full FAISS-style IVF-PQ: IVF cells prune WHERE to look (each query
+    probes its ``nprobe`` nearest Voronoi cells), PQ shrinks WHAT is read
+    there (candidates are scored by ADC table lookups over m codes, raw
+    floats never touched at query time).
+
+    At 100 TB this is THE ANN layout: the index is (id, cell, m codes) —
+    ~2 bytes of codes per vector, partitionable by cell exactly like
+    ``write_ivf_index`` — and a query batch costs one broadcast equi-join
+    on the probed cells over the compressed lists. Default centroids and
+    codebooks are first-K by id (oracle-replayable); pass
+    ``kmeans_centroids(...)`` / ``pq_codebooks_kmeans(...)`` for the
+    production data-adaptive versions — every downstream step is
+    unchanged."""
+    cb = codebooks if codebooks is not None else pq_codebooks_first_k(
+        corpus, m, ksub, vec_col, id_col
+    )
+    n = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("id"), "_dec", "_normsq"
+    ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = n.filter(F.col("id") < n_centroids).select(
+            F.col("id").alias("cent_id"),
+            F.col("dec").alias("c_dec"),
+            F.col("normsq").alias("c_normsq"),
+        )
+    # inverted lists carry ONLY (neighbor_id, cell, codes) — the raw
+    # decimal vectors drop out right here; that is PQ's 100×
+    lists = ivf_assign_cells(n, cents).select(
+        F.col("id").alias("neighbor_id"),
+        "cell",
+        _pq_code_array(F.col("dec"), cb).alias("codes"),
+    )
+
+    q = with_norm(queries, vec_col, parallelize=False).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_dec").alias("q_dec"),
+        F.col("_normsq").alias("q_normsq"),
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos",
+        cosine(_dot(F.col("q_dec"), F.col("c_dec")), F.col("q_normsq"), F.col("c_normsq")),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cos"), "cent_id")
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            "query_id",
+            F.col("cent_id").alias("cell"),
+            _pq_table_array(F.col("q_dec"), cb).alias("tables"),
+        )
+    )
+
+    scored = (
+        lists.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist(F.col("codes"), F.col("tables")).cast("double").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+# --- persisted IVF-PQ index (compressed build-once, probe-many) ---------------
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list]] | None = None,
+) -> None:
+    """Materialize the COMPRESSED inverted lists: (id, m codes) parquet-
+    partitioned by cell, plus centroids and PQ codebooks alongside — the
+    self-contained IVF-PQ index. vs ``write_ivf_index`` the lists carry
+    no raw vectors at all (~2 bytes of codes per vector instead of the
+    embedding + its decimals), so at 100 TB the index is ~100× smaller
+    on disk and every probe reads ~100× fewer bytes from each of its
+    nprobe partition directories."""
+    cb = codebooks if codebooks is not None else pq_codebooks_first_k(
+        corpus, m, ksub, vec_col, id_col
+    )
+    n = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("id"), "_dec", "_normsq"
+    ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = n.filter(F.col("id") < n_centroids).select(
+            F.col("id").alias("cent_id"),
+            F.col("dec").alias("c_dec"),
+            F.col("normsq").alias("c_normsq"),
+        )
+    lists = ivf_assign_cells(n, cents).select(
+        "id", "cell", _pq_code_array(F.col("dec"), cb).alias("codes")
+    )
+    lists.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    cb_rows = [
+        (j, c, [str(x) for x in word])
+        for j, book in enumerate(cb)
+        for c, word in enumerate(book)
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub int, code int, word array<string>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_pq_codebooks(spark, path: str) -> list[list[list]]:
+    """Rehydrate persisted codebooks (m × ksub rows — bytes) into the
+    in-memory shape every PQ entry point consumes. Words were written as
+    exact decimal strings, so the round-trip is lossless."""
+    from decimal import Decimal
+
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r.sub for r in rows) + 1
+    ksub = max(r.code for r in rows) + 1
+    books: list[list[list]] = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        books[r.sub][r.code] = [Decimal(x) for x in r.word]
+    if any(w is None for book in books for w in book):
+        raise ValueError(f"codebooks at {path} are incomplete")
+    return books
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF-PQ index: probe cells become a literal
+    partition filter (same pruning as ``ivf_index_topk``) and the probed
+    lists are scored by ADC lookups — disk reads are nprobe/n_centroids
+    of an already-100×-compressed index."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = read_pq_codebooks(spark, path)
+    q = with_norm(queries, vec_col, parallelize=False).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_dec").alias("q_dec"),
+        F.col("_normsq").alias("q_normsq"),
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos",
+        cosine(_dot(F.col("q_dec"), F.col("c_dec")), F.col("q_normsq"), F.col("c_normsq")),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cos"), "cent_id")
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            "query_id",
+            F.col("cent_id").alias("cell"),
+            _pq_table_array(F.col("q_dec"), cb).alias("tables"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # bounded collect: queries × nprobe ints — the partition-pruning filter
+    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("cell").isin(cells))
+    scored = (
+        lists.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _adc_dist(F.col("codes"), F.col("tables")).cast("double").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -60,7 +60,6 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "q11_catalog_partitions",
     "v02_sequence_gap_check",
     "v03_positional_check",
-    "v04_tip_comparison",
     "g01_hash_agg_tpch_q1",
     "g21_percentiles",
     "g22_salted_aggregation",
@@ -84,7 +83,6 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # inside the 50 so their evidence refreshes, but last among the stale.
     "k78_partition_mutations",
     "k11_compaction",
-    "k09_retention_cleanup",
     "o1_backfill_pipeline",
     "o2b_stateful_streaming",
     "o2_streaming_tail",
@@ -100,12 +98,18 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l26_training_shuffle",
     "l27_quality_classifier",
     "c04_fuzzy_dedup",
-    # ---- 50-cap boundary. With 102 specs and a 50-row snapshot, three
-    # r04-witnessed rows must wait for r07: m02–m04 (rows-only multimodal
-    # stub variants, code untouched since r04, and the family core m01
-    # holds a green r05 row) — first in line next rotation. Everything
-    # below holds a green r05 row; t45 (r05-green) yields its warm slot to
-    # the four first-row specs above.
+    "l28_pq_adc_topk",
+    "l29_ivfpq_topk",
+    # ---- 50-cap boundary. With 104 specs and a 50-row snapshot, five
+    # r04-witnessed rows must wait for r07 (first in line next rotation):
+    # m02–m04 (rows-only multimodal stub variants, code untouched since
+    # r04, and the family core m01 holds a green r05 row), k09
+    # (driver-side retention scheduling, rows-only, unit-tested), and v04
+    # (1-row tip comparison, unchanged since r04, parity-green locally).
+    # Everything below holds a green r05 row; t45 (r05-green) yields its
+    # warm slot to the six first-row specs above.
+    "v04_tip_comparison",
+    "k09_retention_cleanup",
     "m02_image_resize",
     "m03_audio_features",
     "m04_video_frame_sample",

@@ -1203,3 +1203,189 @@ def l27(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     from ..operators.text import hashed_linear_classifier
 
     return hashed_linear_classifier(t["documents"], threshold=0.0)
+
+
+def _pq_oracle(m: int = 4, ksub: int = 16, dsub: int = 16, n_q: int = 10, k: int = 5) -> str:
+    def sub_d(j: int) -> str:
+        o = j * dsub
+        return (
+            f"list_sum(list_transform(generate_series(1, {dsub}), "
+            f"i -> CAST((d.dec[{o} + i] - c.dec[{o} + i]) * "
+            f"(d.dec[{o} + i] - c.dec[{o} + i]) AS DECIMAL(28,6))))"
+        )
+
+    dcols = ",\n                   ".join(f"{sub_d(j)} AS d{j}" for j in range(m))
+    rcols = ",\n                   ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{j}, code) AS r{j}"
+        for j in range(m)
+    )
+    ecols = ",\n                   ".join(
+        f"min(CASE WHEN r{j} = 1 THEN code END) AS code{j}" for j in range(m)
+    )
+    qjoins = "\n            ".join(
+        f"JOIN dists q{j} ON q{j}.code = e.code{j}"
+        + (f" AND q{j}.vec_id < {n_q}" if j == 0 else " AND q{0}.vec_id = q{1}.vec_id".format(0, j))
+        for j in range(m)
+    )
+    adc = " + ".join(f"q{j}.d{j}" for j in range(m))
+    return f"""
+        WITH v AS (SELECT vec_id, {_DEC_VEC} AS dec FROM embeddings),
+        cb AS (SELECT CAST(vec_id AS INT) AS code, dec FROM v WHERE vec_id < {ksub}),
+        dists AS (
+            SELECT d.vec_id, c.code,
+                   {dcols}
+            FROM v d CROSS JOIN cb c
+        ),
+        rk AS (
+            SELECT vec_id, code,
+                   {rcols}
+            FROM dists
+        ),
+        enc AS (
+            SELECT vec_id,
+                   {ecols}
+            FROM rk GROUP BY vec_id
+        ),
+        scored AS (
+            SELECT q0.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   CAST({adc} AS DOUBLE) AS adc_dist
+            FROM enc e
+            {qjoins}
+            WHERE e.vec_id <> q0.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "l28_pq_adc_topk",
+    tables=("embeddings",),
+    oracle=_pq_oracle(),
+    tags=("llm", "similarity", "ann", "pq", "quantization"),
+)
+def l28(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Product-quantization ANN (the FAISS IVF-PQ storage half): vectors
+    compress to m=4 codes (16-word sub-codebooks), queries score code
+    words via a per-query lookup table (ADC) — raw floats untouched at
+    query time. First-ksub codebooks keep it deterministic; exact-decimal
+    distances make codes and ranking engine-portable."""
+    emb = t["embeddings"]
+    return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _ivfpq_oracle(
+    m: int = 4,
+    ksub: int = 16,
+    dsub: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    n_q: int = 10,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    def sub_d(j: int) -> str:
+        o = j * dsub
+        return (
+            f"list_sum(list_transform(generate_series(1, {dsub}), "
+            f"i -> CAST((d.dec[{o} + i] - c.dec[{o} + i]) * "
+            f"(d.dec[{o} + i] - c.dec[{o} + i]) AS DECIMAL(28,6))))"
+        )
+
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> CAST(n.dec[i] * ct.c_dec[i] AS DECIMAL(28,6))))"
+    )
+    dcols = ",\n                   ".join(f"{sub_d(j)} AS d{j}" for j in range(m))
+    rcols = ",\n                   ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{j}, code) AS r{j}"
+        for j in range(m)
+    )
+    ecols = ",\n                   ".join(
+        f"min(CASE WHEN r{j} = 1 THEN code END) AS code{j}" for j in range(m)
+    )
+    qjoins = "\n            ".join(
+        f"JOIN dists q{j} ON q{j}.vec_id = p.query_id AND q{j}.code = e.code{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(f"q{j}.d{j}" for j in range(m))
+    return f"""
+        WITH {_VEC_CTE},
+        cb AS (SELECT CAST(vec_id AS INT) AS code, dec FROM v WHERE vec_id < {ksub}),
+        dists AS (
+            SELECT d.vec_id, c.code,
+                   {dcols}
+            FROM v d CROSS JOIN cb c
+        ),
+        rk AS (
+            SELECT vec_id, code,
+                   {rcols}
+            FROM dists
+        ),
+        enc AS (
+            SELECT vec_id,
+                   {ecols}
+            FROM rk GROUP BY vec_id
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, dec AS c_dec, normsq AS c_normsq
+            FROM n WHERE vec_id < {n_centroids}
+        ),
+        assign AS (
+            SELECT n.vec_id, ct.cent_id,
+                   CAST({dot} AS DOUBLE)
+                     / sqrt(CAST(n.normsq AS DOUBLE) * CAST(ct.c_normsq AS DOUBLE)) AS cos
+            FROM n CROSS JOIN cents ct
+        ),
+        cells AS (
+            SELECT vec_id AS neighbor_id, cent_id AS cell
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+                  FROM assign)
+            WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cent_id AS cell
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+                  FROM assign WHERE vec_id < {n_q})
+            WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   CAST({adc} AS DOUBLE) AS adc_dist
+            FROM enc e
+            JOIN cells cl ON cl.neighbor_id = e.vec_id
+            JOIN probes p ON p.cell = cl.cell
+            {qjoins}
+            WHERE e.vec_id <> p.query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "l29_ivfpq_topk",
+    tables=("embeddings",),
+    oracle=_ivfpq_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "pq"),
+)
+def l29(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Full FAISS-style IVF-PQ top-5: IVF cells prune WHERE each query
+    looks (nprobe=3 of 16 Voronoi cells), PQ shrinks WHAT is read there
+    (candidates scored by ADC lookups over m=4 codes — the inverted lists
+    carry 2 bytes of codes per vector, never raw floats). First-K
+    centroids AND codebooks keep the whole index oracle-replayable."""
+    emb = t["embeddings"]
+    return S.ivfpq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

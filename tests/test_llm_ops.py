@@ -743,3 +743,115 @@ def test_fuzzy_dedup_composite_keeps_one_per_component(spark):
         for r in docs.join(losers, "doc_id", "left_anti").select("doc_id").collect()
     }
     assert survivors == {0, 3, 5}
+
+
+def _pq_base_corpus(spark, extra=()):
+    """16 maximally-separated base vectors (candidate codebook words) plus
+    optional extra rows; 64-dim, values chosen to survive 3-dp rounding
+    and keep every norm nonzero (vec i is all (i+1)s)."""
+    rows = [(i, [float(i + 1)] * 64) for i in range(16)] + list(extra)
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_centroids_get_own_code(spark):
+    """With first-16 codebooks, each codebook vector must encode to its own
+    index in every subvector (distance 0 beats every other word)."""
+    corpus = _pq_base_corpus(spark)
+    cb = S.pq_codebooks_first_k(corpus)
+    out = {r.id: r.codes for r in S.pq_encode(corpus, cb).collect()}
+    for i in range(16):
+        assert out[i] == [i, i, i, i]
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """Encoding is a constant-folded projection — zero Exchange; at 100 TB
+    it fuses into the corpus scan."""
+    corpus = _pq_base_corpus(spark)
+    cb = S.pq_codebooks_first_k(corpus)
+    plan = S.pq_encode(corpus, cb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_retrieves_planted_cluster(spark):
+    """Near-copies of codebook word 3 must encode to code 3 everywhere and
+    come back first (with word 3 itself) for a query inside the cluster."""
+    extra = [(100, [4.004] * 64), (101, [4.008] * 64)]
+    corpus = _pq_base_corpus(spark, extra)
+    out = S.pq_adc_topk(corpus, corpus.filter(F.col("vec_id") == 100), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.query_id for r in rows] == [100, 100, 100]
+    # docs 3 and 101 share query 100's codes -> identical (minimal) ADC
+    # distance, tie-broken by id; the third hit is strictly farther
+    assert [r.neighbor_id for r in rows[:2]] == [3, 101]
+    assert rows[0].adc_dist == rows[1].adc_dist
+    assert rows[2].adc_dist > rows[0].adc_dist
+
+
+def test_pq_kmeans_codebooks_train_and_encode(spark, sf_dir):
+    """The KMeans trainer must return m × ksub × dim/m codebooks that the
+    shared encoder consumes; every code lands in [0, ksub)."""
+    from core_etl_spark.io import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",), register=False)["embeddings"]
+    cb = S.pq_codebooks_kmeans(emb, m=4, ksub=8)
+    assert len(cb) == 4 and all(len(b) == 8 for b in cb)
+    assert all(len(w) == 16 for b in cb for w in b)
+    codes = S.pq_encode(emb, cb).collect()
+    assert len(codes) == emb.count()
+    assert all(0 <= c < 8 for r in codes for c in r.codes)
+
+
+def test_ivfpq_retrieves_planted_cluster(spark):
+    """Composed IVF-PQ: the query probes its own Voronoi cell, where the
+    planted near-copies live, and ADC ranks them (with the codebook word
+    itself) ahead of everything else.
+
+    Bases here must be direction-diverse (one hot 4-dim block each, 0.1
+    floor elsewhere): IVF cells are cosine Voronoi regions, so the
+    constant-vector fixture above (all vectors parallel) would collapse
+    every cell onto fp-noise ties."""
+
+    def block_vec(block: int, hi: float) -> list:
+        return [hi if d // 4 == block else 0.1 for d in range(64)]
+
+    rows = [(i, block_vec(i, 2.0)) for i in range(16)] + [
+        (100, block_vec(3, 2.004)),
+        (101, block_vec(3, 2.008)),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.ivfpq_adc_topk(
+        corpus, corpus.filter(F.col("vec_id") == 100), k=3, nprobe=3
+    )
+    rows_out = sorted(out.collect(), key=lambda r: r.rank)
+    assert len(rows_out) == 3
+    # word 3 and copy 101 share the query's cell AND its codes -> minimal
+    # (tied) ADC distance, id tie-break; the third hit is a probed
+    # neighbor cell's lone member, strictly farther
+    assert [r.neighbor_id for r in rows_out[:2]] == [3, 101]
+    assert rows_out[2].adc_dist > rows_out[0].adc_dist
+
+
+def test_ivfpq_persisted_index_matches_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted compressed index must return exactly the in-memory
+    IVF-PQ result (codebooks round-trip losslessly through their decimal
+    strings), and probes must reach the lists scan as a partition filter
+    over fewer than all cells."""
+    import re
+
+    from core_etl_spark.io import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",), register=False)["embeddings"]
+    path = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.ivfpq_index_topk(spark, path, queries, k=5, nprobe=3)
+    mem = S.ivfpq_adc_topk(emb, queries, k=5, n_centroids=16, nprobe=3)
+    got = {(r.query_id, r.neighbor_id, r.rank, r.adc_dist) for r in out.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank, r.adc_dist) for r in mem.collect()}
+    assert got == want and got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = next(x for x in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if x)
+    m = re.search(r"IN(?:SET)?\s*\(?([\d,\s]+)\)?", pf)
+    assert m, f"no cell IN-list in partition filter: {pf}"
+    n_cells = len(re.findall(r"\d+", m.group(1)))
+    assert n_cells <= 9, f"3 queries x nprobe 3 must prune to <=9 cells, saw {pf}"

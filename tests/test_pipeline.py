@@ -355,3 +355,17 @@ def test_cli_similarity_persisted_index(spark, sf_dir, tmp_path, capsys):
                      "--n-queries", "3", "--k", "2"]) == 0
     out = capsys.readouterr().out
     assert "neighbor_id" in out and "rank" in out
+
+
+def test_cli_similarity_pq_index(spark, sf_dir, tmp_path, capsys):
+    """--pq --build-index then --pq --index: the CLI round-trip over the
+    compressed IVF-PQ index returns ADC-ranked neighbors."""
+    emb = f"{sf_dir}/embeddings.parquet"
+    idx = str(tmp_path / "ivfpq_idx")
+    assert cli.main(["similarity", "--embeddings", emb, "--pq",
+                     "--build-index", idx, "--n-centroids", "8"]) == 0
+    assert "wrote IVF-PQ index" in capsys.readouterr().out
+    assert cli.main(["similarity", "--embeddings", emb, "--pq",
+                     "--index", idx, "--n-queries", "3", "--k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "neighbor_id" in out and "adc_dist" in out
