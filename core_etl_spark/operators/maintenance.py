@@ -49,3 +49,37 @@ def detect_reorgs(stored_blocks: DataFrame, incoming_headers: DataFrame) -> Data
         .select(F.col("_s_number").alias("forked_number"))
     )
     return same_height.unionByName(parent_mismatch).distinct()
+
+
+def incremental_agg_merge(
+    prev_agg: DataFrame,
+    batch_agg: DataFrame,
+    keys: tuple[str, ...],
+    count_col: str = "n_events",
+    sum_col: str = "total_v",
+) -> DataFrame:
+    """Incremental aggregate maintenance — merge a new micro-batch's
+    partial aggregate into the stored aggregate table, the streaming-table
+    pattern every continuously-maintained rollup needs: the corpus is
+    NEVER rescanned; each refresh touches only the (key-sized) aggregate
+    state and the new batch.
+
+    Both inputs carry ``keys + count_col + sum_col`` (sums kept as exact
+    decimals so merge order can't change a cent). The merge is a
+    full-outer equi-join on the keys — one shuffle proportional to the
+    DISTINCT KEY COUNT, not the row count; at 100 TB the aggregate table
+    is the small side and the refresh cost tracks batch size. The proof
+    obligation (spec k12) is merged(prior, batch) == full recompute."""
+    p, b = prev_agg.alias("p"), batch_agg.alias("b")
+    zero = F.lit(0)
+    return p.join(b, on=list(keys), how="full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(f"p.{count_col}"), zero)
+            + F.coalesce(F.col(f"b.{count_col}"), zero)
+        ).alias(count_col),
+        (
+            F.coalesce(F.col(f"p.{sum_col}"), zero.cast("decimal(18,2)"))
+            + F.coalesce(F.col(f"b.{sum_col}"), zero.cast("decimal(18,2)"))
+        ).cast("decimal(18,2)").alias(sum_col),
+    )

@@ -64,14 +64,11 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g21_percentiles",
     "g22_salted_aggregation",
     "g23_salted_join",
-    "g21b_approx_sketches",
     "j01_asof_join",
-    "j02_range_join",
     "l06x_ngram_jaccard_xxhash",
     "l10_ann_lsh_topk",
     "l11_embedding_neardup",
     "l12_ann_ivf_topk",
-    "l12b_ann_ivf_kmeans",
     "l13_repetition_stats",
     "l14_pii_scrub",
     "l15_stratified_sample",
@@ -100,14 +97,24 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "c04_fuzzy_dedup",
     "l28_pq_adc_topk",
     "l29_ivfpq_topk",
-    # ---- 50-cap boundary. With 104 specs and a 50-row snapshot, five
+    "k12_incremental_agg",
+    "g28_returns_by_customer_tpch_q10",
+    "g29_supplier_diversity_tpch_q16",
+    # ---- 50-cap boundary. With 107 specs and a 50-row snapshot, eight
     # r04-witnessed rows must wait for r07 (first in line next rotation):
     # m02–m04 (rows-only multimodal stub variants, code untouched since
     # r04, and the family core m01 holds a green r05 row), k09
-    # (driver-side retention scheduling, rows-only, unit-tested), and v04
-    # (1-row tip comparison, unchanged since r04, parity-green locally).
-    # Everything below holds a green r05 row; t45 (r05-green) yields its
-    # warm slot to the six first-row specs above.
+    # (driver-side retention scheduling, rows-only, unit-tested), v04
+    # (1-row tip comparison, unchanged since r04, parity-green locally),
+    # j02 (range join, r04-green; j01 keeps the temporal family's slot),
+    # and g21b/l12b (rows-only variants whose oracle cores g21/l12 get
+    # fresh r06 rows). First-row oracle specs outrank rows-only
+    # refreshes for the capped slots; everything below holds a green r05
+    # row; t45 (r05-green) yields its warm slot to the nine first-row
+    # specs above.
+    "g21b_approx_sketches",
+    "l12b_ann_ivf_kmeans",
+    "j02_range_join",
     "v04_tip_comparison",
     "k09_retention_cleanup",
     "m02_image_resize",

@@ -480,3 +480,44 @@ def k11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "k12_incremental_agg",
+    tables=("events",),
+    oracle="""
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_v
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    tags=("maintenance", "incremental", "aggregate", "streaming-table"),
+)
+def k12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental aggregate maintenance: the stored per-(user, type)
+    rollup over the first 80% of events is merged with the partial
+    aggregate of the 20% 'new batch' — and must equal the from-scratch
+    groupBy over everything (the oracle). The refresh path reads only the
+    batch + the key-sized aggregate table; exact-decimal sums make the
+    merge order-insensitive."""
+    from ..operators.maintenance import incremental_agg_merge
+
+    ev = t["events"]
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_v"),
+        )
+
+    prev = agg(ev.filter(F.col("event_id") % 10 < 8))
+    batch = agg(ev.filter(F.col("event_id") % 10 >= 8))
+    merged = incremental_agg_merge(
+        prev, batch, ("user_id", "event_type")
+    )
+    return merged.select(
+        "user_id", "event_type", "n_events", F.col("total_v").cast("double").alias("total_v")
+    )

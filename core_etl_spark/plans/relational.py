@@ -755,3 +755,50 @@ shared_sql(
     doc="TPC-H Q17 shape: correlated aggregate subquery written "
     "decorrelated (per-key agg + self-join) — one shuffle on l_partkey.",
 )
+
+
+shared_sql(
+    "g28_returns_by_customer_tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_return_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tables=("customer", "orders", "lineitem", "nation"),
+    tags=("gap", "join", "agg", "topk"),
+    doc="TPC-H Q10 shape: returned-item revenue per customer — fact scan "
+    "filtered on the return flag (reaches parquet), two broadcast dim "
+    "joins (customer, nation), one shuffle agg, exact-decimal revenue, "
+    "TakeOrdered top-20 with the custkey tiebreaker.",
+)
+
+shared_sql(
+    "g29_supplier_diversity_tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (5, 10, 15, 20)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tables=("lineitem", "part", "supplier"),
+    tags=("gap", "join", "distinct", "anti-join"),
+    doc="TPC-H Q16 shape (lineitem standing in for partsupp): distinct "
+    "supplier count per part attribute, minus flagged suppliers via a "
+    "NOT IN anti-join (null-safe: s_suppkey is non-null) that Catalyst "
+    "plans as a broadcast anti join; partial distinct before the final "
+    "agg keeps the shuffle narrow.",
+)

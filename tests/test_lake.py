@@ -263,3 +263,31 @@ def test_compact_concurrent_with_appends_loses_nothing(spark, tmp_path):
     lk.compact("blocks", target_rows_per_file=100)
     assert lk.blocks().count() == 200
     assert lk.blocks().select("number").distinct().count() == 200
+
+
+def test_incremental_agg_merge_hand_case(spark):
+    """Merging a batch aggregate into the stored aggregate must equal the
+    from-scratch aggregate: overlapping keys sum, prior-only and
+    batch-only keys pass through untouched."""
+    from core_etl_spark.operators.maintenance import incremental_agg_merge
+
+    schema = "user_id long, event_type string, n_events long, total_v decimal(18,2)"
+    from decimal import Decimal as D
+
+    prev = spark.createDataFrame(
+        [(1, "a", 2, D("10.50")), (2, "b", 1, D("3.00"))], schema
+    )
+    batch = spark.createDataFrame(
+        [(1, "a", 1, D("0.25")), (3, "a", 4, D("7.75"))], schema
+    )
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.total_v)
+        for r in incremental_agg_merge(
+            prev, batch, ("user_id", "event_type")
+        ).collect()
+    }
+    assert got == {
+        (1, "a"): (3, D("10.75")),  # overlap: counts and sums merge
+        (2, "b"): (1, D("3.00")),   # prior-only key unchanged
+        (3, "a"): (4, D("7.75")),   # batch-only key appears
+    }

@@ -175,3 +175,20 @@ def test_l27_quality_classifier_no_shuffle(spark, sf_dir):
     Exchange; at 100 TB it fuses into the corpus scan."""
     plan = _plan(spark, sf_dir, "l27_quality_classifier")
     assert "Exchange" not in plan
+
+
+def test_g28_dim_joins_broadcast(spark, sf_dir):
+    """Q10 shape: both dim joins (customer, nation) must broadcast; the
+    fact side never sort-merges."""
+    plan = _plan(spark, sf_dir, "g28_returns_by_customer_tpch_q10")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_g29_not_in_is_hash_anti_join(spark, sf_dir):
+    """The NOT IN subquery must plan as a broadcast HASH anti join — a
+    null-aware BroadcastNestedLoopJoin here would be the classic NOT-IN
+    scale trap (per-row probe of the whole build side)."""
+    plan = _plan(spark, sf_dir, "g29_supplier_diversity_tpch_q16")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
