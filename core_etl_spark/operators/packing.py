@@ -76,3 +76,51 @@ def pack_sequences(
             ).alias("spans_chunks"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_len: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token stream into fixed-length windows with a
+    stride (overlap = ``chunk_len - stride``) — the chunking step RAG
+    indexes and long-context eval sets are built from (complementary to
+    :func:`pack_sequences`, which concatenates ACROSS documents; this
+    splits WITHIN them).
+
+    Chunk count per doc is ``1`` when ``n <= chunk_len`` else
+    ``ceil((n - chunk_len)/stride) + 1`` (the standard sliding-window
+    count; the final window is allowed to be short rather than re-reading
+    earlier tokens, keeping every token in ≥1 chunk and the arithmetic
+    exact). Output: one row per (doc, chunk) with its 0-based index,
+    start-token offset, token count, and text.
+
+    Scale shape: ZERO shuffle — sequence + slice + posexplode is a pure
+    per-row generator fused into the corpus scan; output row count is
+    ~n_tokens/stride per doc, the same fan-out any chunk indexer pays."""
+    if stride < 1 or chunk_len < 1:
+        raise ValueError(f"chunk_len/stride must be >= 1, got {chunk_len}/{stride}")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_len, F.lit(1)).otherwise(
+        F.floor((n - chunk_len + stride - 1) / stride).cast("int") + 1
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * stride).cast("long").alias("start_token"),
+            F.slice(toks, i * stride + 1, chunk_len).alias("w"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(windows).alias("chunk_idx", "c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int"),
+        F.col("c.start_token").alias("start_token"),
+        F.size("c.w").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.w", " ").alias("chunk_text"),
+    )

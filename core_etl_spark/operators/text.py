@@ -354,3 +354,50 @@ def hashed_linear_classifier(
         (score_sum / n).alias("score"),
         (score_sum / n >= F.lit(threshold)).alias("keep"),
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, published
+    recipe): the rule battery every web-crawl corpus is screened with
+    before the (more expensive) classifier/dedup passes. Implemented
+    rules — word-count bounds, mean-word-length bounds, alphabetic-word
+    ratio, and minimum stopword evidence — each emitted as its own flag
+    plus the conjunction, so downstream reporting can attribute WHY a
+    document failed.
+
+    Every ratio divides exact integers (counts over counts), so flags are
+    engine-portable. Scale shape: ZERO shuffle — one battery of
+    element-wise array expressions fused into the corpus scan."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # mean word length over the single-space corpus: chars minus the
+    # (n-1) separators, divided by n — exact ints in, one double out
+    mean_wl = (F.length(F.col(text_col)) - (n - 1)) / n
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    stop_hits = stopword_hits(F.col(text_col), STOPWORDS_EN)
+    rule_words = (n >= min_words) & (n <= max_words)
+    rule_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    rule_alpha = n_alpha / n >= F.lit(min_alpha_ratio)
+    rule_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        (n_alpha / n).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        rule_words.alias("pass_word_count"),
+        rule_wl.alias("pass_word_len"),
+        rule_alpha.alias("pass_alpha"),
+        rule_stop.alias("pass_stopwords"),
+        (rule_words & rule_wl & rule_alpha & rule_stop).alias("pass_gopher"),
+    )

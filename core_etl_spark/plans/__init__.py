@@ -112,6 +112,10 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # refreshes for the capped slots; everything below holds a green r05
     # row; t45 (r05-green) yields its warm slot to the nine first-row
     # specs above.
+    # l30/l31 (first rows) land just past the cap — they join the r07
+    # front alongside the holdbacks below.
+    "l30_gopher_quality",
+    "l31_doc_chunking",
     "g21b_approx_sketches",
     "l12b_ann_ivf_kmeans",
     "j02_range_join",

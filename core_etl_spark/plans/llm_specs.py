@@ -1389,3 +1389,78 @@ def l29(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     centroids AND codebooks keep the whole index oracle-replayable."""
     emb = t["embeddings"]
     return S.ivfpq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "l30_gopher_quality",
+    tables=("documents",),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS} AS tk, len({_TOKS}) AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   (length(text) - (n - 1)) / n AS mean_wl,
+                   len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                   len(list_filter(tk, w -> list_contains(
+                       ['the','of','and','to','a'], w))) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_words,
+               mean_wl AS mean_word_len,
+               n_alpha / n AS alpha_ratio,
+               CAST(stop_hits AS BIGINT) AS stopword_hits,
+               n >= 10 AND n <= 100000 AS pass_word_count,
+               mean_wl >= 3.0 AND mean_wl <= 10.0 AS pass_word_len,
+               n_alpha / n >= 0.8 AS pass_alpha,
+               stop_hits >= 2 AS pass_stopwords,
+               (n >= 10 AND n <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                 AND (n_alpha / n >= 0.8) AND (stop_hits >= 2) AS pass_gopher
+        FROM s
+    """,
+    tags=("llm", "quality", "gopher", "rules"),
+)
+def l30(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Gopher-rule quality battery (published Rae et al. 2021 recipe):
+    word-count bounds, mean-word-length bounds, alphabetic-word ratio,
+    stopword evidence — per-rule flags plus the conjunction, zero-shuffle
+    array expressions fused into the scan."""
+    return X.gopher_quality(t["documents"])
+
+
+@register(
+    "l31_doc_chunking",
+    tables=("documents",),
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        c AS (
+            SELECT doc_id, tk, len(tk) AS n,
+                   CASE WHEN len(tk) <= 32 THEN 1
+                        ELSE CAST((len(tk) - 32 + 24 - 1) // 24 AS INT) + 1
+                   END AS n_chunks
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(0, n_chunks - 1)) AS i
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               CAST(i * 24 AS BIGINT) AS start_token,
+               CAST(len(tk[i*24 + 1 : i*24 + 32]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(tk[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+        FROM e
+    """,
+    tags=("llm", "chunking", "rag", "windows"),
+)
+def l31(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding-window document chunking (32-token windows, stride 24 —
+    8-token overlap): the RAG-index / long-context-eval splitter,
+    complementary to l20's cross-document packing. Pure per-row
+    sequence + slice + posexplode — no shuffle anywhere."""
+    from ..operators.packing import chunk_documents
+
+    return chunk_documents(t["documents"], chunk_len=32, stride=24)

@@ -89,3 +89,43 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events for the same key whose timestamp lands in
+    ``[left_ts - ... , left_ts + upper]`` — Spark's canonical two-stream
+    correlation (impressions↔clicks, orders↔payments, header↔receipt
+    arrival). Both sides MUST carry a watermark plus the time-range
+    condition: together they bound the join state (each side buffers only
+    rows younger than watermark + interval, then evicts) — that bound is
+    what lets the join run forever on unbounded streams.
+
+    Runs identically on batch inputs (the condition degrades to a plain
+    range predicate), which is how the parity test pins the streaming
+    result to the batch answer. One shuffle per side on the equi-key;
+    the range condition is evaluated within co-partitioned state."""
+    l = with_watermark(left, left_ts, delay)
+    r = with_watermark(right, right_ts, delay)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").select(
+        l[key].alias(key),
+        F.col(left_ts),
+        F.col(right_ts),
+        (F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))).alias(
+            "lag_us"
+        ),
+    )

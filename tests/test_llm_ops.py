@@ -855,3 +855,52 @@ def test_ivfpq_persisted_index_matches_and_prunes(spark, sf_dir, tmp_path):
     assert m, f"no cell IN-list in partition filter: {pf}"
     n_cells = len(re.findall(r"\d+", m.group(1)))
     assert n_cells <= 9, f"3 queries x nprobe 3 must prune to <=9 cells, saw {pf}"
+
+
+def test_gopher_quality_rules_hand_case(spark):
+    """Each rule must fire for the right reason: a good doc passes all
+    four; a 4-word doc fails the count rule; a stopword-free doc fails
+    only stopword evidence."""
+    good = "the quick brown foxes jumped over their lazy dogs and the barn owls watched"
+    rows = [
+        (0, good),
+        (1, "too short for the corpus"),  # 5 words < 10
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.gopher_quality(df).collect()}
+    assert out[0].pass_gopher
+    assert not out[1].pass_word_count and not out[1].pass_gopher
+    assert out[2].pass_word_count and out[2].pass_alpha
+    assert not out[2].pass_stopwords and not out[2].pass_gopher
+
+
+def test_chunk_documents_tiling(spark):
+    """Windows must start every `stride` tokens, cover every token at
+    least once, and let only the final window run short."""
+    from core_etl_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_len=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [(r.chunk_idx, r.start_token, r.n_chunk_tokens) for r in d1] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4),
+    ]
+    assert d1[0].chunk_text == "w0 w1 w2 w3"
+    assert d1[2].chunk_text == "w6 w7 w8 w9"
+    # coverage: every token index appears in at least one window
+    covered = set()
+    for r in d1:
+        covered |= set(range(r.start_token, r.start_token + r.n_chunk_tokens))
+    assert covered == set(range(10))
+    # short doc: single (possibly short) window
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert [(r.chunk_idx, r.start_token, r.n_chunk_tokens) for r in d2] == [(0, 0, 3)]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_len=4, stride=0)

@@ -192,3 +192,11 @@ def test_g29_not_in_is_hash_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "g29_supplier_diversity_tpch_q16")
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["l30_gopher_quality", "l31_doc_chunking"])
+def test_new_text_ops_no_shuffle(spark, sf_dir, name):
+    """Gopher rules and sliding-window chunking are per-row expression
+    batteries/generators — zero Exchange, fused into the scan."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan, f"{name} grew a shuffle"

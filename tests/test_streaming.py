@@ -192,3 +192,57 @@ def test_streaming_sliding_window_with_watermark(spark, tmp_path):
     sealed = {w.minute: n for w, n in got.items()}
     assert sealed[55] == 5 and sealed[0] == 10
     assert all(w.minute in (55, 0) for w in got), got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """A genuine two-stream interval join (orders↔payments shape): the
+    streaming result over availableNow must equal the batch join of the
+    same frames — and the state-bounding requirements (watermark on both
+    sides + the time-range condition) are baked into the helper."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    orders = [
+        (base + dt.timedelta(minutes=m), f"k{m % 3}") for m in range(6)
+    ]
+    # one payment 2 min after each order; one stray 30 min late (outside
+    # the 10-minute interval, must not pair)
+    pays = [(ts + dt.timedelta(minutes=2), k) for ts, k in orders] + [
+        (base + dt.timedelta(minutes=35), "k0")
+    ]
+
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(orders, "l_ts timestamp, key string").coalesce(1).write.parquet(lpath)
+    spark.createDataFrame(pays, "r_ts timestamp, key string").coalesce(1).write.parquet(rpath)
+
+    def sides(streaming):
+        if streaming:
+            return (
+                spark.readStream.schema("l_ts timestamp, key string").parquet(lpath),
+                spark.readStream.schema("r_ts timestamp, key string").parquet(rpath),
+            )
+        return spark.read.parquet(lpath), spark.read.parquet(rpath)
+
+    lb, rb = sides(False)
+    batch = {
+        (r.key, r.l_ts, r.r_ts, r.lag_us)
+        for r in W.interval_join(lb, rb, "key").collect()
+    }
+
+    ls, rs = sides(True)
+    out = W.interval_join(ls, rs, "key")
+    assert out.isStreaming
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r.key, r.l_ts, r.r_ts, r.lag_us) for r in got}
+    assert streamed == batch and batch
+    # every pair respects the interval; the stray late payment paired with nothing
+    assert all(0 <= lag <= 10 * 60 * 1_000_000 for (_, _, _, lag) in batch)
+    assert not any(ts.minute == 35 for (_, _, ts, _) in batch)
