@@ -366,6 +366,7 @@ def gopher_quality(
     min_stopword_hits: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style heuristic quality rules (Rae et al. 2021, published
     recipe): the rule battery every web-crawl corpus is screened with
@@ -391,6 +392,7 @@ def gopher_quality(
     rule_stop = stop_hits >= min_stopword_hits
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],  # passthrough for composites (c05)
         n.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         (n_alpha / n).alias("alpha_ratio"),

@@ -283,3 +283,72 @@ def c04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def _c05_oracle() -> str:
+    from ..operators.sampling import rate_threshold
+
+    t_train = rate_threshold(0.95)
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        ),
+        g AS (
+            SELECT doc_id, text, len(t) AS n,
+                   (length(text) - (len(t) - 1)) / len(t) AS mwl,
+                   len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS na,
+                   len(list_filter(t, w -> list_contains(
+                       ['the','of','and','to','a'], w))) AS sh
+            FROM tk
+        ),
+        q AS (  -- Gopher gate (l30's rules)
+            SELECT doc_id, text, n FROM g
+            WHERE n >= 10 AND n <= 100000
+              AND mwl >= 3.0 AND mwl <= 10.0
+              AND na / n >= 0.8 AND sh >= 2
+        ),
+        d AS (  -- exact dedup of survivors
+            SELECT * FROM q
+            WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
+        ),
+        s AS (  -- 95/5 hash split + 4-way epoch shard (l21/l26 gates)
+            SELECT doc_id, n,
+                   CASE WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        < '{t_train}' THEN 'train' ELSE 'val' END AS split,
+                   CAST(CAST('0x' || substring(
+                        md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 4 AS INT) AS shard
+            FROM d
+        )
+        SELECT split, shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens
+        FROM s GROUP BY split, shard
+    """
+
+
+@register(
+    "c05_training_ready",
+    tables=("documents",),
+    oracle=_c05_oracle(),
+    tags=("corpus", "composition", "quality", "split", "sharding"),
+)
+def c05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """The train-ready tail of the pipeline as ONE declarative plan:
+    Gopher quality gate → exact dedup → deterministic 95/5 train/val
+    split → 4-shard epoch shuffle → per-(split, shard) doc/token budget.
+    Every stage is an existing oracle-proven operator; the value is the
+    composition — the scalar gates fuse into the scan, the only shuffles
+    are the dedup groupBy, the shard exchange, and the final budget agg."""
+    from ..operators import text as X
+    from ..operators.sampling import deterministic_split, shuffle_shards
+
+    docs = t["documents"]
+    q = X.gopher_quality(docs, keep=("text",)).filter("pass_gopher")
+    d = D.exact_dedup(q.select("doc_id", "text"), "text", "doc_id")
+    s = deterministic_split(d, {"train": 0.95, "val": 0.05})
+    sh = shuffle_shards(s, n_shards=4, salt="ep0")
+    return sh.groupBy("split", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
