@@ -112,11 +112,12 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # refreshes for the capped slots; everything below holds a green r05
     # row; t45 (r05-green) yields its warm slot to the nine first-row
     # specs above.
-    # l30/l31/c05 (first rows) land just past the cap — they join the
-    # r07 front alongside the holdbacks below.
+    # l30/l31/c05/o2e (first rows) land just past the cap — they join
+    # the r07 front alongside the holdbacks below.
     "l30_gopher_quality",
     "l31_doc_chunking",
     "c05_training_ready",
+    "o2e_stream_stream_join",
     "g21b_approx_sketches",
     "l12b_ann_ivf_kmeans",
     "j02_range_join",

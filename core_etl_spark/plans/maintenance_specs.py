@@ -521,3 +521,60 @@ def k12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return merged.select(
         "user_id", "event_type", "n_events", F.col("total_v").cast("double").alias("total_v")
     )
+
+
+@register(
+    "o2e_stream_stream_join",
+    tables=(),
+    oracle=None,  # genuine two-stream execution — rows-only gate; batch
+    # equality is asserted in tests/test_streaming.py
+    tags=("streaming", "join", "interval", "watermark"),
+)
+def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """§2.8 stream-stream join — ``interval_join`` (watermark on both
+    sides + time-range bound = finite state) driven as a REAL two-stream
+    query through a checkpointed availableNow run: each order pairs with
+    its payment 2 minutes later; a stray payment outside the 10-minute
+    interval pairs with nothing. Returns the deterministic pair set
+    (timestamps as ISO strings for a stable snapshot schema)."""
+    import tempfile as _tf
+    from datetime import datetime as _dt, timedelta as _td
+
+    from ..streaming.windows import interval_join
+
+    root = _tf.mkdtemp(prefix="ssjoin_spec_")
+    try:
+        with _shuffle_partitions(spark, 4):
+            base = _dt(2026, 1, 1)
+            orders = [(base + _td(minutes=m), f"k{m % 3}") for m in range(6)]
+            pays = [(ts + _td(minutes=2), k) for ts, k in orders] + [
+                (base + _td(minutes=35), "k0")
+            ]
+            lp, rp = os.path.join(root, "l"), os.path.join(root, "r")
+            spark.createDataFrame(
+                orders, "l_ts timestamp, key string"
+            ).coalesce(1).write.parquet(lp)
+            spark.createDataFrame(
+                pays, "r_ts timestamp, key string"
+            ).coalesce(1).write.parquet(rp)
+            ls = spark.readStream.schema("l_ts timestamp, key string").parquet(lp)
+            rs = spark.readStream.schema("r_ts timestamp, key string").parquet(rp)
+            got: list = []
+            q = (
+                interval_join(ls, rs, "key")
+                .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(root, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            rows = sorted(
+                (r.key, r.l_ts.isoformat(), r.r_ts.isoformat(), int(r.lag_us))
+                for r in got
+            )
+            return spark.createDataFrame(
+                rows, "key string, l_ts string, r_ts string, lag_us long"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
