@@ -403,3 +403,49 @@ def gopher_quality(
         rule_stop.alias("pass_stopwords"),
         (rule_words & rule_wl & rule_alpha & rule_stop).alias("pass_gopher"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction by tf-idf with a LINEAR idf
+    (``score = tf/doclen × N/df``): every factor is an exact integer
+    ratio, so scores — and therefore the selected top-``k`` — are
+    bit-identical across engines (the log-idf variant is a one-expression
+    swap; ln's last-ulp differences between libm and the JVM would break
+    oracle hashing, which is the only reason it isn't the default here).
+
+    Scale shape: explode → (doc, token) count [one shuffle] → document
+    lengths and document frequencies as two partial+final aggregates →
+    equi-joins on doc and token → per-doc top-k window. The document-
+    frequency side is vocabulary-sized; N arrives via a broadcast 1-row
+    aggregate, never a driver round-trip."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("n_tok"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_docs"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doclen, id_col)
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / (F.col("n_tok") * F.col("df_docs")).cast("double")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "rank", "score")
+    )

@@ -32,7 +32,7 @@ from . import maintenance_specs  # noqa: F401,E402
 
 # The driver walks ``queries()`` in dict order and snapshots a bounded prefix
 # (every CORRECTNESS_r*.json to date stops at exactly 50 entries; the
-# registry holds 93), so ``all_specs`` front-loads the specs with the least
+# registry holds 113), so ``all_specs`` front-loads the specs with the least
 # historical driver coverage. Rotating the front of the list each round gives
 # every spec a driver-witnessed row across consecutive snapshots even though
 # no single snapshot can hold all of them. Specs not named here follow in
@@ -118,6 +118,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l31_doc_chunking",
     "c05_training_ready",
     "o2e_stream_stream_join",
+    "l32_tfidf_keywords",
+    "c06_incremental_dedup",
     "g21b_approx_sketches",
     "l12b_ann_ivf_kmeans",
     "j02_range_join",

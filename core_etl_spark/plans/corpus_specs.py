@@ -352,3 +352,39 @@ def c05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "c06_incremental_dedup",
+    tables=("documents",),
+    oracle=f"""
+        WITH {_minhash_pair_ctes()}
+        SELECT id_a, id_b, jaccard FROM mpairs
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """,
+    tags=("corpus", "dedup", "incremental", "minhash", "index"),
+)
+def c06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """The daily-crawl dedup loop end-to-end: 80% of the corpus is the
+    already-admitted history (persisted via ``write_dedup_index`` — bands
+    + shingles on disk), the other 20% is the incoming crawl;
+    ``incremental_dedup_pairs`` returns every near-dup pair touching the
+    new batch. The oracle runs FULL MinHash+LSH over the union and keeps
+    pairs with a new side — a green hash row proves the incremental path
+    loses nothing vs recomputing from scratch."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    docs = t["documents"]
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    root = _tf.mkdtemp(prefix="dedup_idx_spec_")
+    try:
+        D.write_dedup_index(old, root)
+        # eager checkpoint so the index tempdir can be removed before the
+        # caller materializes the result
+        return D.incremental_dedup_pairs(
+            spark, new, root, threshold=0.5
+        ).localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)

@@ -1464,3 +1464,44 @@ def l31(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     from ..operators.packing import chunk_documents
 
     return chunk_documents(t["documents"], chunk_len=32, stride=24)
+
+
+@register(
+    "l32_tfidf_keywords",
+    tables=("documents",),
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        dl AS (SELECT doc_id, sum(tf) AS n_tok FROM tf GROUP BY doc_id),
+        dfr AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        s AS (
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.tf * n.n_docs AS DOUBLE)
+                     / CAST(dl.n_tok * dfr.df_docs AS DOUBLE) AS score
+            FROM tf JOIN dl USING (doc_id)
+                    JOIN dfr USING (token)
+                    CROSS JOIN n
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+            FROM s
+        )
+        SELECT doc_id, token, CAST(rank AS INT) AS rank, score
+        FROM r WHERE rank <= 3
+    """,
+    tags=("llm", "text", "tfidf", "keywords"),
+)
+def l32(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Per-doc top-3 keywords by tf-idf (linear exact-rational idf, so
+    the ranking replays bit-for-bit in the oracle; log-idf is a
+    one-expression production swap). One explode shuffle, two
+    partial+final aggs, vocabulary-sized df join, per-doc top-k."""
+    return X.tfidf_top_terms(t["documents"], k=3)

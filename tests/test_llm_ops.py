@@ -904,3 +904,67 @@ def test_chunk_documents_tiling(spark):
     assert [(r.chunk_idx, r.start_token, r.n_chunk_tokens) for r in d2] == [(0, 0, 3)]
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_len=4, stride=0)
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    """A term unique to one doc must outscore corpus-wide terms; scores
+    must equal the exact tf/len × N/df rational."""
+    rows = [
+        (0, "alpha alpha shared"),
+        (1, "beta shared shared"),
+        (2, "gamma shared alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.rank): (r.token, r.score)
+        for r in X.tfidf_top_terms(df, k=2).collect()
+    }
+    # doc 0: alpha tf=2/3, df(alpha)=2, N=3 -> 2/3 * 3/2 = 1.0
+    #        shared tf=1/3, df=3 -> 1/3 * 1 = 1/3
+    assert out[(0, 1)] == ("alpha", 1.0)
+    assert out[(0, 2)][0] == "shared" and abs(out[(0, 2)][1] - 1 / 3) < 1e-15
+    # doc 1: beta tf=1/3, df=1 -> 1/3 * 3 = 1.0 beats shared (2/3 * 1)
+    assert out[(1, 1)] == ("beta", 1.0)
+    assert out[(1, 2)][0] == "shared" and abs(out[(1, 2)][1] - 2 / 3) < 1e-15
+    # doc 2: gamma (1/3 * 3) = 1.0 first; alpha (1/3 * 3/2) = 0.5 second
+    assert out[(2, 1)] == ("gamma", 1.0)
+    assert out[(2, 2)] == ("alpha", 0.5)
+
+
+def test_incremental_dedup_matches_full_recompute(spark, tmp_path):
+    """Index the old corpus once, probe with a new batch: pairs touching
+    the new batch must equal the full-union recompute restricted to
+    new-side pairs — and old↔old pairs must never be emitted (that work
+    is exactly what the index avoids redoing)."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    other = (
+        "spark executes declarative plans with catalyst and tungsten over "
+        "columnar parquet data at cluster scale every day"
+    )
+    old_rows = [(0, base), (1, base), (2, other)]          # 0/1 are old dups
+    new_rows = [
+        (10, base.replace("today", "tomorrow")),           # near-dup of old 0/1
+        (11, other),                                       # exact dup of old 2
+        (12, other),                                       # exact dup of 11 (new-new)
+        (13, "a totally fresh singleton document with distinct words only"),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    D.write_dedup_index(old, path)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.incremental_dedup_pairs(spark, new, path, threshold=0.5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup_pairs(
+            old.union(new), threshold=0.5
+        ).collect()
+        if r.id_a >= 10 or r.id_b >= 10  # pairs touching the new batch
+    }
+    assert got == full and got
+    assert (2, 11) in got and got[(2, 11)] == 1.0   # new↔old exact dup
+    assert (11, 12) in got and got[(11, 12)] == 1.0  # new↔new pair, once
+    assert all(a >= 10 or b >= 10 for a, b in got)   # never old↔old
+    assert not any(13 in p for p in got)             # singleton stays clean
