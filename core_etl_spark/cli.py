@@ -241,6 +241,30 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         if args.drop:  # emit the clean corpus instead of the report
             keep = out.filter(~F.col("contaminated")).select("doc_id")
             out = docs.join(keep, "doc_id", "left_semi")
+    elif args.action == "index":
+        # persist the fuzzy-dedup index (bands + shingles) of an admitted
+        # corpus; later `corpus dedup --dedup-index` calls probe it at
+        # batch-proportional cost
+        D.write_dedup_index(docs, args.dedup_index)
+        print(f"wrote dedup index: {args.dedup_index}")
+        return 0
+    elif args.action == "chunk":
+        from .operators.packing import chunk_documents
+
+        out = chunk_documents(docs, chunk_len=args.chunk_len, stride=args.stride)
+    elif args.action == "shard":
+        from .operators.sampling import shuffle_shards
+
+        out = shuffle_shards(docs, n_shards=args.n_shards, salt=args.salt).select(
+            "doc_id", "shard", "pos"
+        )
+    elif args.action == "quality":
+        from .operators import text as X
+
+        out = X.gopher_quality(docs)
+        if args.drop:  # emit the passing corpus instead of the report
+            keep = out.filter(F.col("pass_gopher")).select("doc_id")
+            out = docs.join(keep, "doc_id", "left_semi")
     elif args.action == "dedup":
         # full near-dup path: candidate pairs -> connected components ->
         # keep one doc per component (star variant: diameter-proof).
@@ -249,19 +273,54 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # shingle (or prefix block) is all it takes to turn the candidate
         # self-join quadratic at the scale this command advertises
         # (ADVICE r05 / VERDICT r05 watch item).
-        if args.method == "editdist":
-            pairs = D.editdist_pairs(
-                docs, max_dist=args.max_dist, max_block_df=args.max_block_df or None
+        if args.dedup_index:
+            # incremental: pairs touching --documents (the new crawl)
+            # against everything already in the index. Drop policy differs
+            # from the batch path: HISTORY IS CANONICAL — a new doc that
+            # near-dups ANY indexed doc drops regardless of id order
+            # (the old copy is already admitted/trained on); within the
+            # batch itself, the usual min-id-per-component survives.
+            pairs = (
+                D.incremental_dedup_pairs(
+                    spark, docs, args.dedup_index, threshold=args.threshold_jaccard
+                )
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=True)
             )
+            batch_a = docs.select(F.col("doc_id").alias("id_a")).distinct()
+            batch_b = docs.select(F.col("doc_id").alias("id_b")).distinct()
+            vs_hist = (
+                pairs.join(batch_a, "id_a", "left_anti")  # id_a is history
+                .select(F.col("id_b").alias("doc_id"))
+                .union(
+                    pairs.join(batch_b, "id_b", "left_anti")  # id_b is history
+                    .select(F.col("id_a").alias("doc_id"))
+                )
+            )
+            within = (
+                pairs.join(batch_a, "id_a", "left_semi")
+                .join(batch_b, "id_b", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            comp = D.neardup_components_star(within)
+            drop = vs_hist.union(
+                comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+            ).distinct()
         else:
-            pairs = D.jaccard_pairs(
-                docs,
-                threshold=args.threshold_jaccard,
-                max_shingle_df=args.max_shingle_df or None,
-            )
-        pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
-        comp = D.neardup_components_star(pairs)
-        drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+            if args.method == "editdist":
+                pairs = D.editdist_pairs(
+                    docs, max_dist=args.max_dist,
+                    max_block_df=args.max_block_df or None,
+                )
+            else:
+                pairs = D.jaccard_pairs(
+                    docs,
+                    threshold=args.threshold_jaccard,
+                    max_shingle_df=args.max_shingle_df or None,
+                )
+            pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+            comp = D.neardup_components_star(pairs)
+            drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
         out = docs.join(drop, "doc_id", "left_anti")
     elif args.action == "split":
         weights = {}
@@ -372,7 +431,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("corpus", help="training-corpus pipeline over documents")
     c.add_argument("action",
-                   choices=["prep", "dedup", "decontaminate", "split", "pack"])
+                   choices=["prep", "dedup", "decontaminate", "split", "pack",
+                            "index", "chunk", "shard", "quality"])
     c.add_argument("--documents", required=True, help="documents parquet path")
     c.add_argument("--out", default="", help="write parquet here instead of printing")
     c.add_argument("--min-words", type=int, default=20)
@@ -403,6 +463,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prep: also write a persisted IVF index of the "
                         "prepped corpus's embeddings at this path")
     c.add_argument("--n-centroids", type=int, default=16)
+    c.add_argument("--dedup-index", default="",
+                   help="index: write the fuzzy-dedup index here; "
+                        "dedup: probe it incrementally (pairs touching "
+                        "--documents only — the daily-crawl loop)")
+    c.add_argument("--chunk-len", type=int, default=64,
+                   help="chunk: window length in tokens")
+    c.add_argument("--stride", type=int, default=48,
+                   help="chunk: window start spacing (overlap = len - stride)")
+    c.add_argument("--n-shards", type=int, default=8, help="shard: output shards")
+    c.add_argument("--salt", default="ep0", help="shard: epoch seed")
     c.set_defaults(fn=cmd_corpus)
     return p
 

@@ -369,3 +369,53 @@ def test_cli_similarity_pq_index(spark, sf_dir, tmp_path, capsys):
                      "--index", idx, "--n-queries", "3", "--k", "2"]) == 0
     out = capsys.readouterr().out
     assert "neighbor_id" in out and "adc_dist" in out
+
+
+def test_cli_corpus_chunk_shard_quality(spark, sf_dir, capsys):
+    """The chunk / shard / quality actions run end-to-end and print their
+    defining columns."""
+    docsp = f"{sf_dir}/documents.parquet"
+    assert cli.main(["corpus", "chunk", "--documents", docsp,
+                     "--chunk-len", "32", "--stride", "24"]) == 0
+    assert "chunk_text" in capsys.readouterr().out
+    assert cli.main(["corpus", "shard", "--documents", docsp,
+                     "--n-shards", "4"]) == 0
+    assert "shard" in capsys.readouterr().out
+    assert cli.main(["corpus", "quality", "--documents", docsp]) == 0
+    assert "pass_gopher" in capsys.readouterr().out
+
+
+def test_cli_corpus_incremental_dedup_history_canonical(spark, tmp_path, capsys):
+    """corpus index + corpus dedup --dedup-index: a new doc that near-dups
+    an INDEXED doc drops even when its id is smaller (history is
+    canonical); fresh docs and the new-new canonical survive."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    other = (
+        "spark executes declarative plans with catalyst and tungsten over "
+        "columnar parquet data at cluster scale every day"
+    )
+    oldp = str(tmp_path / "old.parquet")
+    newp = str(tmp_path / "new.parquet")
+    idx = str(tmp_path / "dedup_idx")
+    outp = str(tmp_path / "clean.parquet")
+    spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    ).write.parquet(oldp)
+    spark.createDataFrame(
+        [
+            (1, base.replace("today", "tomorrow")),  # near-dup of indexed 100
+            (2, other),                              # new-new canonical
+            (3, other),                              # new-new dup of 2
+            (4, "a totally fresh singleton document with distinct words only"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(newp)
+    assert cli.main(["corpus", "index", "--documents", oldp,
+                     "--dedup-index", idx]) == 0
+    assert "wrote dedup index" in capsys.readouterr().out
+    assert cli.main(["corpus", "dedup", "--documents", newp,
+                     "--dedup-index", idx, "--out", outp]) == 0
+    survivors = {r.doc_id for r in spark.read.parquet(outp).collect()}
+    # doc 1 drops despite having the smallest id anywhere: its canonical
+    # lives in the index. doc 3 drops to doc 2 within the batch.
+    assert survivors == {2, 4}
