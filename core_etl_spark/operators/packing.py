@@ -124,3 +124,60 @@ def chunk_documents(
         F.size("c.w").cast("long").alias("n_chunk_tokens"),
         F.array_join("c.w", " ").alias("chunk_text"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    mask_rate: float = 0.15,
+    sentinel: str = "<mask>",
+    salt: str = "sc1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style denoising-objective data generation: each token position
+    is masked with probability ``mask_rate`` via the module-standard md5
+    hash gate on (salt, doc, position) — deterministic, so the same
+    corpus + salt yields the same (input, target) pairs on every run and
+    engine (``df.sample``-style RNG would reshuffle under repartition).
+    ``input_text`` replaces masked tokens with the sentinel; ``target_text``
+    is the masked tokens in order. (Per-token sentinels, not collapsed
+    span ids — the span-id numbering is a tokenizer-side concern.)
+
+    Scale shape: ZERO shuffle — gates, replacement, and extraction are
+    higher-order array expressions fused into the corpus scan; a new salt
+    re-rolls the corruption for another epoch for free."""
+    from .sampling import rate_threshold
+
+    thr = rate_threshold(mask_rate)
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    flags = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        < F.lit(thr),
+    )
+    masked = F.zip_with(
+        toks, flags, lambda t, m: F.when(m, F.lit(sentinel)).otherwise(t)
+    )
+    kept = F.filter(
+        F.zip_with(toks, flags, lambda t, m: F.when(m, t)),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.filter(flags, lambda m: m)).cast("long").alias("n_masked"),
+        F.array_join(masked, " ").alias("input_text"),
+        F.array_join(kept, " ").alias("target_text"),
+    )

@@ -120,6 +120,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "o2e_stream_stream_join",
     "l32_tfidf_keywords",
     "c06_incremental_dedup",
+    "l33_span_corruption",
     "g21b_approx_sketches",
     "l12b_ann_ivf_kmeans",
     "j02_range_join",

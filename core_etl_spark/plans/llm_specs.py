@@ -1505,3 +1505,51 @@ def l32(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     one-expression production swap). One explode shuffle, two
     partial+final aggs, vocabulary-sized df join, per-doc top-k."""
     return X.tfidf_top_terms(t["documents"], k=3)
+
+
+def _span_oracle(mask_rate: float = 0.15, salt: str = "sc1") -> str:
+    from ..operators.sampling import rate_threshold
+
+    thr = rate_threshold(mask_rate)
+    gate = (
+        f"substring(md5('{salt}:' || CAST(doc_id AS VARCHAR) || ':' || i), 1, 8)"
+        f" < '{thr}'"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        m AS (
+            SELECT doc_id, tk,
+                   list_transform(generate_series(1, len(tk)),
+                                  i -> {gate}) AS fl
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(fl, x -> x)) AS BIGINT) AS n_masked,
+               array_to_string(list_transform(generate_series(1, len(tk)),
+                   i -> CASE WHEN fl[i] THEN '<mask>' ELSE tk[i] END), ' ')
+                   AS input_text,
+               -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+               -- array_join: coalesce the zero-masked case
+               COALESCE(array_to_string(list_filter(list_transform(
+                   generate_series(1, len(tk)),
+                   i -> CASE WHEN fl[i] THEN tk[i] ELSE NULL END),
+                   x -> x IS NOT NULL), ' '), '') AS target_text
+        FROM m
+    """
+
+
+@register(
+    "l33_span_corruption",
+    tables=("documents",),
+    oracle=_span_oracle(),
+    tags=("llm", "denoising", "masking", "datagen"),
+)
+def l33(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """T5-style span-corruption pairs: 15% of token positions masked by
+    the deterministic (salt, doc, position) md5 gate; input keeps
+    sentinels in place, target extracts the masked tokens in order.
+    Zero-shuffle array expressions; a new salt re-rolls the epoch."""
+    from ..operators.packing import span_corruption
+
+    return span_corruption(t["documents"], mask_rate=0.15)

@@ -968,3 +968,29 @@ def test_incremental_dedup_matches_full_recompute(spark, tmp_path):
     assert (11, 12) in got and got[(11, 12)] == 1.0  # new↔new pair, once
     assert all(a >= 10 or b >= 10 for a, b in got)   # never old↔old
     assert not any(13 in p for p in got)             # singleton stays clean
+
+
+def test_span_corruption_invariants(spark):
+    """Masking must be deterministic, reconstructible (sentinel positions
+    in the input line up with target tokens in order), and re-rolled by a
+    new salt."""
+    from core_etl_spark.operators.packing import span_corruption
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = span_corruption(df, mask_rate=0.3).collect()[0]
+    inp, tgt = r.input_text.split(" "), (r.target_text.split(" ") if r.target_text else [])
+    orig = text.split(" ")
+    assert len(inp) == len(orig) == r.n_tokens
+    assert r.n_masked == inp.count("<mask>") == len(tgt)
+    # splicing the target back into the sentinel slots reconstructs the doc
+    it = iter(tgt)
+    rebuilt = [next(it) if w == "<mask>" else w for w in inp]
+    assert rebuilt == orig
+    # unmasked positions are untouched
+    assert all(a == b for a, b in zip(inp, orig) if a != "<mask>")
+    # determinism + epoch re-roll
+    again = span_corruption(df, mask_rate=0.3).collect()[0]
+    assert (again.input_text, again.target_text) == (r.input_text, r.target_text)
+    other = span_corruption(df, mask_rate=0.3, salt="sc2").collect()[0]
+    assert other.input_text != r.input_text
