@@ -781,3 +781,190 @@ def incremental_dedup_pairs(
     )
     # new-new pairs arrive in both directions with identical jaccard
     return scored.distinct()
+
+
+# --- Bloom-prefiltered decontamination --------------------------------------
+
+def _bloom_bit(col: Column, seed: int, m_bits: int, salt: str = "bf") -> Column:
+    """Bit position *seed* for one shingle: md5-derived 32-bit int mod m.
+    md5 keeps the filter engine-portable (DuckDB computes the identical
+    positions); swap for ``xxhash64(col, seed)`` in production."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}{seed}:"), col)), 1, 8), 16, 10)
+        .cast("long")
+        % m_bits
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate` behind a *relational Bloom filter* — same
+    answer, bounded broadcast.
+
+    Plain decontamination broadcasts the benchmark's distinct shingle
+    *strings*; when the "benchmark" is itself corpus-sized (screening crawl
+    N against a multi-GB eval-suite union), that broadcast stops fitting.
+    This variant broadcasts only the benchmark's Bloom **bitmap**, expressed
+    relationally: the distinct set of set-bit positions (≤ ``m_bits`` longs
+    ≈ 2 MB at the default 2^18, regardless of benchmark size). A corpus
+    shingle is a candidate iff all ``k`` of its bit positions hit — k
+    successive broadcast-hash joins, no shuffle, corpus scanned once. Only
+    the surviving candidates (true hits + the Bloom's false-positive
+    fraction) reach the exact verification join, which therefore shuffles a
+    tiny fraction of the corpus against the benchmark set. Bloom filters
+    have no false negatives and verification removes the false positives,
+    so the output is *provably identical* to :func:`decontaminate` — the
+    spec's oracle is the plain-decontamination SQL.
+
+    Parity with the reference's screening semantics (same contract as
+    :func:`decontaminate`); the prefilter shape is the classic runtime
+    bloom-filter join pruning done by hand so it survives any benchmark
+    size.
+    """
+    c_sh = shingle_table(corpus, text_col, id_col, n)
+    b_sh = (
+        shingle_table(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=True)  # shingling runs once, not k+1 times
+    )
+    sizes = c_sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    cand = c_sh
+    for i in range(k):
+        bits_i = b_sh.select(_bloom_bit(F.col("shingle"), i, m_bits).alias(f"_b{i}")).distinct()
+        cand = cand.withColumn(f"_b{i}", _bloom_bit(F.col("shingle"), i, m_bits)).join(
+            F.broadcast(bits_i), f"_b{i}"
+        )
+    # Exact verification on candidates only: shuffle-hash, NOT broadcast —
+    # the whole point is that the benchmark string set never broadcasts.
+    hits = (
+        cand.select(id_col, "shingle")
+        .join(b_sh.hint("shuffle_hash"), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_sh",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh")).alias("contamination"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh") >= F.lit(threshold)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# --- duplicated-substring (n-gram span) detection ---------------------------
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplicate detection at word-``n``-gram granularity —
+    the scalable approximation of suffix-array training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    find every maximal token span whose ``n``-grams each occur in at least
+    ``min_docs`` distinct documents, i.e. boilerplate/licence/navigation
+    text repeated across the corpus, to be excised rather than dropping
+    whole documents.
+
+    Returns one row per maximal span: ``(doc_id, span_id, span_start,
+    span_end, n_grams, span_tokens)`` with token positions 0-based
+    inclusive.
+
+    100 TB shape: positions+hashes explode to one row per token (linear);
+    the duplicated-gram set comes from one map-side-combinable groupBy on
+    the gram hash; the join back is an equi-join on that hash (AQE handles
+    the skewed boilerplate grams); span assembly is a per-doc window —
+    partitioned by doc, never global. No suffix array, no global sort, no
+    driver state.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= n)
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n))),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(id_col, F.col("pos").cast("long").alias("pos"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + n), 1
+    ).otherwise(0)
+    spans = hits.select(
+        id_col, "pos", F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("span_id")
+    )
+    return (
+        spans.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            F.col("span_id").cast("long").alias("span_id"),
+            "span_start",
+            "span_end",
+            "n_grams",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-then-keep-best: close the near-duplicate pair set into
+    components (:func:`neardup_components_star`) and elect one canonical
+    document per cluster — the highest-``quality_col`` doc, smallest id on
+    ties — instead of the naive keep-min-id. This is how production dedup
+    actually drops rows: near-dup clusters keep their *best* member (by
+    quality score), not an arbitrary one.
+
+    Returns ``(doc_id, component, <quality_col>, is_canonical)`` covering
+    every doc (singletons are their own canonical component).
+
+    Scale: CC is the O(log n)-round star algorithm; the election is one
+    per-component window (partitioned by component — never global), and
+    the docs↔components join is an equi-join on doc_id.
+    """
+    comps = neardup_components_star(pairs)
+    joined = docs.select(id_col, quality_col).join(
+        comps.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    joined = joined.withColumn("component", F.coalesce("component", F.col(id_col)))
+    w = W.partitionBy("component").orderBy(F.desc(quality_col), F.asc(id_col))
+    return joined.select(
+        id_col,
+        "component",
+        quality_col,
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

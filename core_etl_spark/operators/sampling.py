@@ -18,7 +18,7 @@ hex chars of ``md5(salt:key)`` fall below the stratum's rate threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _HEX_SPACE = 16**8
 
@@ -154,3 +154,74 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("h")
     )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    targets: dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix3",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Rebalance a corpus to target mixture proportions by deterministic
+    downsampling — the domain/language-mixing step of an LLM data recipe
+    (e.g. "the training mix is 4 parts web : 2 parts books : 1 part code"),
+    computed so the admitted corpus is the LARGEST one achieving the target
+    ratios in expectation.
+
+    ``targets`` maps stratum value → integer weight. The binding stratum is
+    the one minimizing ``n_s / w_s`` (it is kept in full); every other
+    stratum is thinned to rate ``(w_s * n_bind) / (w_bind * n_s)`` via the
+    md5 hash gate. All thresholds are computed in EXACT integer arithmetic
+    (``floor(2^32 · w_s · n_m / (w_m · n_s))`` against the 32-bit md5
+    prefix), so the selection is bit-reproducible across engines and runs —
+    ties between binding candidates are harmless (equal rationals yield
+    equal thresholds). Strata absent from ``targets`` are dropped (weight
+    0).
+
+    Returns ``(admitted_df, thresholds)`` where ``thresholds`` maps stratum
+    → integer gate (useful for logging the realized rates).
+
+    Scale shape: one tiny per-stratum count aggregate (bounded by the
+    number of strata — a driver-side dict, not data-sized), then a single
+    narrow filter pass. No shuffle of the corpus, no RNG state; the same
+    corpus and targets admit the same documents on every engine.
+    """
+    from fractions import Fraction
+
+    if not targets:
+        raise ValueError("mixture_rebalance: targets must name at least one stratum")
+    for s_name, w in targets.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(
+                f"mixture_rebalance: weight for {s_name!r} must be a positive int, got {w!r}"
+            )
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()  # bounded by #strata
+        if r[0] in targets
+    }
+    missing = [s for s in targets if s not in counts]
+    if missing:
+        raise ValueError(f"mixture_rebalance: strata absent from corpus: {missing}")
+    n_m, w_m = min(
+        ((counts[s], targets[s]) for s in targets),
+        key=lambda t: (Fraction(t[0], t[1]),),
+    )
+    thresholds = {
+        s: min(_HEX_SPACE, (_HEX_SPACE * targets[s] * n_m) // (w_m * counts[s]))
+        for s in targets
+    }
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr: Column = F.lit(-1).cast("long")
+    for s_name, t_int in thresholds.items():
+        thr = F.when(F.col(strata_col) == s_name, F.lit(t_int).cast("long")).otherwise(thr)
+    return df.filter(gate < thr), thresholds

@@ -32,7 +32,7 @@ from . import maintenance_specs  # noqa: F401,E402
 
 # The driver walks ``queries()`` in dict order and snapshots a bounded prefix
 # (every CORRECTNESS_r*.json to date stops at exactly 50 entries; the
-# registry holds 113), so ``all_specs`` front-loads the specs with the least
+# registry holds 121), so ``all_specs`` front-loads the specs with the least
 # historical driver coverage. Rotating the front of the list each round gives
 # every spec a driver-witnessed row across consecutive snapshots even though
 # no single snapshot can hold all of them. Specs not named here follow in
@@ -69,10 +69,6 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l10_ann_lsh_topk",
     "l11_embedding_neardup",
     "l12_ann_ivf_topk",
-    "l13_repetition_stats",
-    "l14_pii_scrub",
-    "l15_stratified_sample",
-    "l16_vocab_topk",
     "l17_neardup_components",
     "c01_corpus_prep",
     "c02_corpus_mix",
@@ -100,7 +96,18 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "k12_incremental_agg",
     "g28_returns_by_customer_tpch_q10",
     "g29_supplier_diversity_tpch_q16",
-    # ---- 50-cap boundary. With 107 specs and a 50-row snapshot, eight
+    # New oracle specs from the final r06 session — Bloom-prefiltered
+    # decontamination (hash row proves the prefilter is lossless),
+    # exact-integer mixture rebalancing, substring-span dedup, and
+    # fixed-point PageRank. They take the slots of four r04-green
+    # zero-shuffle text ops (l13–l16: simple array exprs, lowest
+    # staleness risk, parity-green in every local sweep), which move to
+    # the r07 front below.
+    "l34_bloom_decontamination",
+    "l35_mixture_rebalance",
+    "l36_duplicated_spans",
+    "l38_pagerank",
+    # ---- 50-cap boundary. With 121 specs and a 50-row snapshot, eight
     # r04-witnessed rows must wait for r07 (first in line next rotation):
     # m02–m04 (rows-only multimodal stub variants, code untouched since
     # r04, and the family core m01 holds a green r05 row), k09
@@ -113,7 +120,16 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # row; t45 (r05-green) yields its warm slot to the nine first-row
     # specs above.
     # l30/l31/c05/o2e (first rows) land just past the cap — they join
-    # the r07 front alongside the holdbacks below.
+    # the r07 front alongside the holdbacks below, as do the remaining
+    # final-session specs (c07/g30/o2f first rows) and the four text ops
+    # displaced above (l13–l16).
+    "c07_canonical_per_cluster",
+    "g30_zorder_layout",
+    "o2f_streaming_session_window",
+    "l13_repetition_stats",
+    "l14_pii_scrub",
+    "l15_stratified_sample",
+    "l16_vocab_topk",
     "l30_gopher_quality",
     "l31_doc_chunking",
     "c05_training_ready",

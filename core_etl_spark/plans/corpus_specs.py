@@ -388,3 +388,61 @@ def c06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+from .llm_specs import _SHINGLE_CTE_CAPPED, MAX_SHINGLE_DF  # noqa: E402
+
+
+@register(
+    "c07_canonical_per_cluster",
+    tables=("documents",),
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLE_CTE_CAPPED},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+        ),
+        comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+        alldocs AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT doc_id, component, n_chars,
+               row_number() OVER (
+                   PARTITION BY component ORDER BY n_chars DESC, doc_id
+               ) = 1 AS is_canonical
+        FROM alldocs
+    """,
+    tags=("llm", "dedup", "components", "canonical", "composite"),
+)
+def c07(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Cluster-then-keep-best: near-dup pairs → star-CC components → elect
+    the highest-quality member (n_chars, min-id tiebreak) per cluster.
+    Production dedup keeps the *best* copy, not an arbitrary one — this
+    composite puts that election under the driver's hash check against a
+    recursive-CTE + window oracle. Singletons stay their own canonical
+    component."""
+    docs = t["documents"]
+    pairs = (
+        D.jaccard_pairs(docs, threshold=0.5, max_shingle_df=MAX_SHINGLE_DF)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    return D.keep_canonical(docs, pairs, quality_col="n_chars")

@@ -1553,3 +1553,208 @@ def l33(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     from ..operators.packing import span_corruption
 
     return span_corruption(t["documents"], mask_rate=0.15)
+
+
+#: l34's eval-suite split (distinct from l19's % 17 so the two
+#: decontamination rows witness different screenings).
+_BLOOM_BENCH_PRED = "doc_id % 13 = 0"
+
+
+@register(
+    "l34_bloom_decontamination",
+    tables=("documents",),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 2, 1)),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+            FROM toks
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE {_BLOOM_BENCH_PRED}),
+        corp AS (SELECT * FROM sh WHERE NOT ({_BLOOM_BENCH_PRED})),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
+        hits AS (
+            SELECT c.doc_id, count(*) AS n_hit
+            FROM corp c JOIN bench USING (shingle) GROUP BY c.doc_id
+        )
+        SELECT s.doc_id, s.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+               COALESCE(h.n_hit, 0) / s.n_sh AS contamination,
+               COALESCE(h.n_hit, 0) / s.n_sh >= 0.2 AS contaminated
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("llm", "decontamination", "bloom", "runtime-filter"),
+)
+def l34(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """l19's decontamination behind a *relational Bloom filter*: the
+    benchmark side broadcasts only its set-bit positions (≤ 2 MB at 2^18
+    bits, whatever the benchmark size), candidates survive k
+    broadcast-hash bit joins, and exact verification shuffles just the
+    candidate sliver. Bloom filters have no false negatives and the
+    verification join removes false positives, so the oracle is the
+    PLAIN decontamination SQL — a green hash row proves the prefilter
+    loses nothing."""
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    return D.decontaminate_bloom(corpus, bench, threshold=0.2)
+
+
+#: l35's training-mix recipe over the language strata (weights are parts,
+#: not fractions — "4 parts en : 2 de : 2 fr : 1 es : 1 zh").
+_MIX_TARGETS = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in _MIX_TARGETS.items())
+    return f"""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        t(lang, w) AS (VALUES {values}),
+        j AS (SELECT c.lang, c.n, t.w FROM c JOIN t USING (lang)),
+        m AS (
+            SELECT n AS n_m, w AS w_m FROM j j1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM j j2 WHERE j2.n * j1.w < j1.n * j2.w
+            )
+            ORDER BY j1.lang LIMIT 1
+        ),
+        thr AS (
+            SELECT j.lang,
+                   least(CAST(4294967296 AS HUGEINT),
+                         (CAST(4294967296 AS HUGEINT) * j.w * m.n_m)
+                         // (m.w_m * j.n)) AS t_int
+            FROM j, m
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN thr ON thr.lang = d.lang
+        WHERE CAST('0x' || substr(md5('mix3:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) < t_int
+    """
+
+
+@register(
+    "l35_mixture_rebalance",
+    tables=("documents",),
+    oracle=_mixture_oracle(),
+    tags=("llm", "sampling", "mixture", "deterministic"),
+)
+def l35(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Training-mix rebalancing: downsample each language stratum so the
+    admitted corpus hits the 4:2:2:1:1 recipe exactly in expectation,
+    keeping the binding stratum in full — thresholds are exact-integer
+    (floor(2^32·w_s·n_m/(w_m·n_s)) vs the 32-bit md5 prefix), so DuckDB
+    replays the selection bit-for-bit. One stratum-count agg (driver dict
+    bounded by #strata) + one narrow filter pass; the corpus never
+    shuffles."""
+    from ..operators.sampling import mixture_rebalance
+
+    kept, _ = mixture_rebalance(t["documents"], _MIX_TARGETS)
+    return kept.select("doc_id", "lang", "source")
+
+
+@register(
+    "l36_duplicated_spans",
+    tables=("documents",),
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        p AS (
+            SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+            FROM t WHERE len(toks) >= 8
+        ),
+        g AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS gram
+            FROM p
+        ),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        b AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                        THEN 1 ELSE 0 END AS brk
+            FROM h
+        ),
+        sp AS (
+            SELECT doc_id, pos,
+                   CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS BIGINT) AS span_id
+            FROM b
+        )
+        SELECT doc_id, span_id, min(pos) AS span_start,
+               max(pos) + 7 AS span_end,
+               count(*) AS n_grams,
+               max(pos) + 7 - min(pos) + 1 AS span_tokens
+        FROM sp GROUP BY doc_id, span_id
+    """,
+    tags=("llm", "dedup", "substring", "spans"),
+)
+def l36(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Substring-level duplicate detection (the scalable stand-in for
+    suffix-array dedup, Lee et al. 2022): maximal token spans whose word
+    8-grams each appear in ≥ 2 distinct docs — the boilerplate to excise
+    rather than dropping whole documents. Linear explode → one
+    map-combinable gram agg → equi-join back → per-doc window assembly;
+    no suffix array, no global sort."""
+    return D.duplicated_ngram_spans(t["documents"], n=8, min_docs=2)
+
+
+def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000, dn: int = 85, dd: int = 100) -> str:
+    base = scale - scale * dn // dd
+    parts = [
+        f"""
+        nodes AS (SELECT doc_id AS id FROM documents),
+        e0 AS (
+            SELECT id AS src, id + 1 AS dst FROM nodes WHERE id % 16 <> 15
+            UNION ALL
+            SELECT id, id - id % 16 FROM nodes WHERE id % 16 <> 0
+        ),
+        e AS (SELECT src, dst FROM e0 JOIN nodes n ON n.id = e0.dst),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        r0 AS (SELECT id, CAST({scale} AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+        s{it} AS (
+            SELECT ed.dst AS id, sum(r.pr // ed.deg) AS c
+            FROM ed JOIN r{it - 1} r ON r.id = ed.src GROUP BY ed.dst
+        ),
+        r{it} AS (
+            SELECT n.id, CAST({base} + ({dn} * COALESCE(s.c, 0)) // {dd} AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN s{it} s USING (id)
+        )"""
+        )
+    return "WITH " + "".join(parts) + f"\n        SELECT id, pr FROM r{iters}"
+
+
+@register(
+    "l38_pagerank",
+    tables=("documents",),
+    oracle=_pagerank_oracle(),
+    tags=("llm", "graph", "pagerank", "iterative"),
+)
+def l38(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Fixed-point PageRank (5 iterations, scaled-integer ranks) over a
+    deterministic link graph derived from doc ids (intra-group chains +
+    links back to the group head — the l18b discipline: the spec tracks
+    the ITERATIVE loop, not edge generation). Exact-integer damping makes
+    every iteration bit-identical across engines and partition orders;
+    the oracle replays it as 5 chained CTEs. Per iteration: one equi-join
+    edge⋈rank + one map-combinable groupBy(dst) — the Pregel-on-relations
+    shape, nothing on the driver."""
+    from ..operators.graph import pagerank
+
+    docs = t["documents"].select(F.col("doc_id").alias("id"))
+    e0 = (
+        docs.filter(F.col("id") % 16 != 15)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .union(
+            docs.filter(F.col("id") % 16 != 0).select(
+                F.col("id").alias("src"), (F.col("id") - F.col("id") % 16).alias("dst")
+            )
+        )
+    )
+    edges = e0.join(docs.select(F.col("id").alias("dst")), "dst", "left_semi")
+    return pagerank(docs, edges, iterations=5).select("id", F.col("rank").alias("pr"))

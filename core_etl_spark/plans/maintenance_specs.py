@@ -578,3 +578,70 @@ def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "o2f_streaming_session_window",
+    tables=(),
+    oracle=None,  # genuine streaming execution — rows-only gate; batch
+    # equality for session_counts is asserted in tests/test_streaming.py
+    tags=("streaming", "session-window", "watermark"),
+)
+def o2f(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """§2.8 streaming session windows — ``session_counts``
+    (gap-based ``F.session_window`` + watermark = one state row per open
+    session, merged as events arrive) driven as a REAL checkpointed
+    availableNow stream: per user, burst A's straggler lands inside the
+    gap and EXTENDS the session instead of opening one, and the sealed
+    session emits; burst B starts past the gap but its session end sits
+    beyond the final watermark, so it stays open as state and does NOT
+    emit in append mode — the sealed-vs-open boundary, witnessed live.
+    Returns the deterministic sealed-session set (timestamps as ISO
+    strings for a stable snapshot schema)."""
+    import tempfile as _tf
+    from datetime import datetime as _dt, timedelta as _td
+
+    from ..streaming.windows import session_counts
+
+    root = _tf.mkdtemp(prefix="sesswin_spec_")
+    try:
+        with _shuffle_partitions(spark, 4):
+            base = _dt(2026, 1, 1)
+            events = []
+            for uid in (1, 2):
+                # burst A: 3 events a minute apart; straggler at +2m keeps
+                # the session open; burst B starts 10m later (> 4m gap).
+                for m in (0, 1, 2):
+                    events.append((base + _td(minutes=m + uid), uid))
+                events.append((base + _td(minutes=4 + uid), uid))
+                for m in (20, 21):
+                    events.append((base + _td(minutes=m + uid), uid))
+            path = os.path.join(root, "ev")
+            spark.createDataFrame(events, "ts timestamp, user_id long").coalesce(
+                1
+            ).write.parquet(path)
+            src = spark.readStream.schema("ts timestamp, user_id long").parquet(path)
+            got: list = []
+            q = (
+                session_counts(src, gap="4 minutes", keys=("user_id",))
+                .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(root, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            rows = sorted(
+                (
+                    int(r.user_id),
+                    r.session_start.isoformat(),
+                    r.session_end.isoformat(),
+                    int(r.n_events),
+                )
+                for r in got
+            )
+            return spark.createDataFrame(
+                rows, "user_id long, session_start string, session_end string, n_events long"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

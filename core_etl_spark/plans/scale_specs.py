@@ -108,3 +108,45 @@ def g21b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+def _zorder_oracle() -> str:
+    """Morton interleave as plain bit arithmetic — generated to keep the
+    64 shift/mask terms in lockstep with operators.layout.zorder_value."""
+    terms = []
+    for col, shift in (("l_orderkey", 0), ("l_partkey", 1)):
+        for i in range(16):
+            terms.append(f"(((({col} % 65536) >> {i}) & 1) << {2 * i + shift})")
+    joined = " + ".join(terms)
+    return f"""
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST({joined} AS BIGINT) AS zvalue
+        FROM lineitem
+    """
+
+
+@register(
+    "g30_zorder_layout",
+    tables=("lineitem",),
+    oracle=_zorder_oracle(),
+    tags=("layout", "zorder", "clustering", "pruning"),
+)
+def g30(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Z-order (Morton) clustering key for the write path — interleaving
+    l_orderkey/l_partkey bits so files sorted on zvalue carry tight
+    min/max stats on BOTH columns (the Delta/Iceberg OPTIMIZE ZORDER
+    trick as pure codegen-able column arithmetic; the layout rewrite
+    itself is operators.layout.cluster_by_zorder, exercised in
+    tests/test_llm_ops.py). Zero shuffle for the encode; the clustering
+    rewrite is one range-repartition."""
+    from ..operators.layout import zorder_value
+
+    li = t["lineitem"]
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        zorder_value(F.col("l_orderkey") % 65536, F.col("l_partkey") % 65536).alias(
+            "zvalue"
+        ),
+    )

@@ -994,3 +994,212 @@ def test_span_corruption_invariants(spark):
     assert (again.input_text, again.target_text) == (r.input_text, r.target_text)
     other = span_corruption(df, mask_rate=0.3, salt="sc2").collect()[0]
     assert other.input_text != r.input_text
+
+
+# --- Bloom-prefiltered decontamination ---------------------------------------
+
+def test_bloom_decontamination_matches_exact(spark, sf_dir):
+    """The Bloom prefilter must be lossless: identical output to plain
+    decontamination on the same corpus/benchmark split (no false
+    negatives by construction; verification removes false positives)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    plain = {
+        r.doc_id: (r.n_sh, r.n_hit, r.contaminated)
+        for r in D.decontaminate(corpus, bench, threshold=0.2).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_sh, r.n_hit, r.contaminated)
+        for r in D.decontaminate_bloom(corpus, bench, threshold=0.2).collect()
+    }
+    assert bloom == plain
+
+
+def test_bloom_bit_positions_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([("alpha beta gamma",)], "s string")
+    m = 1 << 10
+    vals = df.select(
+        *[D._bloom_bit(F.col("s"), i, m).alias(f"b{i}") for i in range(3)]
+    ).first()
+    assert all(0 <= vals[i] < m for i in range(3))
+    # same input → same positions on re-evaluation
+    assert vals == df.select(
+        *[D._bloom_bit(F.col("s"), i, m).alias(f"b{i}") for i in range(3)]
+    ).first()
+
+
+# --- duplicated n-gram spans -------------------------------------------------
+
+def test_duplicated_spans_hand_case(spark):
+    boiler = "this license text is repeated across many documents verbatim always"  # 10 words
+    rows = [
+        (0, f"{boiler} unique tail zero alpha beta gamma delta epsilon"),
+        (1, f"different head one two three four five six {boiler}"),
+        (2, "no shared content here at all nine ten eleven twelve thirteen fourteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.duplicated_ngram_spans(df, n=8, min_docs=2)
+    spans = {r.doc_id: (r.span_start, r.span_end, r.span_tokens) for r in out.collect()}
+    # boiler is 10 words → 8-grams at offsets 0..2 within it; doc 0 carries
+    # it at positions 0..9, doc 1 at positions 8..17. One maximal span each.
+    assert spans[0] == (0, 9, 10)
+    assert spans[1] == (8, 17, 10)
+    assert 2 not in spans
+    assert out.count() == 2
+
+
+def test_duplicated_spans_merges_overlaps_not_gaps(spark):
+    a = "one two three four five six seven eight"        # 8 words, shared
+    b = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words, shared
+    rows = [
+        (0, f"{a} G1 G2 G3 G4 G5 G6 G7 G8 G9 {b}"),  # gap of 10 uniques
+        (1, f"{a} X1 X2 X3 X4 X5 X6 X7 X8 X9 {b}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.duplicated_ngram_spans(df, n=8, min_docs=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # two separate spans per doc (the gap exceeds n, so no merge):
+    # a at tokens 0-7, nine uniques at 8-16, b at 17-24
+    assert sorted(per_doc[0]) == [(0, 7), (17, 24)]
+    assert sorted(per_doc[1]) == [(0, 7), (17, 24)]
+
+
+# --- canonical-per-cluster ---------------------------------------------------
+
+def test_keep_canonical_elects_best_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (9, 33)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: (r.component, r.is_canonical) for r in
+           D.keep_canonical(docs, pairs).collect()}
+    # cluster {1,2,3}: component=min id=1; canonical = doc 2 (n_chars 90)
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    # singleton: own component, canonical
+    assert out[9] == (9, True)
+
+
+def test_keep_canonical_tiebreak_min_id(spark):
+    docs = spark.createDataFrame(
+        [(5, 40), (6, 40)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    out = {r.doc_id: r.is_canonical for r in D.keep_canonical(docs, pairs).collect()}
+    assert out[5] is True and out[6] is False
+
+
+# --- integer PageRank --------------------------------------------------------
+
+def test_pagerank_hand_computed(spark):
+    """3-node graph: 0→1, 1→2, 2→0 (a cycle) plus 0→2. Replay the exact
+    integer recurrence in Python and require bit-equality."""
+    from core_etl_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank(nodes, edges, iterations=4).collect()}
+
+    deg = {0: 2, 1: 1, 2: 1}
+    incoming = {0: [2], 1: [0], 2: [1, 0]}
+    r = {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+    for _ in range(4):
+        r = {
+            n: 150_000 + (85 * sum(r[s] // deg[s] for s in incoming[n])) // 100
+            for n in r
+        }
+    assert got == r
+
+
+def test_pagerank_no_inlinks_settles_at_base(spark):
+    from core_etl_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(nodes, edges, iterations=3).collect()}
+    assert got[0] == 150_000  # no in-edges → base after iteration 1
+
+
+# --- Z-order layout ----------------------------------------------------------
+
+def test_zorder_value_interleaves_bits(spark):
+    from core_etl_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (65535, 0)], "x long, y long")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_value(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    # x=3 (bits 0,1), y=1 (bit 0 → position 1): 1 + 2 + 4 = 7
+    assert got[0] == 7
+    assert got[1] == 0
+    # x=0xffff → even bit positions 0,2,..,30 set
+    assert got[2] == sum(1 << (2 * i) for i in range(16))
+
+
+def test_cluster_by_zorder_orders_files_by_z(spark):
+    from core_etl_spark.operators.layout import cluster_by_zorder, zorder_value
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = cluster_by_zorder(df, "a", "b", bits=4, num_partitions=4)
+    # each partition owns a contiguous z-range: max(z) of partition i
+    # < min(z) of partition i+1
+    withz = out.withColumn("z", zorder_value(F.col("a"), F.col("b"), 4)).withColumn(
+        "p", F.spark_partition_id()
+    )
+    stats = (
+        withz.groupBy("p").agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("p")
+        .collect()
+    )
+    nonempty = [s for s in stats if s.lo is not None]
+    assert len(nonempty) >= 2
+    for prev, nxt in zip(nonempty, nonempty[1:]):
+        assert prev.hi < nxt.lo
+    assert out.count() == 256
+
+
+# --- mixture rebalance -------------------------------------------------------
+
+def test_mixture_rebalance_hits_targets(spark, sf_dir):
+    from core_etl_spark.operators.sampling import mixture_rebalance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    targets = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+    kept, thresholds = mixture_rebalance(docs, targets)
+    counts = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    # binding stratum (min n/w) is kept in full
+    from fractions import Fraction
+
+    binding = min(targets, key=lambda s: Fraction(counts[s], targets[s]))
+    assert got[binding] == counts[binding]
+    assert thresholds[binding] == 16**8
+    # every kept stratum ≤ its corpus count and > 0
+    for s in targets:
+        assert 0 < got.get(s, 0) <= counts[s]
+    # determinism: second run selects the identical doc set
+    kept2, _ = mixture_rebalance(docs, targets)
+    assert kept.select("doc_id").exceptAll(kept2.select("doc_id")).count() == 0
+    assert kept2.count() == kept.count()
+
+
+def test_mixture_rebalance_validation(spark):
+    from core_etl_spark.operators.sampling import mixture_rebalance
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="positive int"):
+        mixture_rebalance(df, {"en": 0})
+    with pytest.raises(ValueError, match="at least one"):
+        mixture_rebalance(df, {})
+    with pytest.raises(ValueError, match="absent"):
+        mixture_rebalance(df, {"en": 1, "xx": 1})
