@@ -319,9 +319,52 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                     max_shingle_df=args.max_shingle_df or None,
                 )
             pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
-            comp = D.neardup_components_star(pairs)
-            drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+            if args.keep == "best":
+                # canonical election: the highest-quality member of each
+                # near-dup cluster survives (n_chars, or text length when
+                # the corpus lacks the column), not the arbitrary min-id
+                scored = (
+                    docs
+                    if "n_chars" in docs.columns
+                    else docs.withColumn("n_chars", F.length("text").cast("long"))
+                )
+                elected = D.keep_canonical(scored, pairs, quality_col="n_chars")
+                drop = elected.filter(~F.col("is_canonical")).select("doc_id")
+            else:
+                comp = D.neardup_components_star(pairs)
+                drop = comp.filter(
+                    F.col("doc_id") != F.col("component")
+                ).select("doc_id")
         out = docs.join(drop, "doc_id", "left_anti")
+    elif args.action == "excise":
+        # substring-level dedup: cut cross-document duplicated spans out
+        # of each doc instead of dropping whole docs
+        out = D.excise_duplicated_spans(
+            docs, n=args.span_ngram, min_docs=args.span_min_docs
+        )
+        if args.drop:  # emit the corpus with cleaned text in place
+            out = (
+                docs.join(out.select("doc_id", "cleaned_text"), "doc_id")
+                .drop("text")
+                .withColumnRenamed("cleaned_text", "text")
+            )
+    elif args.action == "mix":
+        from .operators.sampling import mixture_rebalance, temperature_sample
+
+        if args.mix_targets:
+            targets = {}
+            for part in args.mix_targets.split(","):
+                name, w = part.split("=", 1)
+                targets[name] = int(w)
+            out, thresholds = mixture_rebalance(
+                docs, targets, strata_col=args.group_col
+            )
+        else:
+            out, thresholds = temperature_sample(
+                docs, strata_col=args.group_col, alpha=args.alpha
+            )
+        for s_name, thr in sorted(thresholds.items()):
+            print(f"mix rate {s_name}: {thr / 16**8:.4f}")
     elif args.action == "split":
         weights = {}
         for part in args.weights.split(","):
@@ -432,7 +475,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("corpus", help="training-corpus pipeline over documents")
     c.add_argument("action",
                    choices=["prep", "dedup", "decontaminate", "split", "pack",
-                            "index", "chunk", "shard", "quality"])
+                            "index", "chunk", "shard", "quality", "excise",
+                            "mix"])
     c.add_argument("--documents", required=True, help="documents parquet path")
     c.add_argument("--out", default="", help="write parquet here instead of printing")
     c.add_argument("--min-words", type=int, default=20)
@@ -473,6 +517,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunk: window start spacing (overlap = len - stride)")
     c.add_argument("--n-shards", type=int, default=8, help="shard: output shards")
     c.add_argument("--salt", default="ep0", help="shard: epoch seed")
+    c.add_argument("--keep", default="min-id", choices=["min-id", "best"],
+                   help="dedup (batch): which member of a near-dup cluster "
+                        "survives — the min doc_id, or the highest-quality "
+                        "doc (n_chars)")
+    c.add_argument("--span-ngram", type=int, default=8,
+                   help="excise: span n-gram width in tokens")
+    c.add_argument("--span-min-docs", type=int, default=2,
+                   help="excise: n-gram must appear in at least this many docs")
+    c.add_argument("--mix-targets", default="",
+                   help="mix: explicit integer weights 'en=4,de=2,...'; empty "
+                        "uses temperature flattening at --alpha")
+    c.add_argument("--alpha", type=float, default=0.5,
+                   help="mix: temperature exponent (0.5 = sqrt flattening)")
     c.set_defaults(fn=cmd_corpus)
     return p
 

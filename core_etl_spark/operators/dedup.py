@@ -968,3 +968,47 @@ def keep_canonical(
         quality_col,
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+def excise_duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level dedup, end to end: find cross-document duplicated
+    spans (:func:`duplicated_ngram_spans`) and CUT them out of each
+    document, keeping the unique remainder — what Lee et al.'s
+    suffix-array pipeline does to training text, at n-gram granularity.
+
+    Returns ``(doc_id, cleaned_text, n_tokens, n_removed)`` for every
+    input doc (docs with no duplicated spans pass through unchanged; a
+    doc that is entirely boilerplate comes back as the empty string).
+
+    Scale shape: span detection is the linear pipeline documented on
+    :func:`duplicated_ngram_spans`; the excision itself is ONE left join
+    of docs against the per-doc span list followed by a pure array
+    expression (token-index filter against the span intervals) — no
+    second explode, no re-shuffle of the corpus, codegen end to end.
+    """
+    spans = duplicated_ngram_spans(df, n, min_docs, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    joined = df.select(id_col, toks.alias("_toks")).join(per_doc, id_col, "left")
+    sps = F.coalesce(F.col("_spans"), F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    indexed = F.transform(F.col("_toks"), lambda x, i: F.struct(x.alias("tok"), i.cast("long").alias("pos")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sps, lambda sp: (s["pos"] >= sp["span_start"]) & (s["pos"] <= sp["span_end"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["tok"]), " ").alias("cleaned_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

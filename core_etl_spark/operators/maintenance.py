@@ -83,3 +83,33 @@ def incremental_agg_merge(
             + F.coalesce(F.col(f"b.{sum_col}"), zero.cast("decimal(18,2)"))
         ).cast("decimal(18,2)").alias(sum_col),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — classify every key across two table versions
+    as ``added`` / ``removed`` / ``changed`` / ``same`` by payload
+    fingerprint. The crawl-over-crawl audit step: what did this refresh
+    actually touch, before the expensive dedup/clean stages rerun.
+
+    One full-outer equi-join on the key with md5 fingerprints computed in
+    the scan (no payload comparison shuffle — 32-byte hashes travel, not
+    documents). At 100 TB both sides hash-partition on the key; AQE
+    handles the skew-free merge."""
+    o = old.select(F.col(key_col), F.md5(F.col(payload_col)).alias("_fp_old"))
+    n = new.select(F.col(key_col), F.md5(F.col(payload_col)).alias("_fp_new"))
+    return (
+        o.join(n, key_col, "full_outer")
+        .select(
+            key_col,
+            F.when(F.col("_fp_old").isNull(), F.lit("added"))
+            .when(F.col("_fp_new").isNull(), F.lit("removed"))
+            .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+            .otherwise(F.lit("same"))
+            .alias("status"),
+        )
+    )

@@ -225,3 +225,54 @@ def mixture_rebalance(
     for s_name, t_int in thresholds.items():
         thr = F.when(F.col(strata_col) == s_name, F.lit(t_int).cast("long")).otherwise(thr)
     return df.filter(gate < thr), thresholds
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "temp1",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Temperature-based mixture flattening: keep stratum *s* with rate
+    ``(n_min / n_s)^alpha`` so the admitted corpus's stratum shares are
+    proportional to ``n_s^(1-alpha)`` — the multilingual-sampling recipe
+    (rare languages keep everything, dominant ones are thinned) used to
+    stop high-resource strata drowning the mix.
+
+    ``alpha=0.5`` (the default, and the common published setting) is
+    computed as ``floor(2^32 · sqrt(n_min/n_s))``: IEEE division, sqrt,
+    and the power-of-two scale are all exactly rounded, so DuckDB
+    replays the identical thresholds and the selection is bit-stable
+    cross-engine. Other alphas use ``pow`` — fine in production, but not
+    oracle-portable (pow is not required to be correctly rounded).
+
+    Returns ``(admitted_df, thresholds)``. Same scale shape as
+    :func:`mixture_rebalance`: one stratum-count agg, one narrow filter.
+    """
+    import math
+
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    if not counts:
+        return df, {}
+    n_min = min(counts.values())
+    thresholds: dict[str, int] = {}
+    for s_name, n_s in counts.items():
+        if alpha == 0.5:
+            rate = math.sqrt(n_min / n_s)
+        else:
+            rate = (n_min / n_s) ** alpha
+        thresholds[s_name] = min(_HEX_SPACE, math.floor(_HEX_SPACE * rate))
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr: Column = F.lit(-1).cast("long")
+    for s_name, t_int in thresholds.items():
+        thr = F.when(F.col(strata_col) == s_name, F.lit(t_int).cast("long")).otherwise(thr)
+    return df.filter(gate < thr), thresholds

@@ -93,3 +93,28 @@ def tip_lag(stored: DataFrame, chain_tip: int, col: str = "number") -> DataFrame
         tip.alias("chain_tip"),
         (tip - F.col("stored_tip")).alias("behind"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile — one row per column: row count, non-null
+    count, exact distinct count. The drift detector every scheduled
+    pipeline wants between snapshots (a sudden null-ratio jump or
+    distinct-count collapse is the classic upstream-schema-break signal).
+
+    Single corpus pass: all per-column aggregates ride ONE aggregation
+    (Spark plans multi-distinct via expand — fine for the handful of
+    profiled columns; swap exact distincts for approx_count_distinct when
+    profiling dozens of columns at 100 TB), then a zero-shuffle stack to
+    one-row-per-column."""
+    if not cols:
+        raise ValueError("profile_columns: cols must name at least one column")
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', _nn_{c}, _nd_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nonnull, n_distinct)",
+        "_n AS n_rows",
+    ).select("col", "n_rows", "n_nonnull", "n_distinct")

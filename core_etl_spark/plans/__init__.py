@@ -124,7 +124,13 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # final-session specs (c07/g30/o2f first rows) and the four text ops
     # displaced above (l13–l16).
     "c07_canonical_per_cluster",
+    "c08_span_excision",
+    "c09_corpus_snapshot_diff",
+    "l37_temperature_sampling",
     "g30_zorder_layout",
+    "g31_large_orders_tpch_q18",
+    "g32_exclusive_supplier_orders_tpch_q21",
+    "v05_column_profile",
     "o2f_streaming_session_window",
     "l13_repetition_stats",
     "l14_pii_scrub",

@@ -446,3 +446,121 @@ def c07(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return D.keep_canonical(docs, pairs, quality_col="n_chars")
+
+
+#: c08's span CTEs — l36's detection pipeline (word-8-grams duplicated
+#: across ≥2 docs, merged to maximal spans), shared verbatim so the
+#: excision oracle and the detection oracle can never drift apart.
+_SPAN_CTES = """
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        p AS (
+            SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+            FROM t WHERE len(toks) >= 8
+        ),
+        g AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS gram
+            FROM p
+        ),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        b AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                        THEN 1 ELSE 0 END AS brk
+            FROM h
+        ),
+        spn AS (
+            SELECT doc_id, pos,
+                   CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS BIGINT) AS span_id
+            FROM b
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+            FROM spn GROUP BY doc_id, span_id
+        )
+"""
+
+
+@register(
+    "c08_span_excision",
+    tables=("documents",),
+    oracle=f"""
+        WITH {_SPAN_CTES},
+        tokpos AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(generate_series(0, len(toks) - 1)) AS pos
+            FROM t
+        ),
+        removed AS (
+            SELECT DISTINCT tk.doc_id, tk.pos
+            FROM tokpos tk JOIN spans s ON tk.doc_id = s.doc_id
+                AND tk.pos BETWEEN s.span_start AND s.span_end
+        ),
+        kept AS (SELECT tp.* FROM tokpos tp ANTI JOIN removed USING (doc_id, pos)),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(a.cleaned_text, '') AS cleaned_text,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "dedup", "substring", "excision", "composite"),
+)
+def c08(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Substring dedup end to end: detect cross-document duplicated
+    8-gram spans and CUT them from each doc, keeping the unique
+    remainder — detection is l36's linear pipeline; the excision is one
+    left join + a pure array-filter expression (no second explode, no
+    corpus re-shuffle). The oracle rebuilds the cleaned text
+    relationally (token anti-join against span intervals +
+    order-preserving string_agg), so the hash row pins both the span
+    math and the reassembled text."""
+    return D.excise_duplicated_spans(t["documents"], n=8, min_docs=2)
+
+
+@register(
+    "c09_corpus_snapshot_diff",
+    tables=("documents",),
+    oracle="""
+        WITH old_v AS (
+            SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 7
+        ),
+        new_v AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 10 = 3
+                            THEN text || ' refreshed' ELSE text END) AS fp
+            FROM documents WHERE doc_id % 10 <> 5
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+    """,
+    tags=("llm", "maintenance", "diff", "audit"),
+)
+def c09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Crawl-over-crawl snapshot diff: every doc classified
+    added/removed/changed/same across two simulated corpus versions (the
+    refresh drops the %10==5 docs, adds the %10==7 docs back, edits the
+    %10==3 docs). One full-outer join on the key with md5 fingerprints
+    computed in the scan — 32-byte hashes travel, never documents."""
+    from ..operators.maintenance import snapshot_diff
+
+    docs = t["documents"]
+    old = docs.filter(F.col("doc_id") % 10 != 7)
+    new = docs.filter(F.col("doc_id") % 10 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" refreshed"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)

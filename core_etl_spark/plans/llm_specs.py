@@ -1758,3 +1758,35 @@ def l38(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
     edges = e0.join(docs.select(F.col("id").alias("dst")), "dst", "left_semi")
     return pagerank(docs, edges, iterations=5).select("id", F.col("rank").alias("pr"))
+
+
+@register(
+    "l37_temperature_sampling",
+    tables=("documents",),
+    oracle="""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT min(n) AS n_m FROM c),
+        thr AS (
+            SELECT c.lang,
+                   CAST(floor(4294967296 * sqrt(CAST(m.n_m AS DOUBLE) / c.n))
+                        AS BIGINT) AS t_int
+            FROM c, m
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN thr USING (lang)
+        WHERE CAST('0x' || substr(md5('temp1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) < t_int
+    """,
+    tags=("llm", "sampling", "temperature", "deterministic"),
+)
+def l37(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Temperature flattening at alpha=0.5: stratum *s* keeps
+    sqrt(n_min/n_s) of its docs, so admitted shares go as sqrt(n_s) —
+    the standard anti-dominance sampling for multilingual mixes. The
+    smallest stratum survives whole; thresholds are floor(2^32·sqrt(·))
+    — IEEE-exact in both engines, so DuckDB replays the identical doc
+    selection."""
+    from ..operators.sampling import temperature_sample
+
+    kept, _ = temperature_sample(t["documents"], alpha=0.5)
+    return kept.select("doc_id", "lang", "source")

@@ -802,3 +802,57 @@ shared_sql(
     "plans as a broadcast anti join; partial distinct before the final "
     "agg keeps the shuffle narrow.",
 )
+
+
+shared_sql(
+    "g31_large_orders_tpch_q18",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS STRING) AS o_orderdate,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tables=("customer", "orders", "lineitem"),
+    tags=("gap", "join", "semi", "having", "topk"),
+    doc="TPC-H Q18 shape (large-volume orders): IN-subquery with a HAVING "
+    "aggregate gate becomes a semi join against a pre-aggregated key set — "
+    "lineitem is scanned twice but both aggs are partial+final and the semi "
+    "join is on the order key; exact-decimal qty keeps the HAVING cut and "
+    "the top-100 row set engine-identical (reference view.rs:38-101 covers "
+    "only point/range scans; this is §2.8 gap surface).",
+)
+
+shared_sql(
+    "g32_exclusive_supplier_orders_tpch_q21",
+    """
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS n_exclusive
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s_name
+    ORDER BY n_exclusive DESC, s_name
+    LIMIT 20
+    """,
+    tables=("supplier", "lineitem"),
+    tags=("gap", "join", "anti", "correlated"),
+    doc="TPC-H Q21 shape (exclusive-supplier orders): correlated NOT EXISTS "
+    "with an inequality disjunct decorrelates to an aggregated anti join on "
+    "the order key (Catalyst rewrites it; no per-row subquery execution). "
+    "COUNT(DISTINCT) rides the same shuffle; name tiebreak keeps the "
+    "top-20 set unique.",
+)

@@ -115,3 +115,29 @@ def v04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return VF.tip_lag(
         t["events"].withColumnRenamed("event_id", "number"), 1_000_000
     )
+
+
+@register(
+    "v05_column_profile",
+    tables=("documents",),
+    oracle="""
+        SELECT 'lang' AS col, COUNT(*) AS n_rows, COUNT(lang) AS n_nonnull,
+               COUNT(DISTINCT lang) AS n_distinct
+        FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source)
+        FROM documents
+        UNION ALL
+        SELECT 'text', COUNT(*), COUNT(text), COUNT(DISTINCT text)
+        FROM documents
+    """,
+    tags=("verify", "profile", "data-quality"),
+)
+def v05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Per-column data-quality profile (rows / non-nulls / exact
+    distincts) in ONE corpus pass + a zero-shuffle stack — the
+    drift-detection complement to the reference's structural checks
+    (verify.rs:27-94 checks sequence shape; this checks content shape).
+    The oracle recomputes each column independently, so the hash row
+    proves the fused multi-distinct aggregate loses nothing."""
+    return VF.profile_columns(t["documents"], ["lang", "source", "text"])

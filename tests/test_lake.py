@@ -291,3 +291,32 @@ def test_incremental_agg_merge_hand_case(spark):
         (2, "b"): (1, D("3.00")),   # prior-only key unchanged
         (3, "a"): (4, D("7.75")),   # batch-only key appears
     }
+
+
+def test_snapshot_diff_hand_case(spark):
+    from core_etl_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma CHANGED"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
+
+
+def test_profile_columns_hand_case(spark):
+    from core_etl_spark.operators.verify import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "en", None), (2, "en", "x"), (3, None, "x"), (4, "de", "y")],
+        "id long, lang string, src string",
+    )
+    got = {r.col: (r.n_rows, r.n_nonnull, r.n_distinct)
+           for r in profile_columns(df, ["lang", "src"]).collect()}
+    assert got == {"lang": (4, 3, 2), "src": (4, 3, 2)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        profile_columns(df, [])

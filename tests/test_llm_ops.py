@@ -1203,3 +1203,34 @@ def test_mixture_rebalance_validation(spark):
         mixture_rebalance(df, {})
     with pytest.raises(ValueError, match="absent"):
         mixture_rebalance(df, {"en": 1, "xx": 1})
+
+
+def test_excise_spans_hand_case(spark):
+    boiler = "this license text is repeated across many documents verbatim always"
+    rows = [
+        (0, f"{boiler} keep these unique five words here"),
+        (1, f"prefix words one two three four five six {boiler}"),
+        (2, "short doc under gram width"),  # 5 tokens < n → untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.cleaned_text, r.n_tokens, r.n_removed)
+           for r in D.excise_duplicated_spans(df, n=8, min_docs=2).collect()}
+    assert out[0] == ("keep these unique five words here", 16, 10)
+    assert out[1] == ("prefix words one two three four five six", 18, 10)
+    assert out[2] == ("short doc under gram width", 5, 0)
+
+
+def test_temperature_sample_flattens(spark):
+    from core_etl_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i < 400 else "zh") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept, thr = temperature_sample(df, alpha=0.5)
+    counts = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    # zh (n=100, the min) keeps everything; en thinned to ~sqrt(100/400)=0.5
+    assert counts["zh"] == 100
+    assert thr["zh"] == 16**8
+    assert 120 <= counts["en"] <= 280  # ~200 expected, generous band
+    # deterministic across runs
+    kept2, _ = temperature_sample(df, alpha=0.5)
+    assert kept2.exceptAll(kept).count() == 0 and kept2.count() == kept.count()

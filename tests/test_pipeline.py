@@ -419,3 +419,62 @@ def test_cli_corpus_incremental_dedup_history_canonical(spark, tmp_path, capsys)
     # doc 1 drops despite having the smallest id anywhere: its canonical
     # lives in the index. doc 3 drops to doc 2 within the batch.
     assert survivors == {2, 4}
+
+
+def test_cli_corpus_excise_and_mix(spark, sf_dir, tmp_path, capsys):
+    """excise must remove duplicated spans (report + --drop corpus mode);
+    mix must rebalance to explicit weights or temperature-flatten."""
+    docs = f"{sf_dir}/documents.parquet"
+    assert cli.main(["corpus", "excise", "--documents", docs]) == 0
+    assert "n_removed" in capsys.readouterr().out
+
+    excised = str(tmp_path / "excised")
+    assert cli.main(["corpus", "excise", "--documents", docs,
+                     "--drop", "--out", excised]) == 0
+    src = spark.read.parquet(docs)
+    out = spark.read.parquet(excised)
+    assert out.count() == src.count()
+    assert "text" in out.columns
+    # total tokens must shrink (the fixture corpus has shared boilerplate)
+    n_src = src.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    n_out = out.select(
+        F.sum(F.when(F.col("text") == "", 0).otherwise(F.size(F.split("text", " "))))
+    ).first()[0]
+    assert n_out < n_src
+
+    mixed = str(tmp_path / "mixed")
+    assert cli.main(["corpus", "mix", "--documents", docs,
+                     "--mix-targets", "en=2,de=1", "--out", mixed]) == 0
+    got = {r.lang: r["count"] for r in
+           spark.read.parquet(mixed).groupBy("lang").count().collect()}
+    assert set(got) == {"en", "de"}  # unlisted strata dropped
+    assert "mix rate" in capsys.readouterr().out
+
+    temp = str(tmp_path / "temp_mix")
+    assert cli.main(["corpus", "mix", "--documents", docs,
+                     "--out", temp]) == 0
+    src_counts = {r.lang: r["count"] for r in src.groupBy("lang").count().collect()}
+    got = {r.lang: r["count"] for r in
+           spark.read.parquet(temp).groupBy("lang").count().collect()}
+    binding = min(src_counts, key=src_counts.get)
+    assert got[binding] == src_counts[binding]  # smallest stratum kept whole
+
+
+def test_cli_corpus_dedup_keep_best(spark, tmp_path):
+    """--keep best must elect the highest-quality cluster member instead
+    of the min id."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "en", 10),
+        (1, "the quick brown fox jumps over the lazy dog today now more", "en", 99),
+        (2, "entirely different text about query engines and storage", "en", 50),
+    ]
+    docs = str(tmp_path / "docs_best")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).write.parquet(docs)
+    out = str(tmp_path / "best_kept")
+    assert cli.main(["corpus", "dedup", "--documents", docs,
+                     "--threshold-jaccard", "0.4", "--keep", "best",
+                     "--out", out]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2}  # doc 1 outscores doc 0 in its cluster

@@ -200,3 +200,37 @@ def test_new_text_ops_no_shuffle(spark, sf_dir, name):
     batteries/generators — zero Exchange, fused into the scan."""
     plan = _plan(spark, sf_dir, name)
     assert "Exchange" not in plan, f"{name} grew a shuffle"
+
+
+def test_l34_bloom_bit_joins_broadcast(spark, sf_dir):
+    """The Bloom prefilter's k bit-joins must all be broadcast (the bitmap
+    is the bounded side) and the plan must stay cartesian-free; the exact
+    verification join must NOT broadcast the benchmark string set."""
+    plan = _plan(spark, sf_dir, "l34_bloom_decontamination")
+    assert plan.count("BroadcastHashJoin") >= 3  # one per bit position
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan  # the verification join
+
+
+def test_g30_zorder_stays_in_codegen(spark, sf_dir):
+    """The Morton encode is pure column arithmetic — no shuffle, no UDF,
+    whole-stage codegen over the scan."""
+    plan = _plan(spark, sf_dir, "g30_zorder_layout")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no Python UDF fallback
+    assert "*(1) Project" in plan  # the * prefix = whole-stage codegen
+
+
+def test_l36_spans_no_cartesian_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "l36_duplicated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # gram DF agg is partial+final
+
+
+def test_l35_mixture_is_filter_only(spark, sf_dir):
+    """After the (driver-side, strata-bounded) count, the admitted corpus
+    is one narrow filter pass: no Exchange, no join in the final plan."""
+    plan = _plan(spark, sf_dir, "l35_mixture_rebalance")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
