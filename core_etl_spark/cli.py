@@ -193,6 +193,41 @@ def cmd_similarity(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_media(args: argparse.Namespace) -> int:
+    """Multimodal pipeline entry points over a media parquet (binary
+    payload + kind columns): feature extraction, resize, and perceptual
+    dedup. ``--synthetic N`` runs against the deterministic fake-codec
+    fixture instead of a parquet path."""
+    from pyspark.sql import functions as F
+
+    from .operators import multimodal as M
+
+    spark = get_spark(app_name="core_etl_media")
+    if args.synthetic:
+        media = M.synthetic_media(spark, n_per_kind=args.synthetic)
+    elif args.media:
+        media = spark.read.parquet(args.media)
+    else:
+        raise SystemExit("media requires --media <parquet> or --synthetic N")
+    if args.action == "features":
+        out = M.image_features(media).withColumn(
+            "histogram",
+            F.array_join(F.transform("histogram", lambda x: x.cast("string")), ","),
+        )
+    elif args.action == "resize":
+        out = M.resize_images(media, args.width, args.height).select(
+            "media_id", "width", "height", F.length("payload").alias("payload_bytes")
+        )
+    else:  # dedup
+        out = M.image_dedup_groups(media)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        _show(out)
+    return 0
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     """Training-corpus pipeline entry points over a documents parquet:
     dedup-aware prep report, decontamination against a benchmark set,
@@ -365,6 +400,22 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             )
         for s_name, thr in sorted(thresholds.items()):
             print(f"mix rate {s_name}: {thr / 16**8:.4f}")
+    elif args.action == "diff":
+        from .operators.maintenance import snapshot_diff
+
+        if not args.old:
+            raise SystemExit("corpus diff requires --old <previous documents parquet>")
+        old = spark.read.parquet(args.old)
+        out = snapshot_diff(old, docs)
+        if not args.out:
+            # print the per-status tally, then fall through to the row dump
+            for r in out.groupBy("status").count().orderBy("status").collect():
+                print(f"diff {r['status']}: {r['count']}")
+    elif args.action == "profile":
+        from .operators.verify import profile_columns
+
+        cols = [c for c in args.profile_cols.split(",") if c]
+        out = profile_columns(docs, cols)
     elif args.action == "split":
         weights = {}
         for part in args.weights.split(","):
@@ -472,11 +523,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "vectors")
     s.set_defaults(fn=cmd_similarity)
 
+    m = sub.add_parser("media", help="multimodal pipeline over a binary media table")
+    m.add_argument("action", choices=["features", "resize", "dedup"])
+    m.add_argument("--media", default="", help="media parquet path")
+    m.add_argument("--synthetic", type=int, default=0,
+                   help="use the deterministic fake-codec fixture (N per kind)")
+    m.add_argument("--out", default="", help="write parquet here instead of printing")
+    m.add_argument("--width", type=int, default=4, help="resize: output width")
+    m.add_argument("--height", type=int, default=4, help="resize: output height")
+    m.set_defaults(fn=cmd_media)
+
     c = sub.add_parser("corpus", help="training-corpus pipeline over documents")
     c.add_argument("action",
                    choices=["prep", "dedup", "decontaminate", "split", "pack",
                             "index", "chunk", "shard", "quality", "excise",
-                            "mix"])
+                            "mix", "diff", "profile"])
     c.add_argument("--documents", required=True, help="documents parquet path")
     c.add_argument("--out", default="", help="write parquet here instead of printing")
     c.add_argument("--min-words", type=int, default=20)
@@ -530,6 +591,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "uses temperature flattening at --alpha")
     c.add_argument("--alpha", type=float, default=0.5,
                    help="mix: temperature exponent (0.5 = sqrt flattening)")
+    c.add_argument("--old", default="",
+                   help="diff: the previous corpus snapshot parquet")
+    c.add_argument("--profile-cols", default="lang,source,text",
+                   help="profile: comma-separated columns to profile")
     c.set_defaults(fn=cmd_corpus)
     return p
 

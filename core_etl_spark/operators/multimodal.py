@@ -241,3 +241,53 @@ def synthetic_media(spark: SparkSession, n_per_kind: int = 20) -> DataFrame:
 
     n = n_per_kind * 3
     return spark.range(0, n).mapInPandas(encode, schema=MEDIA_DDL)
+
+
+AHASH_DDL = "media_id long, ahash string"
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash per image: downsample the grayscale to a
+    ``grid``×``grid`` patch (nearest-neighbor), threshold each cell at the
+    patch mean, pack the bits to a 64-bit hex string. Identical and
+    near-identical images (noise between sample points, small brightness-
+    preserving edits) collide; different images don't — the bucketing key
+    for image-level dedup, same pipeline shape as SimHash for text
+    (hash → groupBy bucket → verify).
+
+    Arrow-batched mapInPandas over the binary payload (numpy math, no
+    JVM round-trip per pixel); the hash is 16 hex chars, so the dedup
+    groupBy shuffles 8-byte keys, never pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _decode_image_fake(bytes(payload))
+                gray = img.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                ys = np.arange(grid) * h // grid
+                xs = np.arange(grid) * w // grid
+                small = gray[np.ix_(ys, xs)]
+                bits = (small > small.mean()).reshape(-1)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                rows.append({"media_id": mid, "ahash": format(val, "016x")})
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=AHASH_DDL)
+
+
+def image_dedup_groups(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Image-level dedup report: aHash buckets with their member count and
+    keeper (min media_id) — the image twin of text exact-dedup. One hash
+    pass + one 8-byte-key groupBy."""
+    return (
+        image_ahash(media, grid)
+        .groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("media_id").alias("keeper"),
+        )
+    )

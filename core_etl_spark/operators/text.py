@@ -449,3 +449,72 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "rank", "score")
     )
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-frequency rarity score per document: the mean corpus term
+    frequency of a doc's tokens — the cheap perplexity proxy (a doc made
+    of tokens the corpus has barely seen is usually garbage, OCR noise,
+    or another language; one made only of ultra-common tokens is
+    boilerplate). Returns ``(doc_id, n_tokens, sum_cf, mean_cf)`` where
+    ``cf`` is each token occurrence's total corpus count.
+
+    Exact integer sums divided once at the end keep the score
+    engine-portable. Scale shape: one explode (linear), one
+    map-combinable vocab agg, one equi-join on the token (vocab-sized
+    build side — broadcastable for natural-language vocabularies), one
+    per-doc agg. No log(), no floats until the final division."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    cf = toks.groupBy("tok").agg(F.count("*").alias("cf"))
+    return (
+        toks.join(cf, "tok")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("cf").alias("sum_cf"))
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_cf",
+            (F.col("sum_cf") / F.col("n_tokens")).alias("mean_cf"),
+        )
+    )
+
+
+def bigram_lm(
+    df: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Count-based bigram language model table — the n-gram LM
+    construction pass (KenLM-style counting, no smoothing): for every
+    adjacent token pair, its corpus count and the conditional probability
+    ``P(w2|w1) = c(w1 w2) / c(w1 ·)`` as an exact integer ratio.
+
+    Returns ``(w1, w2, c_bigram, c_head, p)`` for bigrams seen at least
+    ``min_count`` times. Scale shape: one positional explode (linear in
+    corpus tokens), two map-combinable aggs (pair counts, head counts),
+    one equi-join on the head token; the LM table is vocab²-bounded and
+    the join build side is vocab-sized."""
+    t = df.select(tokens(F.col(text_col)).alias("_t")).filter(F.size("_t") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - 2),
+                lambda i: F.struct(
+                    F.col("_t")[i].alias("w1"), F.col("_t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c_bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_bigram"))
+    c_head = pairs.groupBy("w1").agg(F.count("*").alias("c_head"))
+    return (
+        c_bg.filter(F.col("c_bigram") >= min_count)
+        .join(c_head, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c_bigram",
+            "c_head",
+            (F.col("c_bigram") / F.col("c_head")).alias("p"),
+        )
+    )

@@ -127,6 +127,9 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "c08_span_excision",
     "c09_corpus_snapshot_diff",
     "l37_temperature_sampling",
+    "l39_token_rarity",
+    "l40_bigram_lm",
+    "m05_image_dedup_ahash",
     "g30_zorder_layout",
     "g31_large_orders_tpch_q18",
     "g32_exclusive_supplier_orders_tpch_q21",

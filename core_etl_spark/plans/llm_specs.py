@@ -1790,3 +1790,55 @@ def l37(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     kept, _ = temperature_sample(t["documents"], alpha=0.5)
     return kept.select("doc_id", "lang", "source")
+
+
+@register(
+    "l39_token_rarity",
+    tables=("documents",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        cf AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(cf.cf) AS BIGINT) AS sum_cf,
+               CAST(sum(cf.cf) AS BIGINT) / count(*) AS mean_cf
+        FROM toks t JOIN cf USING (tok)
+        GROUP BY t.doc_id
+    """,
+    tags=("llm", "quality", "rarity", "lm"),
+)
+def l39(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-frequency rarity score (the cheap perplexity proxy): mean
+    corpus term frequency of each doc's tokens — exact integer sums, one
+    division at the end, so the score replays identically in DuckDB.
+    Rare-token-heavy docs are the OCR-noise/wrong-language candidates;
+    all-common-token docs are boilerplate."""
+    return X.token_rarity(t["documents"])
+
+
+@register(
+    "l40_bigram_lm",
+    tables=("documents",),
+    oracle=f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+        pairs AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+        ),
+        c_bg AS (SELECT w1, w2, count(*) AS c_bigram FROM pairs GROUP BY w1, w2),
+        c_head AS (SELECT w1, count(*) AS c_head FROM pairs GROUP BY w1)
+        SELECT b.w1, b.w2, b.c_bigram, h.c_head,
+               b.c_bigram / h.c_head AS p
+        FROM c_bg b JOIN c_head h USING (w1)
+        WHERE b.c_bigram >= 2
+    """,
+    tags=("llm", "lm", "ngram", "counting"),
+)
+def l40(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Bigram LM counting table (KenLM-style, unsmoothed): adjacent-pair
+    counts + P(w2|w1) as an exact c_bigram/c_head ratio. One positional
+    explode, two map-combinable aggs, one vocab-sized equi-join — the
+    n-gram-LM build pass at corpus scale."""
+    return X.bigram_lm(t["documents"], min_count=2)

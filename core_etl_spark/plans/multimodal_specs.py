@@ -80,3 +80,23 @@ def m04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         .select("media_id", "frame_index", F.length("frame_payload").alias("frame_bytes"))
         .orderBy("media_id", "frame_index")
     )
+
+
+@register(
+    "m05_image_dedup_ahash",
+    tables=(),
+    oracle=None,  # binary decode + numpy hash math — rows-only gate;
+    # collision/robustness invariants asserted in tests/test_multimodal.py
+    tags=("multimodal", "image", "dedup", "perceptual-hash"),
+)
+def m05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Image-level dedup by perceptual average-hash: the media table is
+    unioned with a re-id'd copy of itself, so every aHash bucket must
+    hold exactly its duplicate pair (n_images == 2, keeper == the
+    original id) — the deterministic witness that identical payloads
+    collide and distinct ones don't."""
+    media = M.synthetic_media(spark, n_per_kind=30)
+    doubled = media.unionByName(
+        media.withColumn("media_id", F.col("media_id") + 1000)
+    )
+    return M.image_dedup_groups(doubled).orderBy("keeper")

@@ -1234,3 +1234,25 @@ def test_temperature_sample_flattens(spark):
     # deterministic across runs
     kept2, _ = temperature_sample(df, alpha=0.5)
     assert kept2.exceptAll(kept).count() == 0 and kept2.count() == kept.count()
+
+
+def test_token_rarity_hand_case(spark):
+    rows = [(1, "a a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.sum_cf, r.mean_cf)
+           for r in X.token_rarity(df).collect()}
+    # corpus counts: a=3, b=1, c=1
+    assert got[1] == (3, 3 + 3 + 1, (3 + 3 + 1) / 3)
+    assert got[2] == (2, 3 + 1, 2.0)
+
+
+def test_bigram_lm_hand_case(spark):
+    rows = [(1, "the cat sat"), (2, "the cat ran"), (3, "a cat sat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w1, r.w2): (r.c_bigram, r.c_head, r.p)
+           for r in X.bigram_lm(df, min_count=2).collect()}
+    # "the cat" x2, "cat sat" x2 survive min_count; heads: the=2, cat=3
+    assert got == {
+        ("the", "cat"): (2, 2, 1.0),
+        ("cat", "sat"): (2, 3, 2 / 3),
+    }

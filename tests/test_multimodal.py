@@ -94,3 +94,50 @@ def test_frame_sampling_explode(media):
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError, match="Pillow"):
         M._decode_image_real(b"\xff\xd8\xff")  # a JPEG header, no codec here
+
+
+def _img_payload(pix: np.ndarray) -> bytearray:
+    h, w, c = pix.shape
+    return bytearray(
+        b"I" + struct.pack("<HH", w, h) + bytes([c]) + pix.astype(np.uint8).tobytes()
+    )
+
+
+def test_image_ahash_identical_and_noise_robust(spark):
+    """Identical payloads share a hash; a pixel edit BETWEEN the 8x8
+    sample points leaves the hash unchanged (perceptual robustness); a
+    structurally different image hashes differently."""
+    rng_shape = (16, 16, 3)
+    base = np.zeros(rng_shape, dtype=np.uint8)
+    base[:, 8:, :] = 200  # right half bright → strong bit pattern
+    noisy = base.copy()
+    noisy[1, 1, 0] = 30  # off-grid tweak (samples hit rows/cols 0,2,4,...)
+    different = np.zeros(rng_shape, dtype=np.uint8)
+    different[8:, :, :] = 200  # bottom half bright instead
+
+    rows = [
+        (1, "image", _img_payload(base), None),
+        (2, "image", _img_payload(base), None),
+        (3, "image", _img_payload(noisy), None),
+        (4, "image", _img_payload(different), None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_DDL)
+    got = {r.media_id: r.ahash for r in M.image_ahash(df).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
+    assert len(got[1]) == 16 and int(got[1], 16) >= 0
+
+
+def test_image_dedup_groups_buckets(spark):
+    a = np.full((8, 8, 3), 10, dtype=np.uint8)
+    a[0:4, :, :] = 240
+    b = np.full((8, 8, 3), 10, dtype=np.uint8)
+    b[:, 0:4, :] = 240
+    rows = [
+        (1, "image", _img_payload(a), None),
+        (2, "image", _img_payload(a), None),
+        (7, "image", _img_payload(b), None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_DDL)
+    got = {r.keeper: r.n_images for r in M.image_dedup_groups(df).collect()}
+    assert got == {1: 2, 7: 1}

@@ -478,3 +478,30 @@ def test_cli_corpus_dedup_keep_best(spark, tmp_path):
                      "--out", out]) == 0
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2}  # doc 1 outscores doc 0 in its cluster
+
+
+def test_cli_corpus_diff_and_profile(spark, sf_dir, tmp_path, capsys):
+    docs = f"{sf_dir}/documents.parquet"
+    # build an "old" snapshot missing some docs
+    old = str(tmp_path / "old_docs")
+    spark.read.parquet(docs).filter(F.col("doc_id") % 5 != 0).write.parquet(old)
+    assert cli.main(["corpus", "diff", "--documents", docs, "--old", old]) == 0
+    out = capsys.readouterr().out
+    assert "diff added:" in out and "diff same:" in out
+
+    assert cli.main(["corpus", "profile", "--documents", docs,
+                     "--profile-cols", "lang,source"]) == 0
+    out = capsys.readouterr().out
+    assert "n_distinct" in out and "lang" in out
+
+
+def test_cli_media_actions(spark, tmp_path, capsys):
+    assert cli.main(["media", "features", "--synthetic", "5"]) == 0
+    assert "mean_intensity" in capsys.readouterr().out
+    assert cli.main(["media", "dedup", "--synthetic", "5"]) == 0
+    assert "keeper" in capsys.readouterr().out
+    out = str(tmp_path / "resized")
+    assert cli.main(["media", "resize", "--synthetic", "3",
+                     "--width", "2", "--height", "2", "--out", out]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 3 and set(got.columns) >= {"media_id", "payload_bytes"}
