@@ -416,6 +416,13 @@ def cmd_corpus(args: argparse.Namespace) -> int:
 
         cols = [c for c in args.profile_cols.split(",") if c]
         out = profile_columns(docs, cols)
+    elif args.action == "bpe":
+        from .operators.text import bpe_merges, bpe_token_counts
+
+        if args.tokenize:
+            out = bpe_token_counts(docs, n_merges=args.n_merges)
+        else:
+            out = bpe_merges(docs, n_merges=args.n_merges)
     elif args.action == "split":
         weights = {}
         for part in args.weights.split(","):
@@ -537,7 +544,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("action",
                    choices=["prep", "dedup", "decontaminate", "split", "pack",
                             "index", "chunk", "shard", "quality", "excise",
-                            "mix", "diff", "profile"])
+                            "mix", "diff", "profile", "bpe"])
     c.add_argument("--documents", required=True, help="documents parquet path")
     c.add_argument("--out", default="", help="write parquet here instead of printing")
     c.add_argument("--min-words", type=int, default=20)
@@ -595,6 +602,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="diff: the previous corpus snapshot parquet")
     c.add_argument("--profile-cols", default="lang,source,text",
                    help="profile: comma-separated columns to profile")
+    c.add_argument("--n-merges", type=int, default=6,
+                   help="bpe: number of merge rounds to learn")
+    c.add_argument("--tokenize", action="store_true",
+                   help="bpe: emit per-doc token counts under the trained "
+                        "tokenizer instead of the merge table")
     c.set_defaults(fn=cmd_corpus)
     return p
 

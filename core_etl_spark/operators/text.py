@@ -518,3 +518,180 @@ def bigram_lm(
             (F.col("c_bigram") / F.col("c_head")).alias("p"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    return_vocab: bool = False,
+):
+    """Byte-pair-encoding vocabulary learning (Sennrich et al. 2016) as
+    distributed DataFrame ops — the tokenizer-training pass of an LLM
+    data pipeline: repeatedly find the most frequent adjacent symbol
+    pair across the corpus and fuse it into a new symbol.
+
+    Returns the learned merge table ``(merge_idx, w1, w2, pair_count)``
+    in merge order. Ties break lexicographically, so the table is
+    deterministic and engine-replayable.
+
+    Scale shape: the corpus collapses ONCE into a word-frequency vocab
+    (the classic BPE trick — all further passes run over distinct words
+    weighted by count, vocab-sized not corpus-sized). Each of the
+    ``n_merges`` rounds is one map-combinable pair-count aggregate plus a
+    1-row collect (the argmax pair — bounded driver traffic), and the
+    merge application is a single literal ``replace`` on the symbol
+    string (whole-stage codegen, no UDF); the vocab is checkpointed per
+    round to cut lineage. Merge application uses left-to-right
+    non-overlapping replace — verified byte-identical between Spark and
+    DuckDB, so the oracle replays every round exactly.
+    """
+    spark = df.sparkSession
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias(
+                "state"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(n_merges):
+        syms = F.split(F.trim(F.col("state")), " ")
+        multi = vocab.filter(F.size(syms) >= 2).select(syms.alias("s"), "cnt")
+        pairs = multi.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda j: F.struct(
+                        F.element_at("s", j).alias("w1"),
+                        F.element_at("s", j + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("p.w1", "p.w2")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), "w1", "w2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        w1, w2, total = top[0].w1, top[0].w2, int(top[0].total)
+        merges.append((i + 1, w1, w2, total))
+        vocab = vocab.withColumn(
+            "state",
+            F.replace(
+                F.col("state"), F.lit(f" {w1} {w2} "), F.lit(f" {w1}{w2} ")
+            ),
+        ).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        merges, "merge_idx int, w1 string, w2 string, pair_count bigint"
+    )
+    return (merges_df, vocab) if return_vocab else merges_df
+
+
+def bpe_symbol_vocab(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """The tokenizer's output side: train ``n_merges`` BPE merges, apply
+    them, and return the resulting symbol vocabulary with corpus
+    frequencies ``(sym, n)`` — what the trained tokenizer would actually
+    emit over this corpus. Shares the trainer's vocab-sized state; the
+    final explode is vocab-sized too, never corpus-sized."""
+    _, vocab = bpe_merges(df, text_col, n_merges, return_vocab=True)
+    return (
+        vocab.select(
+            F.explode(F.split(F.trim(F.col("state")), " ")).alias("sym"), "cnt"
+        )
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "he1",
+) -> DataFrame:
+    """Model-free document embedding by the feature-hashing trick: each
+    token hashes to one of ``dim`` buckets; the doc's vector is its
+    bucket-count histogram. Deterministic, engine-portable (md5), and a
+    drop-in ``embedding`` column for the similarity stack — hashed
+    vectors feed brute-force/LSH/IVF top-k unchanged, giving text
+    retrieval with no model in the loop (the classic hashing-vectorizer
+    baseline).
+
+    Returns ``(doc_id, embedding array<double>)``. One explode + one
+    (doc, bucket) agg + a zero-shuffle array assembly via pivot-free
+    ``map_from_entries`` lookup. Counts are exact ints cast to double.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("tok"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % dim
+    )
+    counts = (
+        toks.select(id_col, bucket.alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("c")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i.cast("long")), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    return per_doc.select(id_col, vec.alias("embedding"))
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Per-document token counts under the TRAINED tokenizer — the token
+    budgeting every packing/sharding stage actually needs (whitespace
+    counts undercount rare words, which BPE splits into pieces).
+
+    Trains ``n_merges`` BPE merges, derives each distinct word's piece
+    count from its merged symbol state (vocab-sized), then one equi-join
+    from the corpus's exploded words onto that mapping and a per-doc
+    sum. Returns ``(doc_id, n_words, n_bpe_tokens)``.
+
+    Scale: the segmentation map is vocab-sized (broadcastable for
+    natural-language vocabularies); the corpus is touched once past
+    training."""
+    _, vocab = bpe_merges(df, text_col, n_merges, return_vocab=True)
+    pieces = vocab.select(
+        "w", F.size(F.split(F.trim(F.col("state")), " ")).alias("n_pieces")
+    )
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    return (
+        toks.join(F.broadcast(pieces), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+    )

@@ -65,7 +65,11 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g22_salted_aggregation",
     "g23_salted_join",
     "j01_asof_join",
-    "l06x_ngram_jaccard_xxhash",
+    # l41 (BPE tokenizer training, new this session) takes l06x's slot:
+    # a first-row ORACLE spec outranks a rows-only refresh (l06x's md5
+    # core l06 holds a fresh oracle row and the xxhash variant is
+    # pair-set-equivalence-tested); l06x heads the r07 queue below.
+    "l41_bpe_merges",
     "l10_ann_lsh_topk",
     "l11_embedding_neardup",
     "l12_ann_ivf_topk",
@@ -129,6 +133,13 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l37_temperature_sampling",
     "l39_token_rarity",
     "l40_bigram_lm",
+    "l41b_bpe_vocab",
+    "l42_hashed_embedding",
+    "l43_bpe_token_count",
+    "g33_bucketed_colocated_join",
+    "v06_referential_check",
+    "k13_incremental_join",
+    "l06x_ngram_jaccard_xxhash",
     "m05_image_dedup_ahash",
     "g30_zorder_layout",
     "g31_large_orders_tpch_q18",

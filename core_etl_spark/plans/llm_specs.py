@@ -1842,3 +1842,151 @@ def l40(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     explode, two map-combinable aggs, one vocab-sized equi-join — the
     n-gram-LM build pass at corpus scale."""
     return X.bigram_lm(t["documents"], min_count=2)
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    parts = [
+        f"""
+        w0 AS MATERIALIZED (SELECT unnest({_TOKS}) AS w FROM documents),
+        v0 AS MATERIALIZED (
+            SELECT w, count(*) AS cnt,
+                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS state
+            FROM w0 GROUP BY w
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        s{i} AS MATERIALIZED (SELECT cnt, string_split(trim(state), ' ') AS s FROM v{i - 1}),
+        p{i} AS MATERIALIZED (
+            SELECT s[j] AS w1, s[j + 1] AS w2, CAST(sum(cnt) AS BIGINT) AS total
+            FROM s{i}, unnest(generate_series(1, len(s) - 1)) AS u(j)
+            GROUP BY s[j], s[j + 1]
+        ),
+        t{i} AS MATERIALIZED (SELECT w1, w2, total FROM p{i} ORDER BY total DESC, w1, w2 LIMIT 1),
+        v{i} AS MATERIALIZED (
+            SELECT w, cnt,
+                   replace(state,
+                           ' ' || (SELECT w1 FROM t{i}) || ' ' || (SELECT w2 FROM t{i}) || ' ',
+                           ' ' || (SELECT w1 FROM t{i}) || (SELECT w2 FROM t{i}) || ' ') AS state
+            FROM v{i - 1}
+        )"""
+        )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {i} AS merge_idx, w1, w2, total AS pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + "".join(parts) + f"\n        {unions}"
+
+
+@register(
+    "l41_bpe_merges",
+    tables=("documents",),
+    oracle=_bpe_oracle(),
+    tags=("llm", "tokenizer", "bpe", "iterative"),
+)
+def l41(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """BPE tokenizer training (6 merges) over the corpus — the corpus
+    collapses once into a word-frequency vocab, then every round is one
+    pair-count aggregate + a 1-row argmax collect + a literal replace
+    merge. Lexicographic tie-breaks and byte-identical replace semantics
+    (verified Spark == DuckDB) make the whole merge table
+    oracle-replayable as chained CTEs."""
+    return X.bpe_merges(t["documents"], n_merges=6)
+
+
+def _bpe_vocab_oracle(n_merges: int = 6) -> str:
+    base = _bpe_oracle(n_merges)
+    # same materialized CTE chain; swap the final merge-table select for
+    # the post-merge symbol vocabulary of v{n}
+    head = base[: base.rindex("SELECT 1 AS merge_idx")]
+    return head + f"""SELECT sym, CAST(sum(cnt) AS BIGINT) AS n
+        FROM (
+            SELECT cnt, unnest(string_split(trim(state), ' ')) AS sym
+            FROM v{n_merges}
+        ) GROUP BY sym"""
+
+
+@register(
+    "l41b_bpe_vocab",
+    tables=("documents",),
+    oracle=_bpe_vocab_oracle(),
+    tags=("llm", "tokenizer", "bpe", "vocab"),
+)
+def l41b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """The trained tokenizer's output side: apply the 6 learned BPE
+    merges and return the symbol vocabulary with corpus frequencies —
+    the segmentation every downstream token-budget/packing stage would
+    consume. Shares l41's chain; the oracle swaps the final select onto
+    the same materialized CTE cascade."""
+    return X.bpe_symbol_vocab(t["documents"], n_merges=6)
+
+
+@register(
+    "l42_hashed_embedding",
+    tables=("documents",),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('he1:' || tok), 1, 8) AS BIGINT) % 64 AS b
+            FROM toks
+        ),
+        c AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY doc_id, b),
+        m AS (
+            SELECT doc_id, map(list(b ORDER BY b), list(c ORDER BY b)) AS mm
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(generate_series(0, 63),
+                                  i -> CAST(COALESCE(mm[i][1], 0) AS BIGINT)),
+                   ',') AS vec,
+               CAST(len(map_keys(mm)) AS INT) AS n_nonzero
+        FROM m
+    """,
+    tags=("llm", "embedding", "hashing-trick", "retrieval"),
+)
+def l42(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Model-free document embeddings by the feature-hashing trick
+    (64-bucket token-count histogram, md5-deterministic) — the bridge
+    from raw text into the similarity stack: the output array is a
+    drop-in ``embedding`` column for brute-force/LSH/IVF top-k (wired in
+    tests), giving text retrieval with no model in the loop. Spec
+    serializes the vector to an int string (driver canonicalizer cannot
+    hash list cells — m01 lesson)."""
+    emb = X.hashed_embedding(t["documents"], dim=64)
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform("embedding", lambda x: x.cast("long").cast("string")), ","
+        ).alias("vec"),
+        F.size(F.filter("embedding", lambda x: x != 0)).alias("n_nonzero"),
+    )
+
+
+def _bpe_tokcount_oracle(n_merges: int = 6) -> str:
+    base = _bpe_oracle(n_merges)
+    head = base[: base.rindex("SELECT 1 AS merge_idx")]
+    return head + f"""SELECT t.doc_id, count(*) AS n_words,
+               CAST(sum(len(string_split(trim(v.state), ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents) t
+        JOIN v{n_merges} v USING (w)
+        GROUP BY t.doc_id"""
+
+
+@register(
+    "l43_bpe_token_count",
+    tables=("documents",),
+    oracle=_bpe_tokcount_oracle(),
+    tags=("llm", "tokenizer", "bpe", "budget"),
+)
+def l43(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Token budgeting under the TRAINED tokenizer: per-doc piece counts
+    from the 6-merge BPE segmentation (whitespace counts undercount rare
+    words). Vocab-sized segmentation map broadcast onto one corpus pass;
+    oracle extends l41's materialized CTE chain with the corpus join."""
+    return X.bpe_token_counts(t["documents"], n_merges=6)

@@ -645,3 +645,37 @@ def o2f(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "k13_incremental_join",
+    tables=("orders", "customer"),
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, c_name,
+               c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("maintenance", "incremental", "join", "k13"),
+)
+def k13(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental denormalized-join maintenance: the stored 80% of the
+    fact⋈dim result gets the new 20% batch joined-and-appended — and
+    must equal the from-scratch join (the oracle). Refresh reads only
+    the batch + the dimension; the stored result is append-only
+    (reference etl.rs's insert loop maintains exactly such a
+    denormalized row stream; here it is a maintained TABLE with a
+    correctness proof)."""
+    from ..operators.maintenance import incremental_join_append
+
+    o, c = t["orders"], t["customer"]
+    dim = c.select("c_custkey", "c_name", "c_mktsegment")
+    proj = [
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice"),
+    ]
+    old = o.filter(F.col("o_orderkey") % 5 != 0).select(proj)
+    batch = o.filter(F.col("o_orderkey") % 5 == 0).select(proj)
+    stored = old.join(dim, "c_custkey")
+    merged = incremental_join_append(stored, batch, dim, "c_custkey")
+    return merged.select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")

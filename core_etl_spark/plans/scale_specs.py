@@ -150,3 +150,63 @@ def g30(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             "zvalue"
         ),
     )
+
+
+@register(
+    "g33_bucketed_colocated_join",
+    tables=("orders", "customer"),
+    oracle="""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("scale", "bucketing", "join", "colocated"),
+)
+def g33(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Bucketed co-located join, driver-witnessed: both sides are written
+    as 8-bucket managed mirrors on the customer key, so the fact⋈dim
+    equi-join plans WITHOUT an Exchange on either side (asserted in
+    tests/test_plans.py) — the 100 TB answer when both sides are too big
+    to broadcast and the join recurs. The oracle is the plain join over
+    the original parquet: bucketing is a physical layout, never an
+    answer change. Result is collected (≤ #segments rows) so the temp
+    catalog tables can be dropped before returning."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="g33_buckets_")
+    try:
+        for name, df, key in (
+            ("g33_orders_b", t["orders"], "o_custkey"),
+            ("g33_customer_b", t["customer"], "c_custkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .option("path", _os.path.join(root, name))
+                .saveAsTable(name)
+            )
+        o, c = spark.table("g33_orders_b"), spark.table("g33_customer_b")
+        joined = (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        rows = [(r.c_mktsegment, r.n_orders, float(r.total)) for r in joined.collect()]
+        return spark.createDataFrame(
+            rows, "c_mktsegment string, n_orders bigint, total double"
+        )
+    finally:
+        for name in ("g33_orders_b", "g33_customer_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _shutil.rmtree(root, ignore_errors=True)

@@ -141,3 +141,38 @@ def v05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     The oracle recomputes each column independently, so the hash row
     proves the fused multi-distinct aggregate loses nothing."""
     return VF.profile_columns(t["documents"], ["lang", "source", "text"])
+
+
+@register(
+    "v06_referential_check",
+    tables=("lineitem", "orders", "customer"),
+    oracle="""
+        SELECT 'lineitem_orphans' AS chk, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'order_orphans', CAST(count(*) AS BIGINT)
+        FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'childless_orders', CAST(count(*) AS BIGINT)
+        FROM orders ANTI JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+    tags=("verify", "referential", "data-quality"),
+)
+def v06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Cross-table referential-integrity audit: orphaned facts (lineitems
+    without an order, orders without a customer) and childless parents —
+    the FK checks a lake can't get from constraints. Three left-anti
+    joins, each a single shuffle on its key; at 100 TB the same plan
+    runs per-partition-pruned against only the freshly ingested buckets."""
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+
+    def chk(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("chk"), "n"
+        )
+
+    return (
+        chk("lineitem_orphans", li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"))
+        .unionByName(chk("order_orphans", o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")))
+        .unionByName(chk("childless_orders", o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")))
+    )

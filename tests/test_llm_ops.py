@@ -1256,3 +1256,94 @@ def test_bigram_lm_hand_case(spark):
         ("the", "cat"): (2, 2, 1.0),
         ("cat", "sat"): (2, 3, 2 / 3),
     }
+
+
+def _bpe_reference(words: dict[str, int], n_merges: int):
+    """Pure-Python replay of the trainer's exact semantics: str.replace
+    (verified byte-identical with Spark/DuckDB replace), count-desc +
+    lexicographic argmax."""
+    state = {w: " " + "".join(ch + " " for ch in w) for w in words}
+    merges = []
+    for i in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, st in state.items():
+            syms = st.strip().split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + words[w]
+        if not pairs:
+            break
+        (w1, w2), total = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((i + 1, w1, w2, total))
+        state = {
+            w: st.replace(f" {w1} {w2} ", f" {w1}{w2} ") for w, st in state.items()
+        }
+    return merges, state
+
+
+def test_bpe_merges_match_python_reference(spark):
+    corpus = ["low low low lower lowest", "new newer newest low", "wide wider new"]
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split(" "):
+            words[w] = words.get(w, 0) + 1
+    expected, _ = _bpe_reference(words, 5)
+    got = [
+        (r.merge_idx, r.w1, r.w2, r.pair_count)
+        for r in X.bpe_merges(df, n_merges=5).orderBy("merge_idx").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_symbol_vocab_consistent(spark):
+    df = spark.createDataFrame([(0, "aa ab aa")], "doc_id long, text string")
+    merges = [
+        (r.merge_idx, r.w1, r.w2, r.pair_count)
+        for r in X.bpe_merges(df, n_merges=2).collect()
+    ]
+    # aa x2 + ab x1: pair (a,a) count 2 wins round 1; (a,b) count 1 round 2
+    assert merges == [(1, "a", "a", 2), (2, "a", "b", 1)]
+    vocab = {r.sym: r.n for r in X.bpe_symbol_vocab(df, n_merges=2).collect()}
+    # states: 'aa' -> ' aa ' (x2), 'ab' -> ' ab ' (x1)
+    assert vocab == {"aa": 2, "ab": 1}
+
+
+def test_hashed_embedding_feeds_similarity_stack(spark):
+    """The hashing-trick vectors must drop into the ANN operators: an
+    exact duplicate retrieves its twin at cosine 1.0 ahead of unrelated
+    docs — text retrieval with no model in the loop."""
+    from core_etl_spark.operators.text import hashed_embedding
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup → identical vector
+        (2, "completely different words about query engines and storage files"),
+        (3, "yet another unrelated doc mentioning vectors and indexes at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_embedding(df).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") == 0)
+    top = S.brute_force_topk(emb, queries, k=2).orderBy("rank").collect()
+    # self-matches are excluded: the twin must rank first at cosine 1.0,
+    # strictly ahead of the unrelated docs
+    assert top[0].neighbor_id == 1
+    assert top[0].cosine_sim == pytest.approx(1.0)
+    assert top[1].cosine_sim < 0.9
+
+
+def test_bpe_token_counts_hand_case(spark):
+    df = spark.createDataFrame([(0, "aa ab"), (1, "aa aa aa")],
+                               "doc_id long, text string")
+    # merges on vocab {aa:4, ab:1}: round1 (a,a)x4 -> 'aa' fused;
+    # round2 (a,b)x1 -> 'ab' fused; every word is then ONE piece
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in X.bpe_token_counts(df, n_merges=2).collect()}
+    assert got == {0: (2, 2), 1: (3, 3)}
+    # with zero merges every word splits to characters
+    got0 = {r.doc_id: r.n_bpe_tokens
+            for r in X.bpe_token_counts(df, n_merges=0).collect()}
+    assert got0 == {0: 4, 1: 6}

@@ -505,3 +505,14 @@ def test_cli_media_actions(spark, tmp_path, capsys):
                      "--width", "2", "--height", "2", "--out", out]) == 0
     got = spark.read.parquet(out)
     assert got.count() == 3 and set(got.columns) >= {"media_id", "payload_bytes"}
+
+
+def test_cli_corpus_bpe(spark, sf_dir, capsys):
+    docs = f"{sf_dir}/documents.parquet"
+    assert cli.main(["corpus", "bpe", "--documents", docs,
+                     "--n-merges", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "merge_idx" in out and "pair_count" in out
+    assert cli.main(["corpus", "bpe", "--documents", docs,
+                     "--n-merges", "2", "--tokenize"]) == 0
+    assert "n_bpe_tokens" in capsys.readouterr().out
