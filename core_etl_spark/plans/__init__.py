@@ -137,6 +137,9 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l42_hashed_embedding",
     "l43_bpe_token_count",
     "g33_bucketed_colocated_join",
+    "g34_order_priority_tpch_q4",
+    "g35_shipmode_tpch_q12",
+    "g36_promo_revenue_tpch_q14",
     "v06_referential_check",
     "k13_incremental_join",
     "l06x_ngram_jaccard_xxhash",

@@ -856,3 +856,68 @@ shared_sql(
     "COUNT(DISTINCT) rides the same shuffle; name tiebreak keeps the "
     "top-20 set unique.",
 )
+
+
+shared_sql(
+    "g34_order_priority_tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tables=("orders", "lineitem"),
+    tags=("gap", "semi", "exists"),
+    doc="TPC-H Q4 shape: correlated EXISTS with an extra-column predicate "
+    "decorrelates to a left-semi join on the order key; date range prunes "
+    "the orders scan (PushedFilters).",
+)
+
+shared_sql(
+    "g35_shipmode_tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("orders", "lineitem"),
+    tags=("gap", "join", "conditional-agg"),
+    doc="TPC-H Q12 shape: join + conditional (CASE) aggregation — the "
+    "pivot-style counting pattern; integer CASE sums are exact in both "
+    "engines.",
+)
+
+shared_sql(
+    "g36_promo_revenue_tpch_q14",
+    """
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END)
+                      AS DOUBLE))
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-09-01'
+      AND l_shipdate < DATE '1997-10-01'
+    """,
+    tables=("lineitem", "part"),
+    tags=("gap", "join", "ratio"),
+    doc="TPC-H Q14 shape: global ratio aggregate over a dim join — "
+    "exact-decimal numerator/denominator cast to double BEFORE the division "
+    "(decimal-division scale rules differ between engines; double ops are "
+    "correctly rounded in both) so the scalar is engine-identical.",
+)
