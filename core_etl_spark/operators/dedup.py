@@ -642,23 +642,35 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_cnt = -1
+    prev_sig: tuple | None = None
     for _ in range(max_iter):
         new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # Converged when the edge set is a fixed star forest: small-star of
         # a star forest re-emits exactly the same (child → root) edges.
-        # Cheap pre-filter first — unequal cardinality proves non-converged
-        # without the exceptAll shuffles (which move the full edge set);
-        # only a matching count pays for the exact set comparison.
-        new_cnt = new.count()
-        if new_cnt == prev_cnt:
+        # Cheap pre-filter first — an order-insensitive (count, xxhash sum)
+        # signature computed in ONE agg over the fresh checkpoint; a
+        # signature change proves non-convergence without the exceptAll
+        # shuffles (which move the full edge set). Star rounds often
+        # preserve edge COUNT while still moving edges, so the hash term
+        # is what keeps the exact set comparison to ~one invocation at
+        # true convergence instead of one per count-stable round. A
+        # signature collision only costs a wasted exceptAll — exactness
+        # never rests on the hash.
+        sig_row = new.agg(
+            F.count("*").alias("c"),
+            # decimal(38,0) sum: exact and order-insensitive at any edge
+            # count (a raw long sum overflows under ANSI mode)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (sig_row.c, sig_row.h)
+        if sig == prev_sig:
             delta = (
                 new.exceptAll(edges).limit(1).count()
                 + edges.exceptAll(new).limit(1).count()
             )
         else:
             delta = 1
-        prev_cnt = new_cnt
+        prev_sig = sig
         edges = new
         if delta == 0:
             break

@@ -153,3 +153,100 @@ def test_deterministic_split_matches_python_reference(spark, ids):
         h = hashlib.md5(f"split1:{i}".encode()).hexdigest()[:8]
         expect = "train" if h < t80 else ("val" if h < t90 else "test")
         assert got[i] == expect, i
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_interleave_roundtrip(spark, points):
+    """The Morton code must deinterleave back to exactly (x, y) — the
+    encode is a bijection on [0, 2^16)² — and preserve the prefix
+    property: equal high bits of z ⇒ nearby in both dimensions."""
+    from core_etl_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(points, "x long, y long")
+    got = df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        x = y = 0
+        for i in range(16):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.x, r.y)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.dictionaries(
+        st.sampled_from(["en", "de", "fr", "es", "zh"]),
+        st.integers(1, 9),
+        min_size=2,
+        max_size=5,
+    ),
+    st.integers(0, 3),
+)
+def test_mixture_rebalance_matches_python_reference(spark, targets, salt_i):
+    """The admitted doc set must equal a straight-line Python replay of
+    the exact-integer threshold arithmetic, and the binding stratum must
+    survive whole."""
+    import hashlib
+    from fractions import Fraction
+
+    from core_etl_spark.operators.sampling import mixture_rebalance
+
+    langs = sorted(targets)
+    rows = [(i, langs[i % len(langs)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    salt = f"prop{salt_i}"
+    kept, thresholds = mixture_rebalance(df, targets, salt=salt)
+    counts: dict[str, int] = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    n_m, w_m = min(
+        ((counts[s], targets[s]) for s in targets),
+        key=lambda t: (Fraction(t[0], t[1]),),
+    )
+    expected = set()
+    for i, lang in rows:
+        gate = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+        thr = min(16**8, (16**8 * targets[lang] * n_m) // (w_m * counts[lang]))
+        assert thresholds[lang] == thr
+        if gate < thr:
+            expected.add(i)
+    assert {r.doc_id for r in kept.collect()} == expected
+    binding = min(targets, key=lambda s: (Fraction(counts[s], targets[s]),))
+    # any argmin yields equal thresholds; the chosen binding stratum is whole
+    kept_counts: dict[str, int] = {}
+    for r in kept.collect():
+        kept_counts[r.lang] = kept_counts.get(r.lang, 0) + 1
+    assert kept_counts.get(binding, 0) == counts[binding]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 60), min_size=3, max_size=10), st.integers(2, 4))
+def test_pagerank_bounds_and_determinism(spark, seeds, iters):
+    """Integer PageRank on a generated functional graph: every rank stays
+    within [base, scale·n], ranks are bit-identical across two runs, and
+    a node with no in-links sits exactly at base."""
+    from core_etl_spark.operators.graph import pagerank
+
+    n = len(seeds)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, seeds[i] % n) for i in range(n) if seeds[i] % n != i],
+        "src long, dst long",
+    )
+    if edges.count() == 0:
+        return
+    r1 = {r.id: r.rank for r in pagerank(nodes, edges, iterations=iters).collect()}
+    r2 = {r.id: r.rank for r in pagerank(nodes, edges, iterations=iters).collect()}
+    assert r1 == r2
+    targets = {seeds[i] % n for i in range(n) if seeds[i] % n != i}
+    for node, rank in r1.items():
+        assert 150_000 <= rank <= 1_000_000 * n
+        if node not in targets and iters >= 1:
+            assert rank == 150_000
