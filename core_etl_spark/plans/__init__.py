@@ -140,6 +140,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g34_order_priority_tpch_q4",
     "g35_shipmode_tpch_q12",
     "g36_promo_revenue_tpch_q14",
+    "g37_forecast_revenue_tpch_q6",
+    "g38_small_quantity_revenue_tpch_q17",
     "v06_referential_check",
     "k13_incremental_join",
     "l06x_ngram_jaccard_xxhash",

@@ -921,3 +921,47 @@ shared_sql(
     "(decimal-division scale rules differ between engines; double ops are "
     "correctly rounded in both) so the scalar is engine-identical.",
 )
+
+
+shared_sql(
+    "g37_forecast_revenue_tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tables=("lineitem",),
+    tags=("gap", "agg", "pushdown"),
+    doc="TPC-H Q6 shape: pure filter + global aggregate — every predicate "
+    "(date range, discount band, quantity cap) pushes to the parquet scan, "
+    "and the revenue sum is exact-decimal so the scalar is "
+    "engine-identical.",
+)
+
+shared_sql(
+    "g38_small_quantity_revenue_tpch_q17",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size = 5
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+                           AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    tables=("lineitem", "part"),
+    tags=("gap", "correlated", "decorrelation"),
+    doc="TPC-H Q17 shape: correlated aggregate subquery (per-part average "
+    "quantity threshold) — Catalyst decorrelates it to an aggregated join "
+    "on the part key. The average is computed as an exact-decimal sum cast "
+    "to double BEFORE one division, so the threshold (and therefore the "
+    "selected row set) is bit-identical across engines — a raw avg(DOUBLE) "
+    "would be partition-order-dependent.",
+)
