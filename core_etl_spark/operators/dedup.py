@@ -797,6 +797,12 @@ def incremental_dedup_pairs(
 
 # --- Bloom-prefiltered decontamination --------------------------------------
 
+def _bloom_m_bits(n_b: int, k: int) -> int:
+    """Filter width for ``n_b`` distinct benchmark shingles under ``k``
+    hashes: smallest power of two ≥ 2·k·n_b (fill ≤ ~40%), floor 2^18."""
+    return 1 << max(18, (2 * k * max(n_b, 1) - 1).bit_length())
+
+
 def _bloom_bit(col: Column, seed: int, m_bits: int, salt: str = "bf") -> Column:
     """Bit position *seed* for one shingle: md5-derived 32-bit int mod m.
     md5 keeps the filter engine-portable (DuckDB computes the identical
@@ -815,7 +821,7 @@ def decontaminate_bloom(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    m_bits: int = 1 << 18,
+    m_bits: int | None = None,
     k: int = 3,
 ) -> DataFrame:
     """:func:`decontaminate` behind a *relational Bloom filter* — same
@@ -840,6 +846,17 @@ def decontaminate_bloom(
     :func:`decontaminate`); the prefilter shape is the classic runtime
     bloom-filter join pruning done by hand so it survives any benchmark
     size.
+
+    ``m_bits=None`` (the default) sizes the filter from the benchmark's
+    distinct-shingle count — smallest power of two ≥ ``2·k·n_b``, floor
+    2^18 — keeping the fill factor under ~40% so the false-positive rate
+    stays bounded for corpus-sized benchmarks (a fixed 2^18 saturates past
+    a few hundred thousand shingles and the prefilter silently degenerates
+    to a full corpus-vs-benchmark join, ADVICE r06). The broadcast stays
+    bounded regardless: what ships is the ≤ ``k·n_b`` distinct set-bit
+    positions, not the bitmap. Pass an explicit ``m_bits`` to pin the
+    filter size (correctness never depends on it — verification removes
+    all false positives).
     """
     c_sh = shingle_table(corpus, text_col, id_col, n)
     b_sh = (
@@ -848,6 +865,10 @@ def decontaminate_bloom(
         .distinct()
         .localCheckpoint(eager=True)  # shingling runs once, not k+1 times
     )
+    if m_bits is None:
+        # one count over the checkpointed distinct set — bounded driver
+        # traffic; keeps fill ≈ 1-e^(-k·n_b/m) ≤ ~0.4 so fp_rate ≈ fill^k
+        m_bits = _bloom_m_bits(b_sh.count(), k)
     sizes = c_sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     cand = c_sh
     for i in range(k):

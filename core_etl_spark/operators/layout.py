@@ -27,8 +27,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` bits of two non-negative integer
     columns: bit i of x lands at position 2i, bit i of y at 2i+1. Callers
-    clamp/normalize their keys into [0, 2^bits) first (e.g. ``col %
-    (1 << bits)`` or a rank bucket)."""
+    clamp/normalize their keys into [0, 2^bits) first (e.g.
+    ``F.pmod(col, 1 << bits)`` — NOT ``%``, which keeps the dividend's
+    sign — or a rank bucket)."""
     if not 1 <= bits <= 31:
         raise ValueError(f"zorder_value: bits must be in [1, 31], got {bits}")
     xs = x.cast("long")
@@ -58,7 +59,14 @@ def cluster_by_zorder(
     handles skew), one shuffle total — the same cost as any clustering
     rewrite; pruning pays it back on every subsequent scan.
     """
-    z = zorder_value(F.col(col_x) % (1 << bits), F.col(col_y) % (1 << bits), bits)
+    # pmod, not %: Spark's % keeps the dividend's sign, so negative keys
+    # would hit shiftright sign-extension and z-cluster as garbage
+    # (ADVICE r06). pmod maps every key into [0, 2^bits).
+    z = zorder_value(
+        F.pmod(F.col(col_x), F.lit(1 << bits)),
+        F.pmod(F.col(col_y), F.lit(1 << bits)),
+        bits,
+    )
     out = df.withColumn("_z", z)
     out = (
         out.repartitionByRange(num_partitions, "_z")

@@ -99,16 +99,30 @@ def snapshot_diff(
     One full-outer equi-join on the key with md5 fingerprints computed in
     the scan (no payload comparison shuffle — 32-byte hashes travel, not
     documents). At 100 TB both sides hash-partition on the key; AQE
-    handles the skew-free merge."""
-    o = old.select(F.col(key_col), F.md5(F.col(payload_col)).alias("_fp_old"))
-    n = new.select(F.col(key_col), F.md5(F.col(payload_col)).alias("_fp_new"))
+    handles the skew-free merge.
+
+    Presence is tracked with explicit flags, never fingerprint nullness:
+    ``md5(NULL)`` is NULL, so a key present with a NULL payload would
+    otherwise be misread as absent (ADVICE r06). Fingerprints compare
+    null-safely — NULL payload vs NULL payload is ``same``, NULL vs
+    anything else is ``changed``."""
+    o = old.select(
+        F.col(key_col),
+        F.lit(True).alias("_in_old"),
+        F.md5(F.col(payload_col)).alias("_fp_old"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.lit(True).alias("_in_new"),
+        F.md5(F.col(payload_col)).alias("_fp_new"),
+    )
     return (
         o.join(n, key_col, "full_outer")
         .select(
             key_col,
-            F.when(F.col("_fp_old").isNull(), F.lit("added"))
-            .when(F.col("_fp_new").isNull(), F.lit("removed"))
-            .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(~F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("changed"))
             .otherwise(F.lit("same"))
             .alias("status"),
         )

@@ -18,9 +18,42 @@ hex chars of ``md5(salt:key)`` fall below the stratum's rate threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 _HEX_SPACE = 16**8
+
+
+def _admit_by_thresholds(
+    df: DataFrame,
+    thresholds: dict,
+    strata_col: str,
+    key_col: str,
+    salt: str,
+) -> DataFrame:
+    """Admit rows whose 32-bit md5 gate falls below their stratum's
+    integer threshold, dispatched via a BROADCAST JOIN on a tiny
+    thresholds frame — not a chained ``F.when`` (one CASE branch per
+    stratum degenerates at 10k+ strata; a broadcast join is
+    strata-count-proof, ADVICE/VERDICT r06). Strata absent from
+    ``thresholds`` (including NULL) are dropped by the inner join."""
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(s, int(t)) for s, t in thresholds.items()], ["_stratum", "_thr"]
+    )
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thr_df), F.col(strata_col) == F.col("_stratum"))
+        .filter(gate < F.col("_thr"))
+        .drop("_stratum", "_thr")
+    )
 
 
 def rate_threshold(rate: float) -> str:
@@ -212,19 +245,7 @@ def mixture_rebalance(
         s: min(_HEX_SPACE, (_HEX_SPACE * targets[s] * n_m) // (w_m * counts[s]))
         for s in targets
     }
-    gate = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    thr: Column = F.lit(-1).cast("long")
-    for s_name, t_int in thresholds.items():
-        thr = F.when(F.col(strata_col) == s_name, F.lit(t_int).cast("long")).otherwise(thr)
-    return df.filter(gate < thr), thresholds
+    return _admit_by_thresholds(df, thresholds, strata_col, key_col, salt), thresholds
 
 
 def temperature_sample(
@@ -252,9 +273,17 @@ def temperature_sample(
     """
     import math
 
-    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    # NULL-stratum rows can never be admitted (the join/equality gate drops
+    # them), so they must not participate in the counts either — a NULL
+    # stratum setting n_min would silently over-thin every real stratum
+    # (ADVICE r06).
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None
+    }
     if not counts:
-        return df, {}
+        return df.limit(0), {}
     n_min = min(counts.values())
     thresholds: dict[str, int] = {}
     for s_name, n_s in counts.items():
@@ -263,16 +292,4 @@ def temperature_sample(
         else:
             rate = (n_min / n_s) ** alpha
         thresholds[s_name] = min(_HEX_SPACE, math.floor(_HEX_SPACE * rate))
-    gate = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    thr: Column = F.lit(-1).cast("long")
-    for s_name, t_int in thresholds.items():
-        thr = F.when(F.col(strata_col) == s_name, F.lit(t_int).cast("long")).otherwise(thr)
-    return df.filter(gate < thr), thresholds
+    return _admit_by_thresholds(df, thresholds, strata_col, key_col, salt), thresholds

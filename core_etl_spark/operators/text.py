@@ -520,6 +520,11 @@ def bigram_lm(
     )
 
 
+# Each BPE merge is one sequential driver-scheduled job pair; see
+# bpe_merges docstring for the regime this bounds.
+_BPE_MAX_MERGES = 1000
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -542,10 +547,34 @@ def bpe_merges(
     1-row collect (the argmax pair — bounded driver traffic), and the
     merge application is a single literal ``replace`` on the symbol
     string (whole-stage codegen, no UDF); the vocab is checkpointed per
-    round to cut lineage. Merge application uses left-to-right
-    non-overlapping replace — verified byte-identical between Spark and
-    DuckDB, so the oracle replays every round exactly.
+    round to cut lineage.
+
+    Merge application is CANONICAL left-to-right greedy (Sennrich):
+    symbols are joined with a TWO-space separator and the merge pattern
+    ``" w1  w2 "`` consumes only the inner half of each boundary, so
+    leftmost-first non-overlapping ``replace`` advances exactly two
+    symbols per match — a run ``a a a a`` merges to ``aa aa`` in one
+    round, never alternately. ``replace`` is byte-identical between
+    Spark, DuckDB, and Python ``str.replace``, so the oracle replays
+    every round exactly.
+
+    Job-count regime: each merge round is one Spark job pair (agg +
+    checkpoint), run SEQUENTIALLY — cost is ``O(n_merges)`` driver
+    rounds over a vocab-sized table, NOT corpus-sized work, but a
+    production 32k-merge vocab would mean ~64k sequential jobs.
+    Intended for bounded vocabularies (analysis/oracle-scale merges);
+    ``n_merges`` above :data:`_BPE_MAX_MERGES` raises, pointing at the
+    per-merge job cost.
     """
+    if n_merges > _BPE_MAX_MERGES:
+        raise ValueError(
+            f"bpe_merges: n_merges={n_merges} exceeds {_BPE_MAX_MERGES}; each "
+            "merge is one sequential Spark job pair (pair-count agg + vocab "
+            "checkpoint), so large vocabularies mean tens of thousands of "
+            "driver-scheduled jobs. Train large vocabs offline (single-node "
+            "tokenizer trainer over the word-frequency vocab this function "
+            "already computes) or raise _BPE_MAX_MERGES deliberately."
+        )
     spark = df.sparkSession
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = (
@@ -554,7 +583,9 @@ def bpe_merges(
         .select(
             "w",
             "cnt",
-            F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias(
+            # Two-space separators: "ab" -> "  a  b  ". The canonical-greedy
+            # merge replace consumes one space from each side of a boundary.
+            F.concat(F.lit("  "), F.regexp_replace(F.col("w"), "(.)", "$1  ")).alias(
                 "state"
             ),
         )
@@ -562,7 +593,7 @@ def bpe_merges(
     )
     merges: list[tuple[int, str, str, int]] = []
     for i in range(n_merges):
-        syms = F.split(F.trim(F.col("state")), " ")
+        syms = F.split(F.trim(F.col("state")), "  ")
         multi = vocab.filter(F.size(syms) >= 2).select(syms.alias("s"), "cnt")
         pairs = multi.select(
             F.explode(
@@ -589,8 +620,11 @@ def bpe_merges(
         merges.append((i + 1, w1, w2, total))
         vocab = vocab.withColumn(
             "state",
+            # " w1  w2 " leaves the outer half of each boundary space in
+            # place, so leftmost non-overlapping replace advances exactly
+            # two symbols per match == canonical left-to-right greedy BPE.
             F.replace(
-                F.col("state"), F.lit(f" {w1} {w2} "), F.lit(f" {w1}{w2} ")
+                F.col("state"), F.lit(f" {w1}  {w2} "), F.lit(f" {w1}{w2} ")
             ),
         ).localCheckpoint(eager=True)
     merges_df = spark.createDataFrame(
@@ -610,7 +644,7 @@ def bpe_symbol_vocab(
     _, vocab = bpe_merges(df, text_col, n_merges, return_vocab=True)
     return (
         vocab.select(
-            F.explode(F.split(F.trim(F.col("state")), " ")).alias("sym"), "cnt"
+            F.explode(F.split(F.trim(F.col("state")), "  ")).alias("sym"), "cnt"
         )
         .groupBy("sym")
         .agg(F.sum("cnt").alias("n"))
@@ -684,7 +718,7 @@ def bpe_token_counts(
     training."""
     _, vocab = bpe_merges(df, text_col, n_merges, return_vocab=True)
     pieces = vocab.select(
-        "w", F.size(F.split(F.trim(F.col("state")), " ")).alias("n_pieces")
+        "w", F.size(F.split(F.trim(F.col("state")), "  ")).alias("n_pieces")
     )
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
     return (

@@ -539,9 +539,9 @@ def c08(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             FROM documents WHERE doc_id % 10 <> 5
         )
         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-               CASE WHEN o.fp IS NULL THEN 'added'
-                    WHEN n.fp IS NULL THEN 'removed'
-                    WHEN o.fp <> n.fp THEN 'changed'
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
                     ELSE 'same' END AS status
         FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
     """,

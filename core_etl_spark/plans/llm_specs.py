@@ -1850,14 +1850,14 @@ def _bpe_oracle(n_merges: int = 6) -> str:
         w0 AS MATERIALIZED (SELECT unnest({_TOKS}) AS w FROM documents),
         v0 AS MATERIALIZED (
             SELECT w, count(*) AS cnt,
-                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS state
+                   '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS state
             FROM w0 GROUP BY w
         )"""
     ]
     for i in range(1, n_merges + 1):
         parts.append(
             f""",
-        s{i} AS MATERIALIZED (SELECT cnt, string_split(trim(state), ' ') AS s FROM v{i - 1}),
+        s{i} AS MATERIALIZED (SELECT cnt, string_split(trim(state), '  ') AS s FROM v{i - 1}),
         p{i} AS MATERIALIZED (
             SELECT s[j] AS w1, s[j + 1] AS w2, CAST(sum(cnt) AS BIGINT) AS total
             FROM s{i}, unnest(generate_series(1, len(s) - 1)) AS u(j)
@@ -1867,7 +1867,7 @@ def _bpe_oracle(n_merges: int = 6) -> str:
         v{i} AS MATERIALIZED (
             SELECT w, cnt,
                    replace(state,
-                           ' ' || (SELECT w1 FROM t{i}) || ' ' || (SELECT w2 FROM t{i}) || ' ',
+                           ' ' || (SELECT w1 FROM t{i}) || '  ' || (SELECT w2 FROM t{i}) || ' ',
                            ' ' || (SELECT w1 FROM t{i}) || (SELECT w2 FROM t{i}) || ' ') AS state
             FROM v{i - 1}
         )"""
@@ -1902,7 +1902,7 @@ def _bpe_vocab_oracle(n_merges: int = 6) -> str:
     head = base[: base.rindex("SELECT 1 AS merge_idx")]
     return head + f"""SELECT sym, CAST(sum(cnt) AS BIGINT) AS n
         FROM (
-            SELECT cnt, unnest(string_split(trim(state), ' ')) AS sym
+            SELECT cnt, unnest(string_split(trim(state), '  ')) AS sym
             FROM v{n_merges}
         ) GROUP BY sym"""
 
@@ -1971,7 +1971,7 @@ def _bpe_tokcount_oracle(n_merges: int = 6) -> str:
     base = _bpe_oracle(n_merges)
     head = base[: base.rindex("SELECT 1 AS merge_idx")]
     return head + f"""SELECT t.doc_id, count(*) AS n_words,
-               CAST(sum(len(string_split(trim(v.state), ' '))) AS BIGINT)
+               CAST(sum(len(string_split(trim(v.state), '  '))) AS BIGINT)
                    AS n_bpe_tokens
         FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents) t
         JOIN v{n_merges} v USING (w)

@@ -306,6 +306,30 @@ def test_snapshot_diff_hand_case(spark):
     assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
 
 
+def test_snapshot_diff_null_payloads(spark):
+    """ADVICE r06: md5(NULL) is NULL, so presence must be tracked with
+    explicit flags — a key present on both sides with a NULL payload is
+    'same', NULL→value and value→NULL are 'changed', and a NULL-payload
+    key on one side only is still added/removed."""
+    from core_etl_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (5, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now-set"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "same",      # NULL vs NULL
+        2: "changed",   # NULL -> value
+        3: "changed",   # value -> NULL
+        4: "added",     # NULL payload, new-only
+        5: "removed",   # NULL payload, old-only
+    }
+
+
 def test_profile_columns_hand_case(spark):
     from core_etl_spark.operators.verify import profile_columns
 

@@ -1016,6 +1016,20 @@ def test_bloom_decontamination_matches_exact(spark, sf_dir):
     assert bloom == plain
 
 
+def test_bloom_m_bits_scales_with_benchmark():
+    """ADVICE r06: a fixed 2^18 filter saturates for corpus-sized
+    benchmarks; the default now sizes from the benchmark's distinct
+    shingle count, keeping fill ≤ ~40% (m ≥ 2·k·n_b, power of two,
+    floor 2^18)."""
+    assert D._bloom_m_bits(0, 3) == 1 << 18
+    assert D._bloom_m_bits(1000, 3) == 1 << 18          # floor holds
+    n_big = 1_000_000
+    m = D._bloom_m_bits(n_big, 3)
+    assert m >= 2 * 3 * n_big
+    assert m & (m - 1) == 0                             # power of two
+    assert D._bloom_m_bits(n_big, 3) > D._bloom_m_bits(10_000, 3)
+
+
 def test_bloom_bit_positions_deterministic_and_bounded(spark):
     df = spark.createDataFrame([("alpha beta gamma",)], "s string")
     m = 1 << 10
@@ -1168,6 +1182,30 @@ def test_cluster_by_zorder_orders_files_by_z(spark):
     assert out.count() == 256
 
 
+def test_cluster_by_zorder_negative_keys(spark):
+    """ADVICE r06: Spark's % keeps the dividend's sign, so negative keys
+    fed sign-extended garbage into the interleave. pmod maps them into
+    [0, 2^bits): -1 % 16 == 15 under pmod, and the resulting z-values
+    stay within the 2*bits-bit range."""
+    from core_etl_spark.operators.layout import cluster_by_zorder, zorder_value
+
+    rows = [(x, y) for x in range(-8, 8) for y in range(-8, 8)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = cluster_by_zorder(df, "a", "b", bits=4, num_partitions=2)
+    withz = out.withColumn(
+        "z",
+        zorder_value(
+            F.pmod(F.col("a"), F.lit(16)), F.pmod(F.col("b"), F.lit(16)), 4
+        ),
+    )
+    zs = [r.z for r in withz.select("z").collect()]
+    assert all(0 <= z < 256 for z in zs)
+    # spot-check: (-1, -1) → (15, 15) → all 8 low interleaved bits set
+    one = withz.filter((F.col("a") == -1) & (F.col("b") == -1)).collect()
+    assert one[0].z == 255
+    assert out.count() == 256
+
+
 # --- mixture rebalance -------------------------------------------------------
 
 def test_mixture_rebalance_hits_targets(spark, sf_dir):
@@ -1236,6 +1274,52 @@ def test_temperature_sample_flattens(spark):
     assert kept2.exceptAll(kept).count() == 0 and kept2.count() == kept.count()
 
 
+def test_temperature_sample_ignores_null_stratum(spark):
+    """ADVICE r06: NULL-stratum rows can never be admitted, so they must
+    not participate in the counts either — a tiny NULL stratum setting
+    n_min would over-thin every real stratum."""
+    from core_etl_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i < 400 else "zh") for i in range(500)]
+    rows += [(1000 + i, None) for i in range(5)]  # tiny NULL stratum
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept, thr = temperature_sample(df, alpha=0.5)
+    assert None not in thr
+    # zh is still the binding minimum (100, not the 5 NULLs): kept in full
+    assert thr["zh"] == 16**8
+    counts = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert counts.get("zh") == 100
+    assert None not in counts
+    # all-NULL strata → empty admission, not a crash
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, lang string"
+    )
+    kept_n, thr_n = temperature_sample(allnull)
+    assert thr_n == {} and kept_n.count() == 0
+
+
+def test_threshold_dispatch_is_broadcast_join_not_case(spark):
+    """VERDICT r06 directive 6: 1,000 strata must dispatch via a
+    broadcast join on a thresholds frame, not a 1,000-branch chained
+    CASE in the plan."""
+    from core_etl_spark.operators.sampling import mixture_rebalance, temperature_sample
+
+    n = 1000
+    rows = [(i, f"s{i % n}") for i in range(4 * n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    targets = {f"s{i}": 1 for i in range(n)}
+    kept, thr = mixture_rebalance(df, targets)
+    assert len(thr) == n
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert plan.count("CASE WHEN") < 10  # no per-stratum branch chain
+    assert kept.count() == 4 * n  # equal weights + equal counts → all kept
+    kept_t, thr_t = temperature_sample(df, alpha=0.5)
+    plan_t = kept_t._jdf.queryExecution().executedPlan().toString()
+    assert plan_t.count("CASE WHEN") < 10
+    assert kept_t.count() == 4 * n  # uniform strata → every rate is 1.0
+
+
 def test_token_rarity_hand_case(spark):
     rows = [(1, "a a b"), (2, "a c")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -1259,15 +1343,17 @@ def test_bigram_lm_hand_case(spark):
 
 
 def _bpe_reference(words: dict[str, int], n_merges: int):
-    """Pure-Python replay of the trainer's exact semantics: str.replace
-    (verified byte-identical with Spark/DuckDB replace), count-desc +
-    lexicographic argmax."""
-    state = {w: " " + "".join(ch + " " for ch in w) for w in words}
+    """Pure-Python replay of the trainer's exact semantics: two-space
+    symbol separators + str.replace (verified byte-identical with
+    Spark/DuckDB replace; the " w1  w2 " pattern leaves the outer half
+    of each boundary, so leftmost non-overlapping replace == canonical
+    left-to-right greedy BPE), count-desc + lexicographic argmax."""
+    state = {w: "  " + "".join(ch + "  " for ch in w) for w in words}
     merges = []
     for i in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
         for w, st in state.items():
-            syms = st.strip().split(" ")
+            syms = st.strip().split("  ")
             for a, b in zip(syms, syms[1:]):
                 pairs[(a, b)] = pairs.get((a, b), 0) + words[w]
         if not pairs:
@@ -1275,7 +1361,7 @@ def _bpe_reference(words: dict[str, int], n_merges: int):
         (w1, w2), total = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((i + 1, w1, w2, total))
         state = {
-            w: st.replace(f" {w1} {w2} ", f" {w1}{w2} ") for w, st in state.items()
+            w: st.replace(f" {w1}  {w2} ", f" {w1}{w2} ") for w, st in state.items()
         }
     return merges, state
 
@@ -1305,8 +1391,73 @@ def test_bpe_symbol_vocab_consistent(spark):
     # aa x2 + ab x1: pair (a,a) count 2 wins round 1; (a,b) count 1 round 2
     assert merges == [(1, "a", "a", 2), (2, "a", "b", 1)]
     vocab = {r.sym: r.n for r in X.bpe_symbol_vocab(df, n_merges=2).collect()}
-    # states: 'aa' -> ' aa ' (x2), 'ab' -> ' ab ' (x1)
+    # states: 'aa' -> '  aa  ' (x2), 'ab' -> '  ab  ' (x1)
     assert vocab == {"aa": 2, "ab": 1}
+
+
+def test_bpe_repeated_run_merges_canonically(spark):
+    """ADVICE r06 (medium): the old single-space replace consumed the
+    shared boundary space, so a repeated-symbol run merged only
+    alternately ('a a a a' -> 'aa a a'). Canonical left-to-right greedy
+    (Sennrich) merges every non-overlapping occurrence in one round:
+    'aaaa' segments to [aa, aa], and the round-2 top pair is therefore
+    (aa, aa), not (aa, a)."""
+    df = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    merges, vocab = X.bpe_merges(df, n_merges=2, return_vocab=True)
+    got = [(r.merge_idx, r.w1, r.w2, r.pair_count) for r in merges.orderBy("merge_idx").collect()]
+    # round 1: pairs (a,a) x3 per word x2 words = 6; both non-overlapping
+    # occurrences merge -> state [aa, aa]; round 2: (aa, aa) count 2.
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+    states = {r.w: r.state for r in vocab.collect()}
+    assert states["aaaa"] == "  aaaa  "
+    # five-symbol run: canonical greedy leaves the trailing odd symbol
+    df5 = spark.createDataFrame([(0, "aaaaa")], "doc_id long, text string")
+    _, v5 = X.bpe_merges(df5, n_merges=1, return_vocab=True)
+    assert v5.collect()[0].state == "  aa  aa  a  "
+
+
+def test_bpe_reference_is_canonical_greedy():
+    """_bpe_reference must itself implement canonical greedy: replay a
+    left-to-right symbol scan and compare on repeated-run words."""
+
+    def canonical(words, n_merges):
+        state = {w: [ch for ch in w] for w in words}
+        merges = []
+        for i in range(n_merges):
+            pairs: dict[tuple[str, str], int] = {}
+            for w, syms in state.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + words[w]
+            if not pairs:
+                break
+            (w1, w2), total = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((i + 1, w1, w2, total))
+            new_state = {}
+            for w, syms in state.items():
+                out: list[str] = []
+                j = 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == w1 and syms[j + 1] == w2:
+                        out.append(w1 + w2)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                new_state[w] = out
+            state = new_state
+        return merges, {w: s for w, s in state.items()}
+
+    words = {"aaaa": 3, "aaaaa": 2, "abab": 2, "banana": 1, "low": 4}
+    exp_merges, exp_state = canonical(words, 6)
+    got_merges, got_state = _bpe_reference(words, 6)
+    assert got_merges == exp_merges
+    assert {w: st.strip().split("  ") for w, st in got_state.items()} == exp_state
+
+
+def test_bpe_n_merges_guard(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        X.bpe_merges(df, n_merges=1001)
 
 
 def test_hashed_embedding_feeds_similarity_stack(spark):
