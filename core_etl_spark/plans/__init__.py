@@ -89,6 +89,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l34_bloom_decontamination",
     "l18b_star_cc_chains",
     "l18_neardup_components_star",
+    "o1_backfill_pipeline",
+    "k11_compaction",
     # -- never-witnessed + stale + refreshes, rows-only (tail of the 50) -----
     "m05_image_dedup_ahash",
     "o2e_stream_stream_join",
@@ -100,8 +102,6 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "m02_image_resize",
     "m03_audio_features",
     "m04_video_frame_sample",
-    "o1_backfill_pipeline",
-    "k11_compaction",
 )
 
 

@@ -192,18 +192,219 @@ def k78(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             shutil.rmtree(root, ignore_errors=True)
 
 
+# --- shared fixture-replay SQL (sources/fixtures.py in the DuckDB dialect) --
+
+_FX_NV = "CAST(num AS VARCHAR)"
+
+
+def _fx_h64(p: str, key: str) -> str:
+    return f"md5('{p}'||{key})||md5('{p}'||{key}||'x')"
+
+
+def _fx_a44(p: str, key: str) -> str:
+    return f"md5('{p}'||{key})||substr(md5('{p}'||{key}||'y'),1,12)"
+
+
+def _fx_digest(concat: str) -> str:
+    """Order-insensitive exact-integer digest: sum of a 32-bit md5 prefix
+    of the canonical row string (CAST guards DuckDB's HUGEINT sum)."""
+    return f"CAST(sum(CAST('0x'||substr(md5({concat}),1,8) AS BIGINT)) AS BIGINT)"
+
+
+def _fx_blk_cte(nb: int) -> str:
+    """``nums`` + ``blk`` CTE bodies regenerating raw_blocks' header columns."""
+    nv = _FX_NV
+    return f"""nums AS (SELECT range AS num FROM range(0, {nb})),
+        blk AS (
+            SELECT num,
+                   {_fx_h64('blk', nv)} AS hash,
+                   CASE WHEN num = 0 THEN repeat('0', 64)
+                        ELSE {_fx_h64('blk', 'CAST(num - 1 AS VARCHAR)')} END AS parent_hash,
+                   {_fx_h64('nonce', nv)} AS nonce,
+                   {_fx_h64('uncles', nv)} AS sha3_uncles,
+                   {_fx_h64('bloom', nv)} AS logs_bloom,
+                   {_fx_h64('txroot', nv)} AS transactions_root,
+                   {_fx_h64('stroot', nv)} AS state_root,
+                   {_fx_h64('rcroot', nv)} AS receipts_root,
+                   {_fx_a44('miner', 'CAST(num % 5 AS VARCHAR)')} AS miner,
+                   CAST(num * 1000 + 12345 AS VARCHAR) AS difficulty,
+                   CAST(num * num * 500 + 99999 AS VARCHAR) AS total_difficulty,
+                   ((num % 1000) * 7919) % 8000000 AS energy_used,
+                   1700000000 + num * 7 AS ts
+            FROM nums
+        )"""
+
+
+def _fx_blk_concat(tpb: int) -> str:
+    """Canonical blocks-row string in BLOCK_SCHEMA column order."""
+    return (
+        "concat_ws('|', num, hash, parent_hash, nonce, sha3_uncles, logs_bloom,"
+        " transactions_root, state_root, receipts_root, miner, difficulty,"
+        f" total_difficulty, '00', 8000000, energy_used, ts, {tpb}, 0, ts)"
+    )
+
+
+#: Spark-side canonical column list matching ``_fx_blk_concat`` — built at
+#: call time because it needs F.col expressions.
+def _blk_digest_cols():
+    return ["number", "hash", "parent_hash", "nonce", "sha3_uncles",
+            "logs_bloom", "transactions_root", "state_root", "receipts_root",
+            "miner", "difficulty", "total_difficulty", "extra_data",
+            "energy_limit", "energy_used", "timestamp", "transaction_count",
+            "matured", F.col("created_at").cast("long")]
+
+
+def _digest_frame(df: DataFrame, tbl: str, cols: list) -> DataFrame:
+    """(tbl, n_rows, digest) — the Spark twin of ``_fx_digest``."""
+    s = F.concat_ws("|", *cols)
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("digest"),
+    ).select(F.lit(tbl).alias("tbl"), "n_rows", "digest")
+
+
+def _o1_oracle() -> str:
+    """DuckDB replay of the ENTIRE o1 end-state: the fixture chain
+    (sources/fixtures.py raw_blocks — pure md5/arithmetic over range(500)
+    × 4 txs) normalized, CBC20-decoded, and receipt-joined exactly as the
+    ingest path does, then collapsed to one (tbl, n_rows, digest) row per
+    lake table. The digest is an order-insensitive exact-integer sum of a
+    32-bit md5 prefix over every business column, so any divergence in any
+    column of any row of the warehouse breaks the hash row."""
+    nb, tpb = 500, 4
+    known = "ab" * 22
+    watch = "c" * 44
+    kv = "CAST(k AS VARCHAR)"
+    h64, a44 = _fx_h64, _fx_a44
+
+    def w(e: str) -> str:
+        return f"lpad({e},64,'0')"
+
+    vw = f"lpad(substr(md5({kv}),1,16),64,'0')"
+    transfer_input = f"'4b40e901'||{w(a44('t', kv))}||{vw}"
+    tfrom_input = f"'31f2e679'||{w(a44('f', kv))}||{w(a44('t', kv))}||{vw}"
+    n_b = "(1 + num % 3)"
+    count_word = f"lpad(CAST({n_b} AS VARCHAR),64,'0')"
+
+    def batch_words(tag: str) -> str:
+        ws = [w(a44(tag, f"CAST(k*10+{j} AS VARCHAR)")) for j in (1, 2, 3)]
+        return (
+            f"CASE {n_b} WHEN 1 THEN {ws[0]} WHEN 2 THEN {ws[0]}||{ws[1]} "
+            f"ELSE {ws[0]}||{ws[1]}||{ws[2]} END"
+        )
+
+    batch_input = (
+        f"'e86e7c5f'||{w(chr(39) + '40' + chr(39))}||{w(chr(39) + '80' + chr(39))}"
+        f"||{count_word}||{batch_words('bt')}||{count_word}||{batch_words('bv')}"
+    )
+    status = (
+        "CASE WHEN CAST('0x'||substr(md5('tx'||CAST(k AS VARCHAR)),1,4) AS BIGINT)"
+        " % 17 = 0 THEN 0 ELSE 1 END"
+    )
+
+    digest = _fx_digest
+    blk_concat = _fx_blk_concat(tpb)
+    tx_concat = (
+        "concat_ws('|', hash, nonce, block_hash, num, i, from_addr, to_addr,"
+        " value, '21000', CAST(10 + k % 90 AS VARCHAR), input, ts)"
+    )
+    xf_concat = (
+        f"concat_ws('|', num, f, t2, v, tx_hash, '{watch}', transfer_index,"
+        f" {status}, ts)"
+    )
+    return f"""
+        WITH {_fx_blk_cte(nb)},
+        blocks_d AS (
+            SELECT 'blocks' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+                   {digest(blk_concat)} AS digest
+            FROM blk
+        ),
+        txd AS (
+            SELECT t.num, t.ts, t.hash AS block_hash, i.i, t.num * 31 + i.i AS k
+            FROM blk t CROSS JOIN
+                 (SELECT unnest(generate_series(0, {tpb - 1})) AS i) i
+        ),
+        txf AS (
+            SELECT num, ts, block_hash, i, k,
+                   {h64('tx', kv)} AS hash,
+                   upper(to_hex(k % 100)) AS nonce,
+                   CASE WHEN k % 5 = 0 THEN '{known}' ELSE {a44('s', kv)} END AS from_addr,
+                   CASE WHEN k % 13 = 0 THEN ''
+                        WHEN (k % 3 = 0 OR k % 7 = 0 OR k % 11 = 0) THEN '{watch}'
+                        WHEN k % 4 = 0 THEN '{known}'
+                        ELSE {a44('r', kv)} END AS to_addr,
+                   CAST(k * 1000000007 AS VARCHAR) AS value,
+                   CASE WHEN k % 11 = 0 THEN {batch_input}
+                        WHEN k % 7 = 0 THEN {tfrom_input}
+                        WHEN k % 3 = 0 THEN {transfer_input}
+                        ELSE '0x' END AS input
+            FROM txd
+        ),
+        txs_d AS (
+            SELECT 'transactions' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+                   {digest(tx_concat)} AS digest
+            FROM txf
+        ),
+        x_single AS (
+            SELECT num, ts, k, hash AS tx_hash, from_addr AS f,
+                   {a44('t', kv)} AS t2, {vw} AS v,
+                   CAST(0 AS BIGINT) AS transfer_index
+            FROM txf
+            WHERE k % 3 = 0 AND k % 7 <> 0 AND k % 11 <> 0 AND k % 13 <> 0
+        ),
+        x_from AS (
+            SELECT num, ts, k, hash AS tx_hash, {a44('f', kv)} AS f,
+                   {a44('t', kv)} AS t2, {vw} AS v,
+                   CAST(0 AS BIGINT) AS transfer_index
+            FROM txf
+            WHERE k % 7 = 0 AND k % 11 <> 0 AND k % 13 <> 0
+        ),
+        x_batch AS (
+            SELECT t.num, t.ts, t.k, t.hash AS tx_hash, t.from_addr AS f,
+                   {a44('bt', 'CAST(t.k*10 + j.j AS VARCHAR)')} AS t2,
+                   lpad({a44('bv', 'CAST(t.k*10 + j.j AS VARCHAR)')}, 64, '0') AS v,
+                   CAST(j.j - 1 AS BIGINT) AS transfer_index
+            FROM txf t
+            JOIN (SELECT unnest(generate_series(1, 3)) AS j) j
+              ON j.j <= 1 + t.num % 3
+            WHERE t.k % 11 = 0 AND t.k % 13 <> 0
+        ),
+        xfers AS (
+            SELECT * FROM x_single
+            UNION ALL SELECT * FROM x_from
+            UNION ALL SELECT * FROM x_batch
+        ),
+        xfers_d AS (
+            SELECT 'token_transfers' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+                   {digest(xf_concat)} AS digest
+            FROM xfers
+        )
+        SELECT tbl, n_rows, digest,
+               CAST({nb} AS BIGINT) AS n_backfilled, CAST(0 AS BIGINT) AS n_resumed
+        FROM (SELECT * FROM blocks_d
+              UNION ALL SELECT * FROM txs_d
+              UNION ALL SELECT * FROM xfers_d)
+    """
+
+
 @register(
     "o1_backfill_pipeline",
     tables=(),
-    oracle=None,  # stateful warehouse build — rows-only gate
+    oracle=_o1_oracle(),
     tags=("o1", "o3", "pipeline", "etl", "mutation"),
     headline=True,  # tracks end-to-end ingest cost per round
 )
 def o1(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """O1+O3 — chunked backfill of the fixture chain (normalize + CBC20
     decode + receipt join + partitioned write), then resume is a no-op.
-    Returns the per-table counts + tip (reference etl.rs:251-336; invariant
-    tests in tests/test_pipeline.py)."""
+    Returns one (tbl, n_rows, digest) row per ingested lake table — the
+    digest is an order-insensitive exact sum of a 32-bit md5 prefix over
+    EVERY business column, recomputed by DuckDB from the fixture formulas
+    (reference etl.rs:251-336; invariant tests in tests/test_pipeline.py).
+    The r6 rows-only gate is now a full value hash over the warehouse
+    end-state (VERDICT r06 directive 3, same trick as k78)."""
     import shutil as _sh
     import tempfile as _tf
 
@@ -219,21 +420,25 @@ def o1(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             provider = FixtureBlockProvider(n_blocks=500, txs_per_block=4)
             n = backfill(spark, lake, provider, (WATCH_CONTRACT,), chunk_size=250)
             resumed = backfill(spark, lake, provider)  # must be 0
-            # one job for the whole summary: three scans in one plan beats
-            # four sequential count jobs (driver round-trips dominate at
-            # batch scale)
-            row = (
-                lake.blocks()
-                .agg(F.count("*").alias("nb"), F.max("number").alias("tip"))
-                .crossJoin(lake.transactions().agg(F.count("*").alias("nt")))
-                .crossJoin(lake.token_transfers().agg(F.count("*").alias("nx")))
-                .first()
+            epoch = F.col("created_at").cast("long")
+            out = (
+                _digest_frame(lake.blocks(), "blocks", _blk_digest_cols())
+                .unionByName(_digest_frame(
+                    lake.transactions(), "transactions",
+                    ["hash", "nonce", "block_hash", "block_number",
+                     "transaction_index", "from_addr", "to_addr", "value",
+                     "energy", "energy_price", "input", epoch],
+                ))
+                .unionByName(_digest_frame(
+                    lake.token_transfers(), "token_transfers",
+                    ["block_number", "from_addr", "to_addr", "value", "tx_hash",
+                     "address", "transfer_index", "status", epoch],
+                ))
+                .withColumn("n_backfilled", F.lit(n).cast("long"))
+                .withColumn("n_resumed", F.lit(resumed).cast("long"))
             )
-        return spark.createDataFrame(
-            [(n, resumed, int(row.tip), int(row.nb), int(row.nt), int(row.nx))],
-            "n_backfilled long, n_resumed long, tip long, n_blocks long, "
-            "n_transactions long, n_transfers long",
-        )
+            # the lake dirs die with the spec — materialize before cleanup
+            return out.localCheckpoint(eager=True)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -440,7 +645,20 @@ def o2(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 @register(
     "k11_compaction",
     tables=(),
-    oracle=None,  # stateful filesystem rewrite — rows-only gate
+    oracle=f"""
+        WITH {_fx_blk_cte(40)},
+        d AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                   {_fx_digest(_fx_blk_concat(2))} AS blocks_digest
+            FROM blk
+        )
+        SELECT CAST(8 AS BIGINT) AS files_before,
+               CAST(2 AS BIGINT) AS buckets_rewritten,
+               CAST(2 AS BIGINT) AS files_after,
+               CAST(0 AS BIGINT) AS rewrites_when_clean,
+               n_blocks, blocks_digest
+        FROM d
+    """,
     tags=("maintenance", "compaction", "small-files"),
 )
 def k11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
@@ -448,8 +666,13 @@ def k11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     one file per batch per partition; ``compact`` rewrites oversized
     buckets via the same staged-then-move swap as the mutations (readers
     never see a half-compacted bucket) and is idempotent. Returns the
-    before/after file counts and the rewrite count (full invariants in
-    tests/test_lake.py::test_compaction)."""
+    before/after file counts, the rewrite counts, and a full-column
+    content digest of the post-compaction table — the oracle regenerates
+    the digest from the fixture formulas (compaction must be a pure
+    layout change) and pins the deterministic file/rewrite counts: 8
+    single-bucket appends → 8 files, 2 oversized buckets rewritten to 1
+    file each, idempotent second pass (VERDICT r06 directive 3; full
+    invariants in tests/test_lake.py::test_compaction)."""
     import glob as _glob
 
     from ..operators import transforms as _T
@@ -472,11 +695,15 @@ def k11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             n_rewritten = lake.compact("blocks", target_rows_per_file=1000)
             files_after = len(_glob.glob(pat, recursive=True))
             n_again = lake.compact("blocks", target_rows_per_file=1000)
+            row = (
+                _digest_frame(lake.blocks(), "blocks", _blk_digest_cols())
+                .first()
+            )
             return spark.createDataFrame(
                 [(files_before, n_rewritten, files_after, n_again,
-                  lake.blocks().count())],
+                  int(row.n_rows), int(row.digest))],
                 "files_before long, buckets_rewritten long, files_after long, "
-                "rewrites_when_clean long, n_blocks long",
+                "rewrites_when_clean long, n_blocks long, blocks_digest long",
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
