@@ -607,11 +607,14 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         nbr = und.groupBy("u").agg(F.min("v").alias("_mn"))
         m = nbr.select("u", F.least("u", "_mn").alias("m"))
+        # No distinct here: duplicate edges are absorbed by small-star's
+        # min-aggregate and final distinct, and dropping the shuffle saves
+        # one exchange per round (the duplicates are bounded ≤ 2|E| and
+        # map-side combine collapses them in small-star's groupBy).
         return (
             und.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -644,7 +647,12 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     )
     prev_sig: tuple | None = None
     for _ in range(max_iter):
-        new = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # Lazy checkpoint: the signature aggregate below is the action that
+        # materializes it, so each round is ONE job (compute + checkpoint
+        # write + signature) instead of a checkpoint job followed by an
+        # aggregate job — halves the driver round-trips of the iterative
+        # loop (VERDICT r06 directive 4) while still truncating lineage.
+        new = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # Converged when the edge set is a fixed star forest: small-star of
         # a star forest re-emits exactly the same (child → root) edges.
         # Cheap pre-filter first — an order-insensitive (count, xxhash sum)
@@ -664,9 +672,13 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         ).first()
         sig = (sig_row.c, sig_row.h)
         if sig == prev_sig:
+            # one job for the exact set equality, not two: union the two
+            # exceptAll directions and probe for a single surviving row
             delta = (
-                new.exceptAll(edges).limit(1).count()
-                + edges.exceptAll(new).limit(1).count()
+                new.exceptAll(edges)
+                .union(edges.exceptAll(new))
+                .limit(1)
+                .count()
             )
         else:
             delta = 1
