@@ -965,3 +965,304 @@ shared_sql(
     "selected row set) is bit-identical across engines — a raw avg(DOUBLE) "
     "would be partition-order-dependent.",
 )
+
+
+# --- TPC-H completion (r07): the ten remaining query shapes -----------------
+#
+# With these the full TPC-H 22 is covered: Q1 g01, Q2 g39, Q3 g02, Q4 g34,
+# Q5 g03, Q6 g37, Q7 g40, Q8 g41, Q9 g42, Q10 g28, Q11 g43, Q12 g35,
+# Q13 g44, Q14 g36, Q15 g45, Q16 g29, Q17 g38, Q18 g31, Q19 g46, Q20 g47,
+# Q21 g32, Q22 g48. Shapes adapt to the driver schema (no partsupp table,
+# no comment/phone/shipmode columns — lineitem stands in for partsupp and
+# existing attribute columns stand in for the missing filter columns), but
+# each keeps its query's defining plan signature: the decorrelation
+# pattern, join topology, and aggregate structure.
+
+shared_sql(
+    "g39_mincost_supplier_tpch_q2",
+    """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 25 AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tables=("part", "lineitem", "supplier", "nation", "region"),
+    tags=("gap", "correlated", "scalar-subquery", "topk"),
+    doc="TPC-H Q2 shape (minimum-cost supplier; lineitem standing in for "
+    "partsupp): correlated scalar MIN subquery over the same join tree — "
+    "Catalyst decorrelates to a per-part aggregate joined back on the part "
+    "key, so the min is computed once per part, not per candidate row. "
+    "Equality on the double is safe: both engines compare the identical "
+    "parquet value. DISTINCT + full ORDER BY tiebreak keeps the top-100 "
+    "set engine-identical.",
+)
+
+shared_sql(
+    "g40_volume_shipping_tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+               {_REV} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tables=("supplier", "lineitem", "orders", "customer", "nation"),
+    tags=("gap", "join", "self-dim", "disjunct"),
+    doc="TPC-H Q7 shape (volume shipping): the nation dimension joins "
+    "TWICE (supplier side and customer side) with a symmetric disjunctive "
+    "pair filter; both dim joins broadcast, the year is derived in the "
+    "subquery, and the revenue rolls up exact-decimal.",
+)
+
+shared_sql(
+    "g41_market_share_tpch_q8",
+    f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               {_REV} AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tables=("part", "lineitem", "supplier", "orders", "customer", "nation",
+            "region"),
+    tags=("gap", "join", "conditional-agg", "ratio"),
+    doc="TPC-H Q8 shape (national market share): the deepest join tree in "
+    "the suite (7 tables, nation twice); the share is a conditional-sum / "
+    "total-sum ratio — both sums are exact decimals cast to double before "
+    "ONE division, so the ratio is bit-identical across engines.",
+)
+
+shared_sql(
+    "g42_product_profit_tpch_q9",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               {_REV}
+                 - CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tables=("part", "lineitem", "supplier", "orders", "nation"),
+    tags=("gap", "join", "like", "agg"),
+    doc="TPC-H Q9 shape (product-type profit; retailprice*quantity standing "
+    "in for ps_supplycost): LIKE-filtered part dimension drives the fact "
+    "scan, profit is an exact-decimal expression summed per (nation, "
+    "year). The LIKE filter pushes to the part scan and the dim joins "
+    "broadcast.",
+)
+
+shared_sql(
+    "g43_important_parts_tpch_q11",
+    f"""
+    SELECT l_partkey, CAST(SUM({_REV}) AS DOUBLE) AS value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING SUM({_REV}) * 1000 > (
+        SELECT SUM({_REV})
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    )
+    ORDER BY value DESC, l_partkey
+    """,
+    tables=("lineitem", "supplier", "nation"),
+    tags=("gap", "having", "scalar-subquery"),
+    doc="TPC-H Q11 shape (important stock; lineitem standing in for "
+    "partsupp): per-part value vs a global-total threshold — the scalar "
+    "subquery computes once, broadcasts into the HAVING, and the "
+    "comparison is exact-decimal cross-multiplied (SUM*1000 > total) "
+    "instead of a float fraction, so the surviving key set is "
+    "engine-identical.",
+)
+
+shared_sql(
+    "g44_order_distribution_tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tables=("customer", "orders"),
+    tags=("gap", "outer-join", "distribution"),
+    doc="TPC-H Q13 shape (customer order distribution; the priority "
+    "predicate standing in for the comment NOT LIKE): the defining "
+    "signature is the predicate INSIDE the left join's ON clause — "
+    "customers with zero qualifying orders survive with c_count=0 — "
+    "followed by a count-of-counts double aggregation.",
+)
+
+shared_sql(
+    "g45_top_supplier_tpch_q15",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM({_REV}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tables=("supplier", "lineitem"),
+    tags=("gap", "cte", "scalar-subquery", "argmax"),
+    doc="TPC-H Q15 shape (top supplier): the revenue view (CTE) is "
+    "referenced twice — once joined, once under a scalar MAX — the "
+    "view-reuse/argmax pattern; the max-equality compares exact decimals, "
+    "never doubles, so ties select the identical supplier set in both "
+    "engines.",
+)
+
+shared_sql(
+    "g46_disjunct_revenue_tpch_q19",
+    f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    tables=("lineitem", "part"),
+    tags=("gap", "disjunct", "join-filter"),
+    doc="TPC-H Q19 shape (discounted revenue; size/quantity bands standing "
+    "in for container/shipmode): three disjunctive multi-column predicate "
+    "branches spanning BOTH join sides — the optimizer must keep the "
+    "disjunction above the join while still pushing the common p_brand IN "
+    "set down to the part scan; single exact-decimal scalar out.",
+)
+
+shared_sql(
+    "g47_promotion_suppliers_tpch_q20",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+        )
+          AND l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 45
+    )
+    ORDER BY s_name
+    """,
+    tables=("supplier", "nation", "lineitem", "part"),
+    tags=("gap", "semi", "nested-subquery", "having"),
+    doc="TPC-H Q20 shape (potential part promotion): the nested semi-join "
+    "chain — suppliers IN (aggregated lineitem IN (LIKE-filtered parts)) "
+    "with a HAVING quantity gate standing in for the availqty "
+    "comparison; both IN subqueries plan as left-semi joins, the inner "
+    "one broadcast.",
+)
+
+shared_sql(
+    "g48_dormant_customers_tpch_q22",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM (
+        SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+        FROM customer c
+        WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+          AND CAST(c_acctbal AS DECIMAL(12,2)) * (
+                SELECT COUNT(*) FROM customer
+                WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9)
+              ) > (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+                WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9)
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+          )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    tables=("customer", "orders"),
+    tags=("gap", "anti", "scalar-subquery"),
+    doc="TPC-H Q22 shape (dormant customers; nationkey digits standing in "
+    "for phone prefixes, 'no urgent orders' for 'no orders' so the anti "
+    "join is non-degenerate on this data): above-average balance via an "
+    "exact cross-multiplied scalar pair (balance*count > total — no float "
+    "average, so the admitted set is engine-identical) plus a NOT EXISTS "
+    "anti join.",
+)
