@@ -257,19 +257,25 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
 
     Arrow-batched mapInPandas over the binary payload (numpy math, no
     JVM round-trip per pixel); the hash is 16 hex chars, so the dedup
-    groupBy shuffles 8-byte keys, never pixels."""
+    groupBy shuffles 8-byte keys, never pixels.
+
+    The mean threshold is evaluated in EXACT integer arithmetic:
+    ``cell_sum · n_cells > total_sum`` over per-cell channel sums is the
+    cross-multiplied form of ``cell_gray > mean(gray)`` (the /3 and
+    /n_cells denominators cancel), so the hash carries no float rounding
+    and a SQL oracle can replay it bit-for-bit (m05's value-hash gate)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 img = _decode_image_fake(bytes(payload))
-                gray = img.astype(np.float64).mean(axis=2)
-                h, w = gray.shape
+                gray3 = img.astype(np.int64).sum(axis=2)  # 3× grayscale, exact
+                h, w = gray3.shape
                 ys = np.arange(grid) * h // grid
                 xs = np.arange(grid) * w // grid
-                small = gray[np.ix_(ys, xs)]
-                bits = (small > small.mean()).reshape(-1)
+                small = gray3[np.ix_(ys, xs)]
+                bits = (small * small.size > small.sum()).reshape(-1)
                 val = 0
                 for b in bits:
                     val = (val << 1) | int(b)

@@ -91,8 +91,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l18_neardup_components_star",
     "o1_backfill_pipeline",
     "k11_compaction",
-    # -- never-witnessed + stale + refreshes, rows-only (tail of the 50) -----
     "m05_image_dedup_ahash",
+    # -- never-witnessed + stale + refreshes, rows-only (tail of the 50) -----
     "o2e_stream_stream_join",
     "o2f_streaming_session_window",
     "k09_retention_cleanup",

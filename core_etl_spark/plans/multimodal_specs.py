@@ -82,11 +82,67 @@ def m04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _m05_oracle() -> str:
+    """DuckDB replay of the whole m05 chain: the fake-codec pixel stream is
+    an md5 chain (``md5('img{id}:{chunk}')`` hex pairs), the aHash decision
+    is exact-integer (cell·64 > total — see image_ahash), and the 64 bits
+    pack nibble-wise into the 16-hex-char hash, so SQL reproduces every
+    bucket bit-for-bit. Image ids are 0,3,…,87 (mid%3==0 of 90) plus the
+    re-id'd +1000 copies sharing the ORIGINAL payload."""
+
+    def hexbyte(off: str) -> str:
+        # byte value at pixel-stream offset ``off`` of image ``orig``
+        return (
+            f"CAST('0x'||substr(md5('img'||CAST(orig AS VARCHAR)||':'||"
+            f"CAST(({off}) // 16 AS VARCHAR)), 2 * (({off}) % 16) + 1, 2) AS INT)"
+        )
+
+    cs = " + ".join(hexbyte(f"p + {k}") for k in (0, 1, 2))
+    return f"""
+        WITH base AS (SELECT 3 * range AS orig FROM range(0, 30)),
+        imgs AS (
+            SELECT orig AS mid, orig FROM base
+            UNION ALL SELECT orig + 1000 AS mid, orig FROM base
+        ),
+        dims AS (
+            SELECT mid, orig, 8 + orig % 8 AS w, 8 + orig % 5 AS h FROM imgs
+        ),
+        g AS (SELECT unnest(generate_series(0, 7)) AS g),
+        cells AS (
+            SELECT d.mid, d.orig, gy.g AS yi, gx.g AS xi,
+                   ((gy.g * d.h // 8) * d.w + (gx.g * d.w // 8)) * 3 AS p
+            FROM dims d CROSS JOIN g gy CROSS JOIN g gx
+        ),
+        vals AS (SELECT mid, yi, xi, {cs} AS cs FROM cells),
+        tot AS (SELECT mid, SUM(cs) AS total FROM vals GROUP BY mid),
+        bits AS (
+            SELECT v.mid, v.yi * 8 + v.xi AS idx,
+                   CASE WHEN v.cs * 64 > t.total THEN 1 ELSE 0 END AS bit
+            FROM vals v JOIN tot t USING (mid)
+        ),
+        nib AS (
+            SELECT mid, idx // 4 AS nibidx,
+                   SUM(bit << (3 - idx % 4)) AS nv
+            FROM bits GROUP BY mid, idx // 4
+        ),
+        hashes AS (
+            SELECT mid,
+                   string_agg(lower(to_hex(nv)), '' ORDER BY nibidx) AS ahash
+            FROM nib GROUP BY mid
+        )
+        SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
+               MIN(mid) AS keeper
+        FROM hashes GROUP BY ahash
+    """
+
+
 @register(
     "m05_image_dedup_ahash",
     tables=(),
-    oracle=None,  # binary decode + numpy hash math — rows-only gate;
-    # collision/robustness invariants asserted in tests/test_multimodal.py
+    oracle=_m05_oracle(),  # exact-integer aHash over the md5 pixel stream —
+    # the only float-free multimodal algorithm, so it graduates from the
+    # rows-only gate (VERDICT r06 stretch 9); collision/robustness
+    # invariants stay in tests/test_multimodal.py
     tags=("multimodal", "image", "dedup", "perceptual-hash"),
 )
 def m05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
