@@ -228,12 +228,21 @@ def test_l36_spans_no_cartesian_and_partial_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # gram DF agg is partial+final
 
 
-def test_l35_mixture_is_filter_only(spark, sf_dir):
+def test_l35_mixture_broadcast_dispatch(spark, sf_dir):
     """After the (driver-side, strata-bounded) count, the admitted corpus
-    is one narrow filter pass: no Exchange, no join in the final plan."""
+    is one pass over the data: the threshold dispatch is a BROADCAST join
+    against the tiny thresholds frame (strata-count-proof — r07 replaced
+    the per-stratum CASE chain, VERDICT r06 directive 6), so the corpus
+    side still never shuffles: no shuffle Exchange, no sort-merge join."""
     plan = _plan(spark, sf_dir, "l35_mixture_rebalance")
-    assert "Exchange" not in plan
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # broadcast exchange only — the corpus side must not shuffle
+    import re
+    shuffles = [l for l in plan.splitlines()
+                if re.search(r"\bExchange hashpartitioning", l)]
+    assert not shuffles, shuffles
+    assert plan.count("CASE WHEN") < 10
 
 
 def test_g33_bucketed_join_no_exchange(spark, sf_dir):
