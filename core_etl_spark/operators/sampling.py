@@ -76,21 +76,32 @@ def deterministic_stratified_sample(
     """Keep each row with its stratum's probability, deterministically.
 
     ``rates`` maps stratum value → keep fraction (e.g. upsample low-resource
-    languages, downsample boilerplate-heavy domains). Unlisted strata get
-    ``default_rate``. The salt namespaces the selection: different salts
-    give independent samples, the same salt gives nested ones.
+    languages, downsample boilerplate-heavy domains). Unlisted strata
+    (including NULL) get ``default_rate``. The salt namespaces the
+    selection: different salts give independent samples, the same salt
+    gives nested ones.
+
+    The per-stratum threshold dispatches via a LEFT broadcast join on a
+    tiny rates frame with a coalesce to the default — not a chained
+    ``F.when`` (one CASE branch per stratum degenerates at 10k+ strata;
+    same strata-proof form as :func:`_admit_by_thresholds`).
     """
     h = F.substring(
         F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
         1,
         8,
     )
-    thr = F.lit(rate_threshold(default_rate))
-    for value, rate in rates.items():
-        thr = F.when(F.col(strata_col) == value, F.lit(rate_threshold(rate))).otherwise(
-            thr
-        )
-    return df.filter(h < thr)
+    default_thr = F.lit(rate_threshold(default_rate))
+    if not rates:
+        return df.filter(h < default_thr)
+    thr_df = df.sparkSession.createDataFrame(
+        [(v, rate_threshold(r)) for v, r in rates.items()], ["_stratum", "_thr"]
+    )
+    return (
+        df.join(F.broadcast(thr_df), F.col(strata_col) == F.col("_stratum"), "left")
+        .filter(h < F.coalesce(F.col("_thr"), default_thr))
+        .drop("_stratum", "_thr")
+    )
 
 
 def deterministic_split(

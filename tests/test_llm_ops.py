@@ -1318,6 +1318,23 @@ def test_threshold_dispatch_is_broadcast_join_not_case(spark):
     plan_t = kept_t._jdf.queryExecution().executedPlan().toString()
     assert plan_t.count("CASE WHEN") < 10
     assert kept_t.count() == 4 * n  # uniform strata → every rate is 1.0
+    # stratified sampler: same dispatch form, plus default-rate fallback
+    from core_etl_spark.operators.sampling import deterministic_stratified_sample
+
+    kept_s = deterministic_stratified_sample(
+        df, {f"s{i}": 1.0 for i in range(n)}, default_rate=0.0
+    )
+    plan_s = kept_s._jdf.queryExecution().executedPlan().toString()
+    assert plan_s.count("CASE WHEN") < 10
+    assert kept_s.count() == 4 * n  # all listed at rate 1.0
+    # unlisted strata fall to default_rate, NULL included
+    mixed = spark.createDataFrame(
+        [(1, "listed"), (2, "unlisted"), (3, None)], "doc_id long, lang string"
+    )
+    got = deterministic_stratified_sample(
+        mixed, {"listed": 1.0}, default_rate=0.0
+    ).collect()
+    assert [r.doc_id for r in got] == [1]
 
 
 def test_token_rarity_hand_case(spark):
