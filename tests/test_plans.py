@@ -245,6 +245,44 @@ def test_l35_mixture_broadcast_dispatch(spark, sf_dir):
     assert plan.count("CASE WHEN") < 10
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "g39_mincost_supplier_tpch_q2",
+        "g40_volume_shipping_tpch_q7",
+        "g41_market_share_tpch_q8",
+        "g42_product_profit_tpch_q9",
+        "g43_important_parts_tpch_q11",
+        "g44_order_distribution_tpch_q13",
+        "g45_top_supplier_tpch_q15",
+        "g46_disjunct_revenue_tpch_q19",
+        "g47_promotion_suppliers_tpch_q20",
+        "g48_dormant_customers_tpch_q22",
+    ],
+)
+def test_tpch_completion_plans_decorrelate(spark, sf_dir, name):
+    """The ten r07 TPC-H shapes must plan like the first twelve: every
+    correlated subquery decorrelated to a hash join (no per-row execution,
+    no cartesian/nested-loop fallback) and the base filters pushed to the
+    parquet scans."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_g46_disjuncts_push_to_both_scans(spark, sf_dir):
+    """Q19's defining optimization: the OR-of-ANDs spans both join sides,
+    but the per-side implied disjunctions (quantity bands → lineitem,
+    brand/size bands → part) must still reach each scan's PushedFilters,
+    with column pruning intact."""
+    plan = _plan(spark, sf_dir, "g46_disjunct_revenue_tpch_q19")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem side
+    assert "EqualTo(p_brand" in plan                     # part side
+    assert "struct<l_partkey:bigint,l_quantity:double," in plan  # pruned scan
+
+
 def test_g33_bucketed_join_no_exchange(spark, sf_dir):
     """Both sides bucketed on the join key → the equi-join must plan
     without an Exchange on either side (the shuffle-free co-location
