@@ -73,13 +73,34 @@ def sequence_gaps_scalable(df: DataFrame, col: str = "number", bucket: int = 1_0
     )
 
 
-def positional_check(df: DataFrame, col: str = "number") -> DataFrame:
+def positional_check(df: DataFrame, col: str = "number", bucket: int = 1_000_000) -> DataFrame:
     """V3 — full check from zero: the i-th row (ordered) must equal i
-    (reference verify.rs:74-79). Returns violating rows with their position."""
-    w = W.orderBy("value")
+    (reference verify.rs:74-79). Returns violating rows with their position.
+
+    Scales like ``sequence_gaps_scalable``, not like a global window: the
+    global rank is computed two-phase — per-bucket row_number (bucket =
+    floor(value/B), monotone in value, so (bucket, value) order == global
+    value order) plus each bucket's exclusive prefix count from a tiny
+    window over the ~|N|/B bucket-count rows. One data shuffle + one
+    broadcast join; no single-partition sort at any table size."""
+    bucket = int(bucket)
+    vals = df.select(F.col(col).cast("long").alias("value"))
+    # exact floor division (negative-safe, like sequence_gaps_scalable)
+    q = F.expr(f"value div {bucket}")
+    r = F.col("value") % F.lit(bucket)
+    vals = vals.withColumn("bucket", F.when(r < 0, q - 1).otherwise(q))
+    cnts = vals.groupBy("bucket").agg(F.count("*").alias("_n"))
+    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offs = cnts.select(
+        "bucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = W.partitionBy("bucket").orderBy("value")
     return (
-        df.select(F.col(col).cast("long").alias("value"))
-        .select("value", (F.row_number().over(w) - 1).alias("pos"))
+        vals.join(F.broadcast(offs), "bucket")
+        .select(
+            "value",
+            (F.row_number().over(w_in) - 1 + F.col("_off")).alias("pos"),
+        )
         .filter(F.col("value") != F.col("pos"))
     )
 

