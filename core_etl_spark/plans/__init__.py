@@ -92,10 +92,13 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "o1_backfill_pipeline",
     "k11_compaction",
     "m05_image_dedup_ahash",
+    "k09_retention_cleanup",
     # -- never-witnessed + stale + refreshes, rows-only (tail of the 50) -----
+    # (all that remains rows-only is genuinely non-oracle-able: streaming
+    # state, approximate sketches, xxhash64 keys DuckDB lacks, float
+    # feature math)
     "o2e_stream_stream_join",
     "o2f_streaming_session_window",
-    "k09_retention_cleanup",
     "g21b_approx_sketches",
     "l12b_ann_ivf_kmeans",
     "l06x_ngram_jaccard_xxhash",

@@ -446,7 +446,19 @@ def o1(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 @register(
     "k09_retention_cleanup",
     tables=(),
-    oracle=None,  # stateful filesystem mutation — rows-only gate
+    oracle=f"""
+        WITH {_fx_blk_cte(60)},
+        surv AS (SELECT * FROM blk WHERE num >= 20),
+        d AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_after,
+                   MIN(num) AS min_height, MAX(num) AS max_height,
+                   {_fx_digest(_fx_blk_concat(2))} AS blocks_digest
+            FROM surv
+        )
+        SELECT CAST(1 AS BIGINT) AS ticks, CAST(60 AS BIGINT) AS n_before,
+               n_after, min_height, max_height, blocks_digest
+        FROM d
+    """,
     tags=("k9", "maintenance", "retention", "mutation"),
 )
 def k09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
@@ -454,7 +466,11 @@ def k09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     with an injected clock sweeps everything older than the window
     (reference sqlite3.rs:483-536 cadence, export.rs:30-37 flags). Fixture
     timestamps are EPOCH+7·height, so the cutoff maps to a known boundary
-    height; returns counts before/after (invariants in tests/test_pipeline)."""
+    height (< 20 expires, strict). Returns the tick/row counts AND the
+    full-column content digest of the surviving blocks table — DuckDB
+    regenerates heights 20..59 from the fixture formulas, putting the
+    retention sweep under the value hash like k78/k11 (r07; shared
+    ``_fx_*`` machinery)."""
     from ..pipeline import retention_loop
 
     with _shuffle_partitions(spark, 8):
@@ -472,9 +488,12 @@ def k09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                      F.max("number").alias("hi"))
                 .first()
             )
+            dig = _digest_frame(lake.blocks(), "blocks", _blk_digest_cols()).first()
             return spark.createDataFrame(
-                [(ticks, before, int(row.nb), int(row.lo), int(row.hi))],
-                "ticks long, n_before long, n_after long, min_height long, max_height long",
+                [(ticks, before, int(row.nb), int(row.lo), int(row.hi),
+                  int(dig.digest))],
+                "ticks long, n_before long, n_after long, min_height long, "
+                "max_height long, blocks_digest long",
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
