@@ -250,3 +250,76 @@ def test_pagerank_bounds_and_determinism(spark, seeds, iters):
         assert 150_000 <= rank <= 1_000_000 * n
         if node not in targets and iters >= 1:
             assert rank == 150_000
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text("ab", min_size=1, max_size=8), min_size=1, max_size=15
+    ),
+    st.integers(1, 4),
+)
+def test_bpe_merges_match_canonical_greedy(spark, words_list, n_merges):
+    """r07 canonical-BPE property: the distributed trainer must equal a
+    straight-line canonical left-to-right greedy scan over symbol arrays —
+    the two-character alphabet maximizes repeated-symbol runs, the exact
+    case the old single-space replace merged only alternately."""
+    words: dict[str, int] = {}
+    for w in words_list:
+        words[w] = words.get(w, 0) + 1
+
+    state = {w: [ch for ch in w] for w in words}
+    merges = []
+    for i in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + words[w]
+        if not pairs:
+            break
+        (w1, w2), total = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((i + 1, w1, w2, total))
+        nxt = {}
+        for w, syms in state.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == w1 and syms[j + 1] == w2:
+                    out.append(w1 + w2)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            nxt[w] = out
+        state = nxt
+
+    text = " ".join(words_list)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [
+        (r.merge_idx, r.w1, r.w2, r.pair_count)
+        for r in X.bpe_merges(df, n_merges=n_merges).orderBy("merge_idx").collect()
+    ]
+    assert got == merges
+    vocab = {r.sym: r.n for r in X.bpe_symbol_vocab(df, n_merges=n_merges).collect()}
+    expected_vocab: dict[str, int] = {}
+    for w, syms in state.items():
+        for s in syms:
+            expected_vocab[s] = expected_vocab.get(s, 0) + words[w]
+    assert vocab == expected_vocab
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(-50, 200), min_size=1, max_size=60, unique=True),
+    st.integers(2, 17),
+)
+def test_positional_check_matches_sorted_enumerate(spark, values, bucket):
+    """r07 two-phase-rank property: violations must equal the straight-line
+    sorted-enumerate reference for any value set and any bucket size."""
+    from core_etl_spark.operators.verify import positional_check
+
+    expected = {
+        (v, i) for i, v in enumerate(sorted(values)) if v != i
+    }
+    df = spark.createDataFrame([(v,) for v in values], "number long")
+    got = {(r.value, r.pos) for r in positional_check(df, bucket=bucket).collect()}
+    assert got == expected
