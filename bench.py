@@ -40,7 +40,10 @@ RUNS = 3  # min-of-3: the host is shared and single runs vary up to 3×
 # The cache-heavy dedup pipelines (localCheckpoint rebuilds) showed up to
 # 3.2× run-to-run spread on the driver host (r04: l07 ran [1.76, 5.66,
 # 2.41]); five runs tighten the min-of-N noise floor where it matters.
-EXTRA_RUNS = {"l06", "l07"}  # name prefixes: l06/l06x/l07/l07x
+# l18b joins them per VERDICT r06 directive 4: the iterative star-CC
+# closure is the most expensive headline and needs a published
+# min-of-5 variance band.
+EXTRA_RUNS = {"l06", "l07", "l18b"}  # name prefixes: l06/l06x/l07/l07x/l18b
 
 
 def _runs_for(name: str) -> int:

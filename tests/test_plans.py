@@ -111,13 +111,27 @@ def test_l16_vocab_topk_is_take_ordered(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["l13_repetition_stats", "l14_pii_scrub", "l15_stratified_sample"]
+    "name", ["l13_repetition_stats", "l14_pii_scrub"]
 )
 def test_single_pass_text_ops_have_no_shuffle(spark, sf_dir, name):
-    """Repetition stats, PII scrub, and hash-gate sampling are pure
-    projection/filter passes — any Exchange in the plan is a regression."""
+    """Repetition stats and PII scrub are pure projection/filter passes —
+    any Exchange in the plan is a regression."""
     plan = _plan(spark, sf_dir, name)
     assert "Exchange" not in plan, f"{name} grew a shuffle"
+
+
+def test_l15_sampler_broadcast_dispatch_no_corpus_shuffle(spark, sf_dir):
+    """Hash-gate stratified sampling dispatches rates via a broadcast join
+    (strata-count-proof, r07 — same form as l35); the corpus side must
+    still never shuffle: a broadcast exchange is expected, a hash-partition
+    exchange is a regression."""
+    import re
+
+    plan = _plan(spark, sf_dir, "l15_stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    shuffles = [l for l in plan.splitlines()
+                if re.search(r"\bExchange hashpartitioning", l)]
+    assert not shuffles, shuffles
 
 
 def test_l19_decontamination_single_corpus_pass(spark, sf_dir):
