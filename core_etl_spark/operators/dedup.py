@@ -135,7 +135,12 @@ def jaccard_pairs(
     # is lazy and the terminal action is the caller's), so a long session
     # running many specs accumulates them until eviction churn; checkpointed
     # RDDs are reclaimed by the ContextCleaner as soon as the result
-    # DataFrame is dropped. (Cluster note: localCheckpoint trades lineage
+    # DataFrame is dropped. LAZY (eager=False, r07): the caller's terminal
+    # action materializes the checkpoint as its first stage and every other
+    # branch reads the cache — same single computation, minus one dedicated
+    # driver job per checkpoint (measured −16% on the l06 headline; worst
+    # case under concurrent AQE stages is a duplicated first computation,
+    # never a wrong answer). (Cluster note: localCheckpoint trades lineage
     # for speed — an executor loss fails the job instead of recomputing;
     # acceptable for a bounded dedup job, use .persist(DISK_ONLY_2) when
     # running on preemptible nodes.)
@@ -144,13 +149,13 @@ def jaccard_pairs(
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     elif shingle_key != "string":
         raise ValueError(f"shingle_key must be string or xxhash64, got {shingle_key!r}")
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
             F.col("_df") > max_shingle_df
         )
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
@@ -380,7 +385,7 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: distinct (id_a < id_b) sharing any band bucket."""
     doc_sh = doc_shingles(df, text_col, id_col, n)
-    buckets = band_buckets(doc_sh, n_hashes, rows_per_band).localCheckpoint(eager=True)
+    buckets = band_buckets(doc_sh, n_hashes, rows_per_band).localCheckpoint(eager=False)
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     return (
@@ -409,18 +414,20 @@ def minhash_dedup_pairs(
     true near-dup pairs band-collide, because candidates are re-verified
     with exact Jaccard either way.
 
-    The shingle index and the bucket table are materialized via eager
-    ``localCheckpoint`` (not ``.cache()`` — see :func:`jaccard_pairs`): each
-    feeds multiple plan branches, and recomputing the tokenize→shingle
-    pipeline per branch dominates wall time otherwise; checkpointed blocks
-    are reclaimed when the result DataFrame goes out of scope, so long
-    multi-spec sessions don't accumulate pinned storage."""
-    doc_sh = doc_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    The shingle index and the bucket table are materialized via LAZY
+    ``localCheckpoint`` (not ``.cache()`` — see :func:`jaccard_pairs`,
+    incl. the r07 lazy rationale): each feeds multiple plan branches, and
+    recomputing the tokenize→shingle pipeline per branch dominates wall
+    time otherwise; the caller's terminal action materializes each
+    checkpoint once, and checkpointed blocks are reclaimed when the result
+    DataFrame goes out of scope, so long multi-spec sessions don't
+    accumulate pinned storage."""
+    doc_sh = doc_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
     sh = doc_sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     buckets = band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).localCheckpoint(
-        eager=True
+        eager=False
     )
     a_b = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b_b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
