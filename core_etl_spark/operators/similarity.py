@@ -460,7 +460,8 @@ def ivf_index_topk(
         qscored.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= nprobe)
         .select("query_id", F.col("cent_id").alias("cell"), "q_dec", "q_normsq")
-        .localCheckpoint(eager=True)
+        # lazy: the cells collect() below materializes it — one job, not two
+        .localCheckpoint(eager=False)
     )
     cells = [r.cell for r in probes.select("cell").distinct().collect()]
     lists = spark.read.parquet(f"{path}/lists").filter(F.col("cell").isin(cells))
@@ -557,7 +558,8 @@ def pq_codebooks_kmeans(
     feats = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
         feats = feats.sample(fraction=sample_fraction, seed=seed)
-    feats = feats.localCheckpoint(eager=True)  # m fits share one sample scan
+    feats = feats.localCheckpoint(eager=False)  # m fits share one sample
+    # scan; the first() below materializes the lazy checkpoint in one job
     first = feats.first()
     if first is None:
         raise ValueError("pq_codebooks_kmeans: empty corpus")
@@ -869,7 +871,8 @@ def ivfpq_index_topk(
             F.col("cent_id").alias("cell"),
             _pq_table_array(F.col("q_dec"), cb).alias("tables"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: the cells collect() below materializes it — one job, not two
+        .localCheckpoint(eager=False)
     )
     # bounded collect: queries × nprobe ints — the partition-pruning filter
     cells = [r.cell for r in probes.select("cell").distinct().collect()]
