@@ -566,7 +566,8 @@ def neardup_components(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the changed-count below materializes it — one job/round
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.join(labels.withColumnRenamed("label", "_old"), "id")
@@ -640,17 +641,21 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .select("u", "v")
         )
 
+    # One checkpoint of the INPUT pairs, not one per derivation: nodes and
+    # edges both read the cached pair set, so an expensive upstream (the
+    # Jaccard/LSH pipeline in l17/l18 use) is computed once, not twice.
+    # Lazy: round 1's signature aggregate materializes the whole chain.
+    pairs_m = pairs.localCheckpoint(eager=False)
     nodes = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
+        pairs_m.select(F.col("id_a").alias("id"))
+        .union(pairs_m.select(F.col("id_b").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        pairs_m.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig: tuple | None = None
     for _ in range(max_iter):

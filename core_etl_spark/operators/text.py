@@ -558,10 +558,11 @@ def bpe_merges(
     Spark, DuckDB, and Python ``str.replace``, so the oracle replays
     every round exactly.
 
-    Job-count regime: each merge round is one Spark job pair (agg +
-    checkpoint), run SEQUENTIALLY — cost is ``O(n_merges)`` driver
+    Job-count regime: each merge round is ONE Spark job (the pair-count
+    argmax collect, which also materializes the previous round's lazy
+    vocab checkpoint), run SEQUENTIALLY — cost is ``O(n_merges)`` driver
     rounds over a vocab-sized table, NOT corpus-sized work, but a
-    production 32k-merge vocab would mean ~64k sequential jobs.
+    production 32k-merge vocab would still mean ~32k sequential jobs.
     Intended for bounded vocabularies (analysis/oracle-scale merges);
     ``n_merges`` above :data:`_BPE_MAX_MERGES` raises, pointing at the
     per-merge job cost.
@@ -626,7 +627,9 @@ def bpe_merges(
             F.replace(
                 F.col("state"), F.lit(f" {w1}  {w2} "), F.lit(f" {w1}{w2} ")
             ),
-        ).localCheckpoint(eager=True)
+            # lazy: the next round's argmax collect (or the caller's final
+            # action) materializes it — ONE job per merge, not a job pair
+        ).localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         merges, "merge_idx int, w1 string, w2 string, pair_count bigint"
     )
