@@ -541,12 +541,12 @@ def neardup_components(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(max_iter):  # diameter rounds in practice
@@ -731,7 +731,7 @@ def write_dedup_index(
     the new batch — the old corpus is never re-shingled or re-hashed
     (see :func:`incremental_dedup_pairs`). Appending a crawl's own
     bands/shingles (mode="append") rolls the index forward."""
-    doc_sh = doc_shingles(corpus, text_col, id_col, n).localCheckpoint(eager=True)
+    doc_sh = doc_shingles(corpus, text_col, id_col, n).localCheckpoint(eager=False)
     band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).write.mode(
         "overwrite"
     ).parquet(f"{path}/bands")
@@ -768,13 +768,13 @@ def incremental_dedup_pairs(
     loop: index once per admission, probe per batch."""
     idx_bands = spark.read.parquet(f"{path}/bands")
     idx_sh = spark.read.parquet(f"{path}/shingles")
-    doc_sh = doc_shingles(new_docs, text_col, id_col, n).localCheckpoint(eager=True)
+    doc_sh = doc_shingles(new_docs, text_col, id_col, n).localCheckpoint(eager=False)
     new_bands = band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).localCheckpoint(
         eager=True
     )
     new_sh = doc_sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     all_bands = idx_bands.unionByName(new_bands)
     nb = new_bands.select(F.col("doc_id").alias("id_n"), "band", "bucket")
@@ -784,7 +784,7 @@ def incremental_dedup_pairs(
         .filter(F.col("id_n") != F.col("id_o"))
         .select("id_n", "id_o")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # prune the verification input to candidate docs before any big join
     cand_ids = (
@@ -887,7 +887,8 @@ def decontaminate_bloom(
         shingle_table(benchmark, text_col, id_col, n)
         .select("shingle")
         .distinct()
-        .localCheckpoint(eager=True)  # shingling runs once, not k+1 times
+        .localCheckpoint(eager=False)  # shingling runs once, not k+1
+        # times (the sizing count or the terminal action materializes it)
     )
     if m_bits is None:
         # one count over the checkpointed distinct set — bounded driver
