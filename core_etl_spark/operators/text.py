@@ -590,7 +590,8 @@ def bpe_merges(
                 "state"
             ),
         )
-        .localCheckpoint(eager=True)
+        # lazy: round 1's argmax collect materializes the base vocab
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     for i in range(n_merges):

@@ -284,9 +284,11 @@ def l17(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     component. Spark side is iterative min-label propagation (driver loop
     of joins, converges in diameter rounds); the oracle computes the same
     closure with a recursive CTE."""
+    # no spec-level checkpoint: the CC functions materialize their input
+    # pair set once internally (r07)
     pairs = D.jaccard_pairs(
         t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    ).select("id_a", "id_b")
     return D.neardup_components(pairs)
 
 
@@ -920,7 +922,7 @@ def l18(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     extreme scale. Identical oracle to l17: both algorithms must agree."""
     pairs = D.jaccard_pairs(
         t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    ).select("id_a", "id_b")
     return D.neardup_components_star(pairs)
 
 
