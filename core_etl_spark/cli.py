@@ -320,7 +320,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                     spark, docs, args.dedup_index, threshold=args.threshold_jaccard
                 )
                 .select("id_a", "id_b")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             batch_a = docs.select(F.col("doc_id").alias("id_a")).distinct()
             batch_b = docs.select(F.col("doc_id").alias("id_b")).distinct()
@@ -335,7 +335,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             within = (
                 pairs.join(batch_a, "id_a", "left_semi")
                 .join(batch_b, "id_b", "left_semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             comp = D.neardup_components_star(within)
             drop = vs_hist.union(
@@ -353,7 +353,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                     threshold=args.threshold_jaccard,
                     max_shingle_df=args.max_shingle_df or None,
                 )
-            pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+            pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
             if args.keep == "best":
                 # canonical election: the highest-quality member of each
                 # near-dup cluster survives (n_chars, or text length when
