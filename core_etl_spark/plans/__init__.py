@@ -39,72 +39,72 @@ from . import maintenance_specs  # noqa: F401,E402
 # snapshot can hold all of them. Specs not named here follow in registration
 # order; pytest runs the full registry regardless of order.
 _SNAPSHOT_PRIORITY: tuple[str, ...] = (
-    # r07 rotation — VERDICT r06 directive 1: the registry is FROZEN for the
-    # round and the 50 slots burn the whole evidence backlog to zero: the 30
-    # specs that have never had a driver row, the 13 whose latest row is r04,
-    # and 7 refresh slots for specs whose semantics or oracle changed this
-    # round (BPE canonicalization, sampling dispatch, bloom sizing, the o1/k11
-    # oracle-ification, and the star-CC closure rework). Oracle-backed specs
-    # first, grouped by family; rows-only specs go to the tail of the 50 so
-    # budget truncation never costs oracle coverage.
+    # r08 rotation — VERDICT r07 directive 1: front the ten TPC-H-completion
+    # specs (first driver rows; the full-22 claim rests on pytest until these
+    # land), then the refreshes whose implementation moved in r07 after their
+    # last driver row (l06/l07 lazy-checkpoint pass, l17 fused-star rounds,
+    # v03 two-phase ranks) and the BPE family (its training code is refactored
+    # this round for batched merges — re-witness the canonical path), then the
+    # r05-stale backlog in family order. 48 r05-stale specs + 10 new don't fit
+    # in one 50-slot snapshot; the cut leaves 12 oracle r05 specs
+    # (g16/g16b/g17, l03/l04/l05, l08/l09, l19/l21/l22, v02b) for the r09
+    # rotation. Oracle-backed specs first; rows-only tail so budget truncation
+    # never costs oracle coverage.
     #
-    # -- never-witnessed (oracle) --------------------------------------------
-    "c05_training_ready",
-    "c06_incremental_dedup",
-    "c07_canonical_per_cluster",
-    "c08_span_excision",
-    "c09_corpus_snapshot_diff",
-    "l30_gopher_quality",
-    "l31_doc_chunking",
-    "l32_tfidf_keywords",
-    "l33_span_corruption",
-    "l37_temperature_sampling",
-    "l39_token_rarity",
-    "l40_bigram_lm",
-    "l41b_bpe_vocab",
-    "l42_hashed_embedding",
-    "l43_bpe_token_count",
-    "g30_zorder_layout",
-    "g31_large_orders_tpch_q18",
-    "g32_exclusive_supplier_orders_tpch_q21",
-    "g33_bucketed_colocated_join",
-    "g34_order_priority_tpch_q4",
-    "g35_shipmode_tpch_q12",
-    "g36_promo_revenue_tpch_q14",
-    "g37_forecast_revenue_tpch_q6",
-    "g38_small_quantity_revenue_tpch_q17",
-    "v05_column_profile",
-    "v06_referential_check",
-    "k13_incremental_join",
-    # -- r04-stale (oracle) --------------------------------------------------
-    "v04_tip_comparison",
-    "j02_range_join",
-    "l13_repetition_stats",
-    "l14_pii_scrub",
-    "l15_stratified_sample",
-    "l16_vocab_topk",
-    # -- refreshes: semantics/oracle changed in r07 (oracle) -----------------
+    # -- never-witnessed: the TPC-H completion (oracle) ----------------------
+    "g39_mincost_supplier_tpch_q2",
+    "g40_volume_shipping_tpch_q7",
+    "g41_market_share_tpch_q8",
+    "g42_product_profit_tpch_q9",
+    "g43_important_parts_tpch_q11",
+    "g44_order_distribution_tpch_q13",
+    "g45_top_supplier_tpch_q15",
+    "g46_disjunct_revenue_tpch_q19",
+    "g47_promotion_suppliers_tpch_q20",
+    "g48_dormant_customers_tpch_q22",
+    # -- refreshes: implementation moved after latest driver row (oracle) ----
+    "l06_ngram_jaccard_dedup",
+    "l07_minhash_lsh_dedup",
+    "l17_neardup_components",
+    "v03_positional_check",
     "l41_bpe_merges",
-    "l35_mixture_rebalance",
-    "l34_bloom_decontamination",
-    "l18b_star_cc_chains",
-    "l18_neardup_components_star",
-    "o1_backfill_pipeline",
-    "k11_compaction",
-    "m05_image_dedup_ahash",
-    "k09_retention_cleanup",
-    # -- never-witnessed + stale + refreshes, rows-only (tail of the 50) -----
-    # (all that remains rows-only is genuinely non-oracle-able: streaming
-    # state, approximate sketches, xxhash64 keys DuckDB lacks, float
-    # feature math)
-    "o2e_stream_stream_join",
-    "o2f_streaming_session_window",
-    "g21b_approx_sketches",
-    "l12b_ann_ivf_kmeans",
-    "l06x_ngram_jaccard_xxhash",
-    "m02_image_resize",
-    "m03_audio_features",
-    "m04_video_frame_sample",
+    "l41b_bpe_vocab",
+    "l43_bpe_token_count",
+    # -- promoted to oracle this round (deterministic streaming harness) -----
+    "o2c_stream_dedup_watermark",
+    # -- r05-stale backlog (oracle), relational core first --------------------
+    "g02_join_agg_topk_tpch_q3",
+    "g03_star_join_tpch_q5",
+    "g20_decorrelated_subquery",
+    "g04_semi_join",
+    "g05_anti_join",
+    "g06_distinct_count",
+    "g07_rollup",
+    "g07b_cube",
+    "g07c_grouping_sets",
+    "g08_window_functions",
+    "g08b_window_distribution",
+    "g09_topk_per_group",
+    "g10_set_ops",
+    "g11_string_functions",
+    "g12_datetime_functions",
+    "g13_hex_conversion",
+    "g14_json_functions",
+    "g15_array_functions",
+    "g18_pivot_conditional_agg",
+    "g19_scalar_subquery",
+    "g24_time_range_frame",
+    "g25_recursive_cte",
+    "g26_lateral_topk",
+    "k06_maturity_flag",
+    "k10_reorg_detect",
+    "l01_exact_dedup",
+    "l02_text_stats",
+    "t3_address_filter",
+    "t45_transfer_decode",
+    "t4678_cbc20_extract",
+    # -- rows-only tail -------------------------------------------------------
+    "l07x_minhash_lsh_xxhash",
 )
 
 
