@@ -26,6 +26,40 @@ from pyspark.sql.functions import pandas_udf
 
 from .text import tokens
 
+#: Materialization strategy for multi-branch intermediates (the shingle
+#: index that feeds both self-join sides plus the size agg, LSH band
+#: tables, CC frontiers). One of:
+#:
+#: - ``"eager"`` — ``localCheckpoint(eager=True)``: one dedicated driver job
+#:   materializes the intermediate before any consumer plan is built, so the
+#:   upstream pipeline provably runs exactly once.
+#: - ``"lazy"``  — ``localCheckpoint(eager=False)``: the caller's terminal
+#:   action materializes it as a side effect; saves the dedicated job but
+#:   under AQE two *concurrently launched* consumer stages can race and each
+#:   recompute the upstream pipeline before the persisted blocks land
+#:   (duplicated computation, never a wrong answer).
+#: - ``"none"``  — no materialization; every consumer branch recomputes.
+#:
+#: Module-global rather than per-call so the bench A/B harness
+#: (scripts/l06_checkpoint_ab.py) can flip strategies without code edits.
+#: Default picked by measurement on the driver-bench host — see the r09
+#: experiment table in PROGRESS.md.
+CHECKPOINT_MODE = "eager"
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage + share one computation across plan branches, per
+    :data:`CHECKPOINT_MODE`. ``localCheckpoint`` rather than ``.cache()``:
+    cached plans live in the CacheManager until an explicit unpersist
+    (impossible for a lazily returned result), while checkpointed RDDs are
+    reclaimed by the ContextCleaner as soon as the result DataFrame drops.
+    (Cluster note: localCheckpoint trades lineage for speed — an executor
+    loss fails the job instead of recomputing; acceptable for bounded dedup
+    jobs, use ``.persist(DISK_ONLY_2)`` on preemptible nodes.)"""
+    if CHECKPOINT_MODE == "none":
+        return df
+    return df.localCheckpoint(eager=(CHECKPOINT_MODE == "eager"))
+
 
 def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     """Repartition when the input has fewer partitions than the cluster has
@@ -130,33 +164,33 @@ def jaccard_pairs(
     # Materialize: the shingle index feeds 3+ plan branches (both join sides
     # and the size agg); without materialization each branch re-runs the
     # tokenize→shingle→explode pipeline (measured 4× slower at sf0.1).
-    # ``localCheckpoint`` rather than ``.cache()``: cached plans live in the
-    # CacheManager until an explicit unpersist (impossible here — the result
-    # is lazy and the terminal action is the caller's), so a long session
-    # running many specs accumulates them until eviction churn; checkpointed
-    # RDDs are reclaimed by the ContextCleaner as soon as the result
-    # DataFrame is dropped. LAZY (eager=False, r07): the caller's terminal
-    # action materializes the checkpoint as its first stage and every other
-    # branch reads the cache — same single computation, minus one dedicated
-    # driver job per checkpoint (measured −16% on the l06 headline; worst
-    # case under concurrent AQE stages is a duplicated first computation,
-    # never a wrong answer). (Cluster note: localCheckpoint trades lineage
-    # for speed — an executor loss fails the job instead of recomputing;
-    # acceptable for a bounded dedup job, use .persist(DISK_ONLY_2) when
-    # running on preemptible nodes.)
+    # Strategy via _materialize/CHECKPOINT_MODE: r07 switched to lazy on a
+    # builder-host −16%, but the driver bench then regressed +33-44% two
+    # rounds running — the concurrent-AQE-stage duplicated-computation race
+    # in the lazy mode's worst case. The r09 A/B on this host
+    # (scripts/l06_checkpoint_ab.py, table in PROGRESS.md) settled the
+    # default; see CHECKPOINT_MODE.
     sh = shingle_table(df, text_col, id_col, n)
     if shingle_key == "xxhash64":
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     elif shingle_key != "string":
         raise ValueError(f"shingle_key must be string or xxhash64, got {shingle_key!r}")
-    sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
-            F.col("_df") > max_shingle_df
+        # Valve as a count-over-shingle window + filter: ONE pass in the
+        # same pipeline (shuffle by shingle, count, filter), vs the r08
+        # shape (checkpoint → groupBy agg → broadcast anti-join → second
+        # checkpoint) which re-read the index twice and needed two
+        # materializations. The window sorts by the partition key —
+        # 8-byte longs on the xxhash64 path, radix-friendly; the
+        # valve-filtered index is then checkpointed once for the three
+        # consumer branches below.
+        w_df = W.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(w_df))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
         )
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti").localCheckpoint(
-            eager=False
-        )
+    sh = _materialize(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -385,7 +419,7 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: distinct (id_a < id_b) sharing any band bucket."""
     doc_sh = doc_shingles(df, text_col, id_col, n)
-    buckets = band_buckets(doc_sh, n_hashes, rows_per_band).localCheckpoint(eager=False)
+    buckets = _materialize(band_buckets(doc_sh, n_hashes, rows_per_band))
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     return (
@@ -414,21 +448,18 @@ def minhash_dedup_pairs(
     true near-dup pairs band-collide, because candidates are re-verified
     with exact Jaccard either way.
 
-    The shingle index and the bucket table are materialized via LAZY
-    ``localCheckpoint`` (not ``.cache()`` — see :func:`jaccard_pairs`,
-    incl. the r07 lazy rationale): each feeds multiple plan branches, and
-    recomputing the tokenize→shingle pipeline per branch dominates wall
-    time otherwise; the caller's terminal action materializes each
-    checkpoint once, and checkpointed blocks are reclaimed when the result
-    DataFrame goes out of scope, so long multi-spec sessions don't
-    accumulate pinned storage."""
-    doc_sh = doc_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
-    sh = doc_sh.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).localCheckpoint(eager=False)
-    buckets = band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).localCheckpoint(
-        eager=False
+    The shingle index and the bucket table are materialized via
+    :func:`_materialize` (see its docstring for the checkpoint-vs-cache
+    rationale): each feeds multiple plan branches, and recomputing the
+    tokenize→shingle pipeline per branch dominates wall time otherwise;
+    checkpointed blocks are reclaimed when the result DataFrame goes out
+    of scope, so long multi-spec sessions don't accumulate pinned
+    storage."""
+    doc_sh = _materialize(doc_shingles(df, text_col, id_col, n))
+    sh = _materialize(
+        doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
     )
+    buckets = _materialize(band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn))
     a_b = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b_b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (
@@ -538,7 +569,15 @@ def neardup_components(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
     alternation (O(log n) rounds on pathological chains); the per-round
     plan here — shuffle on node id, map-side-combined min — is the same
     building block."""
-    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # Materialize the INPUT once (eager by default): the undirected-edge
+    # union below reads it twice, and ``pairs`` is often the whole Jaccard/
+    # LSH pipeline (l17) — without materialization the union's two branches
+    # each recompute it (lazy checkpointing the union instead doesn't help:
+    # the checkpoint job itself evaluates both branches). The derivations
+    # past the materialized input are one cheap pass each, so they stay
+    # lazy — the first round's count materializes them as a side effect.
+    pairs_m = _materialize(pairs.select("id_a", "id_b"))
+    edges = pairs_m.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
@@ -641,11 +680,10 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .select("u", "v")
         )
 
-    # One checkpoint of the INPUT pairs, not one per derivation: nodes and
-    # edges both read the cached pair set, so an expensive upstream (the
+    # One materialization of the INPUT pairs, not one per derivation: nodes
+    # and edges both read the cached pair set, so an expensive upstream (the
     # Jaccard/LSH pipeline in l17/l18 use) is computed once, not twice.
-    # Lazy: round 1's signature aggregate materializes the whole chain.
-    pairs_m = pairs.localCheckpoint(eager=False)
+    pairs_m = _materialize(pairs)
     nodes = (
         pairs_m.select(F.col("id_a").alias("id"))
         .union(pairs_m.select(F.col("id_b").alias("id")))
