@@ -1925,6 +1925,32 @@ def l41b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "l41c_bpe_batched",
+    tables=("events",),
+    oracle=None,  # the per-round greedy disjoint selection is a
+    # driver-side loop DuckDB can't replay in pure SQL; batch=1 parity
+    # with the sequential (oracle-backed l41) trainer plus batched-mode
+    # determinism and disjointness invariants are asserted in
+    # tests/test_llm_ops.py
+    tags=("llm", "tokenizer", "bpe", "iterative", "batched"),
+)
+def l41c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Large-vocabulary BPE training with BATCHED merges (VERDICT r08
+    directive 3): per round, count pairs once, collect a deep ranked
+    prefix, greedily take up to ``batch`` symbol-disjoint pairs, apply
+    them as one chained-replace pass — O(n_merges/batch) sequential
+    jobs instead of O(n_merges). Trained on the md5-hex corpus (the
+    synthetic documents table has 31 distinct words and exhausts BPE at
+    89 merges; md5(event_id) gives an sf-scaled distinct-word corpus).
+    The 5k-merge/49-round scale run is recorded by
+    scripts/bpe_scale_bench.py in PROGRESS.md r09."""
+    corpus = t["events"].select(
+        F.md5(F.col("event_id").cast("string")).alias("text")
+    )
+    return X.bpe_merges(corpus, n_merges=256, batch=64)
+
+
+@register(
     "l42_hashed_embedding",
     tables=("documents",),
     oracle="""

@@ -1477,6 +1477,96 @@ def test_bpe_n_merges_guard(spark):
         X.bpe_merges(df, n_merges=1001)
 
 
+def _bpe_batched_reference(words: dict[str, int], n_merges: int, batch: int):
+    """Pure-Python replay of the BATCHED trainer's exact semantics:
+    per round, rank pairs (count desc, lexicographic), scan the
+    64·k+16 prefix, greedily take up to k symbol-disjoint pairs, apply
+    their replaces in rank order."""
+    state = {w: "  " + "".join(ch + "  " for ch in w) for w in words}
+    merges = []
+    while len(merges) < n_merges:
+        k = min(batch, n_merges - len(merges))
+        pairs: dict[tuple[str, str], int] = {}
+        for w, st in state.items():
+            syms = st.strip().split("  ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + words[w]
+        if not pairs:
+            break
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = ranked[: min(64 * k + 16, 65552)]
+        sel: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for (a, b), c in ranked:
+            if len(sel) == k:
+                break
+            if a in used or b in used:
+                continue
+            sel.append((a, b, c))
+            used.update((a, b))
+        for a, b, c in sel:
+            merges.append((len(merges) + 1, a, b, c))
+            state = {
+                w: st.replace(f" {a}  {b} ", f" {a}{b} ")
+                for w, st in state.items()
+            }
+    return merges
+
+
+def test_bpe_batched_matches_python_reference(spark):
+    corpus = [
+        "low low low lower lowest wide",
+        "new newer newest low slow slower",
+        "wide wider new glide glider slow",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    words: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split(" "):
+            words[w] = words.get(w, 0) + 1
+    expected = _bpe_batched_reference(words, 9, batch=3)
+    got = [
+        (r.merge_idx, r.w1, r.w2, r.pair_count)
+        for r in X.bpe_merges(df, n_merges=9, batch=3)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == expected
+    # selected pairs within each batch round are symbol-disjoint
+    for start in range(0, len(got), 3):
+        seen: set[str] = set()
+        for _, w1, w2, _ in got[start : start + 3]:
+            assert w1 not in seen and w2 not in seen
+            seen.update((w1, w2))
+
+
+def test_bpe_batched_disjoint_corpus_equals_sequential(spark):
+    # Every top pair uses distinct symbols, so batched == sequential exactly.
+    corpus = ["ab " * 30 + "cd " * 20 + "ef " * 10]
+    df = spark.createDataFrame([(0, corpus[0].strip())], "doc_id long, text string")
+    seq = [
+        (r.merge_idx, r.w1, r.w2, r.pair_count)
+        for r in X.bpe_merges(df, n_merges=3).orderBy("merge_idx").collect()
+    ]
+    bat = [
+        (r.merge_idx, r.w1, r.w2, r.pair_count)
+        for r in X.bpe_merges(df, n_merges=3, batch=3).orderBy("merge_idx").collect()
+    ]
+    assert seq == bat == [(1, "a", "b", 30), (2, "c", "d", 20), (3, "e", "f", 10)]
+
+
+def test_bpe_batched_round_guard(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="batch"):
+        X.bpe_merges(df, n_merges=1, batch=0)
+    with pytest.raises(ValueError, match="rounds"):
+        X.bpe_merges(df, n_merges=5000, batch=1)
+    # 5000 merges at batch=64 is 79 rounds — inside the guard
+    X.bpe_merges(df, n_merges=5000, batch=64)
+
+
 def test_hashed_embedding_feeds_similarity_stack(spark):
     """The hashing-trick vectors must drop into the ANN operators: an
     exact duplicate retrieves its twin at cosine 1.0 ahead of unrelated
