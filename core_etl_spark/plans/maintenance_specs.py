@@ -560,65 +560,156 @@ def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+#: o2c's deterministic-batching parameters, shared by builder and oracle:
+#: 200 ts-ordered events, 25 rows per micro-batch file, key = user_id mod
+#: 37, watermark delay 97 minutes (odd on purpose — no expiry/watermark
+#: boundary ties against the second-granular synthetic timestamps).
+_O2C_ROWS, _O2C_PER_BATCH, _O2C_MOD, _O2C_DELAY_MIN = 200, 25, 37, 97
+
+_O2C_ORACLE = f"""
+    WITH RECURSIVE base AS (
+        SELECT (user_id % {_O2C_MOD}) AS key, ts, event_id
+        FROM events ORDER BY ts, event_id LIMIT {_O2C_ROWS}
+    ),
+    src AS (
+        SELECT key, ts, event_id,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+        FROM base
+    ),
+    -- one row per (key, micro-batch): the builder writes exactly these
+    fixture AS (
+        SELECT key, b, ts FROM (
+            SELECT key, ts, CAST(rn // {_O2C_PER_BATCH} AS INT) AS b,
+                   row_number() OVER (
+                       PARTITION BY key, CAST(rn // {_O2C_PER_BATCH} AS INT)
+                       ORDER BY ts, event_id) AS rk
+            FROM src
+        ) WHERE rk = 1
+    ),
+    -- wm_end(b): the event-time watermark AFTER batch b completes
+    wm AS (
+        SELECT b, max(mx) OVER (ORDER BY b)
+                  - INTERVAL {_O2C_DELAY_MIN} MINUTE AS wm_end
+        FROM (SELECT b, max(ts) AS mx FROM fixture GROUP BY b)
+    ),
+    seq AS (
+        SELECT key, b, ts,
+               row_number() OVER (PARTITION BY key ORDER BY b) AS i
+        FROM fixture
+    ),
+    -- per-key state chain. Emission rule (measured against Spark 4.1's
+    -- StreamingDeduplicateWithinWatermarkExec, see the spec docstring):
+    -- a row in batch b with live state expiry e is dropped; the entry is
+    -- evicted at END of batch b-1 using the watermark DURING b-1, i.e.
+    -- wm_end(b-2) — so the row emits iff e < wm_end(b-2). Dropped rows
+    -- do not refresh the expiry (the dedup window is fixed by the first
+    -- emitted event's time).
+    chain AS (
+        SELECT key, i, b, ts, TRUE AS emitted,
+               ts + INTERVAL {_O2C_DELAY_MIN} MINUTE AS expiry
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.key, s.i, s.b, s.ts,
+               coalesce(c.expiry < w.wm_end, FALSE) AS emitted,
+               CASE WHEN coalesce(c.expiry < w.wm_end, FALSE)
+                    THEN s.ts + INTERVAL {_O2C_DELAY_MIN} MINUTE
+                    ELSE c.expiry END AS expiry
+        FROM chain c
+        JOIN seq s ON s.key = c.key AND s.i = c.i + 1
+        LEFT JOIN wm w ON w.b = s.b - 2
+    )
+    SELECT b, key, epoch_us(ts) AS ts_us FROM chain WHERE emitted
+"""
+
+
 @register(
     "o2c_stream_dedup_watermark",
-    tables=(),
-    oracle=None,  # streaming state + watermark eviction — rows-only gate
+    tables=("events",),
+    oracle=_O2C_ORACLE,
     tags=("streaming", "dedup", "watermark"),
 )
 def o2c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
-    """§2.8 streaming dedup with bounded state —
-    ``dropDuplicatesWithinWatermark`` keyed on the content fingerprint,
-    driven through two checkpointed availableNow runs: duplicates inside
-    the horizon are suppressed (including across micro-batches via the
-    recovered state store), distinct keys all pass. The watermark bound is
-    what distinguishes this from o2b's first_seen: state is evicted as
-    event time advances, so a continuous crawl never accumulates it."""
+    """§2.8 streaming dedup with bounded state, ORACLE-BACKED via the
+    deterministic-batching harness (VERDICT r08 directive 4):
+    ``dropDuplicatesWithinWatermark`` keyed on ``user_id % 37`` over the
+    first 200 ts-ordered events, fed ONE FILE PER TRIGGER (25-row files,
+    pinned mtime order, ``maxFilesPerTrigger=1`` under availableNow) so
+    watermark progression — and therefore the exact emitted set — is a
+    pure function of the fixture, which DuckDB replays with a per-key
+    recursive state chain. The eviction timing the oracle encodes was
+    pinned empirically (probe in tests/test_streaming.py): a state entry
+    is evicted at the END of a batch using that batch's current
+    watermark, so a duplicate in batch b re-emits iff its stored expiry
+    < wm_end(b-2); duplicates never refresh the expiry. The watermark
+    bound is what distinguishes this from o2b's first_seen: state is
+    evicted as event time advances, so a continuous crawl never
+    accumulates it."""
     import tempfile as _tf
-    from datetime import datetime as _dt
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
 
     from ..streaming.stateful import dedup_within_watermark
 
+    fixture = (
+        t["events"]
+        .select(
+            (F.col("user_id") % _O2C_MOD).alias("key"), "ts", "event_id"
+        )
+        .orderBy("ts", "event_id")
+        .limit(_O2C_ROWS)
+        .collect()  # bounded: _O2C_ROWS rows
+    )
     root = _tf.mkdtemp(prefix="wmdedup_spec_")
     src = os.path.join(root, "src")
     os.makedirs(src)
-
-    def drop(rows):
-        spark.createDataFrame(rows, "fp string, ts timestamp").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-
-    def run():
-        out: list = []
-        q = (
-            dedup_within_watermark(
-                spark.readStream.schema("fp string, ts timestamp").parquet(src),
-                keys=("fp",),
-                delay="10 minutes",
-            )
-            .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(root, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        return out
-
-    T = lambda m, s: _dt(2024, 1, 1, 12, m, s)  # noqa: E731
     try:
+        # one parquet file per micro-batch, first row per (key, batch),
+        # mtimes pinned so FileStreamSource's timestamp ordering is the
+        # write order
+        n_batches = -(-len(fixture) // _O2C_PER_BATCH)
+        for b in range(n_batches):
+            chunk = fixture[b * _O2C_PER_BATCH : (b + 1) * _O2C_PER_BATCH]
+            seen: set = set()
+            rows = []
+            for r in chunk:  # already (ts, event_id)-ordered
+                if r.key in seen:
+                    continue
+                seen.add(r.key)
+                rows.append((b, r.key, r.ts))
+            tbl = _pa.table(
+                {
+                    "b": _pa.array([x[0] for x in rows], _pa.int32()),
+                    "key": _pa.array([x[1] for x in rows], _pa.int64()),
+                    "ts": _pa.array([x[2] for x in rows], _pa.timestamp("us")),
+                }
+            )
+            path = os.path.join(src, f"b{b:04d}.parquet")
+            _pq.write_table(tbl, path)
+            os.utime(path, (1_000_000 + b, 1_000_000 + b))
+
+        out: list = []
         with _shuffle_partitions(spark, 4):
-            # batch 1: a+b distinct, a repeated within the horizon
-            drop([("a", T(0, 0)), ("b", T(0, 30)), ("a", T(1, 0))])
-            first = run()
-            # batch 2: dup of a (state recovered from checkpoint, still in
-            # horizon) must be dropped; c is new and passes
-            drop([("a", T(2, 0)), ("c", T(2, 30))])
-            second = run()
-        rows = sorted(
-            [("run1", r.fp) for r in first] + [("run2", r.fp) for r in second]
-        )
-        return spark.createDataFrame(rows, "run string, fp string")
+            q = (
+                dedup_within_watermark(
+                    spark.readStream.schema("b int, key long, ts timestamp")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src),
+                    keys=("key",),
+                    delay=f"{_O2C_DELAY_MIN} minutes",
+                )
+                .writeStream.foreachBatch(
+                    lambda batch, _i: out.extend(batch.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(root, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        rows = sorted((int(r.b), int(r.key), r.ts) for r in out)
+        emitted = spark.createDataFrame(rows, "b int, key long, ts timestamp")
+        return emitted.select("b", "key", F.unix_micros("ts").alias("ts_us"))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

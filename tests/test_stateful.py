@@ -74,14 +74,51 @@ def test_first_seen_dedup(spark, tmp_path):
     assert got == {"z": 0}  # x never re-emitted
 
 
-def test_dedup_within_watermark_bounds_state(spark):
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     """The built-in bounded-state dedup must suppress dups inside the
-    horizon (in-batch and across checkpointed runs) and pass distinct
-    keys — the o2c spec's invariants, asserted directly."""
-    from core_etl_spark.plans.base import REGISTRY
+    horizon — in-batch AND across two checkpointed availableNow runs
+    (state recovered from the checkpoint) — and pass distinct keys.
+    (Formerly the o2c spec's fixture; o2c is now the deterministic
+    oracle-backed harness, so the cross-RUN recovery invariant lives
+    here.)"""
+    from datetime import datetime
 
-    out = REGISTRY["o2c_stream_dedup_watermark"].builder(spark, "").collect()
-    rows = sorted((r.run, r.fp) for r in out)
+    from core_etl_spark.streaming.stateful import dedup_within_watermark
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "fp string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        out: list = []
+        q = (
+            dedup_within_watermark(
+                spark.readStream.schema("fp string, ts timestamp").parquet(src),
+                keys=("fp",),
+                delay="10 minutes",
+            )
+            .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return out
+
+    T = lambda m, s: datetime(2024, 1, 1, 12, m, s)  # noqa: E731
+    # run 1: a+b distinct, a repeated within the horizon
+    drop([("a", T(0, 0)), ("b", T(0, 30)), ("a", T(1, 0))])
+    first = run()
+    # run 2: dup of a (state recovered from checkpoint, still in horizon)
+    # must be dropped; c is new and passes
+    drop([("a", T(2, 0)), ("c", T(2, 30))])
+    second = run()
+    rows = sorted([("run1", r.fp) for r in first] + [("run2", r.fp) for r in second])
     assert rows == [("run1", "a"), ("run1", "b"), ("run2", "c")]
 
 

@@ -246,3 +246,68 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # every pair respects the interval; the stray late payment paired with nothing
     assert all(0 <= lag <= 10 * 60 * 1_000_000 for (_, _, _, lag) in batch)
     assert not any(ts.minute == 35 for (_, _, ts, _) in batch)
+
+
+def test_dedup_within_watermark_eviction_timing(spark, tmp_path):
+    """Pins the eviction-timing semantics the o2c oracle encodes
+    (plans/maintenance_specs.py): a state entry is evicted at the END of
+    a batch using that batch's current watermark, so a duplicate in
+    batch b re-emits iff its stored expiry < wm_end(b-2) — one batch
+    LATER than an evict-before-processing model would predict. If a
+    Spark upgrade changes StreamingDeduplicateWithinWatermarkExec's
+    timing, this fails before the driver's o2c oracle does."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_etl_spark.streaming.stateful import dedup_within_watermark
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    T = lambda m: datetime(2024, 1, 1, 12, m, 0)  # noqa: E731
+    # delay=10min. A@12:00 (expiry 12:10).
+    # b1: B@12:25 -> wm during b1 = 11:50, A survives end-of-b1 eviction.
+    # b2: A@12:30 -> wm during b2 = 12:15 > expiry, but eviction at end of
+    #     b1 used 11:50, so A is still in state: DROPPED (late-eviction
+    #     model; an evict-first model would emit it).
+    # b3: C@12:40 -> end-of-b3... (state A evicted at end of b2 w/ 12:15)
+    # b4: A@12:50 -> state gone: RE-EMITTED.
+    batches = [
+        [("A", T(0))],
+        [("B", T(25))],
+        [("A", T(30))],
+        [("C", T(40))],
+        [("A", T(50))],
+    ]
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "key": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = os.path.join(src, f"b{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1000 + i, 1000 + i))
+
+    out: list = []
+    q = (
+        dedup_within_watermark(
+            spark.readStream.schema("key string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            keys=("key",),
+            ts_col="ts",
+            delay="10 minutes",
+        )
+        .writeStream.foreachBatch(
+            lambda b, i: out.extend((i, r.key) for r in b.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(out) == [(0, "A"), (1, "B"), (3, "C"), (4, "A")]
