@@ -9,6 +9,8 @@ a hypothesis run costs a handful of Spark jobs, not hundreds.
 
 from __future__ import annotations
 
+import time
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -323,3 +325,86 @@ def test_positional_check_matches_sorted_enumerate(spark, values, bucket):
     df = spark.createDataFrame([(v,) for v in values], "number long")
     got = {(r.value, r.pos) for r in positional_check(df, bucket=bucket).collect()}
     assert got == expected
+
+
+def test_lake_concurrent_mutations_lose_no_committed_rows(spark, tmp_path):
+    """VERDICT r08 directive 5: the lake mutex discipline (lake.py — write
+    vs compact/_delete_where stage-and-swap) is correctness-critical and
+    was only single-threaded-tested. Hammer it: per seed, three writer
+    threads append disjoint height ranges in randomized order with random
+    jitter while a compactor loops compact() and a cleaner issues
+    clean_block_data() on heights committed before the threads started.
+    Invariant: the final table holds EXACTLY the appended rows minus the
+    explicitly cleaned heights — a write landing between a maintenance
+    op's scan and its swap would show up here as silently dropped rows.
+
+    4 seeds x (24 appends + 6 compacts + 4 cleans) = 136 randomized
+    concurrent mutations sampled from the schedule space."""
+    import random
+    import threading
+
+    from core_etl_spark.lake import Lake
+    from core_etl_spark.operators import transforms as T
+    from core_etl_spark.sources import fixtures as FX
+
+    n_blocks = 120
+    raw = FX.raw_blocks(spark, n_blocks=n_blocks, txs_per_block=1)
+    norm = T.normalize_blocks(raw).localCheckpoint(eager=True)
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        lk = Lake(
+            spark, str(tmp_path / f"wh{seed}"), bucket_size=10, modules=("blocks",)
+        )
+        # pre-seeded base: heights 0..23, committed before any thread runs
+        lk.write("blocks", norm.filter(F.col("number") < 24))
+        cleaned = rng.sample(range(24), 4)
+
+        # three writers split heights 24..119 into disjoint 4-block appends
+        chunks = [(lo, lo + 3) for lo in range(24, n_blocks, 4)]
+        rng.shuffle(chunks)
+        per_writer = [chunks[i::3] for i in range(3)]
+        errors: list[BaseException] = []
+
+        def run(fn):
+            try:
+                fn()
+            except BaseException as e:  # surfaced after join
+                errors.append(e)
+
+        def writer(my_chunks):
+            def go():
+                for lo, hi in my_chunks:
+                    time.sleep(rng.random() * 0.02)
+                    lk.write("blocks", norm.filter(F.col("number").between(lo, hi)))
+
+            return go
+
+        def compactor():
+            for _ in range(6):
+                time.sleep(rng.random() * 0.05)
+                lk.compact("blocks", target_rows_per_file=30)
+
+        def cleaner():
+            for h in cleaned:
+                time.sleep(rng.random() * 0.05)
+                lk.clean_block_data(h)
+
+        threads = [threading.Thread(target=run, args=(writer(pc),)) for pc in per_writer]
+        threads += [
+            threading.Thread(target=run, args=(compactor,)),
+            threading.Thread(target=run, args=(cleaner,)),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+
+        expected = sorted(set(range(n_blocks)) - set(cleaned))
+        got = sorted(r.number for r in lk.blocks().select("number").collect())
+        assert got == expected, f"seed {seed}: lost/dup rows"
+        # and the state stays exact through one more full compaction
+        lk.compact("blocks", target_rows_per_file=30)
+        got = sorted(r.number for r in lk.blocks().select("number").collect())
+        assert got == expected
