@@ -39,71 +39,76 @@ from . import maintenance_specs  # noqa: F401,E402
 # snapshot can hold all of them. Specs not named here follow in registration
 # order; pytest runs the full registry regardless of order.
 _SNAPSHOT_PRIORITY: tuple[str, ...] = (
-    # r08 rotation — VERDICT r07 directive 1: front the ten TPC-H-completion
-    # specs (first driver rows; the full-22 claim rests on pytest until these
-    # land), then the refreshes whose implementation moved in r07 after their
-    # last driver row (l06/l07 lazy-checkpoint pass, l17 fused-star rounds,
-    # v03 two-phase ranks) and the BPE family (its training code is refactored
-    # this round for batched merges — re-witness the canonical path), then the
-    # r05-stale backlog in family order. 48 r05-stale specs + 10 new don't fit
-    # in one 50-slot snapshot; the cut leaves 12 oracle r05 specs
-    # (g16/g16b/g17, l03/l04/l05, l08/l09, l19/l21/l22, v02b) for the r09
-    # rotation. Oracle-backed specs first; rows-only tail so budget truncation
-    # never costs oracle coverage.
+    # r09 rotation — VERDICT r08 directive 6 (burn the r05-stale witness
+    # tail) + re-witness everything whose implementation moved in r09. All
+    # 50 slots are named (ADVICE r08). Oracle-backed first; rows-only tail
+    # last so budget truncation never costs oracle coverage.
     #
-    # -- never-witnessed: the TPC-H completion (oracle) ----------------------
-    "g39_mincost_supplier_tpch_q2",
-    "g40_volume_shipping_tpch_q7",
-    "g41_market_share_tpch_q8",
-    "g42_product_profit_tpch_q9",
-    "g43_important_parts_tpch_q11",
-    "g44_order_distribution_tpch_q13",
-    "g45_top_supplier_tpch_q15",
-    "g46_disjunct_revenue_tpch_q19",
-    "g47_promotion_suppliers_tpch_q20",
-    "g48_dormant_customers_tpch_q22",
-    # -- refreshes: implementation moved after latest driver row (oracle) ----
+    # -- r05-stale backlog (oracle): the full 12 deferred from r08 -----------
+    "g16_tumbling_window",
+    "g16b_sliding_window",
+    "g17_sessionization",
+    "l03_token_count",
+    "l04_language_id",
+    "l05_fingerprint",
+    "l08_simhash_dedup",
+    "l09_cosine_topk",
+    "l19_decontamination",
+    "l21_hash_split",
+    "l22_editdist_dedup",
+    "v02b_sequence_gap_scalable",
+    # -- first oracle row: o2c gained a real DuckDB oracle in r09 via the
+    # deterministic-batching harness (one file per trigger, pinned mtimes,
+    # recursive state-chain replay) — previously rows-only ---------------------
+    "o2c_stream_dedup_watermark",
+    # -- refreshes: implementation moved in r09 after the r08 rows (oracle).
+    # The dedup family got the window-fused stop-shingle valve and the
+    # CHECKPOINT_MODE materialization pass; the BPE family's training loop
+    # was rewritten for batched merges (batch=1 canonical path re-witness) --
     "l06_ngram_jaccard_dedup",
     "l07_minhash_lsh_dedup",
     "l17_neardup_components",
-    "v03_positional_check",
+    "l18_neardup_components_star",
+    "l18b_star_cc_chains",
+    "c04_fuzzy_dedup",
+    "c06_incremental_dedup",
+    "c07_canonical_per_cluster",
     "l41_bpe_merges",
     "l41b_bpe_vocab",
     "l43_bpe_token_count",
-    # -- promoted to oracle this round (deterministic streaming harness) -----
-    "o2c_stream_dedup_watermark",
-    # -- r05-stale backlog (oracle), relational core first --------------------
-    "g02_join_agg_topk_tpch_q3",
-    "g03_star_join_tpch_q5",
-    "g20_decorrelated_subquery",
-    "g04_semi_join",
-    "g05_anti_join",
-    "g06_distinct_count",
-    "g07_rollup",
-    "g07b_cube",
-    "g07c_grouping_sets",
-    "g08_window_functions",
-    "g08b_window_distribution",
-    "g09_topk_per_group",
-    "g10_set_ops",
-    "g11_string_functions",
-    "g12_datetime_functions",
-    "g13_hex_conversion",
-    "g14_json_functions",
-    "g15_array_functions",
-    "g18_pivot_conditional_agg",
-    "g19_scalar_subquery",
-    "g24_time_range_frame",
-    "g25_recursive_cte",
-    "g26_lateral_topk",
-    "k06_maturity_flag",
-    "k10_reorg_detect",
-    "l01_exact_dedup",
-    "l02_text_stats",
-    "t3_address_filter",
-    "t45_transfer_decode",
-    "t4678_cbc20_extract",
-    # -- rows-only tail -------------------------------------------------------
+    # -- r06-stale fills (oracle), query/verify layer first, then the rest
+    # by staleness. The r06 specs NOT fitting this snapshot (g28, g29, l10,
+    # l11, l12, l19x, l20, l23, l24, l25, l27, l36, c01, c02, c03 oracle;
+    # o2, o2b rows-only) are the r10 rotation's backlog -----------------------
+    "q02_point_by_number",
+    "q03_point_by_string_key",
+    "q04_full_scan",
+    "q05_range_scan",
+    "q05b_range_scan_open",
+    "q06_children_of_parent",
+    "q07_point_composite_key",
+    "q08_dynamic_conjuncts",
+    "q09_union_all_projection",
+    "q10_direction_dispatch",
+    "q11_catalog_partitions",
+    "v02_sequence_gap_check",
+    "g01_hash_agg_tpch_q1",
+    "g21_percentiles",
+    "g22_salted_aggregation",
+    "g23_salted_join",
+    "j01_asof_join",
+    "k12_incremental_agg",
+    "k78_partition_mutations",
+    "l38_pagerank",
+    "l26_training_shuffle",
+    # -- rows-only tail: l41c is new in r09 (batched BPE, never witnessed);
+    # m01 and g06b are the two r05-stale rows-only cuts ADVICE r08 flagged;
+    # l06x/l07x re-witness the moved dedup implementation on the xxhash
+    # production path ----------------------------------------------------------
+    "l41c_bpe_batched",
+    "m01_image_features",
+    "g06b_approx_distinct",
+    "l06x_ngram_jaccard_xxhash",
     "l07x_minhash_lsh_xxhash",
 )
 
