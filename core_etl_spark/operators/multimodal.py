@@ -54,7 +54,11 @@ FRAME_DDL = "media_id long, frame_index int, frame_payload binary"
 RESIZE_DDL = "media_id long, width int, height int, payload binary"
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover - no codec libs here
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """PNG/JPEG/... decode via Pillow, import-gated: raises
+    ``NotImplementedError`` naming the library when absent (this container
+    ships no image codecs). Grayscale images are lifted to HxWx1 so every
+    downstream operator sees the same 3-d contract as the fake codec."""
     try:
         import io
 
@@ -64,7 +68,8 @@ def _decode_image_real(payload: bytes):  # pragma: no cover - no codec libs here
             "real image decode needs Pillow; this environment has no image "
             "codecs — use the fake-codec payloads or install PIL"
         ) from e
-    return np.asarray(Image.open(io.BytesIO(payload)))
+    arr = np.asarray(Image.open(io.BytesIO(payload)))
+    return arr[:, :, None] if arr.ndim == 2 else arr
 
 
 def _decode_image_fake(payload: bytes) -> np.ndarray:
@@ -77,15 +82,81 @@ def _decode_image_fake(payload: bytes) -> np.ndarray:
     return pix.reshape(h, w, c)
 
 
-def image_features(media: DataFrame, bins: int = 16) -> DataFrame:
+def _decode_audio_real(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV (PCM16) decode via the stdlib ``wave`` module — no external
+    codec needed, so the real-codec audio path is fully testable even in
+    codec-less containers. Returns ``(sample_rate, i16 samples)``;
+    multi-channel input is downmixed by taking channel 0 (the feature
+    contract is mono)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("real audio decode expects PCM16 WAV")
+        rate = w.getframerate()
+        frames = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        if w.getnchannels() > 1:
+            frames = frames[:: w.getnchannels()]
+    return rate, frames
+
+
+def _decode_audio_fake(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse the fake-codec audio header + i16 samples."""
+    if not payload or payload[:1] != b"A":
+        raise ValueError("not a fake-codec audio payload")
+    (rate,) = struct.unpack_from("<I", payload, 1)
+    return rate, np.frombuffer(payload, dtype="<i2", offset=5)
+
+
+def _decode_video_real(payload: bytes):
+    """Container video decode, import-gated on PyAV (no stdlib or shipped
+    codec can demux video): raises ``NotImplementedError`` naming the
+    library. Returns ``(n_frames, w, h, frames_u8)`` like the fake codec."""
+    try:
+        import av  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real video decode needs PyAV (or swap in an ffmpeg pipe); this "
+            "environment has no video codecs — use the fake-codec payloads"
+        ) from e
+    raise NotImplementedError(
+        "real video decode path is a stub pending a codec-bearing image"
+    )  # pragma: no cover - unreachable without PyAV
+
+
+def _decode_video_fake(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse the fake-codec video header; returns (n_frames, w, h, frames)."""
+    if not payload or payload[:1] != b"V":
+        raise ValueError("not a fake-codec video payload")
+    n, w, h = struct.unpack_from("<HHH", payload, 1)
+    return n, w, h, payload[7:]
+
+
+_IMAGE_DECODERS = {"fake": _decode_image_fake, "real": _decode_image_real}
+_AUDIO_DECODERS = {"fake": _decode_audio_fake, "real": _decode_audio_real}
+_VIDEO_DECODERS = {"fake": _decode_video_fake, "real": _decode_video_real}
+
+
+def _pick(decoders: dict, codec: str):
+    if codec not in decoders:
+        raise ValueError(f"codec must be one of {sorted(decoders)}, got {codec!r}")
+    return decoders[codec]
+
+
+def image_features(media: DataFrame, bins: int = 16, codec: str = "fake") -> DataFrame:
     """Per-image features: dimensions, mean/std intensity, ``bins``-bucket
-    intensity histogram. One pass, no shuffle; numpy-vectorized per batch."""
+    intensity histogram. One pass, no shuffle; numpy-vectorized per batch.
+    ``codec="real"`` swaps the Pillow decoder in; everything else —
+    schema, batching, feature math — is identical (the swap claim is
+    tested, Pillow-gated, in tests/test_multimodal.py)."""
+    decode = _pick(_IMAGE_DECODERS, codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image_fake(bytes(payload))
+                img = decode(bytes(payload))
                 flat = img.reshape(-1).astype(np.float64)
                 hist = np.bincount(
                     (flat // (256 // bins)).astype(np.int64), minlength=bins
@@ -108,16 +179,20 @@ def image_features(media: DataFrame, bins: int = 16) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, codec: str = "fake"
+) -> DataFrame:
     """Nearest-neighbor resize — real resampling math on the fake codec
-    (index arithmetic only, no interpolation libs), re-encoded to the same
-    payload format. Swap in PIL for JPEG inputs; the plumbing is identical."""
+    (index arithmetic only, no interpolation libs), re-encoded to the
+    fake-raw payload format. ``codec="real"`` decodes JPEG/PNG inputs via
+    Pillow; the resample math and output format are identical."""
+    decode = _pick(_IMAGE_DECODERS, codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image_fake(bytes(payload))
+                img = decode(bytes(payload))
                 h, w, c = img.shape
                 yi = (np.arange(out_h) * h // out_h)[:, None]
                 xi = (np.arange(out_w) * w // out_w)[None, :]
@@ -136,19 +211,19 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZE_DDL)
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-clip audio stats over i16 samples: RMS and zero-crossing count —
-    the language-ID/quality-gate primitives of an audio pipeline."""
+    the language-ID/quality-gate primitives of an audio pipeline.
+    ``codec="real"`` decodes PCM16 WAV via the stdlib ``wave`` module, so
+    the real path runs (and is tested) even in this codec-less container."""
+    decode = _pick(_AUDIO_DECODERS, codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                if not raw or raw[:1] != b"A":
-                    raise ValueError("not a fake-codec audio payload")
-                (rate,) = struct.unpack_from("<I", raw, 1)
-                samples = np.frombuffer(raw, dtype="<i2", offset=5).astype(np.float64)
+                rate, raw_samples = decode(bytes(payload))
+                samples = raw_samples.astype(np.float64)
                 zc = int(np.sum(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
                 rows.append(
                     {
@@ -166,22 +241,22 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+def sample_frames(media: DataFrame, every_k: int = 2, codec: str = "fake") -> DataFrame:
     """Frame sampling: emit every *k*-th frame as its own binary payload —
     1 video row → ⌈n/k⌉ frame rows, the multimodal analogue of the CBC20
-    batchTransfer 1→N explode (all inside one mapInPandas pass)."""
+    batchTransfer 1→N explode (all inside one mapInPandas pass).
+    ``codec="real"`` is PyAV-gated (NotImplementedError naming the library
+    when absent — no stdlib video demuxer exists)."""
+    decode = _pick(_VIDEO_DECODERS, codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                if not raw or raw[:1] != b"V":
-                    raise ValueError("not a fake-codec video payload")
-                n, w, h = struct.unpack_from("<HHH", raw, 1)
+                n, w, h, frames = decode(bytes(payload))
                 frame_sz = w * h
                 for i in range(0, n, every_k):
-                    frame = raw[7 + i * frame_sz : 7 + (i + 1) * frame_sz]
+                    frame = frames[i * frame_sz : (i + 1) * frame_sz]
                     rows.append(
                         {"media_id": mid, "frame_index": i, "frame_payload": frame}
                     )

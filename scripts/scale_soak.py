@@ -119,6 +119,12 @@ def main() -> None:
     for sf_name, sf_dir in dirs.items():
         for q in TARGETS:
             spark.catalog.clearCache()
+            # Reclaim the previous query's localCheckpoint blocks NOW: the
+            # ContextCleaner frees them only after a driver GC notices the
+            # dropped references, and at sf10 several GB of stale blocks
+            # otherwise sit in the one local-mode heap and starve the next
+            # query's broadcast build (found by this soak's first run).
+            spark.sparkContext._jvm.System.gc()
             r0, w0 = shuffle_bytes(spark)
             t0 = time.monotonic()
             n = specs[q].builder(spark, sf_dir).count()

@@ -141,3 +141,109 @@ def test_image_dedup_groups_buckets(spark):
     df = spark.createDataFrame(rows, M.MEDIA_DDL)
     got = {r.keeper: r.n_images for r in M.image_dedup_groups(df).collect()}
     assert got == {1: 2, 7: 1}
+
+
+# --- real-codec paths (VERDICT r08 stretch 7) --------------------------------
+
+def _wav_bytes(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """PCM16 mono WAV via the stdlib — the real-codec audio payload."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav_codec_matches_fake(spark):
+    """The real-codec swap claim, proven end-to-end for audio: the same
+    samples through a genuine WAV container (stdlib wave decode) and
+    through the fake codec must produce identical features — only the
+    decode boundary differs."""
+    rng = np.random.RandomState(7)
+    samples = (rng.randint(-3000, 3000, size=500)).astype("<i2")
+    wav = _wav_bytes(samples)
+    fake = b"A" + struct.pack("<I", 16000) + samples.tobytes()
+    rows = [(1, "audio", bytearray(wav)), (2, "audio", bytearray(fake))]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    real = M.audio_features(media.filter("media_id = 1"), codec="real").first()
+    fk = M.audio_features(media.filter("media_id = 2"), codec="fake").first()
+    assert real.sample_rate == fk.sample_rate == 16000
+    assert real.n_samples == fk.n_samples == 500
+    assert real.rms == pytest.approx(fk.rms)
+    assert real.zero_crossings == fk.zero_crossings
+
+
+def test_audio_real_codec_downmixes_stereo(spark):
+    import io
+    import wave
+
+    left = np.array([100, 200, 300], dtype="<i2")
+    right = np.array([-1, -2, -3], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    rate, got = M._decode_audio_real(buf.getvalue())
+    assert rate == 8000 and list(got) == [100, 200, 300]  # channel 0
+
+
+def test_image_features_real_codec_pillow_gated(spark):
+    """Pillow-gated mirror of the fake-codec golden test (the protobuf-gate
+    pattern): SKIPS in this codec-less container, runs wherever PIL is
+    installed — same features from a genuine PNG as from fake-raw pixels."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.RandomState(11)
+    pix = rng.randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    png = io.BytesIO()
+    PIL_Image.fromarray(pix).save(png, format="PNG")
+    rows = [
+        (1, "image", bytearray(png.getvalue())),
+        (2, "image", _img_payload(pix)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    real = M.image_features(media.filter("media_id = 1"), codec="real").first()
+    fake = M.image_features(media.filter("media_id = 2"), codec="fake").first()
+    assert (real.width, real.height, real.channels) == (7, 9, 3)
+    assert real.mean_intensity == pytest.approx(fake.mean_intensity)
+    assert real.std_intensity == pytest.approx(fake.std_intensity)
+    assert list(real.histogram) == list(fake.histogram)
+
+
+def test_resize_real_codec_pillow_gated(spark):
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    pix = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    png = io.BytesIO()
+    PIL_Image.fromarray(pix).save(png, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png.getvalue())), (2, "image", _img_payload(pix))],
+        "media_id long, kind string, payload binary",
+    )
+    real = M.resize_images(media.filter("media_id = 1"), 4, 3, codec="real").first()
+    fake = M.resize_images(media.filter("media_id = 2"), 4, 3, codec="fake").first()
+    assert bytes(real.payload) == bytes(fake.payload)
+
+
+def test_video_real_codec_is_gated():
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        M._decode_video_real(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_unknown_codec_rejected(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"I"))], "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(ValueError, match="codec"):
+        M.image_features(media, codec="jpeg")
