@@ -727,7 +727,9 @@ def ivfpq_adc_topk(
             F.col("normsq").alias("c_normsq"),
         )
     # inverted lists carry ONLY (neighbor_id, cell, codes) — the raw
-    # decimal vectors drop out right here; that is PQ's 100×
+    # decimal vectors drop out right here; that is PQ's shrink (measured
+    # 8.6× on the dim-64 synthetic table, ~100× at production dims — see
+    # write_ivfpq_index)
     lists = ivf_assign_cells(n, cents).select(
         F.col("id").alias("neighbor_id"),
         "cell",
@@ -787,10 +789,19 @@ def write_ivfpq_index(
     """Materialize the COMPRESSED inverted lists: (id, m codes) parquet-
     partitioned by cell, plus centroids and PQ codebooks alongside — the
     self-contained IVF-PQ index. vs ``write_ivf_index`` the lists carry
-    no raw vectors at all (~2 bytes of codes per vector instead of the
-    embedding + its decimals), so at 100 TB the index is ~100× smaller
-    on disk and every probe reads ~100× fewer bytes from each of its
-    nprobe partition directories."""
+    no raw vectors at all (m small codes per vector instead of the
+    embedding + its decimals).
+
+    MEASURED (scripts/ivfpq_bytes_bench.py, r09: 20k dim-64 vectors,
+    m=4/ksub=16): full lists 1.63 MB → 0.19 MB = **8.6× smaller on
+    disk**, probed cell dirs 8.1× fewer bytes. The ratio is bounded here
+    by the 8-byte id and parquet framing amortized over only dim-64
+    vectors (~81 B/row → ~9.4 B/row); for production dim-768 float32
+    embeddings (~3 KB/row raw) the same m=96/ksub=256 layout lands at
+    ~100 B/row — that, not this synthetic table, is the regime where the
+    classic ~30-100× PQ shrink holds. Probe cost scales with the same
+    ratio: each query batch reads nprobe/n_centroids of an
+    already-compressed index."""
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
         corpus, m, ksub, vec_col, id_col
     )
@@ -850,7 +861,8 @@ def ivfpq_index_topk(
     """Top-k over a persisted IVF-PQ index: probe cells become a literal
     partition filter (same pruning as ``ivf_index_topk``) and the probed
     lists are scored by ADC lookups — disk reads are nprobe/n_centroids
-    of an already-100×-compressed index."""
+    of an already-PQ-compressed index (measured 8.1× fewer probed-dir
+    bytes on the dim-64 synthetic table — see write_ivfpq_index)."""
     cents = spark.read.parquet(f"{path}/centroids")
     cb = read_pq_codebooks(spark, path)
     q = with_norm(queries, vec_col, parallelize=False).select(
