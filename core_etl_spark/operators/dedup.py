@@ -462,15 +462,32 @@ def minhash_dedup_pairs(
     buckets = _materialize(band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn))
     a_b = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b_b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
-    cand = (
+    cand = _materialize(
         a_b.join(b_b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    # Prune the shingle index to CANDIDATE DOCS before the verification
+    # join (same discipline as incremental_dedup_pairs): the pair
+    # semi-join alone is NOT enough — Catalyst can't push a composite-key
+    # (id_a, id_b) semi-join below the shingle self-join, so without this
+    # the plan first materializes every corpus pair sharing a shingle
+    # (quadratic in per-shingle df over the WHOLE corpus; the r09 sf10
+    # soak measured it as 15× wall for 10× data) and only then filters.
+    # Pruning is per-doc, so candidate docs keep all their shingles and
+    # both the intersections and the sizes below are unchanged — the
+    # output is identical, the join input shrinks from corpus-sized to
+    # candidate-sized.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    rel = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = rel.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = rel.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = rel.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

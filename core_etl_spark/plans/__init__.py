@@ -57,10 +57,13 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l21_hash_split",
     "l22_editdist_dedup",
     "v02b_sequence_gap_scalable",
-    # -- first oracle row: o2c gained a real DuckDB oracle in r09 via the
-    # deterministic-batching harness (one file per trigger, pinned mtimes,
-    # recursive state-chain replay) — previously rows-only ---------------------
+    # -- first oracle rows: o2c and o2e gained real DuckDB oracles in r09
+    # via the deterministic-batching harness (one file per trigger, pinned
+    # mtimes; o2c replays the dedup state chain with a recursive CTE, o2e's
+    # ts-ordered feed makes the streamed interval join provably equal the
+    # batch join) — previously rows-only ---------------------------------------
     "o2c_stream_dedup_watermark",
+    "o2e_stream_stream_join",
     # -- refreshes: implementation moved in r09 after the r08 rows (oracle).
     # The dedup family got the window-fused stop-shingle valve and the
     # CHECKPOINT_MODE materialization pass; the BPE family's training loop
@@ -78,8 +81,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l43_bpe_token_count",
     # -- r06-stale fills (oracle), query/verify layer first, then the rest
     # by staleness. The r06 specs NOT fitting this snapshot (g28, g29, l10,
-    # l11, l12, l19x, l20, l23, l24, l25, l27, l36, c01, c02, c03 oracle;
-    # o2, o2b rows-only) are the r10 rotation's backlog -----------------------
+    # l11, l12, l19x, l20, l23, l24, l25, l26, l27, l36, c01, c02, c03
+    # oracle; o2, o2b rows-only) are the r10 rotation's backlog ---------------
     "q02_point_by_number",
     "q03_point_by_string_key",
     "q04_full_scan",
@@ -100,7 +103,6 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "k12_incremental_agg",
     "k78_partition_mutations",
     "l38_pagerank",
-    "l26_training_shuffle",
     # -- rows-only tail: l41c is new in r09 (batched BPE, never witnessed);
     # m01 and g06b are the two r05-stale rows-only cuts ADVICE r08 flagged;
     # l06x/l07x re-witness the moved dedup implementation on the xxhash

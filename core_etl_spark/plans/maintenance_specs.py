@@ -860,45 +860,101 @@ def k12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+#: o2e's deterministic-batching parameters: first 300 ts-ordered events,
+#: even event_id → left stream, odd → right; 3 files per side, key =
+#: user_id mod 8; interval [0, 30 minutes], watermark delay 1 minute.
+_O2E_ROWS, _O2E_FILES, _O2E_MOD = 300, 3, 8
+
+_O2E_ORACLE = f"""
+    WITH base AS (
+        SELECT ts, event_id, user_id
+        FROM events ORDER BY ts, event_id LIMIT {_O2E_ROWS}
+    ),
+    l AS (SELECT (user_id % {_O2E_MOD}) AS key, ts AS l_ts
+          FROM base WHERE event_id % 2 = 0),
+    r AS (SELECT (user_id % {_O2E_MOD}) AS key, ts AS r_ts
+          FROM base WHERE event_id % 2 = 1)
+    SELECT l.key, epoch_us(l_ts) AS l_ts_us, epoch_us(r_ts) AS r_ts_us,
+           epoch_us(r_ts) - epoch_us(l_ts) AS lag_us
+    FROM l JOIN r ON l.key = r.key
+     AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 30 MINUTE
+"""
+
+
 @register(
     "o2e_stream_stream_join",
-    tables=(),
-    oracle=None,  # genuine two-stream execution — rows-only gate; batch
-    # equality is asserted in tests/test_streaming.py
+    tables=("events",),
+    oracle=_O2E_ORACLE,
     tags=("streaming", "join", "interval", "watermark"),
 )
 def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
-    """§2.8 stream-stream join — ``interval_join`` (watermark on both
-    sides + time-range bound = finite state) driven as a REAL two-stream
-    query through a checkpointed availableNow run: each order pairs with
-    its payment 2 minutes later; a stray payment outside the 10-minute
-    interval pairs with nothing. Returns the deterministic pair set
-    (timestamps as ISO strings for a stable snapshot schema)."""
+    """§2.8 stream-stream join, ORACLE-BACKED via the deterministic-
+    batching harness (VERDICT r08 directive 4, same pattern as o2c):
+    ``interval_join`` (watermark on both sides + time-range bound =
+    finite state) driven as a REAL two-stream checkpointed availableNow
+    query over a fixture DERIVED FROM the events table — first 300
+    ts-ordered rows split by event_id parity into the two streams, each
+    side written as 3 ts-ordered parquet files with pinned mtimes and
+    fed one file per source per trigger.
+
+    Why a plain batch-join SQL oracle is EXACT here: the feed is
+    ts-ordered on both sides, so (a) no row is ever late vs the global
+    (min-across-sources) watermark, and (b) any cross-batch match's left
+    row is provably younger than the eviction threshold when its right
+    row arrives (r_ts > previous batches' max ts ⇒ l_ts ≥ r_ts − upper >
+    wm − upper). Inner-join matches emit in the arrival batch, so the
+    streamed emission set equals the batch interval join row-for-row —
+    state eviction correctness included."""
     import tempfile as _tf
-    from datetime import datetime as _dt, timedelta as _td
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
 
     from ..streaming.windows import interval_join
 
+    fixture = (
+        t["events"]
+        .select("ts", "event_id", (F.col("user_id") % _O2E_MOD).alias("key"))
+        .orderBy("ts", "event_id")
+        .limit(_O2E_ROWS)
+        .collect()  # bounded: _O2E_ROWS rows
+    )
+    left = [(r.key, r.ts) for r in fixture if r.event_id % 2 == 0]
+    right = [(r.key, r.ts) for r in fixture if r.event_id % 2 == 1]
     root = _tf.mkdtemp(prefix="ssjoin_spec_")
     try:
+        for side, rows, ts_name in (("l", left, "l_ts"), ("r", right, "r_ts")):
+            d = os.path.join(root, side)
+            os.makedirs(d)
+            per = -(-len(rows) // _O2E_FILES)
+            for i in range(_O2E_FILES):
+                chunk = rows[i * per : (i + 1) * per]
+                tbl = _pa.table(
+                    {
+                        "key": _pa.array([x[0] for x in chunk], _pa.int64()),
+                        ts_name: _pa.array(
+                            [x[1] for x in chunk], _pa.timestamp("us")
+                        ),
+                    }
+                )
+                path = os.path.join(d, f"b{i:04d}.parquet")
+                _pq.write_table(tbl, path)
+                os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
         with _shuffle_partitions(spark, 4):
-            base = _dt(2026, 1, 1)
-            orders = [(base + _td(minutes=m), f"k{m % 3}") for m in range(6)]
-            pays = [(ts + _td(minutes=2), k) for ts, k in orders] + [
-                (base + _td(minutes=35), "k0")
-            ]
-            lp, rp = os.path.join(root, "l"), os.path.join(root, "r")
-            spark.createDataFrame(
-                orders, "l_ts timestamp, key string"
-            ).coalesce(1).write.parquet(lp)
-            spark.createDataFrame(
-                pays, "r_ts timestamp, key string"
-            ).coalesce(1).write.parquet(rp)
-            ls = spark.readStream.schema("l_ts timestamp, key string").parquet(lp)
-            rs = spark.readStream.schema("r_ts timestamp, key string").parquet(rp)
+            ls = (
+                spark.readStream.schema("key long, l_ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(root, "l"))
+            )
+            rs = (
+                spark.readStream.schema("key long, r_ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(root, "r"))
+            )
             got: list = []
             q = (
-                interval_join(ls, rs, "key")
+                interval_join(ls, rs, "key", upper="30 minutes")
                 .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
                 .outputMode("append")
                 .option("checkpointLocation", os.path.join(root, "ck"))
@@ -906,13 +962,16 @@ def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-            rows = sorted(
-                (r.key, r.l_ts.isoformat(), r.r_ts.isoformat(), int(r.lag_us))
-                for r in got
-            )
-            return spark.createDataFrame(
-                rows, "key string, l_ts string, r_ts string, lag_us long"
-            )
+        rows = sorted((int(r.key), r.l_ts, r.r_ts, int(r.lag_us)) for r in got)
+        out = spark.createDataFrame(
+            rows, "key long, l_ts timestamp, r_ts timestamp, lag_us long"
+        )
+        return out.select(
+            "key",
+            F.unix_micros("l_ts").alias("l_ts_us"),
+            F.unix_micros("r_ts").alias("r_ts_us"),
+            "lag_us",
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
