@@ -499,39 +499,117 @@ def k09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             shutil.rmtree(root, ignore_errors=True)
 
 
+#: o2b's deterministic-batching parameters: first 200 ts-ordered events,
+#: 4 files of 50 rows; run 1 streams files 0-1, run 2 (checkpoint-resumed)
+#: streams files 2-3. first_seen keys on user_id mod 12, running_counts on
+#: event_type.
+_O2B_ROWS, _O2B_PER_FILE, _O2B_MOD = 200, 50, 12
+
+_O2B_ORACLE = f"""
+    WITH base AS (
+        SELECT ts, event_id, user_id, event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+        FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT {_O2B_ROWS})
+    ),
+    batched AS (
+        SELECT CAST(user_id % {_O2B_MOD} AS VARCHAR) AS fp, event_type,
+               CAST(rn // {_O2B_PER_FILE} AS INT) AS b
+        FROM base
+    ),
+    -- running_counts, update mode, collected during run 2 (batches 2-3):
+    -- one emission per (source, batch where present) with the cumulative
+    -- lifetime total (state recovered from run 1's checkpoint)
+    counts AS (
+        SELECT 'counts' AS op, t.b, t.event_type AS key,
+               (SELECT count(*) FROM batched x
+                WHERE x.event_type = t.event_type AND x.b <= t.b) AS value
+        FROM (SELECT DISTINCT event_type, b FROM batched WHERE b >= 2) t
+    ),
+    -- first_seen, append mode, run 2: emits keys whose FIRST batch is in
+    -- run 2, with the number of same-batch duplicates; keys first seen in
+    -- run 1 are suppressed by the recovered state
+    firstb AS (SELECT fp, min(b) AS b0 FROM batched GROUP BY fp),
+    first_seen AS (
+        SELECT 'first_seen' AS op, f.b0 AS b, d.fp AS key,
+               count(*) - 1 AS value
+        FROM batched d JOIN firstb f ON d.fp = f.fp AND d.b = f.b0
+        WHERE f.b0 >= 2
+        GROUP BY f.b0, d.fp
+    )
+    SELECT op, b, key, value FROM counts
+    UNION ALL
+    SELECT op, b, key, value FROM first_seen
+"""
+
+
 @register(
     "o2b_stateful_streaming",
-    tables=(),
-    oracle=None,  # stateful streaming with checkpoint recovery — rows-only gate
+    tables=("events",),
+    oracle=_O2B_ORACLE,
     tags=("streaming", "stateful", "dedup"),
 )
 def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
-    """§2.8 stateful streaming — ``applyInPandasWithState`` driven through
-    checkpointed availableNow runs: running per-key counters accumulate
-    across two source growths (state recovered from the checkpoint between
-    runs) and first-seen dedup suppresses repeats across batches. Returns
-    the deterministic final emissions (full assertions in
-    tests/test_stateful.py)."""
+    """§2.8 stateful streaming, ORACLE-BACKED via the deterministic-
+    batching harness (same pattern as o2c/o2e/o2f):
+    ``applyInPandasWithState`` driven through TWO checkpointed
+    availableNow runs per operator over an events-derived fixture fed one
+    pinned-mtime file per trigger — run 2 resumes each operator's state
+    from its run-1 checkpoint, so cross-run state recovery sits under the
+    driver's value hash. Emissions are a pure function of the pinned
+    batch assignment: running_counts (update mode) emits one row per
+    (source, run-2 batch where present) with the cumulative lifetime
+    total; first_seen (append mode) emits only keys whose first-ever
+    batch lies in run 2, with their same-batch duplicate count. DuckDB
+    replays both with windowed aggregates — no state machine needed."""
     import tempfile as _tf
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
 
     from ..streaming import stateful as S
 
+    fixture = (
+        t["events"]
+        .select(
+            "ts", "event_id", "event_type",
+            (F.col("user_id") % _O2B_MOD).cast("string").alias("fp"),
+        )
+        .orderBy("ts", "event_id")
+        .limit(_O2B_ROWS)
+        .collect()  # bounded: _O2B_ROWS rows
+    )
     root = _tf.mkdtemp(prefix="stateful_spec_")
     src = os.path.join(root, "src")
     os.makedirs(src)
 
-    def drop(rows):
-        spark.createDataFrame(rows, "fp string, source string").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    n_files = -(-len(fixture) // _O2B_PER_FILE)
+
+    def write_file(i: int) -> None:
+        chunk = fixture[i * _O2B_PER_FILE : (i + 1) * _O2B_PER_FILE]
+        tbl = _pa.table(
+            {
+                "b": _pa.array([i] * len(chunk), _pa.int32()),
+                "fp": _pa.array([r.fp for r in chunk], _pa.string()),
+                "source": _pa.array([r.event_type for r in chunk], _pa.string()),
+            }
+        )
+        path = os.path.join(src, f"b{i:04d}.parquet")
+        _pq.write_table(tbl, path)
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
 
     def stream():
-        return spark.readStream.schema("fp string, source string").parquet(src)
+        return (
+            spark.readStream.schema("b int, fp string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
 
     def run(df, ckpt, mode):
         out: list = []
         q = (
-            df.writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+            df.writeStream.foreachBatch(
+                lambda bdf, i: out.extend((int(i), r) for r in bdf.collect())
+            )
             .outputMode(mode)
             .option("checkpointLocation", os.path.join(root, ckpt))
             .trigger(availableNow=True)
@@ -542,20 +620,31 @@ def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     # 4 partitions, not 32: the state-store partition count is pinned to
     # shuffle partitions at the first batch, and this spec pays that setup
-    # cost ×4 runs (measured 14.8 s → ~4 s at fixture size).
+    # cost ×4 runs.
     try:
         with _shuffle_partitions(spark, 4):
-            drop([("a", "s1"), ("b", "s1"), ("c", "s2"), ("a", "s2")])
+            for i in range(n_files // 2):
+                write_file(i)
             run(S.running_counts(stream(), "source"), "ck_counts", "update")
             run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
-            drop([("d", "s1"), ("a", "s3"), ("e", "s1")])
-            counts2 = run(S.running_counts(stream(), "source"), "ck_counts", "update")
-            dedup2 = run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
-            rows = sorted(
-                [("counts", r.key, int(r.n_total)) for r in counts2]
-                + [("first_seen", r.key, int(r.n_dropped_dups)) for r in dedup2]
+            for i in range(n_files // 2, n_files):
+                write_file(i)
+            counts2 = run(
+                S.running_counts(stream(), "source"), "ck_counts", "update"
             )
-            return spark.createDataFrame(rows, "op string, key string, value long")
+            dedup2 = run(S.first_seen(stream(), "fp"), "ck_dedup", "append")
+        # Micro-batch ids CONTINUE across checkpoint-resumed runs (run 1
+        # processed batches 0..n/2-1), and files are fed one per trigger in
+        # mtime order — so run 2's micro-batch id IS the fixture file
+        # index, no offset needed.
+        rows = sorted(
+            [("counts", int(i), r.key, int(r.n_total)) for i, r in counts2]
+            + [
+                ("first_seen", int(i), r.key, int(r.n_dropped_dups))
+                for i, r in dedup2
+            ]
+        )
+        return spark.createDataFrame(rows, "op string, b int, key string, value long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -976,50 +1065,114 @@ def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+#: o2f's deterministic-batching parameters: first 300 ts-ordered events,
+#: key = user_id mod 10, 3 pinned-mtime files fed one per trigger;
+#: session gap 45 minutes, watermark delay 61 seconds (odd — no boundary
+#: ties against the second-granular synthetic timestamps).
+_O2F_ROWS, _O2F_FILES, _O2F_MOD = 300, 3, 10
+
+_O2F_ORACLE = f"""
+    WITH base AS (
+        SELECT ts, (user_id % {_O2F_MOD}) AS user_id
+        FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT {_O2F_ROWS})
+    ),
+    flag AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 45 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM base
+    ),
+    grp AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flag
+    ),
+    sess AS (
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 45 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM grp GROUP BY user_id, sid
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 61 SECOND AS w FROM base)
+    SELECT user_id, epoch_us(session_start) AS start_us,
+           epoch_us(session_end) AS end_us, n_events
+    FROM sess, wm WHERE session_end < w
+"""
+
+
 @register(
     "o2f_streaming_session_window",
-    tables=(),
-    oracle=None,  # genuine streaming execution — rows-only gate; batch
-    # equality for session_counts is asserted in tests/test_streaming.py
+    tables=("events",),
+    oracle=_O2F_ORACLE,
     tags=("streaming", "session-window", "watermark"),
 )
 def o2f(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
-    """§2.8 streaming session windows — ``session_counts``
-    (gap-based ``F.session_window`` + watermark = one state row per open
-    session, merged as events arrive) driven as a REAL checkpointed
-    availableNow stream: per user, burst A's straggler lands inside the
-    gap and EXTENDS the session instead of opening one, and the sealed
-    session emits; burst B starts past the gap but its session end sits
-    beyond the final watermark, so it stays open as state and does NOT
-    emit in append mode — the sealed-vs-open boundary, witnessed live.
-    Returns the deterministic sealed-session set (timestamps as ISO
-    strings for a stable snapshot schema)."""
+    """§2.8 streaming session windows, ORACLE-BACKED via the
+    deterministic-batching harness (same pattern as o2c/o2e):
+    ``session_counts`` (gap-based ``F.session_window`` + watermark = one
+    state row per open session, merged as events arrive) driven as a
+    REAL checkpointed availableNow stream over a fixture derived from
+    the events table, fed one pinned-mtime file per trigger.
+
+    Why the oracle is batch-shape despite streaming state: with a
+    ts-ordered feed, a session sealed at watermark w can never be
+    extended — any later row's timestamp exceeds w + delay, which is
+    past the session's end — so the final emitted set is exactly
+    "gap-island sessions whose end < final watermark", which DuckDB
+    computes with a lag/window island query. The last session per key
+    always ends beyond the final watermark (end = last ts + gap >
+    max ts − delay) and stays OPEN as state, never emitting in append
+    mode — the sealed-vs-open boundary the old hand fixture asserted,
+    now value-hashed by the driver."""
     import tempfile as _tf
-    from datetime import datetime as _dt, timedelta as _td
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
 
     from ..streaming.windows import session_counts
 
+    fixture = (
+        t["events"]
+        .select("ts", "event_id", (F.col("user_id") % _O2F_MOD).alias("user_id"))
+        .orderBy("ts", "event_id")
+        .limit(_O2F_ROWS)
+        .collect()  # bounded: _O2F_ROWS rows
+    )
     root = _tf.mkdtemp(prefix="sesswin_spec_")
     try:
+        src_dir = os.path.join(root, "ev")
+        os.makedirs(src_dir)
+        per = -(-len(fixture) // _O2F_FILES)
+        for i in range(_O2F_FILES):
+            chunk = fixture[i * per : (i + 1) * per]
+            tbl = _pa.table(
+                {
+                    "ts": _pa.array([r.ts for r in chunk], _pa.timestamp("us")),
+                    "user_id": _pa.array(
+                        [int(r.user_id) for r in chunk], _pa.int64()
+                    ),
+                }
+            )
+            path = os.path.join(src_dir, f"b{i:04d}.parquet")
+            _pq.write_table(tbl, path)
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
         with _shuffle_partitions(spark, 4):
-            base = _dt(2026, 1, 1)
-            events = []
-            for uid in (1, 2):
-                # burst A: 3 events a minute apart; straggler at +2m keeps
-                # the session open; burst B starts 10m later (> 4m gap).
-                for m in (0, 1, 2):
-                    events.append((base + _td(minutes=m + uid), uid))
-                events.append((base + _td(minutes=4 + uid), uid))
-                for m in (20, 21):
-                    events.append((base + _td(minutes=m + uid), uid))
-            path = os.path.join(root, "ev")
-            spark.createDataFrame(events, "ts timestamp, user_id long").coalesce(
-                1
-            ).write.parquet(path)
-            src = spark.readStream.schema("ts timestamp, user_id long").parquet(path)
+            src = (
+                spark.readStream.schema("ts timestamp, user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
             got: list = []
             q = (
-                session_counts(src, gap="4 minutes", keys=("user_id",))
+                session_counts(
+                    src, gap="45 minutes", keys=("user_id",), delay="61 seconds"
+                )
                 .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
                 .outputMode("append")
                 .option("checkpointLocation", os.path.join(root, "ck"))
@@ -1027,18 +1180,21 @@ def o2f(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                 .start()
             )
             q.awaitTermination(300)
-            rows = sorted(
-                (
-                    int(r.user_id),
-                    r.session_start.isoformat(),
-                    r.session_end.isoformat(),
-                    int(r.n_events),
-                )
-                for r in got
-            )
-            return spark.createDataFrame(
-                rows, "user_id long, session_start string, session_end string, n_events long"
-            )
+        rows = sorted(
+            (int(r.user_id), r.session_start, r.session_end, int(r.n_events))
+            for r in got
+        )
+        out = spark.createDataFrame(
+            rows,
+            "user_id long, session_start timestamp, session_end timestamp, "
+            "n_events long",
+        )
+        return out.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
