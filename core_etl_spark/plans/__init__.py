@@ -57,13 +57,16 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l21_hash_split",
     "l22_editdist_dedup",
     "v02b_sequence_gap_scalable",
-    # -- first oracle rows: o2b/o2c/o2e/o2f gained real DuckDB oracles in
-    # r09 via the deterministic-batching harness (one pinned-mtime file per
-    # trigger; o2c replays the dedup state chain with a recursive CTE, o2e's
-    # ts-ordered feed makes the streamed interval join provably equal the
-    # batch join, o2f's sealed sessions are gap islands under the final
-    # watermark, o2b's applyInPandasWithState emissions reduce to windowed
-    # aggregates with checkpoint-resumed batch ids) — previously rows-only ----
+    # -- first oracle rows: the WHOLE streaming family gained real DuckDB
+    # oracles in r09. o2b/o2c/o2e/o2f via the deterministic-batching harness
+    # (one pinned-mtime file per trigger; o2c replays the dedup state chain
+    # with a recursive CTE, o2e's ts-ordered feed makes the streamed interval
+    # join provably equal the batch join, o2f's sealed sessions are gap
+    # islands under the final watermark, o2b's applyInPandasWithState
+    # emissions reduce to windowed aggregates with checkpoint-resumed batch
+    # ids); o2 via o1's shared fixture-regeneration digest oracle — the
+    # streamed warehouse must be byte-equivalent to a clean batch backfill --
+    "o2_streaming_tail",
     "o2b_stateful_streaming",
     "o2c_stream_dedup_watermark",
     "o2e_stream_stream_join",
@@ -84,9 +87,9 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l41b_bpe_vocab",
     "l43_bpe_token_count",
     # -- r06-stale fills (oracle), query/verify layer first, then the rest
-    # by staleness. The r06 specs NOT fitting this snapshot (g28, g29, k78,
-    # l10, l11, l12, l19x, l20, l23, l24, l25, l26, l27, l36, l38, c01, c02,
-    # c03 oracle; o2 rows-only) are the r10 rotation's backlog ----------------
+    # by staleness. The r06 specs NOT fitting this snapshot (g28, g29, k12,
+    # k78, l10, l11, l12, l19x, l20, l23, l24, l25, l26, l27, l36, l38, c01,
+    # c02, c03 — all oracle-backed) are the r10 rotation's backlog ------------
     "q02_point_by_number",
     "q03_point_by_string_key",
     "q04_full_scan",
@@ -104,7 +107,6 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g22_salted_aggregation",
     "g23_salted_join",
     "j01_asof_join",
-    "k12_incremental_agg",
     # -- rows-only tail: l41c is new in r09 (batched BPE, never witnessed);
     # m01 and g06b are the two r05-stale rows-only cuts ADVICE r08 flagged;
     # l06x/l07x re-witness the moved dedup implementation on the xxhash

@@ -265,15 +265,18 @@ def _digest_frame(df: DataFrame, tbl: str, cols: list) -> DataFrame:
     ).select(F.lit(tbl).alias("tbl"), "n_rows", "digest")
 
 
-def _o1_oracle() -> str:
-    """DuckDB replay of the ENTIRE o1 end-state: the fixture chain
-    (sources/fixtures.py raw_blocks — pure md5/arithmetic over range(500)
-    × 4 txs) normalized, CBC20-decoded, and receipt-joined exactly as the
-    ingest path does, then collapsed to one (tbl, n_rows, digest) row per
-    lake table. The digest is an order-insensitive exact-integer sum of a
-    32-bit md5 prefix over every business column, so any divergence in any
-    column of any row of the warehouse breaks the hash row."""
-    nb, tpb = 500, 4
+def _o1_oracle(nb: int = 500, tpb: int = 4, extra: str | None = None) -> str:
+    """DuckDB replay of the ENTIRE ingest end-state: the fixture chain
+    (sources/fixtures.py raw_blocks — pure md5/arithmetic over range(nb)
+    × tpb txs) normalized, CBC20-decoded, and receipt-joined exactly as
+    the ingest path does, then collapsed to one (tbl, n_rows, digest) row
+    per lake table. The digest is an order-insensitive exact-integer sum
+    of a 32-bit md5 prefix over every business column, so any divergence
+    in any column of any row of the warehouse breaks the hash row.
+    ``extra`` overrides the trailing select columns (o1 appends its
+    backfill counters; o2 its tip) — the tail path MUST converge to the
+    same warehouse a clean backfill produces, which is exactly what
+    sharing this oracle between o1 and o2 asserts."""
     known = "ab" * 22
     watch = "c" * 44
     kv = "CAST(k AS VARCHAR)"
@@ -382,7 +385,7 @@ def _o1_oracle() -> str:
             FROM xfers
         )
         SELECT tbl, n_rows, digest,
-               CAST({nb} AS BIGINT) AS n_backfilled, CAST(0 AS BIGINT) AS n_resumed
+               {extra or f"CAST({nb} AS BIGINT) AS n_backfilled, CAST(0 AS BIGINT) AS n_resumed"}
         FROM (SELECT * FROM blocks_d
               UNION ALL SELECT * FROM txs_d
               UNION ALL SELECT * FROM xfers_d)
@@ -806,37 +809,67 @@ def o2c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 @register(
     "o2_streaming_tail",
     tables=(),
-    oracle=None,  # stateful streaming with checkpoint — rows-only gate
+    oracle=_o1_oracle(
+        nb=30, tpb=2, extra="CAST(29 AS BIGINT) AS tip"
+    ),
     tags=("o2", "streaming", "k10"),
 )
 def o2(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """O2 — the streaming tail end-to-end on a temp warehouse: backfill
-    0..19, stream 20..29 through foreachBatch with checkpointing, return the
-    final per-table counts (reference etl.rs:126-176; full assertions in
-    tests/test_streaming.py)."""
+    0..19, stream 20..29 through foreachBatch with checkpointing
+    (reference etl.rs:126-176; reorg/resume assertions in
+    tests/test_streaming.py). ORACLE-BACKED in r09: returns one
+    (tbl, n_rows, digest) row per lake table — the same full-column
+    digest shape as o1 — against the SAME fixture-regeneration oracle at
+    (nb=30, tpb=2), which asserts the strongest tail property there is:
+    the streamed warehouse is byte-equivalent to a clean batch backfill
+    of the whole range."""
+    from ..lake import Lake
+    from ..pipeline import backfill
     from ..sources.fixtures import WATCH_CONTRACT, raw_blocks, receipts
+    from ..sources.provider import FixtureBlockProvider
     from ..streaming.tail import start_tail
 
     with _shuffle_partitions(spark, 8):
-        lake, root = _temp_lake(spark, n_blocks=20, bucket=10)
+        root = tempfile.mkdtemp(prefix="lake_spec_")
+        lake = Lake(spark, root, bucket_size=10)
         src = os.path.join(root, "incoming")
         ckpt = os.path.join(root, "ckpt")
         try:
+            # Backfill 0..19 through the REAL pipeline (transfers decoded,
+            # receipts joined) so the streamed tail's convergence target is
+            # a clean full-range ingest, not a transfer-less stub.
+            backfill(
+                spark, lake,
+                FixtureBlockProvider(n_blocks=20, txs_per_block=2),
+                (WATCH_CONTRACT,),
+            )
             tail_raw = raw_blocks(spark, n_blocks=30, txs_per_block=2).filter(
                 F.col("number") >= 20
             )
             tail_raw.coalesce(1).write.mode("append").parquet(src)
             q = start_tail(spark, lake, src, ckpt, (WATCH_CONTRACT,), receipts)
             q.awaitTermination(120)
-            return spark.createDataFrame(
-                [(
-                    lake.latest_block_number(),
-                    lake.blocks().count(),
-                    lake.transactions().count(),
-                    lake.token_transfers().count(),
-                )],
-                "tip long, n_blocks long, n_transactions long, n_transfers long",
+            epoch = F.col("created_at").cast("long")
+            out = (
+                _digest_frame(lake.blocks(), "blocks", _blk_digest_cols())
+                .unionByName(_digest_frame(
+                    lake.transactions(), "transactions",
+                    ["hash", "nonce", "block_hash", "block_number",
+                     "transaction_index", "from_addr", "to_addr", "value",
+                     "energy", "energy_price", "input", epoch],
+                ))
+                .unionByName(_digest_frame(
+                    lake.token_transfers(), "token_transfers",
+                    ["block_number", "from_addr", "to_addr", "value", "tx_hash",
+                     "address", "transfer_index", "status", epoch],
+                ))
+                .withColumn(
+                    "tip", F.lit(lake.latest_block_number()).cast("long")
+                )
             )
+            # the lake dirs die with the spec — materialize before cleanup
+            return out.localCheckpoint(eager=True)
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
