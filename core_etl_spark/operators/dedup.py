@@ -455,18 +455,27 @@ def minhash_dedup_pairs(
     checkpointed blocks are reclaimed when the result DataFrame goes out
     of scope, so long multi-spec sessions don't accumulate pinned
     storage."""
+    # Materialization strategy (hybrid — measured r09): only the EXPENSIVE
+    # shared upstream (the shingle UDF) goes through _materialize (eager by
+    # default); the derivations past it — explode, band hashing, the
+    # candidate distinct — checkpoint LAZILY. A concurrent-stage race on a
+    # lazy checkpoint here re-derives from the doc_sh cache, never re-runs
+    # the tokenize→shingle pipeline, so the worst case is bounded cheap;
+    # making all four eager cost ~0.4 s of dedicated-job overhead per call
+    # at sf0.1 (4 jobs) for no additional protection.
     doc_sh = _materialize(doc_shingles(df, text_col, id_col, n))
-    sh = _materialize(
-        doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    buckets = band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).localCheckpoint(
+        eager=False
     )
-    buckets = _materialize(band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn))
     a_b = buckets.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b_b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bucket")
-    cand = _materialize(
+    cand = (
         a_b.join(b_b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # Prune the shingle index to CANDIDATE DOCS before the verification
     # join (same discipline as incremental_dedup_pairs): the pair
@@ -484,7 +493,7 @@ def minhash_dedup_pairs(
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    rel = sh.join(cand_ids, "doc_id", "left_semi")
+    rel = sh.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=False)
     sizes = rel.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = rel.select(F.col("doc_id").alias("id_a"), "shingle")
     b = rel.select(F.col("doc_id").alias("id_b"), "shingle")
