@@ -83,6 +83,10 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "c04_fuzzy_dedup",
     "c06_incremental_dedup",
     "c07_canonical_per_cluster",
+    # l06x promoted to oracle in r09: absent a 64-bit shingle-hash
+    # collision (~7e-11/run at snapshot scale) its output is identical to
+    # l06's, so l06's oracle applies verbatim
+    "l06x_ngram_jaccard_xxhash",
     "l41_bpe_merges",
     "l41b_bpe_vocab",
     "l43_bpe_token_count",
@@ -109,12 +113,12 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "j01_asof_join",
     # -- rows-only tail: l41c is new in r09 (batched BPE, never witnessed);
     # m01 and g06b are the two r05-stale rows-only cuts ADVICE r08 flagged;
-    # l06x/l07x re-witness the moved dedup implementation on the xxhash
-    # production path ----------------------------------------------------------
+    # l07x re-witnesses the moved dedup implementation on the xxhash
+    # production path (its xxhash BANDING is genuinely un-replayable —
+    # different random hyperplanes than md5 — unlike l06x's key hashing) ------
     "l41c_bpe_batched",
     "m01_image_features",
     "g06b_approx_distinct",
-    "l06x_ngram_jaccard_xxhash",
     "l07x_minhash_lsh_xxhash",
 )
 

@@ -230,8 +230,28 @@ def l06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 @register(
     "l06x_ngram_jaccard_xxhash",
     tables=("documents",),
-    oracle=None,  # DuckDB has no xxhash64; pair-set equivalence with the
-    # md5/string path is asserted in tests/test_llm_ops.py
+    # DuckDB has no xxhash64, but it doesn't need one: absent a 64-bit
+    # collision between two distinct shingles of the same corpus the
+    # hashed-key pipeline's output — pair set, intersection counts,
+    # jaccard values — is IDENTICAL to the string-key path, so l06's
+    # oracle applies verbatim. Collision odds at snapshot scale are
+    # ~(5e4)²/2⁶⁵ ≈ 7e-11 per run; equivalence is also unit-asserted in
+    # tests/test_llm_ops.py. (Promoted from rows-only in r09.)
+    oracle=f"""
+        WITH {_SHINGLE_CTE_CAPPED},
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_inter,
+               n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
     tags=("llm", "dedup", "jaccard", "xxhash"),
     headline=True,
 )
