@@ -28,6 +28,7 @@ Fake codec formats (deterministic, versioned by magic byte):
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Iterator
 
@@ -149,7 +150,16 @@ def image_features(media: DataFrame, bins: int = 16, codec: str = "fake") -> Dat
     intensity histogram. One pass, no shuffle; numpy-vectorized per batch.
     ``codec="real"`` swaps the Pillow decoder in; everything else —
     schema, batching, feature math — is identical (the swap claim is
-    tested, Pillow-gated, in tests/test_multimodal.py)."""
+    tested, Pillow-gated, in tests/test_multimodal.py).
+
+    Mean/std are evaluated in EXACT integer arithmetic (Σx and Σx² as
+    Python ints, then one correctly-rounded float division / sqrt) rather
+    than numpy's pairwise float accumulation: same image_ahash rationale —
+    pixel sums of u8 images fit ints exactly, so the only float ops are the
+    final division and sqrt, which every IEEE-754 engine rounds identically.
+    That makes the features bit-stable across engines and lets the m01
+    DuckDB oracle replay them hash-exactly (population variance via
+    ``(n·Σx² − (Σx)²)/n²``)."""
     decode = _pick(_IMAGE_DECODERS, codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -157,18 +167,19 @@ def image_features(media: DataFrame, bins: int = 16, codec: str = "fake") -> Dat
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 img = decode(bytes(payload))
-                flat = img.reshape(-1).astype(np.float64)
-                hist = np.bincount(
-                    (flat // (256 // bins)).astype(np.int64), minlength=bins
-                )
+                iv = img.reshape(-1).astype(np.int64)
+                n, sx, sxx = iv.size, int(iv.sum()), int((iv * iv).sum())
+                hist = np.bincount(iv // (256 // bins), minlength=bins)
                 rows.append(
                     {
                         "media_id": mid,
                         "width": img.shape[1],
                         "height": img.shape[0],
                         "channels": img.shape[2],
-                        "mean_intensity": float(flat.mean()),
-                        "std_intensity": float(flat.std()),
+                        "mean_intensity": sx / n if n else 0.0,
+                        "std_intensity": (
+                            math.sqrt((n * sxx - sx * sx) / (n * n)) if n else 0.0
+                        ),
                         "histogram": hist.tolist(),
                     }
                 )

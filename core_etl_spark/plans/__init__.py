@@ -90,10 +90,19 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l41_bpe_merges",
     "l41b_bpe_vocab",
     "l43_bpe_token_count",
+    # -- first oracle rows, multimodal: m01-m04 gained md5-chain replay
+    # oracles in r09 (exact-int feature math + hex payload comparison —
+    # see multimodal_specs module docstring); m01 was an r05-stale
+    # rows-only cut ADVICE r08 flagged, now promoted outright ----------------
+    "m01_image_features",
+    "m02_image_resize",
+    "m03_audio_features",
+    "m04_video_frame_sample",
     # -- r06-stale fills (oracle), query/verify layer first, then the rest
-    # by staleness. The r06 specs NOT fitting this snapshot (g28, g29, k12,
-    # k78, l10, l11, l12, l19x, l20, l23, l24, l25, l26, l27, l36, l38, c01,
-    # c02, c03 — all oracle-backed) are the r10 rotation's backlog ------------
+    # by staleness. The r06 specs NOT fitting this snapshot (q08, q09, q10,
+    # g28, g29, k12, k78, l10, l11, l12, l19x, l20, l23, l24, l25, l26,
+    # l27, l36, l38, c01, c02, c03 — all oracle-backed) are the r10
+    # rotation's backlog -----------------------------------------------------
     "q02_point_by_number",
     "q03_point_by_string_key",
     "q04_full_scan",
@@ -101,9 +110,6 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "q05b_range_scan_open",
     "q06_children_of_parent",
     "q07_point_composite_key",
-    "q08_dynamic_conjuncts",
-    "q09_union_all_projection",
-    "q10_direction_dispatch",
     "q11_catalog_partitions",
     "v02_sequence_gap_check",
     "g01_hash_agg_tpch_q1",
@@ -112,12 +118,11 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g23_salted_join",
     "j01_asof_join",
     # -- rows-only tail: l41c is new in r09 (batched BPE, never witnessed);
-    # m01 and g06b are the two r05-stale rows-only cuts ADVICE r08 flagged;
+    # g06b is the remaining r05-stale rows-only cut ADVICE r08 flagged;
     # l07x re-witnesses the moved dedup implementation on the xxhash
     # production path (its xxhash BANDING is genuinely un-replayable —
     # different random hyperplanes than md5 — unlike l06x's key hashing) ------
     "l41c_bpe_batched",
-    "m01_image_features",
     "g06b_approx_distinct",
     "l07x_minhash_lsh_xxhash",
 )

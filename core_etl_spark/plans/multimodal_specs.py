@@ -1,9 +1,18 @@
 """Multimodal specs — the training-data-pipeline binary-column operators
 (brief: image/audio/video as opaque binary + typed metadata, processed by
-Arrow-batched ``mapInPandas``). No SQL oracle exists for binary codec work,
-so these are rows-only gates; the golden-value assertions live in
-tests/test_multimodal.py. Each spec returns a deterministic summary frame
-over the synthetic fake-codec media table."""
+Arrow-batched ``mapInPandas``).
+
+These were rows-only gates through r08 ("no SQL oracle exists for binary
+codec work"), but that claim was too strong for the FAKE codec: its
+pixel/sample stream is an md5 chain (``md5(f"{seed}{id}:{chunk}")`` hex
+pairs — synthetic_media), DuckDB has ``md5()``, and after image_features
+moved to exact-integer mean/std (r09, same rationale as image_ahash) every
+spec output is either exact-integer or a single correctly-rounded float
+division/sqrt of exact integers. So the full chain — header layout, byte
+decode, feature math, resample indexing, frame slicing — replays in SQL
+hash-exactly, the same way m05's aHash oracle has since r07. Only the
+REAL-codec paths (Pillow/PyAV) stay SQL-free; those are import-gated tests
+in tests/test_multimodal.py."""
 
 from __future__ import annotations
 
@@ -13,10 +22,60 @@ from ..operators import multimodal as M
 from .base import register
 
 
+def _md5_byte(seed: str, idcol: str, pos: str) -> str:
+    """SQL expression: byte value at offset ``pos`` of the fake-codec
+    payload stream for id ``idcol`` — hex pair ``pos % 16`` of
+    ``md5(f"{seed}{id}:{pos // 16}")``, exactly synthetic_media's chain."""
+    return (
+        f"CAST('0x'||substr(md5('{seed}'||CAST({idcol} AS VARCHAR)||':'||"
+        f"CAST(({pos}) // 16 AS VARCHAR)), 2 * (({pos}) % 16) + 1, 2) AS INT)"
+    )
+
+
+# Image geometry (synthetic_media, n_per_kind=30): ids 3k, w=8+id%8,
+# h=8+id%5, c=3 — nbytes = w*h*3 <= 540, so positions come from one
+# range(540) spine joined on p < nbytes.
+_M01_ORACLE = f"""
+    WITH dims AS (
+        SELECT 3 * range AS mid,
+               8 + (3 * range) % 8 AS w, 8 + (3 * range) % 5 AS h,
+               (8 + (3 * range) % 8) * (8 + (3 * range) % 5) * 3 AS nbytes
+        FROM range(0, 30)
+    ),
+    bytes AS (
+        SELECT d.mid, {_md5_byte('img', 'd.mid', 'p.range')} AS val
+        FROM dims d JOIN range(0, 540) p ON p.range < d.nbytes
+    ),
+    agg AS (
+        SELECT mid, COUNT(*) AS n, SUM(val) AS sx, SUM(val * val) AS sxx
+        FROM bytes GROUP BY mid
+    ),
+    counts AS (
+        SELECT mid, val // 16 AS k, COUNT(*) AS c FROM bytes GROUP BY mid, val // 16
+    ),
+    hist AS (
+        SELECT d.mid,
+               string_agg(CAST(COALESCE(c.c, 0) AS VARCHAR), ',' ORDER BY bn.range)
+                   AS histogram
+        FROM dims d CROSS JOIN range(0, 16) bn
+        LEFT JOIN counts c ON c.mid = d.mid AND c.k = bn.range
+        GROUP BY d.mid
+    )
+    SELECT d.mid AS media_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_intensity,
+           sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+                / CAST(a.n * a.n AS DOUBLE)) AS std_intensity,
+           h.histogram
+    FROM dims d JOIN agg a ON a.mid = d.mid JOIN hist h ON h.mid = d.mid
+"""
+
+
 @register(
     "m01_image_features",
     tables=(),
-    oracle=None,  # binary decode + numpy feature math — rows-only gate
+    oracle=_M01_ORACLE,  # exact-int mean/std + integer histogram over the
+    # md5 pixel stream — promoted from rows-only in r09 (see module docstring)
     tags=("multimodal", "image", "pandas-udf", "mapInPandas"),
 )
 def m01(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
@@ -36,27 +95,98 @@ def m01(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Resize replay: output pixel q (row-major over 4x4x3) samples source byte
+# ((oy*h//4)*w + (ox*w//4))*3 + ch — resize_images' nearest-neighbor index
+# arithmetic verbatim. The whole re-encoded payload (header + pixels) is
+# compared as Spark's F.hex text, so the oracle checks CONTENT, not just
+# geometry.
+_M02_ORACLE = f"""
+    WITH dims AS (
+        SELECT 3 * range AS mid,
+               8 + (3 * range) % 8 AS w, 8 + (3 * range) % 5 AS h
+        FROM range(0, 30)
+    ),
+    outpix AS (
+        SELECT d.mid, q.range AS q,
+               (((q.range // 12) * d.h // 4) * d.w
+                + ((q.range % 12) // 3) * d.w // 4) * 3 + q.range % 3 AS p
+        FROM dims d CROSS JOIN range(0, 48) q
+    ),
+    pix AS (
+        SELECT mid, q, printf('%02X', {_md5_byte('img', 'mid', 'p')}) AS hx
+        FROM outpix
+    )
+    SELECT mid AS media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(54 AS INT) AS payload_bytes,
+           '490400040003' || string_agg(hx, '' ORDER BY q) AS payload_hex
+    FROM pix GROUP BY mid
+"""
+
+
 @register(
     "m02_image_resize",
     tables=(),
-    oracle=None,
+    oracle=_M02_ORACLE,  # full payload replay (header + resampled pixels as
+    # hex) — promoted from rows-only in r09
     tags=("multimodal", "image", "mapInPandas"),
 )
 def m02(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """Nearest-neighbor image resize re-encoded to the payload format;
-    returns the new geometry + payload size per image."""
+    returns the new geometry + the exact payload as hex text (binary cells
+    don't survive the driver's pandas canonicalizer; hex text does)."""
     media = M.synthetic_media(spark, n_per_kind=30)
     return (
         M.resize_images(media, 4, 4)
-        .select("media_id", "width", "height", F.length("payload").alias("payload_bytes"))
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.length("payload").alias("payload_bytes"),
+            F.hex("payload").alias("payload_hex"),
+        )
         .orderBy("media_id")
     )
+
+
+# Audio replay: ids 3k+1, n = 256 + id%100 i16 samples, sample j = bytes
+# (2j, 2j+1) little-endian, sign via the 32768 two's-complement fold.
+# RMS = sqrt(Σv²/n) is one float division + sqrt of exact ints (numpy's
+# pairwise sum of integer-valued squares is exact, so the engines agree
+# bit-for-bit); zero-crossings is a lag() sign-change count.
+_M03_ORACLE = f"""
+    WITH clips AS (
+        SELECT 3 * range + 1 AS mid, 256 + (3 * range + 1) % 100 AS n
+        FROM range(0, 30)
+    ),
+    raw AS (
+        SELECT c.mid, c.n, j.range AS j,
+               {_md5_byte('aud', 'c.mid', '2 * j.range')}
+               + 256 * {_md5_byte('aud', 'c.mid', '2 * j.range + 1')} AS u
+        FROM clips c JOIN range(0, 356) j ON j.range < c.n
+    ),
+    samples AS (
+        SELECT mid, n, j, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM raw
+    ),
+    flips AS (
+        SELECT mid, n, v * v AS vv,
+               CASE WHEN (v < 0) <> (lag(v) OVER (PARTITION BY mid ORDER BY j) < 0)
+                    THEN 1 ELSE 0 END AS flip
+        FROM samples
+    )
+    SELECT mid AS media_id, CAST(16000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           sqrt(CAST(SUM(vv) AS DOUBLE) / CAST(n AS DOUBLE)) AS rms,
+           CAST(COALESCE(SUM(flip), 0) AS BIGINT) AS zero_crossings
+    FROM flips GROUP BY mid, n
+"""
 
 
 @register(
     "m03_audio_features",
     tables=(),
-    oracle=None,
+    oracle=_M03_ORACLE,  # i16 decode + RMS/zero-crossings over the md5
+    # sample stream — promoted from rows-only in r09
     tags=("multimodal", "audio", "mapInPandas"),
 )
 def m03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
@@ -65,19 +195,50 @@ def m03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return M.audio_features(media).orderBy("media_id")
 
 
+# Frame replay: ids 3k+2, n = 4 + id%4 frames of 6x4 = 24 bytes; every-2nd
+# sampling keeps frame_index i in (0, 2, 4, 6) with i < n, and frame i is
+# the byte slice [i*24, (i+1)*24) — compared as hex text like m02.
+_M04_ORACLE = f"""
+    WITH vids AS (
+        SELECT 3 * range + 2 AS mid, 4 + (3 * range + 2) % 4 AS n
+        FROM range(0, 30)
+    ),
+    frames AS (
+        SELECT v.mid, i.range AS i
+        FROM vids v JOIN range(0, 8) i ON i.range < v.n AND i.range % 2 = 0
+    ),
+    bytepos AS (
+        SELECT f.mid, f.i, b.range AS b,
+               printf('%02X', {_md5_byte('vid', 'f.mid', 'f.i * 24 + b.range')}) AS hx
+        FROM frames f CROSS JOIN range(0, 24) b
+    )
+    SELECT mid AS media_id, CAST(i AS INT) AS frame_index,
+           CAST(24 AS INT) AS frame_bytes,
+           string_agg(hx, '' ORDER BY b) AS frame_hex
+    FROM bytepos GROUP BY mid, i
+"""
+
+
 @register(
     "m04_video_frame_sample",
     tables=(),
-    oracle=None,
+    oracle=_M04_ORACLE,  # sampled-frame payload replay as hex — promoted
+    # from rows-only in r09
     tags=("multimodal", "video", "mapInPandas", "explode"),
 )
 def m04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """Every-2nd-frame sampling: 1 video row → ceil(n/2) frame rows (the
-    binary-column analogue of the batchTransfer 1→N explode)."""
+    binary-column analogue of the batchTransfer 1→N explode). Frame
+    payloads ride along as hex text so the driver hash covers content."""
     media = M.synthetic_media(spark, n_per_kind=30)
     return (
         M.sample_frames(media, every_k=2)
-        .select("media_id", "frame_index", F.length("frame_payload").alias("frame_bytes"))
+        .select(
+            "media_id",
+            "frame_index",
+            F.length("frame_payload").alias("frame_bytes"),
+            F.hex("frame_payload").alias("frame_hex"),
+        )
         .orderBy("media_id", "frame_index")
     )
 
