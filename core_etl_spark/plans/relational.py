@@ -90,9 +90,15 @@ shared_sql(
     headline=True,
 )
 def g03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
-    """TPC-H Q5 shape via the DataFrame API: 6-table star join with explicit
-    ``broadcast`` hints on every dimension table, shuffle only on the
-    fact-fact (orders⋈lineitem) edge."""
+    """TPC-H Q5 shape via the DataFrame API: 6-table star join. Explicit
+    ``broadcast`` hints ONLY on the fixed-cardinality dims (nation, region
+    — they stay 25/5 rows at any data scale); customer and supplier SCALE
+    with the warehouse, so their join strategy is left to stats + AQE:
+    broadcast while they fit the threshold, shuffle join beyond it.
+    Measured (relational_soak, r09): forcing their broadcast was a wash at
+    sf0.1 (AQE picks broadcast anyway — 5 BroadcastHashJoins in the
+    executed plan) and ~20% slower at sf10's 1.5M-row customer; at 100 TB
+    a forced broadcast of a scaling dim is an executor OOM."""
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
     )
@@ -105,9 +111,9 @@ def g03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
