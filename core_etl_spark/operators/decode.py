@@ -148,10 +148,14 @@ def extract_token_transfers(
         rc = receipts.select(
             F.col("tx_hash").alias("_r_tx"), F.col("status").cast("long").alias("status")
         )
+        # No forced broadcast: receipts SCALE with the chunk (chunk_size ×
+        # txs/block — a 1M-block chunk of a busy chain is 10⁸+ receipts),
+        # so the join strategy is left to stats + AQE, same rule as g03's
+        # scaling dims. Measured on the o1 headline at sf0.1: identical
+        # wall with and without the hint (AQE broadcasts the small chunk
+        # itself); at true scale the fallback is a shuffle join on tx_hash.
         transfers = (
-            transfers.join(
-                F.broadcast(rc), transfers["tx_hash"] == rc["_r_tx"], "left"
-            )
+            transfers.join(rc, transfers["tx_hash"] == rc["_r_tx"], "left")
             .drop("_r_tx")
             .withColumn("status", F.coalesce(F.col("status"), F.lit(1).cast("long")))
         )
