@@ -54,8 +54,19 @@ def salted_join(
     """Skew-proof equi-join: the large side gets a random salt in
     [0, n_salts); the small side is replicated ``n_salts`` × via explode.
     Join key becomes (key, salt), so one hot key spreads over ``n_salts``
-    tasks. Use when the small side is too big to broadcast but the large
-    side has hot keys AQE doesn't split."""
+    tasks.
+
+    This is the LAST-RESORT strategy, not a default. Measured
+    (scripts/skew_soak.py, 60M-row fact with a 25-75% hot key joining a
+    1M-row non-broadcastable dim): AQE's skew-join split handles the same
+    join for free (it beat the unsalted baseline 2× and cost nothing over
+    it), while salting paid 7-25× over AQE — the n_salts× replication of
+    the small side is a real shuffle cost the optimizer never has to pay.
+    Use salting only where AQE cannot act: stream-stream joins, a join
+    whose output must keep a specific partitioning, or the window-by-hot-
+    key shapes (there the two-phase bucket trick in verify.py::v03 is the
+    same idea). For plain batch joins, leave AQE on and keep the hint
+    off."""
     salted_large = large.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     replicated_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
