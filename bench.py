@@ -42,8 +42,10 @@ RUNS = 3  # min-of-3: the host is shared and single runs vary up to 3×
 # 2.41]); five runs tighten the min-of-N noise floor where it matters.
 # l18b joins them per VERDICT r06 directive 4: the iterative star-CC
 # closure is the most expensive headline and needs a published
-# min-of-5 variance band.
-EXTRA_RUNS = {"l06", "l07", "l18b"}  # name prefixes: l06/l06x/l07/l07x/l18b
+# min-of-5 variance band. o1 joins in r10: its r09 min-of-3 was still
+# strictly descending ([3.31, 2.96, 2.82]) — the pipeline writes a temp
+# warehouse, so its noise floor needs the extra runs too.
+EXTRA_RUNS = {"l06", "l07", "l18b", "o1"}
 
 
 def _runs_for(name: str) -> int:

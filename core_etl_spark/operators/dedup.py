@@ -47,18 +47,22 @@ from .text import tokens
 CHECKPOINT_MODE = "eager"
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     """Cut lineage + share one computation across plan branches, per
-    :data:`CHECKPOINT_MODE`. ``localCheckpoint`` rather than ``.cache()``:
+    :data:`CHECKPOINT_MODE` (or the per-call ``mode`` override — callers
+    whose input is provably cheap pass ``"none"`` to skip the dedicated
+    materialization job; see ``neardup_components_star``).
+    ``localCheckpoint`` rather than ``.cache()``:
     cached plans live in the CacheManager until an explicit unpersist
     (impossible for a lazily returned result), while checkpointed RDDs are
     reclaimed by the ContextCleaner as soon as the result DataFrame drops.
     (Cluster note: localCheckpoint trades lineage for speed — an executor
     loss fails the job instead of recomputing; acceptable for bounded dedup
     jobs, use ``.persist(DISK_ONLY_2)`` on preemptible nodes.)"""
-    if CHECKPOINT_MODE == "none":
+    mode = CHECKPOINT_MODE if mode is None else mode
+    if mode == "none":
         return df
-    return df.localCheckpoint(eager=(CHECKPOINT_MODE == "eager"))
+    return df.localCheckpoint(eager=(mode == "eager"))
 
 
 def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
@@ -653,7 +657,9 @@ def neardup_components(pairs: DataFrame, max_iter: int = 32) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 
-def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def neardup_components_star(
+    pairs: DataFrame, max_iter: int = 50, input_mode: str | None = None
+) -> DataFrame:
     """Connected components via large-star/small-star alternation — the
     extreme-scale swap documented in :func:`neardup_components`. Converges
     in O(log n) rounds regardless of component diameter (Kiveris et al.,
@@ -709,7 +715,16 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     # One materialization of the INPUT pairs, not one per derivation: nodes
     # and edges both read the cached pair set, so an expensive upstream (the
     # Jaccard/LSH pipeline in l17/l18 use) is computed once, not twice.
-    pairs_m = _materialize(pairs)
+    # ``input_mode`` overrides the module default per call. Measured
+    # guidance (r10, sf0.1 chain set): in a FRESH session skipping the
+    # checkpoint wins (none 2.67 < lazy 2.79 < eager 2.85 — the dedicated
+    # materialization job is fixed overhead on a cheap input), but in a
+    # session that has already run the dedup pipelines the ranking FLIPS
+    # (eager 2.88 < lazy 2.99 < none 3.42), so the spec layer leaves this
+    # at the module default; the override exists for callers that know
+    # their input and session shape (scripts/l18b_*_ab.py are the A/B
+    # harnesses).
+    pairs_m = _materialize(pairs, mode=input_mode)
     nodes = (
         pairs_m.select(F.col("id_a").alias("id"))
         .union(pairs_m.select(F.col("id_b").alias("id")))

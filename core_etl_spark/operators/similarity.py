@@ -792,9 +792,12 @@ def write_ivfpq_index(
     no raw vectors at all (m small codes per vector instead of the
     embedding + its decimals).
 
-    MEASURED (scripts/ivfpq_bytes_bench.py, r09: 20k dim-64 vectors,
+    MEASURED (scripts/ivfpq_bytes_bench.py, r10: 20k dim-64 vectors,
     m=4/ksub=16): full lists 1.63 MB → 0.19 MB = **8.6× smaller on
-    disk**, probed cell dirs 8.1× fewer bytes. The ratio is bounded here
+    disk**; the cell dirs the 8 queries actually probe (12 of 16, derived
+    from the query's own nprobe ranking — ADVICE r09 fixed the old
+    arbitrary-3-dirs sample) are 8.6× fewer bytes too, compression being
+    uniform across cells. The ratio is bounded here
     by the 8-byte id and parquet framing amortized over only dim-64
     vectors (~81 B/row → ~9.4 B/row); for production dim-768 float32
     embeddings (~3 KB/row raw) the same m=96/ksub=256 layout lands at
@@ -861,8 +864,9 @@ def ivfpq_index_topk(
     """Top-k over a persisted IVF-PQ index: probe cells become a literal
     partition filter (same pruning as ``ivf_index_topk``) and the probed
     lists are scored by ADC lookups — disk reads are nprobe/n_centroids
-    of an already-PQ-compressed index (measured 8.1× fewer probed-dir
-    bytes on the dim-64 synthetic table — see write_ivfpq_index)."""
+    of an already-PQ-compressed index (measured 8.6× fewer probed-dir
+    bytes on the dim-64 synthetic table over the actually-probed cells —
+    see write_ivfpq_index)."""
     cents = spark.read.parquet(f"{path}/centroids")
     cb = read_pq_codebooks(spark, path)
     q = with_norm(queries, vec_col, parallelize=False).select(

@@ -520,6 +520,31 @@ def bigram_lm(
     )
 
 
+def _bpe_select_disjoint(
+    top: list, k: int
+) -> list[tuple[str, str, int]]:
+    """Greedy batched-BPE selection over a ranked (w1, w2, total) prefix:
+    take up to ``k`` pairs such that no later selection shares a symbol
+    with an earlier one OR has a symbol equal to an earlier selection's
+    concatenation. The first exclusion keeps counts exact under the
+    earlier merge (the shared symbol's occurrences change); the second
+    closes the stale-count hole where an earlier replace mints new tokens
+    of a later pair's symbol (select ``(a, bc)``, then ``(abc, d)``'s
+    pre-counted total is stale because new ``abc`` tokens now exist).
+    Pure driver-side function over the bounded collected prefix — split
+    out for direct unit testing (tests/test_llm_ops.py)."""
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for w1, w2, total in top:
+        if len(selected) == k:
+            break
+        if w1 in used or w2 in used:
+            continue
+        selected.append((w1, w2, int(total)))
+        used.update((w1, w2, w1 + w2))
+    return selected
+
+
 # Each BPE merge ROUND is one sequential driver-scheduled job; see
 # bpe_merges docstring for the regime this bounds.
 _BPE_MAX_ROUNDS = 1000
@@ -569,23 +594,34 @@ def bpe_merges(
     ``batch > 1`` is the large-vocabulary path: each round counts pairs
     once, collects the top ``64·batch+16`` ranked prefix (bounded driver
     traffic, capped at 64k rows), greedily selects up to ``batch`` pairs
-    that are
-    SYMBOL-DISJOINT from every higher-ranked selected pair (a pair
-    sharing a symbol with one already selected is skipped — its count
-    would change once the earlier merge applies), and applies all
-    selected merges in rank order as one chained ``replace`` pass with a
-    single checkpoint. Disjointness means applying one selected merge
-    cannot create or destroy occurrences of another, so every selected
-    pair's count is still exact when its merge applies. The merge TABLE
-    can deviate from strictly-sequential BPE in one case: a merge in the
-    batch creates a brand-new pair whose count exceeds a later selection
-    of the same round (sequential would rank the new pair first) — the
-    standard batched-BPE approximation, traded for training a 32k vocab
-    in ~500 rounds instead of 32k. ``batch=1`` is exactly sequential
-    Sennrich BPE and what the l41-family oracles replay.
+    that are SYMBOL-DISJOINT from every higher-ranked selected pair (a
+    pair sharing a symbol with one already selected is skipped — its
+    count would change once the earlier merge applies) AND whose symbols
+    do not equal any higher-ranked selection's *concatenation* (if
+    ``(a, bc)`` is selected, a later candidate ``(abc, d)`` is skipped:
+    the earlier replace mints new ``abc`` tokens, so the later pair's
+    pre-counted total would be stale when its replace applies). Together
+    the two exclusions guarantee no selected merge can create or destroy
+    occurrences of another selected pair, so every selected pair's count
+    is exact when its merge applies, and the chained rank-order
+    ``replace`` pass (one checkpoint per round) is order-safe.
 
-    ``ceil(n_merges / batch)`` above :data:`_BPE_MAX_ROUNDS` raises,
-    pointing at the per-round job cost.
+    **Training-equivalence contract**: ``batch=1`` is exactly sequential
+    Sennrich BPE — the canonical path, what the l41-family oracles
+    replay. ``batch>1`` deviates from sequential in one documented case:
+    a merge applied in the batch creates a BRAND-NEW pair whose count
+    would outrank a later selection of the same round (sequential
+    recounts after every merge and would pick the new pair first; the
+    batch cannot, since the new pair didn't exist when the round was
+    counted). This is the standard batched-BPE approximation — traded
+    for training a 32k vocab in ~500 rounds instead of 32k — and is
+    pinned by tests/test_llm_ops.py::test_bpe_batched_divergence_boundary.
+
+    ``ceil(n_merges / batch)`` above :data:`_BPE_MAX_ROUNDS` raises up
+    front; because greedy disjoint selection can legitimately pick fewer
+    than ``batch`` pairs in dense early rounds, the cap is ALSO enforced
+    on actual rounds inside the loop — the pre-check is an optimistic
+    estimate, not the guard.
     """
     if batch < 1:
         raise ValueError(f"bpe_merges: batch must be >= 1, got {batch}")
@@ -616,7 +652,19 @@ def bpe_merges(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
     while len(merges) < n_merges:
+        rounds += 1
+        if rounds > _BPE_MAX_ROUNDS:
+            # The pre-check above assumed every round selects a full
+            # batch; greedy disjoint selection can pick fewer (dense
+            # early rounds), so the real guard is here.
+            raise RuntimeError(
+                f"bpe_merges: exceeded {_BPE_MAX_ROUNDS} driver-scheduled "
+                f"rounds after {len(merges)}/{n_merges} merges — the "
+                "ranked prefix is too contended for this batch size; "
+                "raise batch or _BPE_MAX_ROUNDS deliberately."
+            )
         k = min(batch, n_merges - len(merges))
         syms = F.split(F.trim(F.col("state")), "  ")
         multi = vocab.filter(F.size(syms) >= 2).select(syms.alias("s"), "cnt")
@@ -651,23 +699,18 @@ def bpe_merges(
         )
         if not top:
             break
-        selected: list[tuple[str, str, int]] = []
-        used: set[str] = set()
-        for row in top:
-            if len(selected) == k:
-                break
-            if row.w1 in used or row.w2 in used:
-                continue  # count would shift once the earlier merge applies
-            selected.append((row.w1, row.w2, int(row.total)))
-            used.update((row.w1, row.w2))
+        selected = _bpe_select_disjoint(
+            [(row.w1, row.w2, row.total) for row in top], k
+        )
         state_col = F.col("state")
         for w1, w2, total in selected:
             merges.append((len(merges) + 1, w1, w2, total))
             # " w1  w2 " leaves the outer half of each boundary space in
             # place, so leftmost non-overlapping replace advances exactly
             # two symbols per match == canonical left-to-right greedy BPE.
-            # Chained in rank order; selected pairs are symbol-disjoint so
-            # the replaces commute and none invalidates another's count.
+            # Chained in rank order; selected pairs are symbol-disjoint
+            # AND concat-excluded, so no replace creates or destroys
+            # occurrences of another selection — counts stay exact.
             state_col = F.replace(
                 state_col, F.lit(f" {w1}  {w2} "), F.lit(f" {w1}{w2} ")
             )

@@ -39,92 +39,80 @@ from . import maintenance_specs  # noqa: F401,E402
 # snapshot can hold all of them. Specs not named here follow in registration
 # order; pytest runs the full registry regardless of order.
 _SNAPSHOT_PRIORITY: tuple[str, ...] = (
-    # r09 rotation — VERDICT r08 directive 6 (burn the r05-stale witness
-    # tail) + re-witness everything whose implementation moved in r09. All
-    # 50 slots are named (ADVICE r08). Oracle-backed first; rows-only tail
-    # last so budget truncation never costs oracle coverage.
+    # r10 rotation — VERDICT r09 directive 3: burn the ENTIRE 24-spec
+    # r06-stale witness backlog (nothing in CORRECTNESS_r10 may be older
+    # than r07), re-witness every spec whose implementation changed in
+    # r10, then fill with the oldest r07-stale rows. Oracle-backed first;
+    # rows-only tail last so budget truncation never costs oracle
+    # coverage.
     #
-    # -- r05-stale backlog (oracle): the full 12 deferred from r08 -----------
-    "g16_tumbling_window",
-    "g16b_sliding_window",
-    "g17_sessionization",
-    "l03_token_count",
-    "l04_language_id",
-    "l05_fingerprint",
-    "l08_simhash_dedup",
-    "l09_cosine_topk",
-    "l19_decontamination",
-    "l21_hash_split",
-    "l22_editdist_dedup",
-    "v02b_sequence_gap_scalable",
-    # -- first oracle rows: the WHOLE streaming family gained real DuckDB
-    # oracles in r09. o2b/o2c/o2e/o2f via the deterministic-batching harness
-    # (one pinned-mtime file per trigger; o2c replays the dedup state chain
-    # with a recursive CTE, o2e's ts-ordered feed makes the streamed interval
-    # join provably equal the batch join, o2f's sealed sessions are gap
-    # islands under the final watermark, o2b's applyInPandasWithState
-    # emissions reduce to windowed aggregates with checkpoint-resumed batch
-    # ids); o2 via o1's shared fixture-regeneration digest oracle — the
-    # streamed warehouse must be byte-equivalent to a clean batch backfill --
-    "o2_streaming_tail",
-    "o2b_stateful_streaming",
-    "o2c_stream_dedup_watermark",
-    "o2e_stream_stream_join",
-    "o2f_streaming_session_window",
-    # -- refreshes: implementation moved in r09 after the r08 rows (oracle).
-    # The dedup family got the window-fused stop-shingle valve and the
-    # CHECKPOINT_MODE materialization pass; the BPE family's training loop
-    # was rewritten for batched merges (batch=1 canonical path re-witness) --
-    "l06_ngram_jaccard_dedup",
-    "l07_minhash_lsh_dedup",
-    "l17_neardup_components",
-    "l18_neardup_components_star",
+    # -- r06-stale backlog (oracle): all 24, query layer first ---------------
+    "q08_dynamic_conjuncts",
+    "q09_union_all_projection",
+    "q10_direction_dispatch",
+    "g28_returns_by_customer_tpch_q10",
+    "g29_supplier_diversity_tpch_q16",
+    "k12_incremental_agg",
+    "k78_partition_mutations",
+    "l10_ann_lsh_topk",
+    "l11_embedding_neardup",
+    "l12_ann_ivf_topk",
+    "l19x_decontamination_shuffle",
+    "l20_sequence_packing",
+    "l23_boilerplate_chunks",
+    "l24_vocab_coverage",
+    "l25_intradoc_chunk_dedup",
+    "l26_training_shuffle",
+    "l27_quality_classifier",
+    "l28_pq_adc_topk",
+    "l29_ivfpq_topk",
+    "l36_duplicated_spans",
+    "l38_pagerank",
+    "c01_corpus_prep",
+    "c02_corpus_mix",
+    "c03_corpus_clean",
+    # -- re-witness r10 code changes (oracle): l18b's star-CC input is no
+    # longer checkpointed (input_mode="none" — the r09 eager default was
+    # the +29% driver regression, A/B'd in scripts/l18b_ckpt_ab.py); o1's
+    # receipts join gained the RECEIPTS_JOIN_HINT knob (production path
+    # unchanged, decode.py edited); the BPE trainer's batch selection was
+    # factored into _bpe_select_disjoint and gained the concat exclusion
+    # (batch=1 semantics identical — re-witness the canonical path) -----------
     "l18b_star_cc_chains",
-    "c04_fuzzy_dedup",
-    "c06_incremental_dedup",
-    "c07_canonical_per_cluster",
-    # l06x promoted to oracle in r09: absent a 64-bit shingle-hash
-    # collision (~7e-11/run at snapshot scale) its output is identical to
-    # l06's, so l06's oracle applies verbatim
-    "l06x_ngram_jaccard_xxhash",
+    "o1_backfill_pipeline",
     "l41_bpe_merges",
     "l41b_bpe_vocab",
     "l43_bpe_token_count",
-    # -- first oracle rows, multimodal: m01-m04 gained md5-chain replay
-    # oracles in r09 (exact-int feature math + hex payload comparison —
-    # see multimodal_specs module docstring); m01 was an r05-stale
-    # rows-only cut ADVICE r08 flagged, now promoted outright ----------------
-    "m01_image_features",
-    "m02_image_resize",
-    "m03_audio_features",
-    "m04_video_frame_sample",
-    # -- r06-stale fills (oracle), query/verify layer first, then the rest
-    # by staleness. The r06 specs NOT fitting this snapshot (q08, q09, q10,
-    # g28, g29, k12, k78, l10, l11, l12, l19x, l20, l23, l24, l25, l26,
-    # l27, l36, l38, c01, c02, c03 — all oracle-backed) are the r10
-    # rotation's backlog -----------------------------------------------------
-    "q02_point_by_number",
-    "q03_point_by_string_key",
-    "q04_full_scan",
-    "q05_range_scan",
-    "q05b_range_scan_open",
-    "q06_children_of_parent",
-    "q07_point_composite_key",
-    "q11_catalog_partitions",
-    "v02_sequence_gap_check",
-    "g01_hash_agg_tpch_q1",
-    "g21_percentiles",
-    "g22_salted_aggregation",
-    "g23_salted_join",
-    "j01_asof_join",
-    # -- rows-only tail: l41c is new in r09 (batched BPE, never witnessed);
-    # g06b is the remaining r05-stale rows-only cut ADVICE r08 flagged;
-    # l07x re-witnesses the moved dedup implementation on the xxhash
-    # production path (its xxhash BANDING is genuinely un-replayable —
-    # different random hyperplanes than md5 — unlike l06x's key hashing) ------
+    # -- r07-stale fills (oracle), breadth across families: verify layer,
+    # lake maintenance, layout, corpus composites, temporal, then the text
+    # ops that would otherwise rot to 3 rounds. The r07 specs NOT fitting
+    # (g31/g32/g34-g38 TPC-H, l15, l31-l33, l35, l37, l39, l40, m05 — all
+    # oracle-backed and pytest-green every round) are the r11 backlog ---------
+    "v04_tip_comparison",
+    "v05_column_profile",
+    "v06_referential_check",
+    "k09_retention_cleanup",
+    "k11_compaction",
+    "k13_incremental_join",
+    "g30_zorder_layout",
+    "g33_bucketed_colocated_join",
+    "j02_range_join",
+    "c05_training_ready",
+    "c08_span_excision",
+    "c09_corpus_snapshot_diff",
+    "l13_repetition_stats",
+    "l14_pii_scrub",
+    "l16_vocab_topk",
+    "l30_gopher_quality",
+    "l34_bloom_decontamination",
+    "l42_hashed_embedding",
+    # -- rows-only tail: l41c re-witnesses the r10 concat-exclusion change
+    # on the batched path (genuinely divergent output vs r09 — see
+    # test_bpe_batched_divergence_boundary); g21b/l12b are the oldest
+    # remaining rows-only rows (r07) ------------------------------------------
     "l41c_bpe_batched",
-    "g06b_approx_distinct",
-    "l07x_minhash_lsh_xxhash",
+    "g21b_approx_sketches",
+    "l12b_ann_ivf_kmeans",
 )
 
 

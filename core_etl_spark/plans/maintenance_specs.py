@@ -4,9 +4,14 @@ K6 (maturity) and K10 (reorg detection) are pure transforms, so they get
 full DuckDB oracles over a shared-dialect fixture CTE (same pattern as
 decode_specs). The genuinely stateful ops — K7/K8 partition rewrite, the O2
 streaming tail with checkpointing — run a real temp warehouse inside the
-builder and return a *summary DataFrame* of the resulting state; those are
-rows-only checks by nature (the driver records the weaker gate; the invariant
-assertions live in tests/test_lake.py and tests/test_streaming.py).
+builder and return a *summary DataFrame* of the resulting state. Since r09
+these are oracle-backed too: the builders run deterministically (pinned
+fixture mtimes, one file per trigger) and the summary reduces to something
+DuckDB can replay — o2's streamed warehouse must digest-equal a clean batch
+backfill (o1's shared fixture-regeneration oracle), and the o2b/o2c/o2e/o2f
+state machines are replayed with recursive CTEs / window SQL (see each
+spec's oracle comment). The invariant assertions additionally live in
+tests/test_lake.py and tests/test_streaming.py.
 """
 
 from __future__ import annotations

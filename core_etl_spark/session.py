@@ -35,9 +35,14 @@ def get_spark(
       scale) should broadcast rather than shuffle.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_MASTER lets the soak harnesses run the same code under
+    # ``local-cluster[W,C,MB]`` (real executor JVMs + network shuffle +
+    # serialization boundaries — the closest a single box gets to cluster
+    # behavior) without editing call sites. Explicit ``master=`` wins.
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or env_master or f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
@@ -55,6 +60,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Only meaningful off local[*]: under local-cluster each executor
+        # JVM gets this heap (must fit the worker's memory-per-worker MB).
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

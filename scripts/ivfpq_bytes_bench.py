@@ -30,6 +30,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from core_etl_spark.operators import similarity as S
 from core_etl_spark.session import get_spark
@@ -99,28 +100,46 @@ def main() -> None:
             out = fn(spark, path, queries, k=5, nprobe=3)
             rows = out.count()
             b1 = input_bytes(spark)
-            # the partition dirs the probe filter admits
-            cells = sorted(
-                {r.cell for r in out.sparkSession.read.parquet(f"{path}/lists")
-                 .select("cell").limit(0).collect()}
-            )
             results[name] = {"rows": rows, "scan_bytes": b1 - b0}
             print(f"{name}: topk rows={rows} scan_input_bytes={b1 - b0:,}",
                   flush=True)
         r = results["ivf"]["scan_bytes"] / max(results["ivfpq"]["scan_bytes"], 1)
         print(f"probe scan ratio (ivf/ivfpq): {r:.1f}x", flush=True)
 
-        # probed-directory bytes with the shared deterministic centroids:
-        # both probes pick the same cells, so compare the same cell dirs
-        probed = [
-            d for d in os.listdir(f"{root}/ivf/lists") if d.startswith("cell=")
-        ][:3]
+        # probed-directory bytes over the cells the queries ACTUALLY probe
+        # (ADVICE r09: the old code summed the first 3 listdir entries —
+        # arbitrary filesystem order). Replay the query's own probe
+        # ranking: top-nprobe centroids by cosine per query, same as
+        # ivf_index_topk / ivfpq_index_topk. Both indexes share the
+        # deterministic centroids, so one probed-cell set serves both.
+        cents = spark.read.parquet(f"{root}/ivf/centroids")
+        q = S.with_norm(queries, "embedding", parallelize=False).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_dec").alias("q_dec"),
+            F.col("_normsq").alias("q_normsq"),
+        )
+        qscored = q.crossJoin(F.broadcast(cents)).withColumn(
+            "_cos",
+            S.cosine(S._dot(F.col("q_dec"), F.col("c_dec")),
+                     F.col("q_normsq"), F.col("c_normsq")),
+        )
+        wq = W.partitionBy("query_id").orderBy(F.desc("_cos"), "cent_id")
+        probed_cells = sorted({
+            r.cell
+            for r in qscored.withColumn("_pr", F.row_number().over(wq))
+            .filter(F.col("_pr") <= 3)
+            .select(F.col("cent_id").alias("cell"))
+            .distinct()
+            .collect()
+        })
+        probed = [f"cell={c}" for c in probed_cells]
         ivf_probe = sum(tree_bytes(os.path.join(f"{root}/ivf/lists", d)) for d in probed)
         pq_probe = sum(
             tree_bytes(os.path.join(f"{root}/ivfpq/lists", d)) for d in probed
         )
         print(
-            f"3 probed cell dirs: ivf={ivf_probe:,} B ivfpq={pq_probe:,} B "
+            f"{len(probed)} probed cell dirs {probed_cells}: "
+            f"ivf={ivf_probe:,} B ivfpq={pq_probe:,} B "
             f"ratio={ivf_probe / pq_probe:.1f}x",
             flush=True,
         )

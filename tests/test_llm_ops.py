@@ -1480,8 +1480,9 @@ def test_bpe_n_merges_guard(spark):
 def _bpe_batched_reference(words: dict[str, int], n_merges: int, batch: int):
     """Pure-Python replay of the BATCHED trainer's exact semantics:
     per round, rank pairs (count desc, lexicographic), scan the
-    64·k+16 prefix, greedily take up to k symbol-disjoint pairs, apply
-    their replaces in rank order."""
+    64·k+16 prefix, greedily take up to k pairs that are symbol-disjoint
+    AND concat-excluded (no symbol equal to an earlier selection's
+    concatenation), apply their replaces in rank order."""
     state = {w: "  " + "".join(ch + "  " for ch in w) for w in words}
     merges = []
     while len(merges) < n_merges:
@@ -1503,7 +1504,7 @@ def _bpe_batched_reference(words: dict[str, int], n_merges: int, batch: int):
             if a in used or b in used:
                 continue
             sel.append((a, b, c))
-            used.update((a, b))
+            used.update((a, b, a + b))
         for a, b, c in sel:
             merges.append((len(merges) + 1, a, b, c))
             state = {
@@ -1565,6 +1566,63 @@ def test_bpe_batched_round_guard(spark):
         X.bpe_merges(df, n_merges=5000, batch=1)
     # 5000 merges at batch=64 is 79 rounds — inside the guard
     X.bpe_merges(df, n_merges=5000, batch=64)
+
+
+def test_bpe_round_guard_enforced_in_loop(spark, monkeypatch):
+    """The pre-check assumes every round selects a full batch; greedy
+    disjoint selection can pick fewer, so the real cap is enforced on
+    ACTUAL rounds (ADVICE r09). With the cap forced to 1, a contended
+    batch=2 corpus (every top pair shares a symbol, so each round
+    selects one pair) needs 2 rounds for 2 merges and must raise."""
+    from core_etl_spark.operators import text as T
+    # chain word: every adjacent pair shares symbols with the top pair
+    df = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    monkeypatch.setattr(T, "_BPE_MAX_ROUNDS", 1)
+    with pytest.raises(RuntimeError, match="rounds"):
+        # estimate ceil(2/2)=1 round passes the pre-check, but round 1
+        # selects only (a,a) — (aa,?) candidates are concat-excluded and
+        # everything else shares 'a' — so a 2nd round is needed
+        X.bpe_merges(df, n_merges=2, batch=2)
+
+
+def test_bpe_select_disjoint_concat_exclusion():
+    """The stale-count hole directly (ADVICE r09): once (a, bc) is
+    selected, its replace mints new 'abc' tokens, so any same-round
+    candidate with symbol 'abc' carries a stale pre-count and must be
+    skipped — selection takes the next clean pair instead."""
+    from core_etl_spark.operators.text import _bpe_select_disjoint
+    ranked = [("a", "bc", 100), ("abc", "d", 90), ("d", "abc", 85), ("x", "y", 80)]
+    assert _bpe_select_disjoint(ranked, 2) == [("a", "bc", 100), ("x", "y", 80)]
+    # symbol-sharing exclusion still applies first
+    ranked2 = [("a", "b", 50), ("b", "c", 49), ("c", "d", 48)]
+    assert _bpe_select_disjoint(ranked2, 3) == [("a", "b", 50), ("c", "d", 48)]
+
+
+def test_bpe_batched_divergence_boundary(spark):
+    """The documented training-equivalence contract (VERDICT r09
+    directive 6): batch>1 diverges from sequential exactly when a merge
+    applied in the batch creates a brand-new pair whose count outranks a
+    later same-round selection. Corpus: 'abc'×30 + 'de'×20. Sequential
+    recounts after merging (a,b) and sees the new pair (ab,c) at count
+    30 > (d,e) at 20; the batch counted before any merge, so (ab,c)
+    didn't exist and (d,e) is taken instead."""
+    rows = [(i, "abc") for i in range(30)] + [(100 + i, "de") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seq = [
+        (r.w1, r.w2, r.pair_count)
+        for r in X.bpe_merges(df, n_merges=2).orderBy("merge_idx").collect()
+    ]
+    bat = [
+        (r.w1, r.w2, r.pair_count)
+        for r in X.bpe_merges(df, n_merges=2, batch=2).orderBy("merge_idx").collect()
+    ]
+    assert seq == [("a", "b", 30), ("ab", "c", 30)]
+    assert bat == [("a", "b", 30), ("d", "e", 20)]
+    # and the pure-Python contract encodes the same boundary
+    words = {"abc": 30, "de": 20}
+    assert _bpe_batched_reference(words, 2, batch=2) == [
+        (1, "a", "b", 30), (2, "d", "e", 20)
+    ]
 
 
 def test_hashed_embedding_feeds_similarity_stack(spark):

@@ -241,6 +241,123 @@ def test_video_real_codec_is_gated():
         M._decode_video_real(b"\x00\x00\x00\x18ftypmp42")
 
 
+# --- stdlib PNG real-codec path (VERDICT r09 stretch 8): runs EVERYWHERE ------
+
+def _png_encode(pix: np.ndarray, filters=None) -> bytes:
+    """Minimal stdlib PNG encoder for tests: 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced, one IDAT. ``filters`` assigns a filter type per row
+    (default all-0) by applying the FORWARD filter transform, so the
+    decoder's unfilter of every type 0-4 is exercised against known pixels."""
+    import zlib
+
+    h, w, ch = pix.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    flat = pix.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            a = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            enc = (cur - a) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            a = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+            enc = (cur - ((a + prev) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            enc = np.zeros(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_stdlib_roundtrip_all_filters():
+    """Every PNG filter type (0-4) decodes back to the exact pixels, for
+    RGB and for grayscale (lifted to HxWx1)."""
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, size=(10, 5, 3)).astype(np.uint8)
+    png = _png_encode(pix, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    got = M._decode_image_real(png)
+    assert got.shape == (10, 5, 3)
+    assert np.array_equal(got, pix)
+    gray = rng.randint(0, 256, size=(6, 9, 1)).astype(np.uint8)
+    got_g = M._decode_image_real(_png_encode(gray, filters=[4, 3, 2, 1, 0, 4]))
+    assert got_g.shape == (6, 9, 1)
+    assert np.array_equal(got_g, gray)
+
+
+def test_png_stdlib_rejects_unsupported():
+    # 16-bit depth → NotImplementedError pointing at Pillow
+    import zlib as _z
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M._decode_png_stdlib(bad)
+    with pytest.raises(ValueError, match="PNG"):
+        M._decode_png_stdlib(b"not a png at all")
+
+
+def test_image_features_real_codec_stdlib_png(spark):
+    """The real-codec swap claim, proven end-to-end for images WITHOUT
+    Pillow: identical features from a genuine PNG payload (stdlib decode)
+    as from the fake-raw pixels — schema, batching, and feature math all
+    shared; only the decode differs."""
+    rng = np.random.RandomState(11)
+    pix = rng.randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(_png_encode(pix, filters=[2, 4, 1, 3, 0, 4, 2, 1, 3]))),
+        (2, "image", _img_payload(pix)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    real = M.image_features(media.filter("media_id = 1"), codec="real").first()
+    fake = M.image_features(media.filter("media_id = 2"), codec="fake").first()
+    assert (real.width, real.height, real.channels) == (7, 9, 3)
+    assert real.mean_intensity == fake.mean_intensity
+    assert real.std_intensity == fake.std_intensity
+    assert list(real.histogram) == list(fake.histogram)
+
+
+def test_resize_real_codec_stdlib_png(spark):
+    pix = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_png_encode(pix))), (2, "image", _img_payload(pix))],
+        "media_id long, kind string, payload binary",
+    )
+    real = M.resize_images(media.filter("media_id = 1"), 4, 3, codec="real").first()
+    fake = M.resize_images(media.filter("media_id = 2"), 4, 3, codec="fake").first()
+    assert bytes(real.payload) == bytes(fake.payload)
+
+
 def test_unknown_codec_rejected(spark):
     media = spark.createDataFrame(
         [(1, "image", bytearray(b"I"))], "media_id long, kind string, payload binary"
