@@ -637,6 +637,72 @@ def pq_encode(
     )
 
 
+def pq_encode_pandas(
+    corpus: DataFrame,
+    codebooks: list[list[list]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production-dim PQ encoder: same output contract as
+    :func:`pq_encode` (one row of ``m`` codes per vector, code_j = argmin
+    squared L2 to the j-th sub-codebook, first-min tie-break), but
+    Arrow-batched numpy instead of a constant-folded expression tree.
+
+    Why it exists: ``pq_encode`` folds the codebook into the plan as
+    literals — ideal at m=4/ksub=16 (512 literals, whole-stage codegen,
+    exact decimals), but the expression tree is O(m·ksub·dsub); at the
+    production dim-768 / m=96 / ksub=256 layout that is ~200k scalar
+    expressions and Catalyst/codegen stops being the right tool (measured
+    in scripts/ivfpq_dim768_bench.py: the literal plan takes longer to
+    CONSTRUCT than the pandas path takes to run). This encoder broadcasts
+    the codebook array with the Arrow batch machinery (m·ksub·dsub
+    float64 ≈ 1.5 MB at the production layout — executor-trivial) and
+    does one vectorized ``argmin`` per subspace per batch; still ZERO
+    shuffle, still one pass over the corpus.
+
+    Numeric contract: inputs are rounded to 3 dp like the decimal path
+    (np.round is HALF_EVEN where Spark's ``round`` is HALF_UP — coords
+    sitting exactly on a 0.0005 boundary can round differently), then
+    distances run in float64 — argmin can differ from the exact-decimal
+    path only on sub-1e-9 near-ties. This is the throughput variant, not
+    the oracle-parity variant (tested code-equal on the l28-config in
+    tests/test_llm_ops.py, including tie-breaks)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(
+        [[[float(x) for x in code] for code in sub] for sub in codebooks],
+        dtype=np.float64,
+    )  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.round(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]), 3
+            )
+            n, dim = vecs.shape
+            if dim != m * dsub:
+                raise ValueError(f"dim {dim} != m*dsub {m * dsub}")
+            sub = vecs.reshape(n, m, dsub)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant
+                # per row for the argmin, so skip it
+                d = cb_sq[j][None, :] - 2.0 * (sub[:, j, :] @ cb[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run, schema="id long, codes array<int>"
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -799,12 +865,14 @@ def write_ivfpq_index(
     arbitrary-3-dirs sample) are 8.6× fewer bytes too, compression being
     uniform across cells. The ratio is bounded here
     by the 8-byte id and parquet framing amortized over only dim-64
-    vectors (~81 B/row → ~9.4 B/row); for production dim-768 float32
-    embeddings (~3 KB/row raw) the same m=96/ksub=256 layout lands at
-    ~100 B/row — that, not this synthetic table, is the regime where the
-    classic ~30-100× PQ shrink holds. Probe cost scales with the same
-    ratio: each query batch reads nprobe/n_centroids of an
-    already-compressed index."""
+    vectors (~81 B/row → ~9.4 B/row). The production regime is now also
+    MEASURED (scripts/ivfpq_dim768_bench.py, r10: 20k per-coordinate-
+    distinct dim-768 vectors, m=96/ksub=256, codes via
+    :func:`pq_encode_pandas`): PQ lists land at **76 B/row** vs 1,718
+    B/row for the raw decimal lists (**22.4×**) and 3,072 B/row raw
+    float32 (**40.1×**) — inside the classic 30-100× PQ band. Probe cost
+    scales with the same ratio: each query batch reads
+    nprobe/n_centroids of an already-compressed index."""
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
         corpus, m, ksub, vec_col, id_col
     )

@@ -772,6 +772,45 @@ def test_pq_encode_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_pq_encode_pandas_matches_literal_encoder(spark):
+    """The production-dim encoder (Arrow-batched numpy argmin) must emit
+    the same codes as the literal-expression pq_encode on a config where
+    float64 vs exact-decimal distances cannot disagree (integral coords,
+    distinct distances) — including the first-min tie-break on the
+    codebook vectors themselves."""
+    extra = [(100 + i, [float(3 * i + 2)] * 64) for i in range(20)]
+    corpus = _pq_base_corpus(spark, extra)
+    cb = S.pq_codebooks_first_k(corpus)
+    lit = {r.id: list(r.codes) for r in S.pq_encode(corpus, cb).collect()}
+    pdp = {r.id: list(r.codes) for r in S.pq_encode_pandas(corpus, cb).collect()}
+    assert lit == pdp
+    # and the numpy path is shuffle-free too (mapInPandas over the scan)
+    plan = (
+        S.pq_encode_pandas(corpus, cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pq_encode_pandas_production_layout_smoke(spark):
+    """m=96 / ksub=256 at dim-768 — the layout the literal encoder cannot
+    plan (r10: >7 min of py4j expression building alone). The pandas
+    encoder runs it in seconds; codebook vectors still get their own
+    codes."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, [round(float(x), 3) for x in rng.uniform(-1, 1, 768)])
+        for i in range(300)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = S.pq_codebooks_first_k(corpus, m=96, ksub=256)
+    out = {r.id: list(r.codes) for r in S.pq_encode_pandas(corpus, cb).collect()}
+    assert len(out) == 300 and all(len(c) == 96 for c in out.values())
+    for i in range(0, 256, 51):
+        assert out[i] == [i] * 96  # own sub-codebook word at distance 0
+
+
 def test_pq_adc_retrieves_planted_cluster(spark):
     """Near-copies of codebook word 3 must encode to code 3 everywhere and
     come back first (with word 3 itself) for a query inside the cluster."""
