@@ -71,9 +71,11 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "c01_corpus_prep",
     "c02_corpus_mix",
     "c03_corpus_clean",
-    # -- re-witness r10 code changes (oracle): l18b's star-CC input is no
-    # longer checkpointed (input_mode="none" — the r09 eager default was
-    # the +29% driver regression, A/B'd in scripts/l18b_ckpt_ab.py); o1's
+    # -- re-witness r10 code changes (oracle): l18b's star-CC input keeps
+    # the eager module default (the r10 A/B pair found the +29% "regression"
+    # was session noise — fresh vs bench-session rankings FLIP, see
+    # scripts/l18b_ckpt_ab.py / l18b_insession_ab.py), but the new
+    # input_mode override touched its code path; o1's
     # receipts join gained the RECEIPTS_JOIN_HINT knob (production path
     # unchanged, decode.py edited); the BPE trainer's batch selection was
     # factored into _bpe_select_disjoint and gained the concat exclusion
