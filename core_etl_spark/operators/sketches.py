@@ -1,0 +1,240 @@
+"""Portable sketches — cross-engine-deterministic HyperLogLog and
+deterministic-sample quantiles (SURVEY §2.8 approx family).
+
+Spark's built-in sketches (``approx_count_distinct`` HLL++,
+``percentile_approx`` KLL-style digest — specs g06b/g21b) are the fast
+path at 100 TB, but their register layouts are engine-private: the same
+data gives different estimates on a different engine, so the specs can
+only be rows-only-checked. These operators close that gap with sketches
+whose STATE is plain integer columns derived from md5 — every
+intermediate (bucket, rho, scaled register sum) and the final estimate
+replay bit-for-bit in any engine with md5/substr/bin/pow, which is what
+lets g06c/g21c carry full DuckDB value-hash oracles.
+
+Portability rules (all verified against DuckDB in tests/test_parity):
+
+- hash = md5 of the key's decimal string — identical bytes everywhere;
+- hex→int via 8-hex-char (32-bit) words, so BIGINT never overflows
+  (Spark ``conv(hex,16,10)`` == DuckDB ``CAST('0x'||hex AS BIGINT)``);
+- rho (leading-zero rank) from ``33 - length(bin(word))`` — both engines
+  print ``bin`` without leading zeros, no float log2 at bucket edges;
+- the register sum is INTEGER-scaled by 2^33 (each bucket contributes
+  2^(33-rho), empty buckets 2^33), so the only float ops are one final
+  division and, in the linear-counting branch, one ``ln`` — both rounded
+  to 4 dp, far above last-ulp libm divergence.
+
+Scale shape: ``hll_registers`` is one pass with map-side partial
+``max(rho)`` per (group, bucket) — each mapper emits ≤ m rows per group
+regardless of input size, the shuffle moves registers, never rows, and
+merging two register tables is the same ``max``, which is how partial
+sketches from 1000 executors (or 1000 days of increments) combine
+without re-reading data. ``sampled_quantiles`` filters on a hash bit
+range before any shuffle, so the sort/percentile work downstream sees
+1/2^shift of the rows.
+
+Accuracy: standard HLL, ±1.04/sqrt(m) relative std error (m=4096 →
+~1.6%), with the linear-counting correction below 2.5m. The 32-bit rho
+word makes estimates above ~100M per group drift low (the classic
+large-range regime); callers counting beyond that should raise ``p``
+and widen the word to 12 hex chars — the test pins the documented range.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: scaling exponent for the integer register sum: contribution 2^(33-rho),
+#: rho ∈ [1, 33] for a 32-bit word → contributions are exact BIGINTs.
+_RHO_MAX = 33
+_SCALE = float(1 << _RHO_MAX)  # 2^33, exactly representable
+
+
+def _hash_words(key: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit words from md5 of the key's string form."""
+    h = F.md5(key.cast("string"))
+    w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return w1, w2
+
+
+def _alpha(m: int) -> str:
+    """HLL bias constant as a SQL-literal expression (kept textual so the
+    Spark and DuckDB sides evaluate the identical IEEE expression)."""
+    assert m >= 128, "portable HLL supports p >= 7"
+    return f"0.7213 / (1 + 1.079 / {m}.0)"
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 12, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """One-pass HLL register table: (group_cols..., bucket, rho).
+
+    bucket = first 32-bit md5 word mod 2^p; rho = leading-zero rank of the
+    second word (33 - bin-length, 33 when the word is 0). The groupBy's
+    map-side partial ``max`` bounds every mapper's output at m rows per
+    group — the sketch, not the data, is what shuffles.
+    """
+    m = 1 << p
+    w1, w2 = _hash_words(F.col(col))
+    rho = (
+        F.when(w2 == 0, F.lit(_RHO_MAX))
+        .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(w2)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, (w1 % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    registers: Iterable[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge register tables (partial sketches) — union + max per bucket.
+    Exactly the combine step a 1000-executor tree aggregation or an
+    incremental daily sketch store performs; tests assert merge(halves)
+    is frame-identical to a single-pass sketch of the whole."""
+    regs = list(registers)
+    out = regs[0]
+    for r in regs[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 12,
+    group_cols: Sequence[str] = (),
+    estimate_col: str = "estimate",
+) -> DataFrame:
+    """Estimate from a register table: integer-scaled harmonic mean +
+    linear-counting correction below 2.5m, rounded to 4 dp.
+
+    Output columns: group_cols..., used_buckets, zero_buckets,
+    sum_scaled (the exact BIGINT register sum — the auditable sketch
+    state), <estimate_col>.
+    """
+    m = 1 << p
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("used_buckets"),
+        F.sum(F.expr(f"CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT)")).alias(
+            "_present"
+        ),
+    )
+    zeros = F.lit(m) - F.col("used_buckets")
+    sum_scaled = (F.col("_present") + zeros * F.lit(int(_SCALE))).cast("long")
+    with_state = agg.withColumn("zero_buckets", zeros.cast("long")).withColumn(
+        "sum_scaled", sum_scaled
+    )
+    raw = F.expr(
+        f"({_alpha(m)}) * {m}.0 * {m}.0 * {_SCALE} / CAST(sum_scaled AS DOUBLE)"
+    )
+    linear = F.expr(f"{m}.0 * ln({m}.0 / zero_buckets)")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zero_buckets") > 0), linear
+    ).otherwise(raw)
+    return with_state.select(
+        *group_cols,
+        F.col("used_buckets").cast("long").alias("used_buckets"),
+        "zero_buckets",
+        "sum_scaled",
+        F.round(est, 4).alias(estimate_col),
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 12,
+    group_cols: Sequence[str] = (),
+    estimate_col: str = "estimate",
+) -> DataFrame:
+    """End-to-end portable approx-distinct: registers → estimate."""
+    regs = hll_registers(df, col, p=p, group_cols=group_cols)
+    return hll_estimate(
+        regs, p=p, group_cols=group_cols, estimate_col=estimate_col
+    )
+
+
+def hll_oracle_sql(
+    table: str,
+    key_expr: str,
+    p: int = 12,
+    group_expr: str | None = None,
+    group_alias: str = "g",
+    estimate_col: str = "estimate",
+) -> str:
+    """The DuckDB replay of registers+estimate — generated here so the two
+    dialects share one set of constants (the g30 zorder-oracle pattern)."""
+    m = 1 << p
+    scale_int = 1 << _RHO_MAX
+    g_sel = f"{group_expr} AS {group_alias}, " if group_expr else ""
+    g_col = f"{group_alias}, " if group_expr else ""
+    g_by = f"GROUP BY {group_alias}" if group_expr else ""
+    raw = (
+        f"({_alpha(m)}) * {m}.0 * {m}.0 * {_SCALE} / CAST(sum_scaled AS DOUBLE)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT {g_sel}md5(CAST({key_expr} AS VARCHAR)) AS hx FROM {table}
+        ), buckets AS (
+            SELECT {g_col}
+                   CAST('0x' || substr(hx, 1, 8) AS BIGINT) % {m} AS bucket,
+                   CASE WHEN CAST('0x' || substr(hx, 9, 8) AS BIGINT) = 0
+                        THEN {_RHO_MAX}
+                        ELSE {_RHO_MAX} - length(bin(CAST('0x' || substr(hx, 9, 8) AS BIGINT)))
+                   END AS rho
+            FROM hashed
+        ), regs AS (
+            SELECT {g_col}bucket, MAX(rho) AS rho FROM buckets
+            GROUP BY {g_col}bucket
+        ), agg AS (
+            SELECT {g_col}COUNT(*) AS used_buckets,
+                   SUM(CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT)) AS present
+            FROM regs {g_by}
+        ), state AS (
+            SELECT {g_col}CAST(used_buckets AS BIGINT) AS used_buckets,
+                   CAST({m} - used_buckets AS BIGINT) AS zero_buckets,
+                   CAST(present + ({m} - used_buckets) * {scale_int} AS BIGINT)
+                       AS sum_scaled
+            FROM agg
+        )
+        SELECT {g_col}used_buckets, zero_buckets, sum_scaled,
+               round(CASE WHEN {raw} <= {2.5 * m} AND zero_buckets > 0
+                          THEN {m}.0 * ln({m}.0 / zero_buckets)
+                          ELSE {raw} END, 4) AS {estimate_col}
+        FROM state
+    """
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    row_key: Column,
+    probs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    shift: int = 4,
+) -> DataFrame:
+    """Deterministic-hash-sample quantiles: keep rows whose 32-bit md5
+    word of ``row_key`` falls below 2^(32-shift) (rate 1/2^shift), then
+    take EXACT interpolated percentiles of the sample.
+
+    Unlike rand()-sampling the selected set is a pure function of the
+    data, so any engine recomputes the identical sample — a quantile
+    "sketch" whose answer is replayable in SQL. The filter runs before
+    any shuffle; downstream sort/percentile work sees 1/2^shift of the
+    rows, which is the whole scale trick. Output: group_cols...,
+    n_sample, p_<prob> columns rounded to 4 dp (the g21 parity recipe).
+    """
+    w1, _ = _hash_words(row_key)
+    sampled = df.filter(w1 < F.lit(1 << (32 - shift)))
+    aggs = [F.count("*").cast("long").alias("n_sample")]
+    for q in probs:
+        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        aggs.append(
+            F.round(F.expr(f"percentile({value_col}, {q})"), 4).alias(name)
+        )
+    return sampled.groupBy(*group_cols).agg(*aggs)

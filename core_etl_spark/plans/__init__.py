@@ -108,13 +108,15 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l30_gopher_quality",
     "l34_bloom_decontamination",
     "l42_hashed_embedding",
+    # -- r10-new specs: the portable sketches must not land never-witnessed
+    # (they displace g21b/l12b — both rows-only, both r07-green, both
+    # pytest-covered; they rotate back in r11) --------------------------------
+    "g06c_portable_hll",
+    "g21c_sampled_quantiles",
     # -- rows-only tail: l41c re-witnesses the r10 concat-exclusion change
     # on the batched path (genuinely divergent output vs r09 — see
-    # test_bpe_batched_divergence_boundary); g21b/l12b are the oldest
-    # remaining rows-only rows (r07) ------------------------------------------
+    # test_bpe_batched_divergence_boundary) -----------------------------------
     "l41c_bpe_batched",
-    "g21b_approx_sketches",
-    "l12b_ann_ivf_kmeans",
 )
 
 

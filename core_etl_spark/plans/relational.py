@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..operators import sketches
 from .base import register, shared_sql
 
 # Exact-decimal money arithmetic (values < 1e10, 2-dec cents; discount/tax
@@ -199,6 +200,37 @@ def g06b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return t["orders"].agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@register(
+    "g06c_portable_hll",
+    tables=("orders",),
+    oracle=sketches.hll_oracle_sql(
+        "orders",
+        "o_custkey",
+        p=12,
+        group_expr="o_orderstatus",
+        group_alias="o_orderstatus",
+        estimate_col="approx_customers",
+    ),
+    tags=("gap", "distinct", "approx", "sketch", "portable"),
+)
+def g06c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Portable HLL approx-distinct (operators/sketches.py) — same
+    constant-memory single-pass shape as g06b's built-in HLL++ (map-side
+    ``max`` per bucket, only registers shuffle, partials merge by union+max)
+    but with md5-derived integer registers that replay bit-for-bit in any
+    SQL engine, so unlike g06b this sketch carries a full value-hash
+    oracle: bucket sums, zero counts, AND the rounded estimate must equal
+    DuckDB's replay. Grouped by o_orderstatus to exercise per-group
+    register tables."""
+    return sketches.hll_count_distinct(
+        t["orders"],
+        "o_custkey",
+        p=12,
+        group_cols=("o_orderstatus",),
+        estimate_col="approx_customers",
     )
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import skew
+from ..operators import sketches, skew
 from .base import register
 
 
@@ -107,6 +107,48 @@ def g21b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
             F.count("*").alias("n"),
         )
+    )
+
+
+@register(
+    "g21c_sampled_quantiles",
+    tables=("lineitem",),
+    oracle="""
+        WITH sampled AS (
+            SELECT l_returnflag, l_extendedprice
+            FROM lineitem
+            WHERE CAST('0x' || substr(md5(
+                      CAST(l_orderkey AS VARCHAR) || '_' ||
+                      CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT)
+                  < 268435456
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_sample,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        FROM sampled GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "approx", "sketch", "portable", "scale"),
+)
+def g21c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic-hash-sample quantiles (operators/sketches.py) — the
+    replayable counterpart to g21b's engine-private digest: rows whose
+    md5(row-key) word falls in the bottom 1/16 of hash space form the
+    sample in EVERY engine, so the exact interpolated percentiles of the
+    sample carry a full oracle. The filter precedes any shuffle — the
+    percentile sort sees 1/16 of the rows, which is the sketch's scale
+    win."""
+    return sketches.sampled_quantiles(
+        t["lineitem"],
+        "l_extendedprice",
+        F.concat_ws(
+            "_",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        probs=(0.5, 0.95),
+        group_cols=("l_returnflag",),
+        shift=4,
     )
 
 

@@ -1,0 +1,149 @@
+"""Portable-sketch operators (operators/sketches.py): accuracy bounds,
+merge associativity, branch coverage of the estimator, and the plan
+shapes that make them 100 TB-safe. Cross-engine value parity for the
+g06c/g21c specs is covered by tests/test_parity.py like every other
+registered spec; these tests pin the properties parity can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_etl_spark.io import load_tables
+from core_etl_spark.operators import sketches
+
+
+def _frame_equal(a, b, keys):
+    sa = sorted(tuple(r) for r in a.select(*keys).collect())
+    sb = sorted(tuple(r) for r in b.select(*keys).collect())
+    return sa == sb
+
+
+def test_hll_linear_counting_accuracy_small(spark):
+    # 5 distinct keys: deep in the linear-counting branch, where the
+    # correction is near-exact.
+    df = spark.range(5).select(F.col("id").alias("k"))
+    est = sketches.hll_count_distinct(df, "k").collect()[0]
+    assert est["zero_buckets"] > 0
+    assert abs(est["estimate"] - 5) < 0.01
+
+
+def test_hll_raw_branch_accuracy_large(spark):
+    # 200k distinct keys forces the raw harmonic-mean branch
+    # (2.5m = 10,240 for p=12); standard error is 1.04/sqrt(4096) = 1.6%,
+    # so 5% is a >3-sigma bound on this fixed (deterministic) hash set.
+    df = spark.range(200_000).select(F.col("id").alias("k"))
+    est = sketches.hll_count_distinct(df, "k").collect()[0]
+    raw_threshold = 2.5 * 4096
+    assert est["estimate"] > raw_threshold  # really the raw branch
+    assert abs(est["estimate"] / 200_000 - 1) < 0.05
+
+
+def test_hll_grouped_accuracy_vs_exact(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("orders",))
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["estimate"]
+        for r in sketches.hll_count_distinct(
+            t["orders"], "o_custkey", group_cols=("o_orderstatus",)
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for status, n in exact.items():
+        assert abs(approx[status] / n - 1) < 0.05, (status, approx[status], n)
+
+
+def test_hll_merge_equals_single_pass(spark, sf_dir):
+    # The partial-sketch contract: registers built per half and merged must
+    # be frame-identical to a single pass — this is what lets 1000
+    # executors (or 1000 daily increments) combine without re-reading.
+    t = load_tables(spark, sf_dir, ("orders",))
+    orders = t["orders"]
+    whole = sketches.hll_registers(
+        orders, "o_custkey", group_cols=("o_orderstatus",)
+    )
+    halves = [
+        sketches.hll_registers(
+            orders.filter(F.col("o_orderkey") % 2 == i),
+            "o_custkey",
+            group_cols=("o_orderstatus",),
+        )
+        for i in (0, 1)
+    ]
+    merged = sketches.hll_merge(halves, group_cols=("o_orderstatus",))
+    assert _frame_equal(whole, merged, ["o_orderstatus", "bucket", "rho"])
+
+
+def test_hll_merge_idempotent(spark):
+    # max-merge is idempotent: merging a sketch with itself changes nothing.
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    regs = sketches.hll_registers(df, "k")
+    merged = sketches.hll_merge([regs, regs])
+    assert _frame_equal(regs, merged, ["bucket", "rho"])
+
+
+def test_hll_registers_plan_has_partial_agg(spark):
+    # The scale claim: mappers emit <= m rows per group because max(rho)
+    # combines map-side — the plan must show partial+final HashAggregate.
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    plan = (
+        sketches.hll_registers(df, "k")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") >= 2, "register build lost map-side combine"
+
+
+def test_hll_rejects_tiny_p(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(AssertionError):
+        sketches.hll_count_distinct(df, "k", p=4)
+
+
+def test_sampled_quantiles_rate_and_accuracy(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    key = F.concat_ws(
+        "_",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    out = sketches.sampled_quantiles(
+        li, "l_extendedprice", key, probs=(0.5,), shift=4
+    ).collect()[0]
+    n_total = li.count()
+    # md5 is uniform: the 1/16 deterministic sample should land within
+    # +-40% of the nominal rate even at sf0.001 row counts.
+    assert 0.6 / 16 < out["n_sample"] / n_total < 1.4 / 16
+    exact_p50 = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p")
+    ).collect()[0]["p"]
+    assert abs(out["p50"] / exact_p50 - 1) < 0.10
+
+
+def test_sampled_quantiles_deterministic(spark, sf_dir):
+    # Same data -> byte-identical sample and quantiles, run to run (the
+    # property rand()-based sampling cannot give).
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    key = F.concat_ws(
+        "_",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    runs = [
+        sketches.sampled_quantiles(
+            t["lineitem"],
+            "l_extendedprice",
+            key,
+            probs=(0.5, 0.95),
+            group_cols=("l_returnflag",),
+        )
+        .sort("l_returnflag")
+        .collect()
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
