@@ -210,6 +210,84 @@ def hll_oracle_sql(
     """
 
 
+#: Count-Min geometry: 4 hash rows (the four 32-bit words of one md5) ×
+#: 1024 columns → the sketch is ≤ 4096 (row, col, n) tuples regardless of
+#: input size; expected overcount per probe ≈ n_total/1024, min over 4 rows.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def _cms_cells(key: Column) -> Column:
+    """Array of (row_idx, col_idx) structs — one per CMS hash row, the four
+    words carved from a single md5 so one hash pass feeds all rows."""
+    h = F.md5(key.cast("string"))
+    cells = []
+    for i in range(_CMS_DEPTH):
+        word = F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+        cells.append(
+            F.struct(
+                F.lit(i).alias("row_idx"), (word % _CMS_WIDTH).alias("col_idx")
+            )
+        )
+    return F.array(*cells)
+
+
+def cms_build(df: DataFrame, col: str) -> DataFrame:
+    """Count-Min sketch table: (row_idx, col_idx, n). One pass; the
+    groupBy's map-side partial sum bounds every mapper's output at
+    depth×width rows, so only the sketch shuffles. Merge = union +
+    groupBy sum (``cms_merge``) — the increment/combine step of a
+    distributed or day-over-day frequency store."""
+    cells = _cms_cells(F.col(col))
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row_idx", "c.col_idx")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_merge(sketches_: Iterable[DataFrame]) -> DataFrame:
+    """Merge CMS tables — union + sum per cell (counters are additive)."""
+    sk = list(sketches_)
+    out = sk[0]
+    for s in sk[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_idx", "col_idx").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Point-frequency estimates: min over the probe key's depth cells.
+    CMS never undercounts — estimate ≥ true frequency, overshoot bounded
+    by colliding mass ≈ n_total/width per row before the min. The probe
+    side is tiny by construction (a key list), so Spark broadcasts it
+    into the ≤ depth×width sketch join."""
+    cells = probes.select(
+        col, F.explode(_cms_cells(F.col(col))).alias("c")
+    ).select(col, "c.row_idx", "c.col_idx")
+    return (
+        cells.join(sketch, ["row_idx", "col_idx"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("cms_n"))
+    )
+
+
+#: SQL VALUES list enumerating the hash rows (cross-join fan-out in oracles).
+CMS_ROWS_VALUES = ", ".join(f"({i})" for i in range(_CMS_DEPTH))
+
+
+def cms_col_expr_sql(key_expr: str, row_idx_col: str = "row_idx") -> str:
+    """DuckDB replay of ``_cms_cells``'s column index as a CASE over the
+    hash-row number — generated so both dialects share the depth/width
+    constants and the md5 word offsets."""
+    whens = " ".join(
+        f"WHEN {i} THEN CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)),"
+        f" {1 + 8 * i}, 8) AS BIGINT) % {_CMS_WIDTH}"
+        for i in range(_CMS_DEPTH)
+    )
+    return f"CASE {row_idx_col} {whens} END"
+
+
 def sampled_quantiles(
     df: DataFrame,
     value_col: str,

@@ -108,15 +108,15 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l30_gopher_quality",
     "l34_bloom_decontamination",
     "l42_hashed_embedding",
-    # -- r10-new specs: the portable sketches must not land never-witnessed
-    # (they displace g21b/l12b — both rows-only, both r07-green, both
-    # pytest-covered; they rotate back in r11) --------------------------------
+    # -- r10-new specs: the portable sketches must not land never-witnessed.
+    # They displace g21b/l12b/l41c — all rows-only, all pytest-covered, all
+    # rotating back in r11 (l41c's r10 concat-exclusion change is pinned by
+    # test_bpe_select_disjoint_concat_exclusion and its driver row is a bare
+    # row count that the change does not move, so the three oracle-backed
+    # newcomers are worth strictly more per snapshot slot) --------------------
     "g06c_portable_hll",
     "g21c_sampled_quantiles",
-    # -- rows-only tail: l41c re-witnesses the r10 concat-exclusion change
-    # on the batched path (genuinely divergent output vs r09 — see
-    # test_bpe_batched_divergence_boundary) -----------------------------------
-    "l41c_bpe_batched",
+    "g49_cms_heavy_hitters",
 )
 
 

@@ -152,6 +152,71 @@ def g21c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    """CMS replay — the cell expression and row fan-out come from
+    operators.sketches so the two dialects cannot drift."""
+    col_expr = sketches.cms_col_expr_sql("l_suppkey")
+    return f"""
+        WITH rows_(row_idx) AS (VALUES {sketches.CMS_ROWS_VALUES}),
+        base_cells AS (
+            SELECT row_idx, {col_expr} AS col_idx
+            FROM lineitem CROSS JOIN rows_
+        ),
+        sketch AS (
+            SELECT row_idx, col_idx, count(*) AS n
+            FROM base_cells GROUP BY row_idx, col_idx
+        ),
+        probes AS (
+            SELECT l_suppkey, count(*) AS exact_n
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY exact_n DESC, l_suppkey LIMIT 20
+        ),
+        probe_cells AS (
+            SELECT p.l_suppkey, p.exact_n, row_idx,
+                   {sketches.cms_col_expr_sql("p.l_suppkey")} AS col_idx
+            FROM probes p CROSS JOIN rows_
+        )
+        SELECT pc.l_suppkey,
+               CAST(pc.exact_n AS BIGINT) AS exact_n,
+               CAST(min(coalesce(s.n, 0)) AS BIGINT) AS cms_n
+        FROM probe_cells pc
+        LEFT JOIN sketch s USING (row_idx, col_idx)
+        GROUP BY pc.l_suppkey, pc.exact_n
+    """
+
+
+@register(
+    "g49_cms_heavy_hitters",
+    tables=("lineitem",),
+    oracle=_cms_oracle(),
+    tags=("agg", "sketch", "approx", "portable", "heavy-hitters", "scale"),
+)
+def g49(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Portable Count-Min frequency sketch (operators/sketches.py) — the
+    third leg of the replayable-sketch family (HLL cardinality g06c,
+    sample quantiles g21c, CMS frequency here). Builds a 4×1024 counter
+    table over l_suppkey in one partial-agg pass (only the ≤4096-cell
+    sketch shuffles), then point-estimates the 20 exact heavy hitters:
+    cms_n ≥ exact_n always, overshoot ≈ n_total/width before the 4-row
+    min. Fully deterministic given md5, so state AND estimates carry a
+    value-hash oracle — this is the hot-key detector (token addresses,
+    hot shingles) you can afford at 100 TB and audit in any engine."""
+    li = t["lineitem"]
+    sketch = sketches.cms_build(li, "l_suppkey")
+    probes = (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("l_suppkey"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate(sketch, probes.select("l_suppkey"), "l_suppkey")
+    return probes.join(est, "l_suppkey").select(
+        "l_suppkey",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        "cms_n",
+    )
+
+
 def _zorder_oracle() -> str:
     """Morton interleave as plain bit arithmetic — generated to keep the
     64 shift/mask terms in lockstep with operators.layout.zorder_value."""

@@ -104,6 +104,53 @@ def test_hll_rejects_tiny_p(spark):
         sketches.hll_count_distinct(df, "k", p=4)
 
 
+def test_cms_never_undercounts_and_is_tight(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    n_total = li.count()
+    sketch = sketches.cms_build(li, "l_suppkey")
+    exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_n"))
+    est = sketches.cms_estimate(
+        sketch, exact.select("l_suppkey"), "l_suppkey"
+    ).join(exact, "l_suppkey")
+    rows = est.collect()
+    assert rows, "no probes"
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], r  # the CMS invariant
+        # expected colliding mass is n_total/width per row BEFORE the
+        # 4-row min; 3x that is a generous deterministic-data bound.
+        assert r["cms_n"] - r["exact_n"] <= max(3, 3 * n_total / 1024), r
+
+
+def test_cms_merge_is_additive(spark, sf_dir):
+    # Counters add: sketches of disjoint halves merged == one-pass sketch.
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    whole = sketches.cms_build(li, "l_suppkey")
+    halves = [
+        sketches.cms_build(li.filter(F.col("l_orderkey") % 2 == i), "l_suppkey")
+        for i in (0, 1)
+    ]
+    merged = sketches.cms_merge(halves)
+    assert _frame_equal(whole, merged, ["row_idx", "col_idx", "n"])
+
+
+def test_cms_build_plan_has_partial_agg(spark):
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    plan = sketches.cms_build(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, "CMS build lost map-side combine"
+
+
+def test_cms_absent_key_estimates_near_zero(spark):
+    # A key never inserted can only pick up collision mass — with 100
+    # distinct keys in 1024 columns the 4-row min is almost surely 0.
+    df = spark.range(100).select(F.col("id").alias("k"))
+    sketch = sketches.cms_build(df, "k")
+    probe = spark.range(1_000_000, 1_000_001).select(F.col("id").alias("k"))
+    est = sketches.cms_estimate(sketch, probe, "k").collect()[0]
+    assert est["cms_n"] <= 2
+
+
 def test_sampled_quantiles_rate_and_accuracy(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"]
