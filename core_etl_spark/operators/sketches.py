@@ -159,42 +159,40 @@ def hll_count_distinct(
     )
 
 
-def hll_oracle_sql(
-    table: str,
-    key_expr: str,
+def hll_buckets_sql(key_expr: str, p: int = 12) -> str:
+    """(bucket, rho) expressions over md5 of ``key_expr`` — the DuckDB
+    replay of ``hll_registers``'s per-row stage (pre-aggregation)."""
+    m = 1 << p
+    word1 = f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+    word2 = f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 9, 8) AS BIGINT)"
+    return (
+        f"{word1} % {m} AS bucket, "
+        f"CASE WHEN {word2} = 0 THEN {_RHO_MAX} "
+        f"ELSE {_RHO_MAX} - length(bin({word2})) END AS rho"
+    )
+
+
+def hll_tail_sql(
     p: int = 12,
-    group_expr: str | None = None,
-    group_alias: str = "g",
+    group_cols: Sequence[str] = (),
     estimate_col: str = "estimate",
+    regs: str = "regs",
 ) -> str:
-    """The DuckDB replay of registers+estimate — generated here so the two
-    dialects share one set of constants (the g30 zorder-oracle pattern)."""
+    """The estimate stage as SQL over an existing ``regs(group..., bucket,
+    rho)`` CTE — shared by every HLL oracle so the constants and the IEEE
+    expression shape cannot drift between specs."""
     m = 1 << p
     scale_int = 1 << _RHO_MAX
-    g_sel = f"{group_expr} AS {group_alias}, " if group_expr else ""
-    g_col = f"{group_alias}, " if group_expr else ""
-    g_by = f"GROUP BY {group_alias}" if group_expr else ""
+    g_col = "".join(f"{g}, " for g in group_cols)
+    g_by = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
     raw = (
         f"({_alpha(m)}) * {m}.0 * {m}.0 * {_SCALE} / CAST(sum_scaled AS DOUBLE)"
     )
     return f"""
-        WITH hashed AS (
-            SELECT {g_sel}md5(CAST({key_expr} AS VARCHAR)) AS hx FROM {table}
-        ), buckets AS (
-            SELECT {g_col}
-                   CAST('0x' || substr(hx, 1, 8) AS BIGINT) % {m} AS bucket,
-                   CASE WHEN CAST('0x' || substr(hx, 9, 8) AS BIGINT) = 0
-                        THEN {_RHO_MAX}
-                        ELSE {_RHO_MAX} - length(bin(CAST('0x' || substr(hx, 9, 8) AS BIGINT)))
-                   END AS rho
-            FROM hashed
-        ), regs AS (
-            SELECT {g_col}bucket, MAX(rho) AS rho FROM buckets
-            GROUP BY {g_col}bucket
-        ), agg AS (
+        agg AS (
             SELECT {g_col}COUNT(*) AS used_buckets,
                    SUM(CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT)) AS present
-            FROM regs {g_by}
+            FROM {regs} {g_by}
         ), state AS (
             SELECT {g_col}CAST(used_buckets AS BIGINT) AS used_buckets,
                    CAST({m} - used_buckets AS BIGINT) AS zero_buckets,
@@ -208,6 +206,57 @@ def hll_oracle_sql(
                           ELSE {raw} END, 4) AS {estimate_col}
         FROM state
     """
+
+
+def hll_oracle_sql(
+    table: str,
+    key_expr: str,
+    p: int = 12,
+    group_expr: str | None = None,
+    group_alias: str = "g",
+    estimate_col: str = "estimate",
+) -> str:
+    """The DuckDB replay of registers+estimate — generated here so the two
+    dialects share one set of constants (the g30 zorder-oracle pattern)."""
+    g_sel = f"{group_expr} AS {group_alias}, " if group_expr else ""
+    g_col = f"{group_alias}, " if group_expr else ""
+    groups = (group_alias,) if group_expr else ()
+    return f"""
+        WITH hashed AS (
+            SELECT {g_sel}{key_expr} AS k FROM {table}
+        ), buckets AS (
+            SELECT {g_col}{hll_buckets_sql("k", p)} FROM hashed
+        ), regs AS (
+            SELECT {g_col}bucket, MAX(rho) AS rho FROM buckets
+            GROUP BY {g_col}bucket
+        ), {hll_tail_sql(p, groups, estimate_col)}
+    """
+
+
+def hll_split_overlap(
+    df: DataFrame,
+    key_col: str,
+    split_col: str,
+    p: int = 12,
+    estimate_col: str = "estimate",
+) -> DataFrame:
+    """Per-split + ``'union'`` HLL estimates from ONE hash pass — the
+    no-join set-overlap estimator (train/eval contamination, day-over-day
+    corpus drift). Registers are built once grouped by split; the union
+    row is a register-level max-merge (``hll_merge`` semantics), never a
+    second scan. Intersection follows by inclusion–exclusion:
+    ``est(a) + est(b) − est(union)`` — at 100 TB this replaces a
+    shingle-level join with arithmetic on three 4096-cell tables."""
+    regs0 = hll_registers(df, key_col, p=p, group_cols=(split_col,))
+    regs_union = (
+        regs0.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn(split_col, F.lit("union"))
+    )
+    regs = regs0.unionByName(regs_union.select(split_col, "bucket", "rho"))
+    return hll_estimate(
+        regs, p=p, group_cols=(split_col,), estimate_col=estimate_col
+    )
 
 
 #: Count-Min geometry: 4 hash rows (the four 32-bit words of one md5) ×

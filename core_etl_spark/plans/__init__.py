@@ -107,7 +107,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l16_vocab_topk",
     "l30_gopher_quality",
     "l34_bloom_decontamination",
-    "l42_hashed_embedding",
+    # (l42_hashed_embedding, r07-green, yields its slot to the fourth
+    # r10-new sketch spec below; it rotates back in r11)
     # -- r10-new specs: the portable sketches must not land never-witnessed.
     # They displace g21b/l12b/l41c — all rows-only, all pytest-covered, all
     # rotating back in r11 (l41c's r10 concat-exclusion change is pinned by
@@ -117,6 +118,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g06c_portable_hll",
     "g21c_sampled_quantiles",
     "g49_cms_heavy_hitters",
+    "l44_overlap_sketch",
 )
 
 

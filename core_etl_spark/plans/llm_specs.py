@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..operators import sketches as SK
 from ..operators import text as X
 from .base import REGISTRY, register
 
@@ -1034,6 +1035,55 @@ def l19(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     corpus = docs.filter(F.col("doc_id") % 17 != 0)
     return D.decontaminate(corpus, bench, threshold=0.2)
+
+
+@register(
+    "l44_overlap_sketch",
+    tables=("documents",),
+    oracle=f"""
+        WITH {_SHINGLE_CTE},
+        tagged AS (
+            SELECT CASE WHEN {_BENCH_PRED} THEN 'eval' ELSE 'train' END AS split,
+                   shingle
+            FROM sh
+        ),
+        buckets AS (
+            SELECT split, {SK.hll_buckets_sql("shingle")} FROM tagged
+        ),
+        regs0 AS (
+            SELECT split, bucket, MAX(rho) AS rho FROM buckets
+            GROUP BY split, bucket
+        ),
+        regs AS (
+            SELECT * FROM regs0
+            UNION ALL
+            SELECT 'union' AS split, bucket, MAX(rho) AS rho FROM regs0
+            GROUP BY bucket
+        ),
+        {SK.hll_tail_sql(group_cols=("split",), estimate_col="est_shingles")}
+    """,
+    tags=("llm", "decontamination", "sketch", "portable", "overlap"),
+)
+def l44(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-overlap sketch: train/eval word-3-gram set sizes and their
+    union estimated from ONE shingle pass via the portable HLL
+    (operators/sketches.py) — intersection and eval-containment follow by
+    inclusion–exclusion, so the contamination *measurement* (how much
+    eval text leaked into train?) needs no shingle join at all, unlike
+    l19's per-doc decontamination *filter*. The union row is a
+    register-level max-merge, never a second scan; at 100 TB this is
+    arithmetic over three 4096-cell tables where the exact answer is a
+    full shuffle of every shingle. Fully replayable → value-hash
+    oracle (test_sketches pins the inclusion–exclusion estimate within
+    5% of the exact intersection)."""
+    sh = D.shingle_table(t["documents"])
+    tagged = sh.select(
+        F.when(F.col("doc_id") % 17 == 0, "eval").otherwise("train").alias("split"),
+        "shingle",
+    )
+    return SK.hll_split_overlap(
+        tagged, "shingle", "split", estimate_col="est_shingles"
+    )
 
 
 def _split_oracle() -> str:

@@ -104,6 +104,37 @@ def test_hll_rejects_tiny_p(spark):
         sketches.hll_count_distinct(df, "k", p=4)
 
 
+def test_hll_overlap_inclusion_exclusion_vs_exact(spark):
+    # The l44 contract: est(a) + est(b) - est(union) tracks the exact
+    # distinct-shingle intersection. sf0.01 (500 docs) so the eval split
+    # and the intersection are big enough for a relative bound.
+    from tests.conftest import SF_MED
+    from core_etl_spark.operators import dedup as D
+
+    docs = load_tables(spark, SF_MED, ("documents",))["documents"]
+    sh = D.shingle_table(docs)
+    tagged = sh.select(
+        F.when(F.col("doc_id") % 17 == 0, "eval").otherwise("train").alias("split"),
+        "shingle",
+    )
+    est = {
+        r["split"]: r["estimate"]
+        for r in sketches.hll_split_overlap(tagged, "shingle", "split").collect()
+    }
+    est_inter = est["train"] + est["eval"] - est["union"]
+    exact_inter = (
+        tagged.filter(F.col("split") == "train")
+        .select("shingle")
+        .intersect(tagged.filter(F.col("split") == "eval").select("shingle"))
+        .count()
+    )
+    # three ~1%-accurate estimates difference: generous but real bound.
+    assert abs(est_inter - exact_inter) <= max(50.0, 0.15 * exact_inter), (
+        est_inter,
+        exact_inter,
+    )
+
+
 def test_cms_never_undercounts_and_is_tight(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"]
