@@ -20,8 +20,10 @@ Portability rules (all verified against DuckDB in tests/test_parity):
   print ``bin`` without leading zeros, no float log2 at bucket edges;
 - the register sum is INTEGER-scaled by 2^33 (each bucket contributes
   2^(33-rho), empty buckets 2^33), so the only float ops are one final
-  division and, in the linear-counting branch, one ``ln`` — both rounded
-  to 4 dp, far above last-ulp libm divergence.
+  division and, in the linear-counting branch, one ``ln`` — both
+  floor-truncated at 4 dp (``floor(x*10000)/10000``, NOT ``round``:
+  round()'s half-boundary is implementation-defined across engines,
+  floor of an identical IEEE double is bit-deterministic).
 
 Scale shape: ``hll_registers`` is one pass with map-side partial
 ``max(rho)`` per (group, bucket) — each mapper emits ≤ m rows per group
@@ -111,7 +113,7 @@ def hll_estimate(
     estimate_col: str = "estimate",
 ) -> DataFrame:
     """Estimate from a register table: integer-scaled harmonic mean +
-    linear-counting correction below 2.5m, rounded to 4 dp.
+    linear-counting correction below 2.5m, floor-truncated at 4 dp.
 
     Output columns: group_cols..., used_buckets, zero_buckets,
     sum_scaled (the exact BIGINT register sum — the auditable sketch
@@ -136,12 +138,17 @@ def hll_estimate(
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (F.col("zero_buckets") > 0), linear
     ).otherwise(raw)
+    # floor-at-4dp, NOT round: round()'s half-boundary behavior is
+    # implementation-defined across engines (Spark BigDecimal half-up on
+    # the shortest decimal repr vs DuckDB's scaled C round — l44 hit a
+    # real .5 boundary at sf0.001), while floor of the identical IEEE
+    # double is bit-deterministic.
     return with_state.select(
         *group_cols,
         F.col("used_buckets").cast("long").alias("used_buckets"),
         "zero_buckets",
         "sum_scaled",
-        F.round(est, 4).alias(estimate_col),
+        (F.floor(est * F.lit(10000.0)) / F.lit(10000.0)).alias(estimate_col),
     )
 
 
@@ -201,9 +208,10 @@ def hll_tail_sql(
             FROM agg
         )
         SELECT {g_col}used_buckets, zero_buckets, sum_scaled,
-               round(CASE WHEN {raw} <= {2.5 * m} AND zero_buckets > 0
-                          THEN {m}.0 * ln({m}.0 / zero_buckets)
-                          ELSE {raw} END, 4) AS {estimate_col}
+               floor((CASE WHEN {raw} <= {2.5 * m} AND zero_buckets > 0
+                           THEN {m}.0 * ln({m}.0 / zero_buckets)
+                           ELSE {raw} END) * 10000.0) / 10000.0
+                   AS {estimate_col}
         FROM state
     """
 
