@@ -316,14 +316,16 @@ def cms_merge(sketches_: Iterable[DataFrame]) -> DataFrame:
 def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
     """Point-frequency estimates: min over the probe key's depth cells.
     CMS never undercounts — estimate ≥ true frequency, overshoot bounded
-    by colliding mass ≈ n_total/width per row before the min. The probe
-    side is tiny by construction (a key list), so Spark broadcasts it
-    into the ≤ depth×width sketch join."""
+    by colliding mass ≈ n_total/width per row before the min. The sketch
+    side carries an explicit broadcast hint: it is ≤ depth×width rows BY
+    CONSTRUCTION (a fixed-cardinality dim in the r9 hint rule — the bound
+    holds however large the data or the probe list grows), so the probe
+    side never shuffles."""
     cells = probes.select(
         col, F.explode(_cms_cells(F.col(col))).alias("c")
     ).select(col, "c.row_idx", "c.col_idx")
     return (
-        cells.join(sketch, ["row_idx", "col_idx"], "left")
+        cells.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("cms_n"))
     )

@@ -172,6 +172,17 @@ def test_cms_build_plan_has_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2, "CMS build lost map-side combine"
 
 
+def test_cms_estimate_plan_broadcasts_sketch(spark):
+    # The sketch is <= depth*width rows by construction — the probe side
+    # must never shuffle for the lookup join.
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    sketch = sketches.cms_build(df, "k")
+    probes = spark.range(100).select(F.col("id").alias("k"))
+    est = sketches.cms_estimate(sketch, probes, "k")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "sketch lookup fell back to a shuffle join"
+
+
 def test_cms_absent_key_estimates_near_zero(spark):
     # A key never inserted can only pick up collision mass — with 100
     # distinct keys in 1024 columns the 4-row min is almost surely 0.
