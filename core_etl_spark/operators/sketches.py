@@ -267,6 +267,46 @@ def hll_split_overlap(
     )
 
 
+def update_hll_store(
+    df: DataFrame,
+    key_col: str,
+    path: str,
+    p: int = 12,
+    group_cols: Sequence[str] = (),
+) -> None:
+    """Roll a persisted register store forward with one batch — the
+    continuous-cardinality-monitoring loop (``foreachBatch(lambda b, _:
+    update_hll_store(b, key, path))`` on an ingest stream, or one call
+    per daily crawl). Cost ∝ the batch: the store holds ≤ m rows per
+    group, the batch is hashed once, and the merge is the register-level
+    ``max`` — history is never re-read beyond the tiny store itself.
+    Register merge is exact, so the store equals a single-pass sketch of
+    everything ever fed (tested in test_sketches), and
+    :func:`hll_estimate` reads estimates off it at any point.
+
+    The staged-swap write (k78's pattern) keeps the store readable if
+    the job dies mid-update: the merged table is written beside the
+    store and promoted with two renames, never overwriting the input
+    it was derived from mid-plan."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    new = hll_registers(df, key_col, p=p, group_cols=group_cols)
+    if os.path.exists(path):
+        old = spark.read.parquet(path)
+        merged = hll_merge([old, new], group_cols=group_cols)
+    else:
+        merged = new
+    staged = f"{path}__staged"
+    merged.write.mode("overwrite").parquet(staged)
+    retired = f"{path}__retired"
+    if os.path.exists(path):
+        os.rename(path, retired)
+    os.rename(staged, path)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
 #: Count-Min geometry: 4 hash rows (the four 32-bit words of one md5) ×
 #: 1024 columns → the sketch is ≤ 4096 (row, col, n) tuples regardless of
 #: input size; expected overcount per probe ≈ n_total/1024, min over 4 rows.

@@ -193,6 +193,52 @@ def test_cms_absent_key_estimates_near_zero(spark):
     assert est["cms_n"] <= 2
 
 
+def test_hll_store_rolls_forward_exactly(spark, tmp_path):
+    # Three batches through the persisted store == one pass over their
+    # union, register for register — so estimates off the store are the
+    # estimates of everything ever fed.
+    store = str(tmp_path / "hll_store")
+    batches = [spark.range(lo, hi).select(F.col("id").alias("k"))
+               for lo, hi in ((0, 4000), (2000, 8000), (8000, 12000))]
+    for b in batches:
+        sketches.update_hll_store(b, "k", store)
+    union = spark.range(12_000).select(F.col("id").alias("k"))
+    whole = sketches.hll_registers(union, "k")
+    stored = spark.read.parquet(store)
+    assert _frame_equal(whole, stored, ["bucket", "rho"])
+    est = sketches.hll_estimate(stored).collect()[0]["estimate"]
+    assert abs(est / 12_000 - 1) < 0.05
+
+
+def test_hll_store_streaming_foreachbatch(spark, tmp_path):
+    # The advertised wiring: foreachBatch(update_hll_store) over a file
+    # stream; the store must equal a batch sketch of all files.
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "hll_stream_store")
+    for i in range(3):
+        spark.range(i * 3000, (i + 1) * 3000).select(
+            F.col("id").cast("string").alias("k")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: sketches.update_hll_store(b, "k", store)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    whole = sketches.hll_registers(
+        spark.range(9000).select(F.col("id").cast("string").alias("k")), "k"
+    )
+    assert _frame_equal(whole, spark.read.parquet(store), ["bucket", "rho"])
+
+
 def test_sampled_quantiles_rate_and_accuracy(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"]
