@@ -104,6 +104,47 @@ def deterministic_stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample1",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets rank key ``ln(u)/w`` with ``u`` a
+    md5-derived uniform in (0, 1], and the top-k keys are the sample —
+    inclusion probability rises with weight exactly as sequential
+    weighted draws would give. This is quality- or length-weighted
+    corpus selection ("spend the token budget on the best documents,
+    probabilistically") with the module's determinism guarantees: same
+    salt, same data → same sample on every engine, every retry.
+
+    ``u = (word32 + 1) / 2^32`` is an exact dyadic rational (no float
+    parse drift), and rows with ``w <= 0`` are excluded (their key is
+    undefined — matches the A-ES domain). Scale shape: one narrow map
+    pass + a global top-k (per-partition heads, never a full sort).
+
+    The selected SET is engine-portable: the only cross-engine float op
+    is one ``ln`` per row, and a 1-ulp libm disagreement flips the
+    selection only if two keys straddle the k-th boundary within 1 ulp —
+    probability ~k·2⁻⁵² per run. The rank key itself is NOT exported
+    (callers compare membership, not keys), so the tiny divergence
+    surface ends at the boundary row."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("long")
+        + 1
+    ) / F.lit(float(_HEX_SPACE))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(key_col))
+        .limit(k)
+        .drop("_wkey")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     weights: dict[str, float],

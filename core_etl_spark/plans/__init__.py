@@ -102,7 +102,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "c05_training_ready",
     "c08_span_excision",
     "c09_corpus_snapshot_diff",
-    "l13_repetition_stats",
+    # (l13_repetition_stats, r07-green, yields its slot to the fifth
+    # r10-new spec below; it rotates back in r11)
     "l14_pii_scrub",
     "l16_vocab_topk",
     "l30_gopher_quality",
@@ -119,6 +120,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g21c_sampled_quantiles",
     "g49_cms_heavy_hitters",
     "l44_overlap_sketch",
+    "l45_weighted_sample",
 )
 
 

@@ -1123,6 +1123,37 @@ def l21(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 
 @register(
+    "l45_weighted_sample",
+    tables=("documents",),
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   ln((CAST('0x' || substr(md5('wsample1:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                      / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) AS wkey
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100
+    """,
+    tags=("llm", "sampling", "weighted", "deterministic"),
+)
+def l45(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis rank keys, operators/sampling.py::weighted_sample) — spend a
+    100-doc budget with inclusion probability ∝ document length. Same
+    determinism contract as l15/l21 (md5-gated, engine-replayable); the
+    top-k is per-partition heads + merge, never a full sort. The rank
+    key stays internal — the oracle compares the selected SET."""
+    from ..operators.sampling import weighted_sample
+
+    return weighted_sample(t["documents"], "n_chars", k=100).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
     "l22_editdist_dedup",
     tables=("documents",),
     oracle=r"""

@@ -251,6 +251,45 @@ def test_stratified_sample_is_deterministic_and_nested(spark, sf_dir):
     assert full.count() == n_en
 
 
+def test_weighted_sample_deterministic_biased_and_bounded(spark, sf_dir):
+    from core_etl_spark.io import load_tables
+    from core_etl_spark.operators.sampling import weighted_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",), register=False)["documents"]
+    s1 = {r.doc_id for r in weighted_sample(docs, "n_chars", k=20).collect()}
+    s2 = {r.doc_id for r in weighted_sample(docs, "n_chars", k=20).collect()}
+    assert s1 == s2 and len(s1) == 20
+    # a different salt is a different (still deterministic) draw
+    s3 = {r.doc_id for r in
+          weighted_sample(docs, "n_chars", k=20, salt="other").collect()}
+    assert s3 != s1
+    # inclusion probability rises with weight: a giant-weight row is
+    # effectively certain to be drawn (its u^(1/w) -> 1).
+    boosted = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 7, F.lit(10_000_000)).otherwise(F.lit(1))
+    )
+    assert 7 in {r.doc_id for r in weighted_sample(boosted, "w", k=5).collect()}
+    # zero/negative weights are excluded from the draw entirely
+    zeroed = docs.withColumn(
+        "w", F.when(F.col("doc_id") < 5, F.lit(0)).otherwise(F.lit(1))
+    )
+    got = {r.doc_id for r in
+           weighted_sample(zeroed, "w", k=docs.count()).collect()}
+    assert got.isdisjoint({0, 1, 2, 3, 4})
+
+
+def test_weighted_sample_plan_is_topk_not_full_sort(spark, sf_dir):
+    from core_etl_spark.io import load_tables
+    from core_etl_spark.operators.sampling import weighted_sample
+
+    docs = load_tables(spark, sf_dir, ("documents",), register=False)["documents"]
+    plan = (
+        weighted_sample(docs, "n_chars", k=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, "weighted top-k fell back to a global sort"
+
+
 def test_jaccard_xxhash_matches_string_pairs(spark, sf_dir):
     """The hashed-shingle-key production path must produce the identical
     scored pair set as the string-key path (no 64-bit collisions on the
