@@ -98,6 +98,23 @@ def test_hll_registers_plan_has_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2, "register build lost map-side combine"
 
 
+def test_hll_split_overlap_hashes_once(spark, sf_dir):
+    # The union row must come from a register-level merge of the SAME
+    # register table, not a re-derivation: without the lazy checkpoint the
+    # shingle/hash upstream appeared 4x in the l44 plan.
+    from core_etl_spark.operators import dedup as D
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = D.shingle_table(docs)
+    tagged = sh.select(
+        F.when(F.col("doc_id") % 17 == 0, "eval").otherwise("train").alias("split"),
+        "shingle",
+    )
+    est = sketches.hll_split_overlap(tagged, "shingle", "split")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 1, "upstream re-derived per union branch"
+
+
 def test_hll_rejects_tiny_p(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(AssertionError):
