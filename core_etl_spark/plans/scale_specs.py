@@ -203,12 +203,15 @@ def g49(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     hot shingles) you can afford at 100 TB and audit in any engine."""
     li = t["lineitem"]
     sketch = sketches.cms_build(li, "l_suppkey")
+    # probes feeds both the estimate and the final join — lazily
+    # checkpointed (20 rows) so the exact-count aggregation runs once,
+    # not once per appearance (the l44 union-reuse lesson).
     probes = (
         li.groupBy("l_suppkey")
         .agg(F.count("*").alias("exact_n"))
         .orderBy(F.col("exact_n").desc(), F.col("l_suppkey"))
         .limit(20)
-    )
+    ).localCheckpoint(eager=False)
     est = sketches.cms_estimate(sketch, probes.select("l_suppkey"), "l_suppkey")
     return probes.join(est, "l_suppkey").select(
         "l_suppkey",
