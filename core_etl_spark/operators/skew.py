@@ -73,3 +73,57 @@ def salted_join(
     )
     out = salted_large.join(replicated_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    row_key: Column,
+    min_share: float = 0.01,
+    sample_shift: int = 8,
+    salt: str = "hotkeys1",
+) -> DataFrame:
+    """Pre-join skew diagnostic: (key, est_n, est_share) for keys whose
+    estimated row share exceeds ``min_share`` — the "know your hot keys"
+    input for the AQE-blind contexts where :func:`salted_join`/the
+    two-phase window trick are the remedy (stream-stream joins, pinned
+    partitionings).
+
+    Two sketch passes, never a full groupBy on the key:
+
+    1. **Candidates** from a deterministic 1/2^shift ROW sample (gated
+       on md5 of ``row_key``, a row-unique expression as in
+       sketches.sampled_quantiles — gating on the KEY would select every
+       key with the same 2^-shift probability regardless of its mass). A
+       key owning min_share of n rows dodges the sample only with
+       probability (1−2^-shift)^(min_share·n) — already < 10⁻⁶ at the
+       60k-row test scale, astronomically small anywhere skew matters.
+    2. **Verification** by Count-Min estimate over the FULL data — one
+       partial-agg pass building the ≤ depth×width counter table, then a
+       broadcast lookup of the candidates. CMS never undercounts, so a
+       truly hot key cannot be filtered out; over-threshold false
+       positives are bounded by the colliding mass n/width.
+
+    Both stages are md5-deterministic, so the detected set is stable
+    across runs, engines, and retries (unlike a rand()-sampled probe)."""
+    from . import sketches
+
+    n_total = df.count()
+    sampled = df.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), row_key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        < F.lit(1 << (32 - sample_shift))
+    )
+    candidates = sampled.select(key).distinct()
+    sketch = sketches.cms_build(df, key)
+    est = sketches.cms_estimate(sketch, candidates, key)
+    return (
+        est.withColumn("est_share", F.col("cms_n") / F.lit(float(n_total)))
+        .filter(F.col("est_share") >= min_share)
+        .select(key, F.col("cms_n").alias("est_n"), "est_share")
+    )

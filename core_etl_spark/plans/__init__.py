@@ -105,7 +105,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     # (l13_repetition_stats, r07-green, yields its slot to the fifth
     # r10-new spec below; it rotates back in r11)
     "l14_pii_scrub",
-    "l16_vocab_topk",
+    # (l16_vocab_topk, r07-green, yields its slot to the sixth r10-new
+    # spec below; it rotates back in r11)
     "l30_gopher_quality",
     "l34_bloom_decontamination",
     # (l42_hashed_embedding, r07-green, yields its slot to the fourth
@@ -121,6 +122,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g49_cms_heavy_hitters",
     "l44_overlap_sketch",
     "l45_weighted_sample",
+    "g50_hot_key_detection",
 )
 
 

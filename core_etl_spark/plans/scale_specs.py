@@ -220,6 +220,81 @@ def g49(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _hotkey_oracle() -> str:
+    """detect_hot_keys replay: sample → candidates → CMS verify → share
+    filter, all from the shared sketch constants."""
+    col_expr = sketches.cms_col_expr_sql("skewkey")
+    return f"""
+        WITH rows_(row_idx) AS (VALUES {sketches.CMS_ROWS_VALUES}),
+        skewed AS (
+            SELECT CASE WHEN l_orderkey % 4 = 0 THEN -1
+                        WHEN l_orderkey % 4 = 1 THEN -2
+                        ELSE l_orderkey END AS skewkey,
+                   CAST(l_orderkey AS VARCHAR) || '_' ||
+                   CAST(l_linenumber AS VARCHAR) AS rk
+            FROM lineitem
+        ),
+        total AS (SELECT count(*) AS n FROM skewed),
+        candidates AS (
+            SELECT DISTINCT skewkey FROM skewed
+            WHERE CAST('0x' || substr(md5('hotkeys1:' || rk), 1, 8) AS BIGINT)
+                  < 16777216
+        ),
+        base_cells AS (
+            SELECT row_idx, {col_expr} AS col_idx FROM skewed CROSS JOIN rows_
+        ),
+        sketch AS (
+            SELECT row_idx, col_idx, count(*) AS n
+            FROM base_cells GROUP BY row_idx, col_idx
+        ),
+        probe_cells AS (
+            SELECT c.skewkey, row_idx,
+                   {sketches.cms_col_expr_sql("c.skewkey")} AS col_idx
+            FROM candidates c CROSS JOIN rows_
+        ),
+        est AS (
+            SELECT pc.skewkey, CAST(min(coalesce(s.n, 0)) AS BIGINT) AS est_n
+            FROM probe_cells pc LEFT JOIN sketch s USING (row_idx, col_idx)
+            GROUP BY pc.skewkey
+        )
+        SELECT skewkey, est_n,
+               est_n / CAST((SELECT n FROM total) AS DOUBLE) AS est_share
+        FROM est
+        WHERE est_n / CAST((SELECT n FROM total) AS DOUBLE) >= 0.05
+    """
+
+
+@register(
+    "g50_hot_key_detection",
+    tables=("lineitem",),
+    oracle=_hotkey_oracle(),
+    tags=("skew", "sketch", "diagnostic", "scale"),
+)
+def g50(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Sketch-driven hot-key detection (operators/skew.py::detect_hot_keys)
+    — the pre-join diagnostic for AQE-blind skew contexts: a deterministic
+    1/256 row sample surfaces candidate keys, a Count-Min pass verifies
+    their global share, nothing ever groupBys the raw key. The fixture
+    plants two hot keys (-1/-2, ~25% of rows each) among the ~15k-row
+    orderkey tail; min_share=0.05 must detect exactly those two. CMS
+    never undercounts, so a hot key cannot slip under the threshold."""
+    li = t["lineitem"].select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(-1))
+        .when(F.col("l_orderkey") % 4 == 1, F.lit(-2))
+        .otherwise(F.col("l_orderkey"))
+        .cast("long")
+        .alias("skewkey"),
+        F.concat_ws(
+            "_",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+    )
+    return skew.detect_hot_keys(
+        li, "skewkey", F.col("rk"), min_share=0.05, sample_shift=8
+    )
+
+
 def _zorder_oracle() -> str:
     """Morton interleave as plain bit arithmetic — generated to keep the
     64 shift/mask terms in lockstep with operators.layout.zorder_value."""

@@ -256,6 +256,40 @@ def test_hll_store_streaming_foreachbatch(spark, tmp_path):
     assert _frame_equal(whole, spark.read.parquet(store), ["bucket", "rho"])
 
 
+def test_detect_hot_keys_finds_planted_skew_only(spark):
+    from core_etl_spark.operators import skew
+
+    # 40% of rows on key -1, the rest spread over 10k keys.
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 5 < 2, F.lit(-1)).otherwise(F.col("id") % 10_000)
+        .cast("long").alias("k"),
+        F.col("id").cast("string").alias("rk"),
+    )
+    hot = skew.detect_hot_keys(df, "k", F.col("rk"), min_share=0.05)
+    rows = hot.collect()
+    assert [r["k"] for r in rows] == [-1]
+    assert abs(rows[0]["est_share"] - 0.4) < 0.02  # CMS overshoot is bounded
+    # uniform data: nothing crosses the threshold
+    uni = spark.range(50_000).select(
+        (F.col("id") % 10_000).cast("long").alias("k"),
+        F.col("id").cast("string").alias("rk"),
+    )
+    assert skew.detect_hot_keys(uni, "k", F.col("rk"), min_share=0.05).count() == 0
+
+
+def test_detect_hot_keys_deterministic(spark):
+    from core_etl_spark.operators import skew
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit(-7)).otherwise(F.col("id"))
+        .cast("long").alias("k"),
+        F.col("id").cast("string").alias("rk"),
+    )
+    r1 = sorted(map(tuple, skew.detect_hot_keys(df, "k", F.col("rk"), 0.1).collect()))
+    r2 = sorted(map(tuple, skew.detect_hot_keys(df, "k", F.col("rk"), 0.1).collect()))
+    assert r1 == r2 and [t[0] for t in r1] == [-7]
+
+
 def test_sampled_quantiles_rate_and_accuracy(spark, sf_dir):
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"]
