@@ -99,7 +99,8 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "g30_zorder_layout",
     "g33_bucketed_colocated_join",
     "j02_range_join",
-    "c05_training_ready",
+    # (c05_training_ready, r07-green, yields its slot to the seventh
+    # r10-new spec below; it rotates back in r11)
     "c08_span_excision",
     "c09_corpus_snapshot_diff",
     # (l13_repetition_stats, r07-green, yields its slot to the fifth
@@ -123,6 +124,7 @@ _SNAPSHOT_PRIORITY: tuple[str, ...] = (
     "l44_overlap_sketch",
     "l45_weighted_sample",
     "g50_hot_key_detection",
+    "c10_corpus_telemetry",
 )
 
 

@@ -564,3 +564,76 @@ def c09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new)
+
+
+def _telemetry_oracle() -> str:
+    from ..operators import sketches as SK
+
+    return f"""
+        WITH hll AS (
+            WITH hashed AS (SELECT lang, text AS k FROM documents),
+            buckets AS (SELECT lang, {SK.hll_buckets_sql("k")} FROM hashed),
+            regs AS (
+                SELECT lang, bucket, MAX(rho) AS rho FROM buckets
+                GROUP BY lang, bucket
+            ),
+            {SK.hll_tail_sql(group_cols=("lang",), estimate_col="est_distinct_texts")}
+        ),
+        counts AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        sampled AS (
+            SELECT lang, n_chars FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) < 1073741824
+        ),
+        quants AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_sample,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+            FROM sampled GROUP BY lang
+        )
+        SELECT c.lang, c.n_docs, h.est_distinct_texts,
+               q.n_sample, q.p50_chars, q.p95_chars
+        FROM counts c
+        JOIN hll h ON h.lang = c.lang
+        JOIN quants q ON q.lang = c.lang
+    """
+
+
+@register(
+    "c10_corpus_telemetry",
+    tables=("documents",),
+    oracle=_telemetry_oracle(),
+    tags=("corpus", "composite", "sketch", "telemetry"),
+)
+def c10(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus telemetry — the dataset-card metrics pass, one declarative
+    plan per language: exact doc counts, portable-HLL distinct-text
+    estimates (near-dup mass shows up as n_docs >> distinct texts), and
+    deterministic-sample length quantiles. Composition of the r10 sketch
+    family (operators/sketches.py); every branch aggregates to
+    lang-cardinality rows before the joins, so the joins are
+    broadcast-sized whatever the corpus size, and each scan prunes to the
+    two columns its branch needs. At 100 TB this is the nightly
+    monitoring query that decides whether dedup debt is growing."""
+    from ..operators import sketches as SK
+
+    docs = t["documents"]
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    hll = SK.hll_count_distinct(
+        docs, "text", group_cols=("lang",), estimate_col="est_distinct_texts"
+    ).select("lang", "est_distinct_texts")
+    quants = (
+        SK.sampled_quantiles(
+            docs, "n_chars", F.col("doc_id"), probs=(0.5, 0.95),
+            group_cols=("lang",), shift=2,
+        )
+        .withColumnRenamed("p50", "p50_chars")
+        .withColumnRenamed("p95", "p95_chars")
+    )
+    return counts.join(hll, "lang").join(quants, "lang").select(
+        "lang", "n_docs", "est_distinct_texts", "n_sample", "p50_chars",
+        "p95_chars",
+    )
