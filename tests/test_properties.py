@@ -408,3 +408,114 @@ def test_lake_concurrent_mutations_lose_no_committed_rows(spark, tmp_path):
         lk.compact("blocks", target_rows_per_file=30)
         got = sorted(r.number for r in lk.blocks().select("number").collect())
         assert got == expected
+
+
+# --- portable sketches: Spark expression chains vs straight-line Python ------
+#
+# The sketches' whole claim is bit-replayability from md5 — so the strongest
+# property is exact agreement with a hashlib reference on random keys, not
+# just accuracy bounds (tests/test_sketches.py covers those).
+
+import hashlib
+import math
+
+from core_etl_spark.operators import sketches as SK
+
+
+def _py_hll_registers(keys, p=12):
+    m = 1 << p
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        w1, w2 = int(h[:8], 16), int(h[8:16], 16)
+        rho = 33 if w2 == 0 else 33 - w2.bit_length()
+        b = w1 % m
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def _py_hll_estimate(regs, p=12):
+    m = 1 << p
+    zeros = m - len(regs)
+    sum_scaled = sum(1 << (33 - r) for r in regs.values()) + zeros * (1 << 33)
+    # same literal expression shape as _alpha()/hll_estimate — IEEE-identical
+    alpha = 0.7213 / (1 + 1.079 / float(m))
+    raw = alpha * float(m) * float(m) * float(1 << 33) / float(sum_scaled)
+    est = float(m) * math.log(float(m) / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    return math.floor(est * 10000.0) / 10000.0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=400))
+def test_hll_matches_python_reference_exactly(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got_regs = {
+        r.bucket: r.rho for r in SK.hll_registers(df, "k").collect()
+    }
+    assert got_regs == _py_hll_registers(keys)
+    got = SK.hll_estimate(SK.hll_registers(df, "k")).collect()[0]
+    assert got["estimate"] == _py_hll_estimate(_py_hll_registers(keys))
+
+
+def _py_cms_cells(keys):
+    cells = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        for i in range(4):
+            c = (i, int(h[8 * i : 8 * i + 8], 16) % 1024)
+            cells[c] = cells.get(c, 0) + 1
+    return cells
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=400))
+def test_cms_matches_python_reference_exactly(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    cells = _py_cms_cells(keys)
+    got = {
+        (r.row_idx, r.col_idx): r.n for r in SK.cms_build(df, "k").collect()
+    }
+    assert got == cells
+    probes = sorted(set(keys))[:50]
+    pdf = spark.createDataFrame([(k,) for k in probes], "k long")
+    est = {
+        r.k: r.cms_n
+        for r in SK.cms_estimate(SK.cms_build(df, "k"), pdf, "k").collect()
+    }
+    for k in probes:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        expect = min(
+            cells.get((i, int(h[8 * i : 8 * i + 8], 16) % 1024), 0)
+            for i in range(4)
+        )
+        assert est[k] == expect, k
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_matches_python_reference(spark, rows):
+    from core_etl_spark.operators.sampling import weighted_sample
+
+    k = max(1, len(rows) // 3)
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id for r in weighted_sample(df, "w", k=k).collect()}
+
+    def rank_key(doc_id, w):
+        h = hashlib.md5(f"wsample1:{doc_id}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / 4294967296.0
+        return (math.log(u) / float(w), -doc_id)
+
+    expect = {
+        d for d, w in sorted(rows, key=lambda t: rank_key(*t), reverse=True)[:k]
+    }
+    assert got == expect
