@@ -102,6 +102,19 @@ def main() -> None:
             return [{"exact": r["exact_n"], "cms": r["cms_n"]} for r in rows]
         timed("cms_heavy_hitters", sf_name, cms_heavy, results)
 
+        def hot_keys():
+            from core_etl_spark.operators import skew
+            skewed = li.select(
+                F.when(F.col("l_orderkey") % 4 == 0, F.lit(-1))
+                .when(F.col("l_orderkey") % 4 == 1, F.lit(-2))
+                .otherwise(F.col("l_orderkey")).cast("long").alias("k"),
+                F.concat_ws("_", F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string")).alias("rk"),
+            )
+            rows = skew.detect_hot_keys(skewed, "k", F.col("rk"), 0.05).collect()
+            return sorted((r["k"], round(r["est_share"], 4)) for r in rows)
+        timed("hot_key_detection", sf_name, hot_keys, results)
+
         key = F.concat_ws("_", F.col("l_orderkey").cast("string"),
                           F.col("l_linenumber").cast("string"))
         timed("quantile_sample", sf_name, lambda: sketches.sampled_quantiles(
