@@ -28,6 +28,28 @@ def test_headline_joins_broadcast(spark, sf_dir, name):
     assert "SortMergeJoin" not in plan, "dim-table join regressed to a shuffle join"
 
 
+def test_corpus_telemetry_broadcasts_and_prunes(spark, sf_dir):
+    """c10's three branches each reduce to lang cardinality before the
+    joins (so both joins broadcast, never SMJ), and every documents scan
+    must prune to exactly its branch's columns — a telemetry pass that
+    reads `text` for the quantile branch would be 100 TB-wrong."""
+    plan = _plan(spark, sf_dir, "c10_corpus_telemetry")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    schemas = sorted(
+        s for s in __import__("re").findall(r"ReadSchema: struct<([^>]*)>", plan)
+    )
+    assert schemas == [
+        "doc_id:bigint,lang:string,n_chars:bigint",
+        "lang:string",
+        "lang:string,text:string",
+    ] or schemas == [
+        "doc_id:bigint,lang:string,n_chars:bigint",
+        "lang:string",
+        "text:string,lang:string",
+    ], schemas
+
+
 @pytest.mark.parametrize(
     "name", ["g01_hash_agg_tpch_q1", "g02_join_agg_topk_tpch_q3", "g03_star_join_tpch_q5"]
 )
