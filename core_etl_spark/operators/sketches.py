@@ -34,11 +34,14 @@ without re-reading data. ``sampled_quantiles`` filters on a hash bit
 range before any shuffle, so the sort/percentile work downstream sees
 1/2^shift of the rows.
 
-Accuracy: standard HLL, ±1.04/sqrt(m) relative std error (m=4096 →
-~1.6%), with the linear-counting correction below 2.5m. The 32-bit rho
-word makes estimates above ~100M per group drift low (the classic
-large-range regime); callers counting beyond that should raise ``p``
-and widen the word to 12 hex chars — the test pins the documented range.
+Accuracy: standard HLL (Flajolet/Fusy/Gandouet/Meunier 2007), ±1.04/
+sqrt(m) relative std error (m=4096 → ~1.6%), with the linear-counting
+correction below 2.5m. The 32-bit rho word makes estimates above ~100M
+per group drift low (the classic large-range regime); callers counting
+beyond that should raise ``p`` and widen the word to 12 hex chars — the
+test pins the documented range. The Count-Min sketch follows Cormode &
+Muthukrishnan 2005; the weighted-sampling companion in
+operators/sampling.py is Efraimidis & Spirakis 2006.
 """
 
 from __future__ import annotations
