@@ -36,10 +36,11 @@ range before any shuffle, so the sort/percentile work downstream sees
 
 Accuracy: standard HLL (Flajolet/Fusy/Gandouet/Meunier 2007), ±1.04/
 sqrt(m) relative std error (m=4096 → ~1.6%), with the linear-counting
-correction below 2.5m. The 32-bit rho word makes estimates above ~100M
-per group drift low (the classic large-range regime); callers counting
-beyond that should raise ``p`` and widen the word to 12 hex chars — the
-test pins the documented range. The Count-Min sketch follows Cormode &
+correction below 2.5m. The default 32-bit rho word makes estimates above
+~100M per group drift low (the classic large-range regime);
+``word_hex=12`` switches to a 48-bit word, pushing that ceiling past
+10^13 with the same bit-replayability (tested against the Python
+reference). The Count-Min sketch follows Cormode &
 Muthukrishnan 2005; the weighted-sampling companion in
 operators/sampling.py is Efraimidis & Spirakis 2006.
 """
@@ -50,17 +51,22 @@ from typing import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: scaling exponent for the integer register sum: contribution 2^(33-rho),
-#: rho ∈ [1, 33] for a 32-bit word → contributions are exact BIGINTs.
-_RHO_MAX = 33
-_SCALE = float(1 << _RHO_MAX)  # 2^33, exactly representable
+#: scaling exponent for the integer register sum: contribution
+#: 2^(rho_max - rho), rho ∈ [1, rho_max] → contributions are exact
+#: BIGINTs. rho_max = word bits + 1; the default 32-bit word (8 hex
+#: chars) is good to ~100M distinct per group, `word_hex=12` (48-bit)
+#: raises that past 10^13 — sums stay < 2^(49+p) < 2^63 for p ≤ 12.
+def _rho_max(word_hex: int) -> int:
+    assert word_hex in (8, 12), "rho word must be 8 (32-bit) or 12 (48-bit) hex"
+    return 4 * word_hex + 1
 
 
-def _hash_words(key: Column) -> tuple[Column, Column]:
-    """Two independent 32-bit words from md5 of the key's string form."""
+def _hash_words(key: Column, word_hex: int = 8) -> tuple[Column, Column]:
+    """Bucket word (32-bit) + rho word (``word_hex`` hex chars) from one
+    md5 of the key's string form."""
     h = F.md5(key.cast("string"))
     w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(h, 9, word_hex), 16, 10).cast("long")
     return w1, w2
 
 
@@ -72,20 +78,27 @@ def _alpha(m: int) -> str:
 
 
 def hll_registers(
-    df: DataFrame, col: str, p: int = 12, group_cols: Sequence[str] = ()
+    df: DataFrame,
+    col: str,
+    p: int = 12,
+    group_cols: Sequence[str] = (),
+    word_hex: int = 8,
 ) -> DataFrame:
     """One-pass HLL register table: (group_cols..., bucket, rho).
 
     bucket = first 32-bit md5 word mod 2^p; rho = leading-zero rank of the
-    second word (33 - bin-length, 33 when the word is 0). The groupBy's
-    map-side partial ``max`` bounds every mapper's output at m rows per
-    group — the sketch, not the data, is what shuffles.
+    rho word (rho_max − bin-length, rho_max when the word is 0). The
+    groupBy's map-side partial ``max`` bounds every mapper's output at m
+    rows per group — the sketch, not the data, is what shuffles.
+    ``word_hex`` must match between registers and estimate (8 → counts to
+    ~100M per group; 12 → past 10^13).
     """
     m = 1 << p
-    w1, w2 = _hash_words(F.col(col))
+    rho_max = _rho_max(word_hex)
+    w1, w2 = _hash_words(F.col(col), word_hex)
     rho = (
-        F.when(w2 == 0, F.lit(_RHO_MAX))
-        .otherwise(F.lit(_RHO_MAX) - F.length(F.bin(w2)))
+        F.when(w2 == 0, F.lit(rho_max))
+        .otherwise(F.lit(rho_max) - F.length(F.bin(w2)))
         .cast("int")
     )
     return (
@@ -114,28 +127,32 @@ def hll_estimate(
     p: int = 12,
     group_cols: Sequence[str] = (),
     estimate_col: str = "estimate",
+    word_hex: int = 8,
 ) -> DataFrame:
     """Estimate from a register table: integer-scaled harmonic mean +
     linear-counting correction below 2.5m, floor-truncated at 4 dp.
+    ``word_hex`` must match the value the registers were built with.
 
     Output columns: group_cols..., used_buckets, zero_buckets,
     sum_scaled (the exact BIGINT register sum — the auditable sketch
     state), <estimate_col>.
     """
     m = 1 << p
+    rho_max = _rho_max(word_hex)
+    scale = float(1 << rho_max)
     agg = registers.groupBy(*group_cols).agg(
         F.count("*").alias("used_buckets"),
-        F.sum(F.expr(f"CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT)")).alias(
+        F.sum(F.expr(f"CAST(pow(2.0, {rho_max} - rho) AS BIGINT)")).alias(
             "_present"
         ),
     )
     zeros = F.lit(m) - F.col("used_buckets")
-    sum_scaled = (F.col("_present") + zeros * F.lit(int(_SCALE))).cast("long")
+    sum_scaled = (F.col("_present") + zeros * F.lit(1 << rho_max)).cast("long")
     with_state = agg.withColumn("zero_buckets", zeros.cast("long")).withColumn(
         "sum_scaled", sum_scaled
     )
     raw = F.expr(
-        f"({_alpha(m)}) * {m}.0 * {m}.0 * {_SCALE} / CAST(sum_scaled AS DOUBLE)"
+        f"({_alpha(m)}) * {m}.0 * {m}.0 * {scale} / CAST(sum_scaled AS DOUBLE)"
     )
     linear = F.expr(f"{m}.0 * ln({m}.0 / zero_buckets)")
     est = F.when(
@@ -161,24 +178,30 @@ def hll_count_distinct(
     p: int = 12,
     group_cols: Sequence[str] = (),
     estimate_col: str = "estimate",
+    word_hex: int = 8,
 ) -> DataFrame:
     """End-to-end portable approx-distinct: registers → estimate."""
-    regs = hll_registers(df, col, p=p, group_cols=group_cols)
+    regs = hll_registers(df, col, p=p, group_cols=group_cols, word_hex=word_hex)
     return hll_estimate(
-        regs, p=p, group_cols=group_cols, estimate_col=estimate_col
+        regs, p=p, group_cols=group_cols, estimate_col=estimate_col,
+        word_hex=word_hex,
     )
 
 
-def hll_buckets_sql(key_expr: str, p: int = 12) -> str:
+def hll_buckets_sql(key_expr: str, p: int = 12, word_hex: int = 8) -> str:
     """(bucket, rho) expressions over md5 of ``key_expr`` — the DuckDB
     replay of ``hll_registers``'s per-row stage (pre-aggregation)."""
     m = 1 << p
+    rho_max = _rho_max(word_hex)
     word1 = f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT)"
-    word2 = f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 9, 8) AS BIGINT)"
+    word2 = (
+        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 9, {word_hex})"
+        f" AS BIGINT)"
+    )
     return (
         f"{word1} % {m} AS bucket, "
-        f"CASE WHEN {word2} = 0 THEN {_RHO_MAX} "
-        f"ELSE {_RHO_MAX} - length(bin({word2})) END AS rho"
+        f"CASE WHEN {word2} = 0 THEN {rho_max} "
+        f"ELSE {rho_max} - length(bin({word2})) END AS rho"
     )
 
 
@@ -187,21 +210,23 @@ def hll_tail_sql(
     group_cols: Sequence[str] = (),
     estimate_col: str = "estimate",
     regs: str = "regs",
+    word_hex: int = 8,
 ) -> str:
     """The estimate stage as SQL over an existing ``regs(group..., bucket,
     rho)`` CTE — shared by every HLL oracle so the constants and the IEEE
     expression shape cannot drift between specs."""
     m = 1 << p
-    scale_int = 1 << _RHO_MAX
+    rho_max = _rho_max(word_hex)
+    scale_int = 1 << rho_max
     g_col = "".join(f"{g}, " for g in group_cols)
     g_by = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
     raw = (
-        f"({_alpha(m)}) * {m}.0 * {m}.0 * {_SCALE} / CAST(sum_scaled AS DOUBLE)"
+        f"({_alpha(m)}) * {m}.0 * {m}.0 * {float(scale_int)} / CAST(sum_scaled AS DOUBLE)"
     )
     return f"""
         agg AS (
             SELECT {g_col}COUNT(*) AS used_buckets,
-                   SUM(CAST(pow(2.0, {_RHO_MAX} - rho) AS BIGINT)) AS present
+                   SUM(CAST(pow(2.0, {rho_max} - rho) AS BIGINT)) AS present
             FROM {regs} {g_by}
         ), state AS (
             SELECT {g_col}CAST(used_buckets AS BIGINT) AS used_buckets,
@@ -226,6 +251,7 @@ def hll_oracle_sql(
     group_expr: str | None = None,
     group_alias: str = "g",
     estimate_col: str = "estimate",
+    word_hex: int = 8,
 ) -> str:
     """The DuckDB replay of registers+estimate — generated here so the two
     dialects share one set of constants (the g30 zorder-oracle pattern)."""
@@ -236,11 +262,11 @@ def hll_oracle_sql(
         WITH hashed AS (
             SELECT {g_sel}{key_expr} AS k FROM {table}
         ), buckets AS (
-            SELECT {g_col}{hll_buckets_sql("k", p)} FROM hashed
+            SELECT {g_col}{hll_buckets_sql("k", p, word_hex)} FROM hashed
         ), regs AS (
             SELECT {g_col}bucket, MAX(rho) AS rho FROM buckets
             GROUP BY {g_col}bucket
-        ), {hll_tail_sql(p, groups, estimate_col)}
+        ), {hll_tail_sql(p, groups, estimate_col, word_hex=word_hex)}
     """
 
 

@@ -98,6 +98,48 @@ def test_hll_registers_plan_has_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2, "register build lost map-side combine"
 
 
+def test_hll_wide_word_matches_python_and_duckdb(spark):
+    # word_hex=12 (48-bit rho word) — the >100M-cardinality variant — must
+    # stay exactly replayable: Spark == hashlib reference == DuckDB.
+    import hashlib
+    import math
+
+    import duckdb
+
+    keys = list(range(50_000))
+    df = spark.range(50_000).select(F.col("id").alias("k"))
+
+    regs_py = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        b = int(h[:8], 16) % 4096
+        w = int(h[8:20], 16)
+        rho = 49 if w == 0 else 49 - w.bit_length()
+        regs_py[b] = max(regs_py.get(b, 0), rho)
+    got_regs = {
+        r.bucket: r.rho
+        for r in sketches.hll_registers(df, "k", word_hex=12).collect()
+    }
+    assert got_regs == regs_py
+
+    got = sketches.hll_count_distinct(df, "k", word_hex=12).collect()[0]
+    zeros = 4096 - len(regs_py)
+    sum_scaled = sum(1 << (49 - r) for r in regs_py.values()) + zeros * (1 << 49)
+    alpha = 0.7213 / (1 + 1.079 / 4096.0)
+    raw = alpha * 4096.0 * 4096.0 * float(1 << 49) / float(sum_scaled)
+    est = 4096.0 * math.log(4096.0 / zeros) if (raw <= 10240.0 and zeros > 0) else raw
+    assert got["estimate"] == math.floor(est * 10000.0) / 10000.0
+    assert abs(got["estimate"] / 50_000 - 1) < 0.05
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = con.execute(
+        sketches.hll_oracle_sql("t", "k", word_hex=12)
+    ).fetchdf()
+    assert float(oracle["estimate"][0]) == got["estimate"]
+    assert int(oracle["sum_scaled"][0]) == got["sum_scaled"]
+
+
 def test_hll_split_overlap_hashes_once(spark, sf_dir):
     # The union row must come from a register-level merge of the SAME
     # register table, not a re-derivation: without the lazy checkpoint the
