@@ -113,17 +113,23 @@ def weighted_sample(
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     Spirakis A-ES): each row gets rank key ``ln(u)/w`` with ``u`` a
-    md5-derived uniform in (0, 1], and the top-k keys are the sample —
+    md5-derived uniform in the OPEN interval (0, 1), and the top-k keys
+    are the sample —
     inclusion probability rises with weight exactly as sequential
     weighted draws would give. This is quality- or length-weighted
     corpus selection ("spend the token budget on the best documents,
     probabilistically") with the module's determinism guarantees: same
     salt, same data → same sample on every engine, every retry.
 
-    ``u = (word32 + 1) / 2^32`` is an exact dyadic rational (no float
-    parse drift), and rows with ``w <= 0`` are excluded (their key is
-    undefined — matches the A-ES domain). Scale shape: one narrow map
-    pass + a global top-k (per-partition heads, never a full sort).
+    ``u = (word32 + 0.5) / 2^32`` is an exact dyadic rational (no float
+    parse drift) that keeps u strictly inside (0, 1): the old
+    ``(word32 + 1)`` mapping let ``word = 2^32−1`` produce u = 1 and
+    rank key exactly 0 — the maximum possible key — so such a row was
+    selected ahead of every other row REGARDLESS of its weight, which
+    true A-ES (open-interval u) never does (ADVICE r10). Rows with
+    ``w <= 0`` are excluded (their key is undefined — matches the A-ES
+    domain). Scale shape: one narrow map pass + a global top-k
+    (per-partition heads, never a full sort).
 
     The selected SET is engine-portable: the only cross-engine float op
     is one ``ln`` per row, and a 1-ulp libm disagreement flips the
@@ -133,7 +139,7 @@ def weighted_sample(
     surface ends at the boundary row."""
     u = (
         F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("long")
-        + 1
+        + F.lit(0.5)
     ) / F.lit(float(_HEX_SPACE))
     key = F.log(u) / F.col(weight_col).cast("double")
     return (

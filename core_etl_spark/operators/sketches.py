@@ -116,6 +116,10 @@ def hll_merge(
     incremental daily sketch store performs; tests assert merge(halves)
     is frame-identical to a single-pass sketch of the whole."""
     regs = list(registers)
+    if not regs:
+        # A store-update loop that filtered every partial away would
+        # otherwise die on a bare IndexError (ADVICE r10).
+        raise ValueError("at least one register table required")
     out = regs[0]
     for r in regs[1:]:
         out = out.unionByName(r)
@@ -323,9 +327,24 @@ def update_hll_store(
     The staged-swap write (k78's pattern) keeps the store readable if
     the job dies mid-update: the merged table is written beside the
     store and promoted with two renames, never overwriting the input
-    it was derived from mid-plan."""
+    it was derived from mid-plan. The rename pair itself is NOT atomic,
+    so every call first recovers whatever a previous crash stranded
+    (ADVICE r10): a crash between the renames leaves the full pre-merge
+    store at ``__retired`` (restored here — that batch is simply
+    re-appliable, never silently forgotten), and a crash after
+    promotion leaves stale ``__staged``/``__retired`` dirs that would
+    make this run's renames raise — both are cleared up front. Under
+    ``foreachBatch`` retry semantics the worst case is one batch merged
+    twice, which HLL max-merge absorbs exactly."""
     import os
     import shutil
+
+    staged = f"{path}__staged"
+    retired = f"{path}__retired"
+    if not os.path.exists(path) and os.path.exists(retired):
+        os.rename(retired, path)  # crash landed between the two renames
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
 
     spark = df.sparkSession
     new = hll_registers(df, key_col, p=p, group_cols=group_cols)
@@ -334,9 +353,7 @@ def update_hll_store(
         merged = hll_merge([old, new], group_cols=group_cols)
     else:
         merged = new
-    staged = f"{path}__staged"
     merged.write.mode("overwrite").parquet(staged)
-    retired = f"{path}__retired"
     if os.path.exists(path):
         os.rename(path, retired)
     os.rename(staged, path)
@@ -344,13 +361,18 @@ def update_hll_store(
 
 
 #: Count-Min geometry: 4 hash rows (the four 32-bit words of one md5) ×
-#: 1024 columns → the sketch is ≤ 4096 (row, col, n) tuples regardless of
-#: input size; expected overcount per probe ≈ n_total/1024, min over 4 rows.
+#: ``width`` columns → the sketch is ≤ depth×width (row, col, n) tuples
+#: regardless of input size; expected overcount per probe ≈ n_total/width,
+#: min over 4 rows. The default width suits the test corpora; for a real
+#: corpus size it from the measured rule (SCALE.md sketch section):
+#: width ≈ n_total / target_absolute_error (e.g. 10¹¹ rows, ±10⁵ error →
+#: width 10⁶ — still a ≤4M-cell table, broadcastable). Width must match
+#: between build, merge inputs, estimate, and the SQL replay.
 _CMS_DEPTH = 4
 _CMS_WIDTH = 1024
 
 
-def _cms_cells(key: Column) -> Column:
+def _cms_cells(key: Column, width: int = _CMS_WIDTH) -> Column:
     """Array of (row_idx, col_idx) structs — one per CMS hash row, the four
     words carved from a single md5 so one hash pass feeds all rows."""
     h = F.md5(key.cast("string"))
@@ -359,19 +381,21 @@ def _cms_cells(key: Column) -> Column:
         word = F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
         cells.append(
             F.struct(
-                F.lit(i).alias("row_idx"), (word % _CMS_WIDTH).alias("col_idx")
+                F.lit(i).alias("row_idx"), (word % width).alias("col_idx")
             )
         )
     return F.array(*cells)
 
 
-def cms_build(df: DataFrame, col: str) -> DataFrame:
+def cms_build(df: DataFrame, col: str, width: int = _CMS_WIDTH) -> DataFrame:
     """Count-Min sketch table: (row_idx, col_idx, n). One pass; the
     groupBy's map-side partial sum bounds every mapper's output at
     depth×width rows, so only the sketch shuffles. Merge = union +
     groupBy sum (``cms_merge``) — the increment/combine step of a
-    distributed or day-over-day frequency store."""
-    cells = _cms_cells(F.col(col))
+    distributed or day-over-day frequency store. ``width`` sizes the
+    error bound (≈ n_total/width overshoot before the row-min); pick it
+    by the SCALE.md rule in the geometry note above."""
+    cells = _cms_cells(F.col(col), width)
     return (
         df.select(F.explode(cells).alias("c"))
         .select("c.row_idx", "c.col_idx")
@@ -381,24 +405,30 @@ def cms_build(df: DataFrame, col: str) -> DataFrame:
 
 
 def cms_merge(sketches_: Iterable[DataFrame]) -> DataFrame:
-    """Merge CMS tables — union + sum per cell (counters are additive)."""
+    """Merge CMS tables — union + sum per cell (counters are additive).
+    All inputs must share one ``width`` (cell indices are meaningless
+    across geometries)."""
     sk = list(sketches_)
+    if not sk:
+        raise ValueError("at least one sketch table required")
     out = sk[0]
     for s in sk[1:]:
         out = out.unionByName(s)
     return out.groupBy("row_idx", "col_idx").agg(F.sum("n").alias("n"))
 
 
-def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, width: int = _CMS_WIDTH
+) -> DataFrame:
     """Point-frequency estimates: min over the probe key's depth cells.
     CMS never undercounts — estimate ≥ true frequency, overshoot bounded
     by colliding mass ≈ n_total/width per row before the min. The sketch
     side carries an explicit broadcast hint: it is ≤ depth×width rows BY
     CONSTRUCTION (a fixed-cardinality dim in the r9 hint rule — the bound
     holds however large the data or the probe list grows), so the probe
-    side never shuffles."""
+    side never shuffles. ``width`` must equal the build-side width."""
     cells = probes.select(
-        col, F.explode(_cms_cells(F.col(col))).alias("c")
+        col, F.explode(_cms_cells(F.col(col), width)).alias("c")
     ).select(col, "c.row_idx", "c.col_idx")
     return (
         cells.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
@@ -411,13 +441,16 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
 CMS_ROWS_VALUES = ", ".join(f"({i})" for i in range(_CMS_DEPTH))
 
 
-def cms_col_expr_sql(key_expr: str, row_idx_col: str = "row_idx") -> str:
+def cms_col_expr_sql(
+    key_expr: str, row_idx_col: str = "row_idx", width: int = _CMS_WIDTH
+) -> str:
     """DuckDB replay of ``_cms_cells``'s column index as a CASE over the
     hash-row number — generated so both dialects share the depth/width
-    constants and the md5 word offsets."""
+    constants and the md5 word offsets. ``width`` must equal the value
+    the Spark-side sketch was built with."""
     whens = " ".join(
         f"WHEN {i} THEN CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)),"
-        f" {1 + 8 * i}, 8) AS BIGINT) % {_CMS_WIDTH}"
+        f" {1 + 8 * i}, 8) AS BIGINT) % {width}"
         for i in range(_CMS_DEPTH)
     )
     return f"CASE {row_idx_col} {whens} END"
@@ -440,14 +473,18 @@ def sampled_quantiles(
     "sketch" whose answer is replayable in SQL. The filter runs before
     any shuffle; downstream sort/percentile work sees 1/2^shift of the
     rows, which is the whole scale trick. Output: group_cols...,
-    n_sample, p_<prob> columns rounded to 4 dp (the g21 parity recipe).
+    n_sample, p_<prob> columns floor-truncated at 4 dp — the module's
+    one rounding rule (see ``hll_estimate``): round()'s half-boundary is
+    implementation-defined across engines, floor of the identical IEEE
+    double is bit-deterministic (ADVICE r10).
     """
     w1, _ = _hash_words(row_key)
     sampled = df.filter(w1 < F.lit(1 << (32 - shift)))
     aggs = [F.count("*").cast("long").alias("n_sample")]
     for q in probs:
         name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        pct = F.expr(f"percentile({value_col}, {q})")
         aggs.append(
-            F.round(F.expr(f"percentile({value_col}, {q})"), 4).alias(name)
+            (F.floor(pct * F.lit(10000.0)) / F.lit(10000.0)).alias(name)
         )
     return sampled.groupBy(*group_cols).agg(*aggs)

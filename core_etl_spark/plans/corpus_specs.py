@@ -590,8 +590,8 @@ def _telemetry_oracle() -> str:
         ),
         quants AS (
             SELECT lang, CAST(count(*) AS BIGINT) AS n_sample,
-                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
-                   round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+                   floor(quantile_cont(n_chars, 0.5) * 10000.0) / 10000.0 AS p50_chars,
+                   floor(quantile_cont(n_chars, 0.95) * 10000.0) / 10000.0 AS p95_chars
             FROM sampled GROUP BY lang
         )
         SELECT c.lang, c.n_docs, h.est_distinct_texts,

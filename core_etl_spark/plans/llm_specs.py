@@ -1129,7 +1129,7 @@ def l21(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         WITH keyed AS (
             SELECT doc_id, lang, n_chars,
                    ln((CAST('0x' || substr(md5('wsample1:' ||
-                         CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                         CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
                       / 4294967296.0)
                    / CAST(n_chars AS DOUBLE) AS wkey
             FROM documents WHERE n_chars > 0

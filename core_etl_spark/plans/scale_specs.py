@@ -124,8 +124,8 @@ def g21b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         )
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n_sample,
-               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+               floor(quantile_cont(l_extendedprice, 0.5) * 10000.0) / 10000.0 AS p50,
+               floor(quantile_cont(l_extendedprice, 0.95) * 10000.0) / 10000.0 AS p95
         FROM sampled GROUP BY l_returnflag
     """,
     tags=("agg", "percentile", "approx", "sketch", "portable", "scale"),
@@ -234,7 +234,6 @@ def _hotkey_oracle() -> str:
                    CAST(l_linenumber AS VARCHAR) AS rk
             FROM lineitem
         ),
-        total AS (SELECT count(*) AS n FROM skewed),
         candidates AS (
             SELECT DISTINCT skewkey FROM skewed
             WHERE CAST('0x' || substr(md5('hotkeys1:' || rk), 1, 8) AS BIGINT)
@@ -247,6 +246,9 @@ def _hotkey_oracle() -> str:
             SELECT row_idx, col_idx, count(*) AS n
             FROM base_cells GROUP BY row_idx, col_idx
         ),
+        -- n_total read off the sketch, not a COUNT(*) scan — every row
+        -- lands exactly one cell in hash row 0 (mirrors detect_hot_keys)
+        total AS (SELECT SUM(n) AS n FROM sketch WHERE row_idx = 0),
         probe_cells AS (
             SELECT c.skewkey, row_idx,
                    {sketches.cms_col_expr_sql("c.skewkey")} AS col_idx

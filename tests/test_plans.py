@@ -359,3 +359,22 @@ def test_g33_bucketed_join_no_exchange(spark, sf_dir):
         for name in ("g33p_orders_b", "g33p_customer_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_snapshot_rotation_front_loads_stalest():
+    # r11: the driver-snapshot rotation is computed from the committed
+    # CORRECTNESS history — after the manual _REWITNESS head (specs whose
+    # behavior changed this round), specs must appear in ascending order
+    # of latest driver-witnessed round, never-witnessed (new) specs first,
+    # so every 50-slot snapshot burns the stalest specs by construction.
+    from core_etl_spark import plans
+
+    latest = plans._witness_rounds()
+    names = list(plans.all_specs())
+    assert set(names) == set(plans.REGISTRY)
+    k = len(plans._REWITNESS)
+    assert names[:k] == list(plans._REWITNESS)
+    rounds = [latest.get(n, 0) for n in names[k:]]
+    assert rounds == sorted(rounds), "rotation is not oldest-first"
+    # every _REWITNESS name must resolve (the r05 fail-loud guard)
+    assert not set(plans._REWITNESS) - set(plans.REGISTRY)

@@ -512,7 +512,7 @@ def test_weighted_sample_matches_python_reference(spark, rows):
 
     def rank_key(doc_id, w):
         h = hashlib.md5(f"wsample1:{doc_id}".encode()).hexdigest()
-        u = (int(h[:8], 16) + 1) / 4294967296.0
+        u = (int(h[:8], 16) + 0.5) / 4294967296.0
         return (math.log(u) / float(w), -doc_id)
 
     expect = {

@@ -375,3 +375,121 @@ def test_sampled_quantiles_deterministic(spark, sf_dir):
         for _ in range(2)
     ]
     assert runs[0] == runs[1]
+
+
+def test_merge_of_empty_list_raises(spark):
+    # ADVICE r10: a store-update loop that filters every partial away
+    # should get a diagnosable error, not a bare IndexError.
+    with pytest.raises(ValueError, match="register table"):
+        sketches.hll_merge([])
+    with pytest.raises(ValueError, match="sketch table"):
+        sketches.cms_merge([])
+
+
+def test_hll_store_recovers_crash_between_renames(spark, tmp_path):
+    # ADVICE r10: simulate a crash that landed between the two promotion
+    # renames — store missing, full pre-merge history stranded at
+    # __retired, a half-written __staged beside it. The next update must
+    # restore the history and fold its batch on top, not silently start
+    # a fresh store from the batch alone.
+    import os
+
+    store = str(tmp_path / "hll_store")
+    b1 = spark.range(0, 5000).select(F.col("id").alias("k"))
+    b2 = spark.range(5000, 9000).select(F.col("id").alias("k"))
+    sketches.update_hll_store(b1, "k", store)
+    os.rename(store, f"{store}__retired")  # the crash window
+    os.makedirs(f"{store}__staged")
+    with open(f"{store}__staged/_partial", "w") as f:
+        f.write("junk")
+    sketches.update_hll_store(b2, "k", store)
+    whole = sketches.hll_registers(
+        spark.range(9000).select(F.col("id").alias("k")), "k"
+    )
+    assert _frame_equal(whole, spark.read.parquet(store), ["bucket", "rho"])
+    assert not os.path.exists(f"{store}__staged")
+    assert not os.path.exists(f"{store}__retired")
+
+
+def test_hll_store_recovers_stale_retired_dir(spark, tmp_path):
+    # ADVICE r10's second window: promotion succeeded but the cleanup
+    # didn't run, leaving a non-empty __retired that used to make the
+    # next update's os.rename raise ENOTEMPTY.
+    import os
+
+    store = str(tmp_path / "hll_store")
+    b1 = spark.range(0, 5000).select(F.col("id").alias("k"))
+    b2 = spark.range(5000, 9000).select(F.col("id").alias("k"))
+    sketches.update_hll_store(b1, "k", store)
+    os.makedirs(f"{store}__retired")
+    with open(f"{store}__retired/_stale", "w") as f:
+        f.write("junk")
+    sketches.update_hll_store(b2, "k", store)
+    whole = sketches.hll_registers(
+        spark.range(9000).select(F.col("id").alias("k")), "k"
+    )
+    assert _frame_equal(whole, spark.read.parquet(store), ["bucket", "rho"])
+    assert not os.path.exists(f"{store}__retired")
+
+
+def test_cms_nondefault_width_matches_python_reference(spark):
+    # VERDICT r10: width is now a parameter (sized by the SCALE.md rule
+    # w ~ n_total/target-error); a non-default geometry must agree with
+    # straight-line Python exactly, build through estimate.
+    import hashlib
+
+    width = 64
+    keys = [k % 37 for k in range(500)]
+    cells: dict[tuple[int, int], int] = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        for i in range(4):
+            c = (i, int(h[8 * i : 8 * i + 8], 16) % width)
+            cells[c] = cells.get(c, 0) + 1
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        (r.row_idx, r.col_idx): r.n
+        for r in sketches.cms_build(df, "k", width=width).collect()
+    }
+    assert got == cells
+    probes = spark.createDataFrame([(k,) for k in range(37)], "k long")
+    est = {
+        r.k: r.cms_n
+        for r in sketches.cms_estimate(
+            sketches.cms_build(df, "k", width=width), probes, "k", width=width
+        ).collect()
+    }
+    for k in range(37):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        expect = min(
+            cells.get((i, int(h[8 * i : 8 * i + 8], 16) % width), 0)
+            for i in range(4)
+        )
+        assert est[k] == expect
+
+
+def test_detect_hot_keys_reads_input_exactly_twice(spark):
+    # VERDICT r10: n_total comes off the CMS sketch (sum of hash-row-0
+    # counters), not a df.count() — so the whole diagnostic makes exactly
+    # two passes over the data (sample + sketch build), measured here by
+    # an accumulator in the input's own lineage.
+    from core_etl_spark.operators import skew
+
+    n = 20_000
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(-1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").cast("string").alias("rk"),
+    )
+    df = base.mapInPandas(counting, "k long, rk string")
+    hot = skew.detect_hot_keys(df, "k", F.col("rk"), min_share=0.05)
+    rows = hot.collect()
+    assert [r.k for r in rows] == [-1]
+    assert rows[0].est_n >= n // 2  # CMS never undercounts
+    assert acc.value == 2 * n, f"expected exactly 2 data passes, saw {acc.value / n}"
