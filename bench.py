@@ -36,20 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from core_etl_spark.plans import all_specs  # noqa: E402
 from core_etl_spark.session import get_spark  # noqa: E402
 
-RUNS = 3  # min-of-3: the host is shared and single runs vary up to 3×
-# The cache-heavy dedup pipelines (localCheckpoint rebuilds) showed up to
-# 3.2× run-to-run spread on the driver host (r04: l07 ran [1.76, 5.66,
-# 2.41]); five runs tighten the min-of-N noise floor where it matters.
-# l18b joins them per VERDICT r06 directive 4: the iterative star-CC
-# closure is the most expensive headline and needs a published
-# min-of-5 variance band. o1 joins in r10: its r09 min-of-3 was still
-# strictly descending ([3.31, 2.96, 2.82]) — the pipeline writes a temp
-# warehouse, so its noise floor needs the extra runs too.
-EXTRA_RUNS = {"l06", "l07", "l18b", "o1"}
+# min-of-5 for EVERY query (VERDICT r10 stretch 9): single runs on the
+# driver host swing ±10-40% per query (two rounds' "regressions" were
+# host scheduling drift, pinned by ABBA experiments), so the official
+# headline statistic is the noise-resistant min — the per-run arrays
+# stay in the JSON for forensics. Before r11 only the cache-heavy
+# pipelines (l06/l07/l18b/o1, up to 3.2× run-to-run spread) got 5 runs.
+RUNS = 5
 
 
 def _runs_for(name: str) -> int:
-    return 5 if any(name.startswith(p) for p in EXTRA_RUNS) else RUNS
+    return RUNS
 
 
 def _family(name: str) -> int:

@@ -703,6 +703,37 @@ def pq_encode_pandas(
     )
 
 
+#: Literal-tree encoder budget: the constant-folded plan carries
+#: m·ksub·dsub literals; above this the plan takes longer to CONSTRUCT
+#: than the pandas encoder takes to RUN (measured r10,
+#: scripts/ivfpq_dim768_bench.py — dim-768/m=96/ksub=256 is ~200k scalar
+#: expressions). The l28 oracle config (m=4·ksub=16·dsub=16 = 1024) sits
+#: far below; the production layout far above. Selection is pinned by
+#: test_pq_encode_auto_selects_by_layout so a refactor can't silently
+#: route a production layout onto the unplannable literal path.
+_PQ_LITERAL_BUDGET = 16_384
+
+
+def pq_encode_auto(
+    corpus: DataFrame,
+    codebooks: list[list[list]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Dispatch to the right PQ encoder for the codebook layout:
+    :func:`pq_encode` (exact-decimal literal tree, whole-stage codegen,
+    the oracle-parity path) while m·ksub·dsub fits the literal budget,
+    :func:`pq_encode_pandas` (Arrow-batched numpy, the throughput path)
+    beyond it. Same output contract either way; both are zero-shuffle
+    single passes."""
+    m = len(codebooks)
+    ksub = len(codebooks[0]) if m else 0
+    dsub = len(codebooks[0][0]) if ksub else 0
+    if m * ksub * dsub <= _PQ_LITERAL_BUDGET:
+        return pq_encode(corpus, codebooks, vec_col, id_col)
+    return pq_encode_pandas(corpus, codebooks, vec_col, id_col)
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -728,7 +759,7 @@ def pq_adc_topk(
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
         corpus, m, ksub, vec_col, id_col
     )
-    codes = pq_encode(corpus, cb, vec_col, id_col).withColumnRenamed(
+    codes = pq_encode_auto(corpus, cb, vec_col, id_col).withColumnRenamed(
         "id", "neighbor_id"
     )
     q = queries.select(

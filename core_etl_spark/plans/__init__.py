@@ -59,6 +59,9 @@ _REWITNESS: tuple[str, ...] = (
     "g50_hot_key_detection",
     "l45_weighted_sample",
     "g49_cms_heavy_hitters",
+    # pq_adc_topk now routes through the pq_encode_auto dispatcher (same
+    # literal path at this spec's layout — re-witness the changed code).
+    "l28_pq_adc_topk",
 )
 
 

@@ -850,6 +850,41 @@ def test_pq_encode_pandas_production_layout_smoke(spark):
         assert out[i] == [i] * 96  # own sub-codebook word at distance 0
 
 
+def test_pq_encode_auto_selects_by_layout(spark):
+    """VERDICT r10 stretch 10: pin WHICH encoder each codebook layout gets,
+    so a refactor can't silently route a production layout onto the
+    literal-tree path that stops being plannable (or the oracle config
+    onto the float path). Selection is structural — the literal encoder
+    is a pure projection (no PythonUDF node), the pandas one is a
+    mapInPandas plan."""
+    corpus = _pq_base_corpus(spark, [])
+    small = S.pq_codebooks_first_k(corpus, m=4, ksub=16)  # 4*16*16 = 1024
+    plan_small = (
+        S.pq_encode_auto(corpus, small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan_small, "l28 config must use the literal tree"
+
+    # production-shaped layout crossing the literal budget: m=96/ksub=256
+    # at dim-768 is 96*256*8 = 196k literals — never constructed, only
+    # dispatched, so this stays fast.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [round(float(x), 3) for x in rng.uniform(-1, 1, 768)])
+        for i in range(260)
+    ]
+    big_corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    big = S.pq_codebooks_first_k(big_corpus, m=96, ksub=256)
+    assert 96 * 256 * 8 > S._PQ_LITERAL_BUDGET
+    plan_big = (
+        S.pq_encode_auto(big_corpus, big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_big, "production layout must use the pandas encoder"
+
+
 def test_pq_adc_retrieves_planted_cluster(spark):
     """Near-copies of codebook word 3 must encode to code 3 everywhere and
     come back first (with word 3 itself) for a query inside the cluster."""
