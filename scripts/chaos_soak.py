@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Executor-LOSS chaos soak (VERDICT r10 directive 6; SCALE.md executor
+section): the one cluster behavior local-cluster soaks hadn't measured —
+what happens when an executor JVM dies mid-stage.
+
+Method: run real workloads under ``local-cluster[3,4,4096]`` (separate
+executor JVMs, serialized network shuffle) and SIGKILL one
+``CoarseGrainedExecutorBackend`` process while a job is mid-flight, then
+compare the run's value hash against a kill-free run of the identical
+code in the same session configuration.
+
+What Spark should do — and what this script verifies it does here:
+
+- tasks running on the killed executor fail and are re-scheduled
+  (``spark.task.maxFailures`` = 4 default covers one loss);
+- shuffle map outputs the dead executor held trigger ``FetchFailed`` →
+  the DAGScheduler resubmits the parent stage's lost partitions
+  (recomputation, not failure);
+- the standalone Worker relaunches a replacement executor, so capacity
+  returns without operator action;
+- the final ANSWER is byte-identical to the kill-free run — failure
+  handling must be invisible in the data.
+
+Legs:
+
+1. **batch / dedup family**: the l06 n-gram Jaccard spec and the g03
+   star join at $CHAOS_SF_DIR (default sf0.1), one clean run + one run
+   with a mid-job executor kill each.
+2. **checkpointed streaming resume**: the persisted-HLL-store ingest
+   loop (foreachBatch → update_hll_store, checkpointLocation set) with
+   an executor killed mid-stream; the final register store must equal a
+   single-pass sketch of every row ever fed — this also exercises the
+   r11 crash-recovery path of the store swap under real failure.
+
+Output: one JSON line per leg to stdout; summarized into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from core_etl_spark.plans import all_specs  # noqa: E402
+from core_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("CHAOS_SF_DIR", "/root/testdata/sf0.1")
+MASTER = "local-cluster[3,4,4096]"
+
+
+def executor_pids() -> list[int]:
+    try:
+        out = subprocess.check_output(
+            ["pgrep", "-f", "CoarseGrainedExecutorBackend"], text=True
+        )
+    except subprocess.CalledProcessError:
+        return []
+    return [int(p) for p in out.split()]
+
+
+def value_hash(df) -> tuple[str, int]:
+    rows = sorted(repr(tuple(r)) for r in df.collect())
+    return hashlib.md5("\n".join(rows).encode()).hexdigest(), len(rows)
+
+
+class Killer(threading.Thread):
+    """SIGKILL one executor JVM ``delay`` seconds after start()."""
+
+    def __init__(self, delay: float):
+        super().__init__(daemon=True)
+        self.delay = delay
+        self.killed_pid: int | None = None
+
+    def run(self) -> None:
+        time.sleep(self.delay)
+        pids = executor_pids()
+        if pids:
+            self.killed_pid = pids[0]
+            os.kill(self.killed_pid, signal.SIGKILL)
+
+
+def fresh_session(app: str):
+    os.environ["SPARK_GRAFT_EXECUTOR_MEM"] = "3g"
+    return get_spark(app_name=app, master=MASTER)
+
+
+def batch_leg() -> None:
+    specs = all_specs()
+    for name in ("l06_ngram_jaccard_dedup", "g03_star_join_tpch_q5"):
+        spec = specs[name]
+        spark = fresh_session(f"chaos_{name}")
+        try:
+            spec.builder(spark, SF_DIR).count()  # warm (codegen, workers)
+            t0 = time.perf_counter()
+            clean_hash, n = value_hash(spec.builder(spark, SF_DIR))
+            clean_wall = time.perf_counter() - t0
+
+            before = executor_pids()
+            killer = Killer(delay=max(0.5, clean_wall * 0.3))
+            t0 = time.perf_counter()
+            killer.start()
+            chaos_hash, n2 = value_hash(spec.builder(spark, SF_DIR))
+            chaos_wall = time.perf_counter() - t0
+            killer.join()
+            time.sleep(3)  # give the Worker a beat to relaunch
+            after = executor_pids()
+            print(
+                json.dumps(
+                    {
+                        "leg": name,
+                        "rows": n,
+                        "identical": chaos_hash == clean_hash and n == n2,
+                        "killed_pid": killer.killed_pid,
+                        "kill_landed_mid_job": killer.killed_pid is not None
+                        and chaos_wall > killer.delay,
+                        "executors_before": len(before),
+                        "executors_after": len(after),
+                        "relaunched": bool(
+                            set(after) - set(before)
+                        ),
+                        "clean_wall_s": round(clean_wall, 2),
+                        "chaos_wall_s": round(chaos_wall, 2),
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            spark.stop()
+            time.sleep(2)
+
+
+def stream_leg() -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from core_etl_spark.operators import sketches
+
+    spark = fresh_session("chaos_stream")
+    try:
+        root = tempfile.mkdtemp(prefix="chaos_stream_")
+        src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+        n_files, rows_per = 6, 200_000
+        for i in range(n_files):
+            spark.range(i * rows_per, (i + 1) * rows_per).select(
+                F.col("id").cast("string").alias("k")
+            ).coalesce(2).write.parquet(f"{src}/f{i}")
+
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        killer = Killer(delay=4.0)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: sketches.update_hll_store(b, "k", store)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        killer.start()
+        q.awaitTermination()
+        killer.join()
+
+        whole = sketches.hll_registers(
+            spark.range(n_files * rows_per).select(
+                F.col("id").cast("string").alias("k")
+            ),
+            "k",
+        )
+        got = sorted(
+            map(tuple, spark.read.parquet(store).select("bucket", "rho").collect())
+        )
+        want = sorted(map(tuple, whole.select("bucket", "rho").collect()))
+        print(
+            json.dumps(
+                {
+                    "leg": "stream_hll_store",
+                    "rows_fed": n_files * rows_per,
+                    "killed_pid": killer.killed_pid,
+                    "store_equals_single_pass": got == want,
+                    "registers": len(got),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "batch"):
+        batch_leg()
+    if which in ("all", "stream"):
+        stream_leg()
