@@ -190,19 +190,103 @@ def _decode_audio_fake(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(payload, dtype="<i2", offset=5)
 
 
+def _iter_riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, data_start, size) for each chunk in a RIFF body;
+    chunks are word-aligned (odd sizes carry one pad byte)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _decode_avi_stdlib(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed-AVI demux + DIB decode in pure ``struct`` — the video
+    analogue of the stdlib PNG/WAV decoders, so the REAL-codec video
+    boundary executes in this codec-less container. Layout per the
+    public RIFF/AVI spec: ``LIST hdrl`` carries the ``vids`` stream's
+    BITMAPINFOHEADER (``strf``), ``LIST movi`` carries one ``##db``/
+    ``##dc`` chunk per frame. Only ``biCompression == 0`` (BI_RGB) at 8
+    or 24 bits is supported — everything compressed stays PyAV-gated.
+
+    DIB rows are 4-byte aligned and bottom-up (top-down when biHeight is
+    negative); 24-bit pixels are BGR and collapse to integer BT.601 luma
+    ``(299R + 587G + 114B) // 1000``; 8-bit frames are read as literal
+    gray values (identity palette — the layout every gray AVI writer
+    emits). Returns ``(n_frames, w, h, frames_u8)`` with flat grayscale
+    frames, the exact fake-codec contract, so every downstream operator
+    (sample_frames etc.) is codec-agnostic."""
+    end = 12 + struct.unpack_from("<I", payload, 4)[0] - 4
+    end = min(end, len(payload))
+    bmp = None  # (w, h, bits, topdown)
+    frames: list[bytes] = []
+    in_vids = False
+
+    def walk(start: int, stop: int) -> None:
+        nonlocal bmp, in_vids
+        for fourcc, data, size in _iter_riff_chunks(payload, start, stop):
+            if fourcc == b"LIST":
+                walk(data + 4, data + size)
+            elif fourcc == b"strh":
+                in_vids = payload[data : data + 4] == b"vids"
+            elif fourcc == b"strf" and in_vids and bmp is None:
+                w, h = struct.unpack_from("<ii", payload, data + 4)
+                bits, comp = struct.unpack_from("<HI", payload, data + 14)
+                if comp != 0 or bits not in (8, 24):
+                    raise NotImplementedError(
+                        "stdlib AVI decode supports only uncompressed "
+                        f"(BI_RGB) 8/24-bit frames, got biCompression={comp} "
+                        f"biBitCount={bits} — compressed AVI needs PyAV"
+                    )
+                bmp = (w, abs(h), bits, h < 0)
+            elif fourcc[2:] in (b"db", b"dc"):
+                frames.append(payload[data : data + size])
+
+    walk(12, end)
+    if bmp is None:
+        raise ValueError("no uncompressed vids stream in AVI payload")
+    w, h, bits, topdown = bmp
+    bypp = bits // 8
+    stride = (w * bypp + 3) & ~3
+    out = np.empty((len(frames), h, w), dtype=np.uint8)
+    for fi, fr in enumerate(frames):
+        rows = np.frombuffer(fr, dtype=np.uint8, count=stride * h).reshape(
+            h, stride
+        )
+        if not topdown:
+            rows = rows[::-1]
+        if bits == 8:
+            out[fi] = rows[:, :w]
+        else:
+            px = rows[:, : w * 3].reshape(h, w, 3).astype(np.int32)  # BGR
+            out[fi] = (
+                (299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0])
+                // 1000
+            ).astype(np.uint8)
+    return len(frames), w, h, out.tobytes()
+
+
 def _decode_video_real(payload: bytes):
-    """Container video decode, import-gated on PyAV (no stdlib or shipped
-    codec can demux video): raises ``NotImplementedError`` naming the
-    library. Returns ``(n_frames, w, h, frames_u8)`` like the fake codec."""
+    """Real-container video decode: uncompressed RIFF/AVI parses with the
+    stdlib demuxer above (closing the last real-codec gate the way PNG
+    and WAV did); compressed containers (mp4/mkv/compressed AVI) are
+    import-gated on PyAV and raise ``NotImplementedError`` naming the
+    library. Returns ``(n_frames, w, h, frames_u8)`` like the fake
+    codec."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi_stdlib(payload)
     try:
         import av  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real video decode needs PyAV (or swap in an ffmpeg pipe); this "
-            "environment has no video codecs — use the fake-codec payloads"
+            "real video decode needs PyAV for non-AVI containers (or swap "
+            "in an ffmpeg pipe); this environment has no video codecs — "
+            "use uncompressed-AVI payloads (stdlib demuxer) or the fake "
+            "codec"
         ) from e
     raise NotImplementedError(
-        "real video decode path is a stub pending a codec-bearing image"
+        "compressed video decode path is a stub pending a codec-bearing image"
     )  # pragma: no cover - unreachable without PyAV
 
 
@@ -336,8 +420,8 @@ def sample_frames(media: DataFrame, every_k: int = 2, codec: str = "fake") -> Da
     """Frame sampling: emit every *k*-th frame as its own binary payload —
     1 video row → ⌈n/k⌉ frame rows, the multimodal analogue of the CBC20
     batchTransfer 1→N explode (all inside one mapInPandas pass).
-    ``codec="real"`` is PyAV-gated (NotImplementedError naming the library
-    when absent — no stdlib video demuxer exists)."""
+    ``codec="real"`` demuxes uncompressed RIFF/AVI with the stdlib parser
+    (compressed containers stay PyAV-gated)."""
     decode = _pick(_VIDEO_DECODERS, codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

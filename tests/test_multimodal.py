@@ -364,3 +364,92 @@ def test_unknown_codec_rejected(spark):
     )
     with pytest.raises(ValueError, match="codec"):
         M.image_features(media, codec="jpeg")
+
+
+# --- real-codec video: uncompressed AVI via the stdlib demuxer (r11) ---------
+
+def _avi_bytes(frames: np.ndarray, bits: int = 8) -> bytes:
+    """Minimal uncompressed AVI writer (RIFF layout per the public spec):
+    LIST hdrl {avih, LIST strl {strh vids, strf BITMAPINFOHEADER}},
+    LIST movi {one 00db DIB per frame, bottom-up rows, 4-byte stride}."""
+    n, h, w = frames.shape
+    bypp = bits // 8
+    stride = (w * bypp + 3) & ~3
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", list_type + data)
+
+    avih = struct.pack("<14I", 33333, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"RGB2" + struct.pack("<IHHiIIIIIIIhhhh",
+        0, 0, 0, 0, 0, 1, 30, 0, n, 0, 0, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0,
+                       stride * h, 0, 0, 256 if bits == 8 else 0, 0)
+    if bits == 8:  # identity gray palette (BGRA quads)
+        strf += b"".join(bytes([v, v, v, 0]) for v in range(256))
+    movi_frames = []
+    for f in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            if bits == 8:
+                row = f[y].tobytes()
+            else:
+                row = np.stack([f[y]] * 3, axis=-1).tobytes()  # B=G=R=gray
+            rows.append(row + b"\x00" * (stride - len(row)))
+        movi_frames.append(chunk(b"00db", b"".join(rows)))
+    body = b"AVI " + lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    ) + lst(b"movi", b"".join(movi_frames))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_real_codec_decodes_uncompressed_avi():
+    # w=3 exercises the 4-byte DIB stride padding; bottom-up row order
+    # must come back top-down.
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(4, 2, 3), dtype=np.uint8)
+    n, w, h, got = M._decode_video_real(_avi_bytes(frames, bits=8))
+    assert (n, w, h) == (4, 3, 2)
+    assert got == frames.tobytes()
+
+
+def test_video_real_codec_24bit_luma_and_gray_parity():
+    # A gray-valued 24-bit AVI (B=G=R) must collapse to the same frames
+    # as the 8-bit palette encoding: BT.601 luma of (v,v,v) is v.
+    rng = np.random.RandomState(12)
+    frames = rng.randint(0, 256, size=(3, 4, 5), dtype=np.uint8)
+    assert M._decode_video_real(_avi_bytes(frames, bits=24)) == \
+        M._decode_video_real(_avi_bytes(frames, bits=8))
+
+
+def test_sample_frames_real_avi_matches_fake(spark):
+    """The codec-swap claim end-to-end for video: identical frames through
+    a genuine AVI container and through the fake codec must yield
+    identical sampled frame payloads — only the decode boundary
+    differs."""
+    rng = np.random.RandomState(13)
+    frames = rng.randint(0, 256, size=(5, 6, 4), dtype=np.uint8)  # n, h, w
+    avi = _avi_bytes(frames, bits=8)
+    fake = b"V" + struct.pack("<HHH", 5, 4, 6) + frames.tobytes()
+    rows = [(1, "video", bytearray(avi)), (2, "video", bytearray(fake))]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    real = {r.frame_index: bytes(r.frame_payload)
+            for r in M.sample_frames(media.filter("media_id = 1"), codec="real").collect()}
+    fk = {r.frame_index: bytes(r.frame_payload)
+          for r in M.sample_frames(media.filter("media_id = 2"), codec="fake").collect()}
+    assert real == fk and sorted(real) == [0, 2, 4]
+
+
+def test_video_real_codec_compressed_avi_still_gated():
+    # an MJPG-compressed AVI must keep naming the missing library
+    rng = np.random.RandomState(14)
+    frames = rng.randint(0, 256, size=(1, 2, 2), dtype=np.uint8)
+    avi = bytearray(_avi_bytes(frames, bits=24))
+    i = avi.index(struct.pack("<IiiHH", 40, 2, 2, 1, 24))
+    struct.pack_into("<I", avi, i + 16, 0x47504A4D)  # biCompression = 'MJPG'
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        M._decode_video_real(bytes(avi))
