@@ -39,6 +39,13 @@ from .text import tokens
 #:   recompute the upstream pipeline before the persisted blocks land
 #:   (duplicated computation, never a wrong answer).
 #: - ``"none"``  — no materialization; every consumer branch recomputes.
+#: - ``"persist2"`` — ``persist(MEMORY_AND_DISK_2)``: 2×-replicated blocks
+#:   that SURVIVE one executor loss where localCheckpoint's unreplicated
+#:   blocks fail the job (measured, scripts/chaos_soak.py ckpt leg) — the
+#:   mode for preemptible/spot fleets. Trades: doubled storage + a
+#:   replication write, and the plan stays in the CacheManager until the
+#:   DataFrame is garbage-collected (localCheckpoint's blocks are
+#:   reclaimed more promptly by the ContextCleaner).
 #:
 #: Module-global rather than per-call so the bench A/B harness
 #: (scripts/l06_checkpoint_ab.py) can flip strategies without code edits.
@@ -57,11 +64,18 @@ def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     (impossible for a lazily returned result), while checkpointed RDDs are
     reclaimed by the ContextCleaner as soon as the result DataFrame drops.
     (Cluster note: localCheckpoint trades lineage for speed — an executor
-    loss fails the job instead of recomputing; acceptable for bounded dedup
-    jobs, use ``.persist(DISK_ONLY_2)`` on preemptible nodes.)"""
+    loss fails the job instead of recomputing [measured:
+    scripts/chaos_soak.py ckpt leg]; acceptable for bounded dedup jobs.
+    On preemptible nodes pass ``mode="persist2"`` — replicated blocks
+    survive one loss at the cost of doubled storage and CacheManager
+    retention.)"""
     mode = CHECKPOINT_MODE if mode is None else mode
     if mode == "none":
         return df
+    if mode == "persist2":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK_2)
     return df.localCheckpoint(eager=(mode == "eager"))
 
 

@@ -199,9 +199,82 @@ def stream_leg() -> None:
         spark.stop()
 
 
+def ckpt_leg() -> None:
+    """The _materialize executor-loss trade, measured both ways: kill an
+    executor AFTER an intermediate is materialized, then consume it.
+
+    - ``eager`` (localCheckpoint): lineage is truncated and blocks are
+      unreplicated — losing the executor that holds some of them should
+      FAIL the consuming job (the docstring's documented trade).
+    - ``persist2`` (MEMORY_AND_DISK_2): blocks are 2×-replicated AND the
+      lineage survives — the same kill must recompute/fall back and
+      return the correct answer.
+
+    The intermediate must be WIDE and multi-partition for the experiment
+    to mean anything: the first cut of this leg materialized a 9973-row
+    aggregate that AQE coalesced onto one executor, so the kill landed on
+    an executor holding no blocks and both modes trivially "survived".
+    This version repartitions 3M full-width rows over 24 partitions
+    before materializing — every executor provably holds blocks, so the
+    kill always destroys some."""
+    from pyspark.sql import functions as F
+
+    from core_etl_spark.operators import dedup
+
+    def build(spark):
+        return (
+            spark.range(0, 3_000_000)
+            .repartition(24)
+            .select(
+                F.col("id"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            )
+        )
+
+    def consume(df) -> tuple[int, int]:
+        r = df.agg(
+            F.count("*").alias("rows"),
+            F.count_distinct(F.substring("payload", 1, 2)).alias("pfx"),
+        ).collect()[0]
+        return int(r.rows), int(r.pfx)
+
+    expect = (3_000_000, 256)
+    for mode in ("eager", "persist2"):
+        spark = fresh_session(f"chaos_ckpt_{mode}")
+        try:
+            inter = dedup._materialize(build(spark), mode=mode)
+            inter.count()  # force materialization onto the executors
+            pids = executor_pids()
+            os.kill(pids[0], signal.SIGKILL)
+            time.sleep(3)
+            try:
+                got = consume(inter)
+                outcome = {
+                    "survived": True,
+                    "correct": got == expect,
+                    "got": got,
+                }
+            except Exception as e:  # noqa: BLE001 - the measurement itself
+                outcome = {
+                    "survived": False,
+                    "error": f"{type(e).__name__}: {str(e)[:160]}",
+                }
+            print(
+                json.dumps(
+                    {"leg": f"ckpt_{mode}", "expected_rows_keys": expect, **outcome}
+                ),
+                flush=True,
+            )
+        finally:
+            spark.stop()
+            time.sleep(2)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "batch"):
         batch_leg()
     if which in ("all", "stream"):
         stream_leg()
+    if which in ("all", "ckpt"):
+        ckpt_leg()

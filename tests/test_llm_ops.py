@@ -1776,3 +1776,21 @@ def test_bpe_token_counts_hand_case(spark):
     got0 = {r.doc_id: r.n_bpe_tokens
             for r in X.bpe_token_counts(df, n_merges=0).collect()}
     assert got0 == {0: 4, 1: 6}
+
+
+def test_materialize_persist2_is_replicated(spark):
+    """The preemptible-fleet materialization mode (r11): replication-2
+    persist whose blocks survive one executor loss where localCheckpoint
+    fails the job (measured in scripts/chaos_soak.py's ckpt leg — the
+    eager mode dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, persist2
+    returns the correct answer under the identical kill)."""
+    from core_etl_spark.operators import dedup
+
+    df = spark.range(100)
+    out = dedup._materialize(df, mode="persist2")
+    assert out.storageLevel.replication == 2 and out.storageLevel.useDisk
+    assert out.count() == 100
+    out.unpersist()
+    # default mode unchanged: localCheckpoint, not a CacheManager entry
+    eager = dedup._materialize(spark.range(5), mode="eager")
+    assert eager.storageLevel.replication <= 1
