@@ -42,7 +42,10 @@ correction below 2.5m. The default 32-bit rho word makes estimates above
 10^13 with the same bit-replayability (tested against the Python
 reference). The Count-Min sketch follows Cormode &
 Muthukrishnan 2005; the weighted-sampling companion in
-operators/sampling.py is Efraimidis & Spirakis 2006.
+operators/sampling.py is Efraimidis & Spirakis 2006; the mergeable
+log-linear quantile histogram at the bottom of this module is
+HdrHistogram's bucketing (Tene) with DDSketch's error model (Masson,
+Rim & Lee, VLDB 2019), done entirely in dyadic-exact arithmetic.
 """
 
 from __future__ import annotations
@@ -307,6 +310,40 @@ def hll_split_overlap(
     )
 
 
+def _recover_store(path: str) -> None:
+    """Clear whatever a previous crash stranded around a persisted sketch
+    store (shared by the HLL and CMS stores): a crash between the two
+    promotion renames leaves the full pre-merge store at ``__retired``
+    (restored — that batch is simply re-appliable, never silently
+    forgotten); a crash after promotion leaves stale ``__staged``/
+    ``__retired`` dirs that would make the next renames raise."""
+    import os
+    import shutil
+
+    retired = f"{path}__retired"
+    if not os.path.exists(path) and os.path.exists(retired):
+        os.rename(retired, path)  # crash landed between the two renames
+    shutil.rmtree(f"{path}__staged", ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+def _promote_store(merged: DataFrame, path: str) -> None:
+    """Staged-swap write (k78's pattern): the merged table lands beside
+    the store, then two renames promote it — the store stays readable if
+    the job dies mid-update, and ``_recover_store`` handles the rename
+    window on the next call."""
+    import os
+    import shutil
+
+    staged = f"{path}__staged"
+    retired = f"{path}__retired"
+    merged.write.mode("overwrite").parquet(staged)
+    if os.path.exists(path):
+        os.rename(path, retired)
+    os.rename(staged, path)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
 def update_hll_store(
     df: DataFrame,
     key_col: str,
@@ -333,19 +370,13 @@ def update_hll_store(
     store at ``__retired`` (restored here — that batch is simply
     re-appliable, never silently forgotten), and a crash after
     promotion leaves stale ``__staged``/``__retired`` dirs that would
-    make this run's renames raise — both are cleared up front. Under
-    ``foreachBatch`` retry semantics the worst case is one batch merged
-    twice, which HLL max-merge absorbs exactly."""
+    make this run's renames raise — both are cleared up front
+    (``_recover_store``). Under ``foreachBatch`` retry semantics the
+    worst case is one batch merged twice, which HLL max-merge absorbs
+    exactly."""
     import os
-    import shutil
 
-    staged = f"{path}__staged"
-    retired = f"{path}__retired"
-    if not os.path.exists(path) and os.path.exists(retired):
-        os.rename(retired, path)  # crash landed between the two renames
-    shutil.rmtree(staged, ignore_errors=True)
-    shutil.rmtree(retired, ignore_errors=True)
-
+    _recover_store(path)
     spark = df.sparkSession
     new = hll_registers(df, key_col, p=p, group_cols=group_cols)
     if os.path.exists(path):
@@ -353,11 +384,7 @@ def update_hll_store(
         merged = hll_merge([old, new], group_cols=group_cols)
     else:
         merged = new
-    merged.write.mode("overwrite").parquet(staged)
-    if os.path.exists(path):
-        os.rename(path, retired)
-    os.rename(staged, path)
-    shutil.rmtree(retired, ignore_errors=True)
+    _promote_store(merged, path)
 
 
 #: Count-Min geometry: 4 hash rows (the four 32-bit words of one md5) ×
@@ -488,3 +515,211 @@ def sampled_quantiles(
             (F.floor(pct * F.lit(10000.0)) / F.lit(10000.0)).alias(name)
         )
     return sampled.groupBy(*group_cols).agg(*aggs)
+
+
+def update_cms_store(
+    df: DataFrame, col: str, path: str, width: int = _CMS_WIDTH
+) -> None:
+    """Roll a persisted Count-Min frequency store forward with one batch —
+    the counter analogue of :func:`update_hll_store` (counters are
+    additive, so merge = union + sum), with the same crash-safe
+    staged-swap promotion and recovery. Cost ∝ the batch; history is
+    never re-read beyond the ≤ depth×width-row store itself. NOTE:
+    unlike the HLL store, sum-merge is NOT idempotent — a foreachBatch
+    RETRY that re-applies a committed batch double-counts it, so wire
+    this behind an exactly-once batch source (the streaming tail's
+    deterministic micro-batching) or keep per-batch dedup ledgers
+    upstream. ``width`` must stay constant across the store's life."""
+    import os
+
+    _recover_store(path)
+    spark = df.sparkSession
+    new = cms_build(df, col, width=width)
+    if os.path.exists(path):
+        merged = cms_merge([spark.read.parquet(path), new])
+    else:
+        merged = new
+    _promote_store(merged, path)
+
+
+# --- mergeable quantiles: log-linear (HDR-style) histogram -------------------
+#
+# The deterministic-hash-sample quantiles above replay exactly but their
+# state is a SAMPLE — it grows with the data and two stores can only be
+# combined by re-unioning rows. This family is the bounded-state
+# alternative: an HdrHistogram-style log-linear bucketing (Tene's
+# HdrHistogram; same error model as DDSketch, Masson et al. VLDB 2019)
+# whose state is ≤ (64·S + 1) counter rows per group at S sub-buckets
+# per octave, merge = union + sum (distributed combine AND incremental
+# day-over-day stores), and every bucket boundary is an exact dyadic
+# rational — octave from ``length(bin(x))``, sub-bucket from integer
+# arithmetic and divisions by powers of two only — so histogram AND
+# quantile estimates replay bit-for-bit in any engine with bin/floor/
+# pow. Relative error is bounded by the sub-bucket width (1/S of the
+# octave: S=16 → ≤6.25% before interpolation, ~1-2% typical after).
+
+#: log2 of the default value scaling (values are floored onto a
+#: 2^-scale_pow grid first — dyadic, so the scaling is exact) and log2 of
+#: the per-octave sub-bucket count. Both powers of two so every division
+#: in the pipeline is by a power of two, i.e. exact in IEEE doubles.
+_LOGLIN_SCALE_POW = 8
+_LOGLIN_SUBDIV_POW = 4
+
+
+def _loglin_bucket(value: Column, scale_pow: int, subdiv_pow: int) -> Column:
+    s = 1 << subdiv_pow
+    x = F.floor(value * F.lit(float(1 << scale_pow))).cast("long")
+    blen = F.length(F.bin(x))
+    pot = F.pow(F.lit(2.0), blen - 1).cast("long")  # 2^(octave-1), exact
+    sub = F.floor(((x - pot) * s).cast("double") / pot.cast("double")).cast(
+        "long"
+    )
+    return F.when(x <= 0, F.lit(-1)).otherwise((blen - 1) * s + sub)
+
+
+def loglin_bucket_sql(value_expr: str, scale_pow: int = _LOGLIN_SCALE_POW,
+                      subdiv_pow: int = _LOGLIN_SUBDIV_POW) -> str:
+    """DuckDB replay of :func:`_loglin_bucket` — generated so both
+    dialects share the scale/subdivision constants."""
+    s = 1 << subdiv_pow
+    x = f"CAST(floor(({value_expr}) * {float(1 << scale_pow)}) AS BIGINT)"
+    blen = f"length(bin({x}))"
+    pot = f"CAST(pow(2.0, {blen} - 1) AS BIGINT)"
+    sub = f"CAST(floor(CAST(({x} - {pot}) * {s} AS DOUBLE) / CAST({pot} AS DOUBLE)) AS BIGINT)"
+    return (
+        f"CASE WHEN {x} <= 0 THEN -1 "
+        f"ELSE ({blen} - 1) * {s} + {sub} END"
+    )
+
+
+def loglin_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    scale_pow: int = _LOGLIN_SCALE_POW,
+    subdiv_pow: int = _LOGLIN_SUBDIV_POW,
+) -> DataFrame:
+    """One-pass log-linear histogram: (group_cols..., bucket, n). Domain
+    is non-negative values with ``value·2^scale_pow < 2^53`` (sums,
+    lengths, prices); values under the 2^-scale_pow grid share bucket −1
+    (estimated as exactly 0). Map-side partial count bounds every
+    mapper's output at the bucket count per group — the histogram, not
+    the data, is what shuffles. Merge with :func:`loglin_merge`."""
+    b = _loglin_bucket(F.col(value_col), scale_pow, subdiv_pow)
+    return (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def loglin_merge(
+    hists: Iterable[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge histograms — union + sum per bucket (counters are additive);
+    the distributed/incremental combine step, exactly like cms_merge."""
+    hs = list(hists)
+    if not hs:
+        raise ValueError("at least one histogram table required")
+    out = hs[0]
+    for h in hs[1:]:
+        out = out.unionByName(h)
+    return out.groupBy(*group_cols, "bucket").agg(F.sum("n").alias("n"))
+
+
+def _loglin_est_exprs(
+    probs: Sequence[float], scale_pow: int, subdiv_pow: int
+) -> list[tuple[str, str, str]]:
+    """(name, per-row estimate expr, rank filter expr) per prob — the
+    textual core shared verbatim by the Spark agg and the DuckDB oracle
+    so the IEEE expression shape cannot drift. Expects columns bucket,
+    n, cum (running count by bucket), total (group count)."""
+    s = 1 << subdiv_pow
+    scale = float(1 << scale_pow)
+    out = []
+    for q in probs:
+        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        rank = f"greatest(1, CAST(ceil({q} * total) AS BIGINT))"
+        oct_ = "CAST(floor(bucket / {s}.0) AS BIGINT)".format(s=s)
+        pot = f"pow(2.0, {oct_})"
+        j = f"(bucket - {oct_} * {s})"
+        lo = f"({pot} * (1.0 + {j} / {s}.0))"
+        hi = f"({pot} * (1.0 + ({j} + 1) / {s}.0))"
+        frac = f"(({rank} - (cum - n)) / CAST(n AS DOUBLE))"
+        est = (
+            f"CASE WHEN bucket = -1 THEN 0.0 "
+            f"ELSE ({lo} + {frac} * ({hi} - {lo})) / {scale} END"
+        )
+        out.append((name, est, f"cum >= {rank}"))
+    return out
+
+
+def loglin_quantiles(
+    hist: DataFrame,
+    probs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    scale_pow: int = _LOGLIN_SCALE_POW,
+    subdiv_pow: int = _LOGLIN_SUBDIV_POW,
+) -> DataFrame:
+    """Quantile estimates off a histogram (possibly a merged store):
+    rank = max(1, ⌈q·n⌉), pick the first bucket whose running count
+    covers it, linearly interpolate inside the bucket, floor-truncate at
+    4 dp (the module rounding rule). The window/sort runs over ≤ ~1k
+    bucket rows per group, never the data. Output: group_cols...,
+    n_total, p<prob> columns."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("bucket")
+    wg = Window.partitionBy(*[F.col(g) for g in group_cols])
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wg)
+    )
+    aggs = [F.max("total").cast("long").alias("n_total")]
+    for name, est, cond in _loglin_est_exprs(probs, scale_pow, subdiv_pow):
+        aggs.append(
+            # 1e4, not 10000.0: SQL parses the latter as DECIMAL, and
+            # bigint/decimal division comes back as a Decimal column
+            F.expr(
+                f"floor(min_by({est}, bucket) FILTER (WHERE {cond})"
+                f" * 1e4) / 1e4"
+            ).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def loglin_quantiles_sql(
+    table: str,
+    value_expr: str,
+    probs: Sequence[float],
+    group_expr: str | None = None,
+    group_alias: str = "g",
+    scale_pow: int = _LOGLIN_SCALE_POW,
+    subdiv_pow: int = _LOGLIN_SUBDIV_POW,
+) -> str:
+    """Full DuckDB replay (histogram + quantile tail) generated from the
+    same constants and estimate expressions as the Spark side."""
+    g_sel = f"{group_expr} AS {group_alias}, " if group_expr else ""
+    g_col = f"{group_alias}, " if group_expr else ""
+    part = f"PARTITION BY {group_alias}" if group_expr else ""
+    g_by = f"GROUP BY {group_alias}" if group_expr else ""
+    sels = ["CAST(max(total) AS BIGINT) AS n_total"]
+    for name, est, cond in _loglin_est_exprs(probs, scale_pow, subdiv_pow):
+        sels.append(
+            f"floor(min_by({est}, bucket) FILTER (WHERE {cond})"
+            f" * 1e4) / 1e4 AS {name}"
+        )
+    return f"""
+        WITH vals AS (
+            SELECT {g_sel}{value_expr} AS v FROM {table}
+        ), hist AS (
+            SELECT {g_col}{loglin_bucket_sql("v", scale_pow, subdiv_pow)} AS bucket,
+                   count(*) AS n
+            FROM vals GROUP BY {g_col}bucket
+        ), cum AS (
+            SELECT {g_col}bucket, n,
+                   SUM(n) OVER ({part} ORDER BY bucket) AS cum,
+                   SUM(n) OVER ({part}) AS total
+            FROM hist
+        )
+        SELECT {g_col}{", ".join(sels)} FROM cum {g_by}
+    """

@@ -152,6 +152,38 @@ def g21c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+@register(
+    "g21d_loglin_quantiles",
+    tables=("lineitem",),
+    oracle=sketches.loglin_quantiles_sql(
+        "lineitem",
+        "l_extendedprice",
+        (0.5, 0.95),
+        group_expr="l_returnflag",
+        group_alias="l_returnflag",
+    ),
+    tags=("agg", "percentile", "approx", "sketch", "portable", "mergeable",
+          "scale"),
+)
+def g21d(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """MERGEABLE portable quantiles (operators/sketches.py loglin family) —
+    the bounded-state completion of the quantile trio: g21 is exact
+    (full sort), g21c replays exactly but its hash-sample state grows
+    with the data, this one is an HdrHistogram-style log-linear
+    histogram — ≤ ~1k counter rows per group however large the input,
+    union+sum mergeable (1000-executor combine AND day-over-day
+    incremental stores), with every bucket boundary an exact dyadic
+    rational so histogram AND estimates carry a full value-hash oracle.
+    Relative error bounded by the 1/16-octave sub-bucket width
+    (accuracy vs exact pinned in test_sketches)."""
+    hist = sketches.loglin_histogram(
+        t["lineitem"], "l_extendedprice", group_cols=("l_returnflag",)
+    )
+    return sketches.loglin_quantiles(
+        hist, (0.5, 0.95), group_cols=("l_returnflag",)
+    )
+
+
 def _cms_oracle() -> str:
     """CMS replay — the cell expression and row fan-out come from
     operators.sketches so the two dialects cannot drift."""

@@ -493,3 +493,98 @@ def test_detect_hot_keys_reads_input_exactly_twice(spark):
     assert [r.k for r in rows] == [-1]
     assert rows[0].est_n >= n // 2  # CMS never undercounts
     assert acc.value == 2 * n, f"expected exactly 2 data passes, saw {acc.value / n}"
+
+
+# --- mergeable log-linear quantiles (r11) ------------------------------------
+
+def _py_loglin_bucket(v, scale_pow=8, subdiv_pow=4):
+    import math
+
+    s = 1 << subdiv_pow
+    x = math.floor(v * (1 << scale_pow))
+    if x <= 0:
+        return -1
+    pot = 1 << (x.bit_length() - 1)
+    return (x.bit_length() - 1) * s + ((x - pot) * s) // pot
+
+
+def test_loglin_histogram_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(31)
+    vals = [rng.uniform(0, 50_000) for _ in range(2000)] + [0.0, 0.001, 1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        (r.bucket): r.n for r in sketches.loglin_histogram(df, "v").collect()
+    }
+    want: dict[int, int] = {}
+    for v in vals:
+        b = _py_loglin_bucket(v)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+def test_loglin_merge_equals_single_pass(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    whole = sketches.loglin_histogram(
+        li, "l_extendedprice", group_cols=("l_returnflag",)
+    )
+    halves = [
+        sketches.loglin_histogram(
+            li.filter(F.col("l_orderkey") % 2 == i),
+            "l_extendedprice",
+            group_cols=("l_returnflag",),
+        )
+        for i in (0, 1)
+    ]
+    merged = sketches.loglin_merge(halves, group_cols=("l_returnflag",))
+    assert _frame_equal(whole, merged, ["l_returnflag", "bucket", "n"])
+    with pytest.raises(ValueError, match="histogram"):
+        sketches.loglin_merge([])
+
+
+def test_loglin_quantiles_accuracy_vs_exact(spark, sf_dir):
+    # Sub-bucket width is 1/16 of an octave -> the picked bucket's bounds
+    # are within 6.25% of the true quantile; interpolation usually much
+    # closer. 8% is the hard bound + slack for the rank convention.
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    hist = sketches.loglin_histogram(li, "l_extendedprice")
+    est = sketches.loglin_quantiles(hist, (0.5, 0.95)).collect()[0]
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    ).collect()[0]
+    assert est["n_total"] == li.count()
+    assert abs(est["p50"] / exact["p50"] - 1) < 0.08
+    assert abs(est["p95"] / exact["p95"] - 1) < 0.08
+
+
+def test_loglin_zero_and_subgrid_bucket(spark):
+    # values on/below the 2^-scale_pow grid collapse to bucket -1 and
+    # estimate exactly 0 — the documented domain edge.
+    df = spark.createDataFrame([(0.0,), (0.001,), (0.003,)], "v double")
+    hist = sketches.loglin_histogram(df, "v")
+    assert hist.collect() == [  # single bucket -1
+        hist.collect()[0]
+    ] and hist.collect()[0].bucket == -1
+    q = sketches.loglin_quantiles(hist, (0.5,)).collect()[0]
+    assert q["p50"] == 0.0 and q["n_total"] == 3
+
+
+def test_cms_store_rolls_forward_exactly(spark, tmp_path):
+    # Batches through the persisted CMS store == one build over their
+    # concatenation, cell for cell (sum-merge): the frequency-store
+    # analogue of the HLL store, sharing its crash-safe swap.
+    store = str(tmp_path / "cms_store")
+    batches = [
+        spark.range(lo, hi).select((F.col("id") % 97).alias("k"))
+        for lo, hi in ((0, 3000), (3000, 5000), (5000, 9000))
+    ]
+    for b in batches:
+        sketches.update_cms_store(b, "k", store)
+    whole = sketches.cms_build(
+        spark.range(9000).select((F.col("id") % 97).alias("k")), "k"
+    )
+    assert _frame_equal(
+        whole, spark.read.parquet(store), ["row_idx", "col_idx", "n"]
+    )
