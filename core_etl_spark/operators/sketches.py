@@ -723,3 +723,36 @@ def loglin_quantiles_sql(
         )
         SELECT {g_col}{", ".join(sels)} FROM cum {g_by}
     """
+
+
+def update_loglin_store(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    group_cols: Sequence[str] = (),
+    scale_pow: int = _LOGLIN_SCALE_POW,
+    subdiv_pow: int = _LOGLIN_SUBDIV_POW,
+) -> None:
+    """Roll a persisted quantile-histogram store forward with one batch —
+    the reason this family exists: quantiles over everything-ever-seen
+    from bounded state, no history re-read (``loglin_quantiles`` reads
+    estimates off the store at any point). Same crash-safe staged swap
+    as the HLL/CMS stores; same non-idempotence caveat as the CMS store
+    (sum-merge double-counts a re-applied batch — wire behind an
+    exactly-once batch source). Geometry (scale_pow, subdiv_pow) must
+    stay constant across the store's life."""
+    import os
+
+    _recover_store(path)
+    spark = df.sparkSession
+    new = loglin_histogram(
+        df, value_col, group_cols=group_cols, scale_pow=scale_pow,
+        subdiv_pow=subdiv_pow,
+    )
+    if os.path.exists(path):
+        merged = loglin_merge(
+            [spark.read.parquet(path), new], group_cols=group_cols
+        )
+    else:
+        merged = new
+    _promote_store(merged, path)

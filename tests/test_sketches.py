@@ -513,6 +513,10 @@ def test_loglin_histogram_matches_python_reference(spark):
 
     rng = random.Random(31)
     vals = [rng.uniform(0, 50_000) for _ in range(2000)] + [0.0, 0.001, 1.0]
+    # octave boundaries: scaled values exactly 2^k and 2^k - 1 must land
+    # in (k*16) and ((k-1)*16 + 15) respectively, identically everywhere
+    vals += [(1 << k) / 256 for k in range(0, 42, 7)]
+    vals += [((1 << k) - 1) / 256 for k in range(1, 42, 7)]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = {
         (r.bucket): r.n for r in sketches.loglin_histogram(df, "v").collect()
@@ -588,3 +592,22 @@ def test_cms_store_rolls_forward_exactly(spark, tmp_path):
     assert _frame_equal(
         whole, spark.read.parquet(store), ["row_idx", "col_idx", "n"]
     )
+
+
+def test_loglin_store_quantiles_over_everything_fed(spark, tmp_path):
+    # The store's purpose: after N batches, quantiles off the store equal
+    # quantiles off a single-pass histogram of the batches' union.
+    store = str(tmp_path / "loglin_store")
+    batches = [
+        spark.range(lo, hi).select((F.col("id") * 0.37 + 1).alias("v"))
+        for lo, hi in ((0, 4000), (4000, 6000), (6000, 10000))
+    ]
+    for b in batches:
+        sketches.update_loglin_store(b, "v", store)
+    whole = sketches.loglin_histogram(
+        spark.range(10000).select((F.col("id") * 0.37 + 1).alias("v")), "v"
+    )
+    assert _frame_equal(whole, spark.read.parquet(store), ["bucket", "n"])
+    got = sketches.loglin_quantiles(spark.read.parquet(store), (0.5,)).collect()[0]
+    want = sketches.loglin_quantiles(whole, (0.5,)).collect()[0]
+    assert got == want
