@@ -378,3 +378,13 @@ def test_snapshot_rotation_front_loads_stalest():
     assert rounds == sorted(rounds), "rotation is not oldest-first"
     # every _REWITNESS name must resolve (the r05 fail-loud guard)
     assert not set(plans._REWITNESS) - set(plans.REGISTRY)
+
+
+def test_g21d_histogram_shuffles_buckets_not_rows(spark, sf_dir):
+    # The mergeable-quantile scale claim: the histogram groupBy carries a
+    # map-side partial count (mappers emit <= bucket-count rows per
+    # group), and the quantile window runs over the tiny histogram — the
+    # data itself is touched by exactly one scan.
+    plan = _plan(spark, sf_dir, "g21d_loglin_quantiles")
+    assert plan.count("HashAggregate") >= 2, "histogram lost map-side combine"
+    assert plan.count("Scan parquet") == 1, "quantile stage re-scanned the data"
