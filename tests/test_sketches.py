@@ -611,3 +611,27 @@ def test_loglin_store_quantiles_over_everything_fed(spark, tmp_path):
     got = sketches.loglin_quantiles(spark.read.parquet(store), (0.5,)).collect()[0]
     want = sketches.loglin_quantiles(whole, (0.5,)).collect()[0]
     assert got == want
+
+
+def test_loglin_nondefault_geometry_matches_python(spark):
+    # The CMS-width precedent: geometry is a parameter, so a non-default
+    # (scale_pow=4, subdiv_pow=2) build must agree with straight-line
+    # Python exactly — including octave boundaries at the coarser grid.
+    import random
+
+    rng = random.Random(41)
+    vals = [rng.uniform(0, 5000) for _ in range(800)] + [
+        (1 << k) / 16 for k in range(0, 24, 5)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r.bucket: r.n
+        for r in sketches.loglin_histogram(
+            df, "v", scale_pow=4, subdiv_pow=2
+        ).collect()
+    }
+    want: dict[int, int] = {}
+    for v in vals:
+        b = _py_loglin_bucket(v, scale_pow=4, subdiv_pow=2)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
