@@ -549,8 +549,9 @@ def update_cms_store(
 # combined by re-unioning rows. This family is the bounded-state
 # alternative: an HdrHistogram-style log-linear bucketing (Tene's
 # HdrHistogram; same error model as DDSketch, Masson et al. VLDB 2019)
-# whose state is ≤ (64·S + 1) counter rows per group at S sub-buckets
-# per octave, merge = union + sum (distributed combine AND incremental
+# whose state is ≤ (2·64·S + 1) counter rows per group at S sub-buckets
+# per octave (sign-mirrored buckets cover negatives, r11.13), merge =
+# union + sum (distributed combine AND incremental
 # day-over-day stores), and every bucket boundary is an exact dyadic
 # rational — octave from ``length(bin(x))``, sub-bucket from integer
 # arithmetic and divisions by powers of two only — so histogram AND
@@ -567,14 +568,24 @@ _LOGLIN_SUBDIV_POW = 4
 
 
 def _loglin_bucket(value: Column, scale_pow: int, subdiv_pow: int) -> Column:
+    # Sign-mirrored (r11.13): negatives get bucket −2 − posb(|x|), so
+    # ascending bucket index == ascending value across the whole real
+    # line (…, −2−16·S < … < −2 [x=−1's bucket] < −1 [x=0] < 0 < …) and
+    # the quantile cumsum needs no special-casing.
     s = 1 << subdiv_pow
     x = F.floor(value * F.lit(float(1 << scale_pow))).cast("long")
-    blen = F.length(F.bin(x))
+    y = F.abs(x)
+    blen = F.length(F.bin(y))
     pot = F.pow(F.lit(2.0), blen - 1).cast("long")  # 2^(octave-1), exact
-    sub = F.floor(((x - pot) * s).cast("double") / pot.cast("double")).cast(
+    sub = F.floor(((y - pot) * s).cast("double") / pot.cast("double")).cast(
         "long"
     )
-    return F.when(x <= 0, F.lit(-1)).otherwise((blen - 1) * s + sub)
+    posb = (blen - 1) * s + sub
+    return (
+        F.when(x == 0, F.lit(-1))
+        .when(x > 0, posb)
+        .otherwise(F.lit(-2) - posb)
+    )
 
 
 def loglin_bucket_sql(value_expr: str, scale_pow: int = _LOGLIN_SCALE_POW,
@@ -583,12 +594,15 @@ def loglin_bucket_sql(value_expr: str, scale_pow: int = _LOGLIN_SCALE_POW,
     dialects share the scale/subdivision constants."""
     s = 1 << subdiv_pow
     x = f"CAST(floor(({value_expr}) * {float(1 << scale_pow)}) AS BIGINT)"
-    blen = f"length(bin({x}))"
+    y = f"abs({x})"
+    blen = f"length(bin({y}))"
     pot = f"CAST(pow(2.0, {blen} - 1) AS BIGINT)"
-    sub = f"CAST(floor(CAST(({x} - {pot}) * {s} AS DOUBLE) / CAST({pot} AS DOUBLE)) AS BIGINT)"
+    sub = f"CAST(floor(CAST(({y} - {pot}) * {s} AS DOUBLE) / CAST({pot} AS DOUBLE)) AS BIGINT)"
+    posb = f"(({blen} - 1) * {s} + {sub})"
     return (
-        f"CASE WHEN {x} <= 0 THEN -1 "
-        f"ELSE ({blen} - 1) * {s} + {sub} END"
+        f"CASE WHEN {x} = 0 THEN -1 "
+        f"WHEN {x} > 0 THEN {posb} "
+        f"ELSE -2 - {posb} END"
     )
 
 
@@ -600,11 +614,14 @@ def loglin_histogram(
     subdiv_pow: int = _LOGLIN_SUBDIV_POW,
 ) -> DataFrame:
     """One-pass log-linear histogram: (group_cols..., bucket, n). Domain
-    is non-negative values with ``value·2^scale_pow < 2^53`` (sums,
-    lengths, prices); values under the 2^-scale_pow grid share bucket −1
-    (estimated as exactly 0). Map-side partial count bounds every
-    mapper's output at the bucket count per group — the histogram, not
-    the data, is what shuffles. Merge with :func:`loglin_merge`."""
+    is the full real line with ``|value|·2^scale_pow < 2^53`` (sums,
+    lengths, prices, deltas, scores): negatives land in sign-mirrored
+    buckets (−2 − posb(|v|), still ascending-bucket == ascending-value),
+    and values inside the open grid interval (−2^−scale_pow, 2^−scale_pow)
+    share bucket −1, estimated as exactly 0. Map-side partial count
+    bounds every mapper's output at the bucket count per group — the
+    histogram, not the data, is what shuffles. Merge with
+    :func:`loglin_merge`."""
     b = _loglin_bucket(F.col(value_col), scale_pow, subdiv_pow)
     return (
         df.select(*group_cols, b.alias("bucket"))
@@ -637,18 +654,23 @@ def _loglin_est_exprs(
     s = 1 << subdiv_pow
     scale = float(1 << scale_pow)
     out = []
+    # pb = the positive-equivalent bucket (negatives are sign-mirrored at
+    # −2 − pb); a negative bucket's value interval is (−hi, −lo], so its
+    # interpolation base is −hi with the same (hi − lo) slope.
+    pb = "(CASE WHEN bucket >= 0 THEN bucket ELSE -bucket - 2 END)"
     for q in probs:
         name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
         rank = f"greatest(1, CAST(ceil({q} * total) AS BIGINT))"
-        oct_ = "CAST(floor(bucket / {s}.0) AS BIGINT)".format(s=s)
+        oct_ = f"CAST(floor({pb} / {s}.0) AS BIGINT)"
         pot = f"pow(2.0, {oct_})"
-        j = f"(bucket - {oct_} * {s})"
+        j = f"({pb} - {oct_} * {s})"
         lo = f"({pot} * (1.0 + {j} / {s}.0))"
         hi = f"({pot} * (1.0 + ({j} + 1) / {s}.0))"
+        base = f"(CASE WHEN bucket >= 0 THEN {lo} ELSE -{hi} END)"
         frac = f"(({rank} - (cum - n)) / CAST(n AS DOUBLE))"
         est = (
             f"CASE WHEN bucket = -1 THEN 0.0 "
-            f"ELSE ({lo} + {frac} * ({hi} - {lo})) / {scale} END"
+            f"ELSE ({base} + {frac} * ({hi} - {lo})) / {scale} END"
         )
         out.append((name, est, f"cum >= {rank}"))
     return out

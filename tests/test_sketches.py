@@ -502,10 +502,12 @@ def _py_loglin_bucket(v, scale_pow=8, subdiv_pow=4):
 
     s = 1 << subdiv_pow
     x = math.floor(v * (1 << scale_pow))
-    if x <= 0:
+    if x == 0:
         return -1
-    pot = 1 << (x.bit_length() - 1)
-    return (x.bit_length() - 1) * s + ((x - pot) * s) // pot
+    y = abs(x)
+    pot = 1 << (y.bit_length() - 1)
+    posb = (y.bit_length() - 1) * s + ((y - pot) * s) // pot
+    return posb if x > 0 else -2 - posb
 
 
 def test_loglin_histogram_matches_python_reference(spark):
@@ -635,3 +637,45 @@ def test_loglin_nondefault_geometry_matches_python(spark):
         b = _py_loglin_bucket(v, scale_pow=4, subdiv_pow=2)
         want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+def test_loglin_signed_values_match_python_and_duckdb(spark):
+    """Sign-mirrored buckets (r11.13): full-real-line histogram must match
+    straight-line Python bucket-for-bucket, the quantiles must track the
+    exact signed percentiles, and the generated oracle SQL must replay
+    the whole thing in DuckDB value-for-value."""
+    import random
+
+    import duckdb
+    import numpy as np
+
+    rng = random.Random(61)
+    vals = [rng.uniform(-40_000, 40_000) for _ in range(4000)]
+    vals += [0.0, -0.001, 0.001, -1 / 256, 1 / 256, -12345.678]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+
+    got = {r.bucket: r.n for r in sketches.loglin_histogram(df, "v").collect()}
+    want: dict[int, int] = {}
+    for v in vals:
+        b = _py_loglin_bucket(v)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+    hist = sketches.loglin_histogram(df, "v")
+    est = sketches.loglin_quantiles(hist, (0.05, 0.5, 0.95)).collect()[0]
+    arr = np.array(vals)
+    for name, q in (("p05", 0.05), ("p50", 0.5), ("p95", 0.95)):
+        exact = float(np.quantile(arr, q))
+        # 1/16-octave bound on |value|, plus slack near the median where
+        # a symmetric distribution crosses zero
+        assert abs(est[name] - exact) <= max(0.08 * abs(exact), 300.0), (
+            name, est[name], exact,
+        )
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = con.execute(
+        sketches.loglin_quantiles_sql("t", "v", (0.05, 0.5, 0.95))
+    ).fetchdf()
+    for name in ("p05", "p50", "p95"):
+        assert float(oracle[name][0]) == est[name], name
