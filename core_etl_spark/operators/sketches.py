@@ -621,10 +621,14 @@ def loglin_histogram(
     share bucket −1, estimated as exactly 0. Map-side partial count
     bounds every mapper's output at the bucket count per group — the
     histogram, not the data, is what shuffles. Merge with
-    :func:`loglin_merge`."""
+    :func:`loglin_merge`. NULL values are excluded (a null bucket row
+    would poison the quantile cumsum, and the two engines disagree on
+    default NULL ordering in window frames — the oracle generator
+    filters identically)."""
     b = _loglin_bucket(F.col(value_col), scale_pow, subdiv_pow)
     return (
-        df.select(*group_cols, b.alias("bucket"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bucket"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count("*").alias("n"))
     )
@@ -733,6 +737,7 @@ def loglin_quantiles_sql(
     return f"""
         WITH vals AS (
             SELECT {g_sel}{value_expr} AS v FROM {table}
+            WHERE ({value_expr}) IS NOT NULL
         ), hist AS (
             SELECT {g_col}{loglin_bucket_sql("v", scale_pow, subdiv_pow)} AS bucket,
                    count(*) AS n

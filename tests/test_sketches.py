@@ -679,3 +679,24 @@ def test_loglin_signed_values_match_python_and_duckdb(spark):
     ).fetchdf()
     for name in ("p05", "p50", "p95"):
         assert float(oracle[name][0]) == est[name], name
+
+
+def test_loglin_nulls_excluded_both_engines(spark):
+    # A null value must not create a null bucket row (it would poison the
+    # quantile cumsum, and Spark and DuckDB disagree on default NULL
+    # ordering in window frames) — both the operator and the generated
+    # oracle SQL exclude nulls, so n_total counts non-null values only.
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (3.0,), (None,)], "v double"
+    )
+    hist = sketches.loglin_histogram(df, "v")
+    assert all(r.bucket is not None for r in hist.collect())
+    est = sketches.loglin_quantiles(hist, (0.5,)).collect()[0]
+    assert est["n_total"] == 3 and est["p50"] is not None
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = con.execute(sketches.loglin_quantiles_sql("t", "v", (0.5,))).fetchdf()
+    assert int(oracle["n_total"][0]) == 3
+    assert float(oracle["p50"][0]) == est["p50"]
