@@ -70,6 +70,9 @@ def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     survive one loss at the cost of doubled storage and CacheManager
     retention.)"""
     mode = CHECKPOINT_MODE if mode is None else mode
+    if mode not in ("eager", "lazy", "none", "persist2"):
+        # a typo'd mode would silently run as "lazy" otherwise
+        raise ValueError(f"unknown materialization mode {mode!r}")
     if mode == "none":
         return df
     if mode == "persist2":

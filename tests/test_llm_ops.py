@@ -1794,3 +1794,10 @@ def test_materialize_persist2_is_replicated(spark):
     # default mode unchanged: localCheckpoint, not a CacheManager entry
     eager = dedup._materialize(spark.range(5), mode="eager")
     assert eager.storageLevel.replication <= 1
+
+
+def test_materialize_rejects_unknown_mode(spark):
+    from core_etl_spark.operators import dedup
+
+    with pytest.raises(ValueError, match="materialization mode"):
+        dedup._materialize(spark.range(1), mode="eagr")
