@@ -212,24 +212,38 @@ def _decode_avi_stdlib(payload: bytes) -> tuple[int, int, int, bytes]:
 
     DIB rows are 4-byte aligned and bottom-up (top-down when biHeight is
     negative); 24-bit pixels are BGR and collapse to integer BT.601 luma
-    ``(299R + 587G + 114B) // 1000``; 8-bit frames are read as literal
-    gray values (identity palette — the layout every gray AVI writer
-    emits). Returns ``(n_frames, w, h, frames_u8)`` with flat grayscale
-    frames, the exact fake-codec contract, so every downstream operator
-    (sample_frames etc.) is codec-agnostic."""
+    ``(299R + 587G + 114B) // 1000``; 8-bit frames map through the
+    stream's declared strf palette (same luma collapse per RGBQUAD —
+    identity for the gray palette every gray AVI writer emits; literal
+    gray values when no palette is present). Only the FIRST ``vids``
+    stream decodes: movi chunk ids carry the two-digit stream number
+    (``00db``…), and chunks of other streams — a second video stream, an
+    ``auds`` track — are skipped rather than interleaved into the first
+    stream's geometry (ADVICE r11). Returns ``(n_frames, w, h,
+    frames_u8)`` with flat grayscale frames, the exact fake-codec
+    contract, so every downstream operator (sample_frames etc.) is
+    codec-agnostic."""
     end = 12 + struct.unpack_from("<I", payload, 4)[0] - 4
     end = min(end, len(payload))
     bmp = None  # (w, h, bits, topdown)
+    lut = None  # 256-entry u8 gray LUT from the strf palette (8-bit only)
     frames: list[bytes] = []
     in_vids = False
+    stream_no = -1  # strh ordinal == the stream number in movi chunk ids
+    target = None  # two-digit ascii prefix of the decoded vids stream
 
     def walk(start: int, stop: int) -> None:
-        nonlocal bmp, in_vids
+        nonlocal bmp, lut, in_vids, stream_no, target
         for fourcc, data, size in _iter_riff_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 walk(data + 4, data + size)
             elif fourcc == b"strh":
-                in_vids = payload[data : data + 4] == b"vids"
+                stream_no += 1
+                in_vids = (
+                    payload[data : data + 4] == b"vids" and target is None
+                )
+                if in_vids:
+                    target = b"%02d" % stream_no
             elif fourcc == b"strf" and in_vids and bmp is None:
                 w, h = struct.unpack_from("<ii", payload, data + 4)
                 bits, comp = struct.unpack_from("<HI", payload, data + 14)
@@ -240,7 +254,23 @@ def _decode_avi_stdlib(payload: bytes) -> tuple[int, int, int, bytes]:
                         f"biBitCount={bits} — compressed AVI needs PyAV"
                     )
                 bmp = (w, abs(h), bits, h < 0)
-            elif fourcc[2:] in (b"db", b"dc"):
+                if bits == 8:
+                    # palette follows BITMAPINFOHEADER (biSize bytes in):
+                    # biClrUsed (data+32) entries, 0 meaning the full 2^8.
+                    (bi_size,) = struct.unpack_from("<I", payload, data)
+                    (clr_used,) = struct.unpack_from("<I", payload, data + 32)
+                    n_pal = min(clr_used or 256, (size - bi_size) // 4, 256)
+                    if n_pal > 0:
+                        quads = np.frombuffer(
+                            payload, dtype=np.uint8, count=4 * n_pal,
+                            offset=data + bi_size,
+                        ).reshape(n_pal, 4).astype(np.int32)  # B,G,R,reserved
+                        lut = np.arange(256, dtype=np.uint8)
+                        lut[:n_pal] = (
+                            (299 * quads[:, 2] + 587 * quads[:, 1]
+                             + 114 * quads[:, 0]) // 1000
+                        ).astype(np.uint8)
+            elif fourcc[2:] in (b"db", b"dc") and fourcc[:2] == target:
                 frames.append(payload[data : data + size])
 
     walk(12, end)
@@ -257,7 +287,8 @@ def _decode_avi_stdlib(payload: bytes) -> tuple[int, int, int, bytes]:
         if not topdown:
             rows = rows[::-1]
         if bits == 8:
-            out[fi] = rows[:, :w]
+            idx = rows[:, :w]
+            out[fi] = lut[idx] if lut is not None else idx
         else:
             px = rows[:, : w * 3].reshape(h, w, 3).astype(np.int32)  # BGR
             out[fi] = (

@@ -316,7 +316,14 @@ def _recover_store(path: str) -> None:
     promotion renames leaves the full pre-merge store at ``__retired``
     (restored — that batch is simply re-appliable, never silently
     forgotten); a crash after promotion leaves stale ``__staged``/
-    ``__retired`` dirs that would make the next renames raise."""
+    ``__retired`` dirs that would make the next renames raise.
+
+    SINGLE WRITER ONLY (ADVICE r11): recovery + promotion assume one
+    ``update_*_store`` caller per store path at a time — two concurrent
+    updates can interleave (one's recovery rmtree deleting the other's
+    freshly written ``__staged``, or racing renames) and silently drop a
+    batch. Serialize updates per store (foreachBatch already does; a
+    cron'd batch loader must not overlap itself)."""
     import os
     import shutil
 
@@ -327,17 +334,46 @@ def _recover_store(path: str) -> None:
     shutil.rmtree(retired, ignore_errors=True)
 
 
-def _promote_store(merged: DataFrame, path: str) -> None:
+#: name of the applied-batch ledger dir INSIDE a store: the leading
+#: underscore makes Spark's parquet listing treat it as metadata (like
+#: _SUCCESS), so ``spark.read.parquet(store)`` still reads just the
+#: sketch rows, while the ledger rides INSIDE the staged-swap dir and
+#: therefore promotes/retires/recovers atomically with the registers it
+#: guards — no second consistency protocol.
+_LEDGER_DIR = "_batches"
+
+
+def _applied_batch_ids(spark, path: str) -> list[str]:
+    """Batch ids already folded into the store at ``path`` (empty for a
+    ledger-less store — one updated only by batch_id=None calls)."""
+    import os
+
+    ledger = os.path.join(path, _LEDGER_DIR)
+    if not os.path.exists(ledger):
+        return []
+    return [r.batch_id for r in spark.read.parquet(ledger).collect()]
+
+
+def _promote_store(
+    merged: DataFrame, path: str, ledger_ids: Sequence[str] = ()
+) -> None:
     """Staged-swap write (k78's pattern): the merged table lands beside
     the store, then two renames promote it — the store stays readable if
     the job dies mid-update, and ``_recover_store`` handles the rename
-    window on the next call."""
+    window on the next call. ``ledger_ids`` (the applied-batch ledger of
+    the sum-merge stores) is written INSIDE the staged dir before the
+    swap, so ledger and registers can never disagree about which batches
+    are in. Single-writer only — see ``_recover_store``."""
     import os
     import shutil
 
     staged = f"{path}__staged"
     retired = f"{path}__retired"
     merged.write.mode("overwrite").parquet(staged)
+    if ledger_ids:
+        merged.sparkSession.createDataFrame(
+            [(i,) for i in ledger_ids], "batch_id string"
+        ).coalesce(1).write.parquet(os.path.join(staged, _LEDGER_DIR))
     if os.path.exists(path):
         os.rename(path, retired)
     os.rename(staged, path)
@@ -373,7 +409,9 @@ def update_hll_store(
     make this run's renames raise — both are cleared up front
     (``_recover_store``). Under ``foreachBatch`` retry semantics the
     worst case is one batch merged twice, which HLL max-merge absorbs
-    exactly."""
+    exactly — this store needs no batch ledger (the sum-merge CMS and
+    loglin stores do; see :func:`update_cms_store`). Single-writer per
+    store path — see ``_recover_store``."""
     import os
 
     _recover_store(path)
@@ -518,28 +556,45 @@ def sampled_quantiles(
 
 
 def update_cms_store(
-    df: DataFrame, col: str, path: str, width: int = _CMS_WIDTH
-) -> None:
+    df: DataFrame,
+    col: str,
+    path: str,
+    width: int = _CMS_WIDTH,
+    batch_id: str | None = None,
+) -> bool:
     """Roll a persisted Count-Min frequency store forward with one batch —
     the counter analogue of :func:`update_hll_store` (counters are
     additive, so merge = union + sum), with the same crash-safe
     staged-swap promotion and recovery. Cost ∝ the batch; history is
-    never re-read beyond the ≤ depth×width-row store itself. NOTE:
-    unlike the HLL store, sum-merge is NOT idempotent — a foreachBatch
-    RETRY that re-applies a committed batch double-counts it, so wire
-    this behind an exactly-once batch source (the streaming tail's
-    deterministic micro-batching) or keep per-batch dedup ledgers
-    upstream. ``width`` must stay constant across the store's life."""
+    never re-read beyond the ≤ depth×width-row store itself.
+
+    Unlike the HLL store, sum-merge is NOT idempotent — a foreachBatch
+    RETRY that re-applies a committed batch would double-count it. Pass
+    ``batch_id`` (Structured Streaming hands foreachBatch exactly this —
+    a monotone epoch id that repeats on retry) and the store keeps an
+    applied-batch ledger INSIDE itself (``_batches``, promoted atomically
+    with the counters by the same staged swap): a re-delivered batch is
+    detected and skipped, making the update effectively-once under
+    at-least-once delivery (VERDICT r11 directive 2). Returns True if the
+    batch was applied, False if the ledger says it already was.
+    ``batch_id=None`` keeps the r11 behavior (caller guarantees
+    exactly-once). ``width`` must stay constant across the store's life.
+    Single-writer per store path — see ``_recover_store``."""
     import os
 
     _recover_store(path)
     spark = df.sparkSession
+    applied = _applied_batch_ids(spark, path) if os.path.exists(path) else []
+    if batch_id is not None and batch_id in applied:
+        return False
     new = cms_build(df, col, width=width)
     if os.path.exists(path):
         merged = cms_merge([spark.read.parquet(path), new])
     else:
         merged = new
-    _promote_store(merged, path)
+    ledger = [*applied, batch_id] if batch_id is not None else applied
+    _promote_store(merged, path, ledger_ids=ledger)
+    return True
 
 
 # --- mergeable quantiles: log-linear (HDR-style) histogram -------------------
@@ -572,14 +627,22 @@ def _loglin_bucket(value: Column, scale_pow: int, subdiv_pow: int) -> Column:
     # ascending bucket index == ascending value across the whole real
     # line (…, −2−16·S < … < −2 [x=−1's bucket] < −1 [x=0] < 0 < …) and
     # the quantile cumsum needs no special-casing.
+    #
+    # The sub-bucket is PURE INTEGER arithmetic (r12, VERDICT r11): the
+    # r11 double floor-division ((y−pot)·S as DOUBLE / pot) lost exactness
+    # above y·S ≈ 2^53 — at y = 2^53−1 the numerator 2^56−16 rounds to
+    # 2^56 and the sub-bucket lands at S, colliding with the next octave's
+    # first bucket. num − num%pot is q·2^(octave−1) for q < S, i.e. at
+    # most subdiv_pow significant bits, so its double conversion and the
+    # power-of-two division are both exact over the FULL documented domain
+    # y < 2^53 (num < 2^53·S < 2^63 keeps the BIGINT side exact too).
     s = 1 << subdiv_pow
     x = F.floor(value * F.lit(float(1 << scale_pow))).cast("long")
     y = F.abs(x)
     blen = F.length(F.bin(y))
     pot = F.pow(F.lit(2.0), blen - 1).cast("long")  # 2^(octave-1), exact
-    sub = F.floor(((y - pot) * s).cast("double") / pot.cast("double")).cast(
-        "long"
-    )
+    num = (y - pot) * F.lit(s)  # exact BIGINT, ≥ 0 (pot ≤ y for y ≥ 1)
+    sub = ((num - num % pot) / pot).cast("long")
     posb = (blen - 1) * s + sub
     return (
         F.when(x == 0, F.lit(-1))
@@ -597,7 +660,10 @@ def loglin_bucket_sql(value_expr: str, scale_pow: int = _LOGLIN_SCALE_POW,
     y = f"abs({x})"
     blen = f"length(bin({y}))"
     pot = f"CAST(pow(2.0, {blen} - 1) AS BIGINT)"
-    sub = f"CAST(floor(CAST(({y} - {pot}) * {s} AS DOUBLE) / CAST({pot} AS DOUBLE)) AS BIGINT)"
+    num = f"(({y} - {pot}) * {s})"
+    # pure-integer sub-bucket (r12) — see _loglin_bucket: exact over the
+    # full y < 2^53 domain where the r11 double floor-division was not.
+    sub = f"CAST(({num} - {num} % {pot}) / {pot} AS BIGINT)"
     posb = f"(({blen} - 1) * {s} + {sub})"
     return (
         f"CASE WHEN {x} = 0 THEN -1 "
@@ -616,9 +682,13 @@ def loglin_histogram(
     """One-pass log-linear histogram: (group_cols..., bucket, n). Domain
     is the full real line with ``|value|·2^scale_pow < 2^53`` (sums,
     lengths, prices, deltas, scores): negatives land in sign-mirrored
-    buckets (−2 − posb(|v|), still ascending-bucket == ascending-value),
-    and values inside the open grid interval (−2^−scale_pow, 2^−scale_pow)
-    share bucket −1, estimated as exactly 0. Map-side partial count
+    buckets (−2 − posb(|v|), still ascending-bucket == ascending-value).
+    Quantization is the FLOOR grid, so only ``[0, 2^−scale_pow)``
+    collapses to bucket −1 (estimated as exactly 0); negatives in
+    ``(−2^−scale_pow, 0)`` floor to grid point −1 and land in bucket −2,
+    estimated ≈ −2^−scale_pow — sub-grid negatives keep their sign
+    (ADVICE r11: the old doc claimed the open interval around 0 was
+    symmetric; the code was right, the doc was not). Map-side partial count
     bounds every mapper's output at the bucket count per group — the
     histogram, not the data, is what shuffles. Merge with
     :func:`loglin_merge`. NULL values are excluded (a null bucket row
@@ -759,19 +829,25 @@ def update_loglin_store(
     group_cols: Sequence[str] = (),
     scale_pow: int = _LOGLIN_SCALE_POW,
     subdiv_pow: int = _LOGLIN_SUBDIV_POW,
-) -> None:
+    batch_id: str | None = None,
+) -> bool:
     """Roll a persisted quantile-histogram store forward with one batch —
     the reason this family exists: quantiles over everything-ever-seen
     from bounded state, no history re-read (``loglin_quantiles`` reads
     estimates off the store at any point). Same crash-safe staged swap
-    as the HLL/CMS stores; same non-idempotence caveat as the CMS store
-    (sum-merge double-counts a re-applied batch — wire behind an
-    exactly-once batch source). Geometry (scale_pow, subdiv_pow) must
-    stay constant across the store's life."""
+    as the HLL/CMS stores, and the same applied-batch ledger as
+    :func:`update_cms_store` (VERDICT r11 directive 2): pass the
+    foreachBatch epoch as ``batch_id`` and a retried batch is a no-op
+    instead of a double-count — returns False when skipped. Geometry
+    (scale_pow, subdiv_pow) must stay constant across the store's life.
+    Single-writer per store path — see ``_recover_store``."""
     import os
 
     _recover_store(path)
     spark = df.sparkSession
+    applied = _applied_batch_ids(spark, path) if os.path.exists(path) else []
+    if batch_id is not None and batch_id in applied:
+        return False
     new = loglin_histogram(
         df, value_col, group_cols=group_cols, scale_pow=scale_pow,
         subdiv_pow=subdiv_pow,
@@ -782,4 +858,6 @@ def update_loglin_store(
         )
     else:
         merged = new
-    _promote_store(merged, path)
+    ledger = [*applied, batch_id] if batch_id is not None else applied
+    _promote_store(merged, path, ledger_ids=ledger)
+    return True

@@ -21,7 +21,10 @@ class QuerySpec:
     name: str
     builder: Builder
     #: ANSI SQL equivalent runnable by DuckDB over the same tables; ``None``
-    #: for non-SQL-expressible ops (driver falls back to a rows-only check).
+    #: for non-SQL-expressible ops (driver falls back to a rows-only check,
+    #: recorded in the artifact as ``err: "no_oracle"`` — by design, not a
+    #: failure; see docs/rows-only-specs.md for the five such specs and
+    #: their oracle-backed twins).
     oracle: str | None
     tags: tuple[str, ...] = ()
     #: headline queries are what bench.py times at sf0.1.

@@ -444,6 +444,85 @@ def test_sample_frames_real_avi_matches_fake(spark):
     assert real == fk and sorted(real) == [0, 2, 4]
 
 
+def _avi_multi(streams, movi_chunks) -> bytes:
+    """Hand-rolled multi-stream AVI: ``streams`` is a list of
+    (stream_type_fourcc, strf_bytes) in strl order; ``movi_chunks`` is the
+    movi body as (chunk_fourcc, dib_bytes) in file order."""
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(t: bytes, d: bytes) -> bytes:
+        return chunk(b"LIST", t + d)
+
+    avih = struct.pack("<14I", 33333, 0, 0, 0, 0, 0, len(streams), 0,
+                       0, 0, 0, 0, 0, 0)
+    strls = b""
+    for fcc, strf in streams:
+        strh = fcc + b"RGB2" + struct.pack(
+            "<IHHiIIIIIIIhhhh", 0, 0, 0, 0, 0, 1, 30, 0, 0, 0, 0, 0, 0, 0, 0
+        )
+        strls += lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    body = b"AVI " + lst(b"hdrl", chunk(b"avih", avih) + strls) + lst(
+        b"movi", b"".join(chunk(f, d) for f, d in movi_chunks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _strf8(w: int, h: int, palette) -> bytes:
+    stride = (w + 3) & ~3
+    head = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h,
+                       0, 0, len(palette), 0)
+    return head + b"".join(bytes([b_, g, r, 0]) for (r, g, b_) in palette)
+
+
+def _dib8(frame: np.ndarray) -> bytes:
+    h, w = frame.shape
+    stride = (w + 3) & ~3
+    return b"".join(
+        frame[y].tobytes() + b"\x00" * (stride - w)
+        for y in range(h - 1, -1, -1)
+    )
+
+
+def test_video_real_codec_skips_second_stream(spark=None):
+    # ADVICE r11: ##db/##dc chunks carry the two-digit STREAM number; a
+    # second video stream's frames must not interleave into stream 0's
+    # geometry. Stream 1 here has a different (wider) frame size, so the
+    # old prefix-blind collector would have mis-shaped the output.
+    rng = np.random.RandomState(15)
+    f0 = rng.randint(0, 256, size=(3, 2, 4), dtype=np.uint8)  # n, h, w
+    f1 = rng.randint(0, 256, size=(3, 4, 8), dtype=np.uint8)
+    ident = [(v, v, v) for v in range(256)]
+    movi = []
+    for i in range(3):  # interleaved, the layout a muxer actually writes
+        movi.append((b"00db", _dib8(f0[i])))
+        movi.append((b"01db", _dib8(f1[i])))
+    payload = _avi_multi(
+        [(b"vids", _strf8(4, 2, ident)), (b"vids", _strf8(8, 4, ident))],
+        movi,
+    )
+    n, w, h, got = M._decode_video_real(payload)
+    assert (n, w, h) == (3, 4, 2)
+    assert got == f0.tobytes()
+
+
+def test_video_real_codec_applies_nonidentity_palette():
+    # ADVICE r11's second half: the declared strf palette must be applied,
+    # not assumed identity. An inverted gray palette (index v -> gray
+    # 255-v) must invert the decoded frames.
+    rng = np.random.RandomState(16)
+    f = rng.randint(0, 256, size=(2, 3, 5), dtype=np.uint8)
+    inverted = [(255 - v, 255 - v, 255 - v) for v in range(256)]
+    payload = _avi_multi(
+        [(b"vids", _strf8(5, 3, inverted))],
+        [(b"00db", _dib8(fr)) for fr in f],
+    )
+    n, w, h, got = M._decode_video_real(payload)
+    assert (n, w, h) == (2, 5, 3)
+    assert got == (255 - f).tobytes()
+
+
 def test_video_real_codec_compressed_avi_still_gated():
     # an MJPG-compressed AVI must keep naming the missing library
     rng = np.random.RandomState(14)

@@ -20,6 +20,19 @@ def duck(sf_dir):
     con.close()
 
 
+def test_rows_only_set_matches_documented_table():
+    """docs/rows-only-specs.md enumerates exactly the specs whose driver
+    row reads ``err: no_oracle`` by construction — the doc and the
+    registry must never drift apart (VERDICT r11 What's-wrong 2)."""
+    assert sorted(n for n, s in SPECS.items() if s.oracle is None) == [
+        "g06b_approx_distinct",
+        "g21b_approx_sketches",
+        "l07x_minhash_lsh_xxhash",
+        "l12b_ann_ivf_kmeans",
+        "l41c_bpe_batched",
+    ]
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_spec_matches_oracle(name, spark, sf_dir, duck):
     spec = SPECS[name]
