@@ -96,6 +96,15 @@ def main() -> None:
         # per-run wall times so readers can separate host contention from
         # real regressions (r2's recorded l07 was 2.6× its idle-machine time)
         "runs": runs,
+        # max/min of the 5 runs per query (VERDICT r11 stretch 8): the
+        # noise-floor guard IN the artifact — a cross-round delta smaller
+        # than the spread of either round is host scheduling, not code;
+        # call it a regression only beyond the spread (else ABBA-worktree
+        # it, SCALE.md bench protocol).
+        "spread": {
+            n: round(max(r) / min(r), 3) if min(r) > 0 else None
+            for n, r in runs.items()
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

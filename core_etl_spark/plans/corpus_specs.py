@@ -602,6 +602,121 @@ def _telemetry_oracle() -> str:
     """
 
 
+def _incremental_telemetry_oracle() -> str:
+    """Single-pass replay of everything the c11 stores accumulate batch by
+    batch — a green hash IS the proof that the rolled stores equal one
+    pass over the whole corpus. All three sketch replays come from the
+    operators.sketches generators so the constants cannot drift."""
+    from ..operators import sketches as SK
+
+    cms = f"""
+        WITH rows_(row_idx) AS (VALUES {SK.CMS_ROWS_VALUES}),
+        cells AS (
+            SELECT row_idx, {SK.cms_col_expr_sql("lang")} AS col_idx
+            FROM documents CROSS JOIN rows_
+        ),
+        sketch AS (
+            SELECT row_idx, col_idx, count(*) AS n
+            FROM cells GROUP BY row_idx, col_idx
+        ),
+        probes AS (SELECT DISTINCT lang FROM documents),
+        probe_cells AS (
+            SELECT p.lang, row_idx, {SK.cms_col_expr_sql("p.lang")} AS col_idx
+            FROM probes p CROSS JOIN rows_
+        )
+        SELECT pc.lang, CAST(min(coalesce(s.n, 0)) AS BIGINT) AS cms_n_docs
+        FROM probe_cells pc
+        LEFT JOIN sketch s USING (row_idx, col_idx)
+        GROUP BY pc.lang
+    """
+    hll = SK.hll_oracle_sql(
+        "documents", "text", group_expr="lang", group_alias="lang",
+        estimate_col="est_distinct_texts",
+    )
+    quants = SK.loglin_quantiles_sql(
+        "documents", "n_chars", (0.5, 0.95), group_expr="lang",
+        group_alias="lang",
+    )
+    return f"""
+        SELECT c.lang, c.cms_n_docs, h.est_distinct_texts,
+               q.n_total, q.p50 AS p50_chars, q.p95 AS p95_chars
+        FROM ({cms}) c
+        JOIN ({hll}) h ON h.lang = c.lang
+        JOIN ({quants}) q ON q.lang = c.lang
+    """
+
+
+@register(
+    "c11_incremental_telemetry",
+    tables=("documents",),
+    oracle=_incremental_telemetry_oracle(),
+    tags=("corpus", "composite", "sketch", "telemetry", "incremental",
+          "store"),
+)
+def c11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """INCREMENTAL corpus telemetry — c10's dataset-card metrics produced
+    the way production runs them: the corpus arrives in batches, each
+    batch rolls the three persisted sketch stores forward
+    (operators/sketches.py: HLL registers for distinct texts, Count-Min
+    counters for per-lang doc frequency, log-linear histogram for length
+    quantiles), and the card is read OFF THE STORES — history is never
+    re-scanned. The oracle is a single pass over the whole corpus, so a
+    green value hash proves rolled-store == single-pass for all three
+    sketch families at once. One batch is deliberately RE-DELIVERED
+    (at-least-once semantics): the HLL store absorbs it by max-merge
+    idempotence, the CMS/loglin stores by their applied-batch ledgers
+    (r12) — a double count would flip the hash. 100 TB shape: per-batch
+    cost ∝ the batch; store size is bounded (≤4096 HLL registers and
+    ≤~1k histogram rows per lang, ≤4096 CMS cells) however large the
+    corpus grows."""
+    import shutil
+    import tempfile
+
+    from ..operators import sketches as SK
+
+    docs = t["documents"]
+    root = tempfile.mkdtemp(prefix="c11_stores_")
+    hll_p, cms_p, ll_p = f"{root}/hll", f"{root}/cms", f"{root}/loglin"
+    try:
+        batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        for i, b in enumerate(batches):
+            SK.update_hll_store(b, "text", hll_p, group_cols=("lang",))
+            SK.update_cms_store(b, "lang", cms_p, batch_id=str(i))
+            SK.update_loglin_store(
+                b, "n_chars", ll_p, group_cols=("lang",), batch_id=str(i)
+            )
+        # the retry: batch 0 arrives again — all three stores must shrug
+        SK.update_hll_store(batches[0], "text", hll_p, group_cols=("lang",))
+        assert not SK.update_cms_store(batches[0], "lang", cms_p, batch_id="0")
+        assert not SK.update_loglin_store(
+            batches[0], "n_chars", ll_p, group_cols=("lang",), batch_id="0"
+        )
+
+        hll = SK.hll_estimate(
+            spark.read.parquet(hll_p), group_cols=("lang",),
+            estimate_col="est_distinct_texts",
+        ).select("lang", "est_distinct_texts")
+        cms = SK.cms_estimate(
+            spark.read.parquet(cms_p), docs.select("lang").distinct(), "lang"
+        ).withColumnRenamed("cms_n", "cms_n_docs")
+        quants = (
+            SK.loglin_quantiles(
+                spark.read.parquet(ll_p), (0.5, 0.95), group_cols=("lang",)
+            )
+            .withColumnRenamed("p50", "p50_chars")
+            .withColumnRenamed("p95", "p95_chars")
+        )
+        out = cms.join(hll, "lang").join(quants, "lang").select(
+            "lang", "cms_n_docs", "est_distinct_texts", "n_total",
+            "p50_chars", "p95_chars",
+        )
+        # eager: the temp stores are deleted on return, so the ~lang-count
+        # result rows must be materialized before the plan outlives them.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "c10_corpus_telemetry",
     tables=("documents",),

@@ -199,6 +199,83 @@ def stream_leg() -> None:
         spark.stop()
 
 
+def stream_loglin_leg() -> None:
+    """The loglin-store twin of ``stream_leg`` (VERDICT r11 directive 6):
+    foreachBatch → update_loglin_store with the epoch id as batch_id (the
+    r12 ledger wiring — a kill-induced batch REDELIVERY must be absorbed
+    by the ledger, where the HLL store relies on max-merge idempotence),
+    one executor SIGKILLed mid-stream; the final store histogram and the
+    quantiles read off it must equal a single-pass histogram of every
+    row ever fed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from core_etl_spark.operators import sketches
+
+    spark = fresh_session("chaos_stream_loglin")
+    try:
+        root = tempfile.mkdtemp(prefix="chaos_loglin_")
+        src, store, ck = f"{root}/src", f"{root}/store", f"{root}/ck"
+        n_files, rows_per = 6, 200_000
+        for i in range(n_files):
+            spark.range(i * rows_per, (i + 1) * rows_per).select(
+                (F.col("id") * 0.37 + 1.0).alias("v")
+            ).coalesce(2).write.parquet(f"{src}/f{i}")
+
+        stream = (
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        killer = Killer(delay=4.0)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, i: sketches.update_loglin_store(
+                    b, "v", store, batch_id=str(i)
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        killer.start()
+        q.awaitTermination()
+        killer.join()
+
+        whole = sketches.loglin_histogram(
+            spark.range(n_files * rows_per).select(
+                (F.col("id") * 0.37 + 1.0).alias("v")
+            ),
+            "v",
+        )
+        got = sorted(
+            map(tuple, spark.read.parquet(store).select("bucket", "n").collect())
+        )
+        want = sorted(map(tuple, whole.select("bucket", "n").collect()))
+        got_q = sketches.loglin_quantiles(
+            spark.read.parquet(store), (0.5, 0.95)
+        ).collect()
+        want_q = sketches.loglin_quantiles(whole, (0.5, 0.95)).collect()
+        print(
+            json.dumps(
+                {
+                    "leg": "stream_loglin_store",
+                    "rows_fed": n_files * rows_per,
+                    "killed_pid": killer.killed_pid,
+                    "store_equals_single_pass": got == want,
+                    "quantiles_equal": got_q == want_q,
+                    "hist_rows": len(got),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    finally:
+        spark.stop()
+
+
 def ckpt_leg() -> None:
     """The _materialize executor-loss trade, measured both ways: kill an
     executor AFTER an intermediate is materialized, then consume it.
@@ -276,5 +353,7 @@ if __name__ == "__main__":
         batch_leg()
     if which in ("all", "stream"):
         stream_leg()
+    if which in ("all", "stream_loglin"):
+        stream_loglin_leg()
     if which in ("all", "ckpt"):
         ckpt_leg()
