@@ -39,7 +39,7 @@ from . import maintenance_specs  # noqa: F401,E402
 # history and ``all_specs`` orders the registry oldest-latest-witness-first,
 # so every snapshot burns the stalest specs by construction and the staleness
 # bound is the arithmetic optimum — ceil(len(REGISTRY)/50) rounds — without
-# anyone maintaining a list. (With 160 specs and 50 slots that optimum is 4
+# anyone maintaining a list. (With 162 specs and 50 slots that optimum is 4
 # witness rounds ≈ 3 rounds of staleness; the r10 directive's literal
 # "nothing older than r09 after r11" needs 64 slots and is infeasible — the
 # oldest-first order is the closest achievable policy and self-maintains.)

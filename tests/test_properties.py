@@ -519,3 +519,50 @@ def test_weighted_sample_matches_python_reference(spark, rows):
         d for d, w in sorted(rows, key=lambda t: rank_key(*t), reverse=True)[:k]
     }
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=(1 << 53) - 1),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_loglin_bucket_sql_matches_python_reference(ys):
+    """The r12 exactness claim as a property: the generated DuckDB bucket
+    expression must equal straight-line Python INTEGER arithmetic for any
+    grid value in the full documented domain [1, 2^53) — including the
+    top octaves where the r11 double floor-division overflowed into the
+    next octave. (DuckDB-only on purpose: the Spark side evaluates the
+    same generated arithmetic and is pinned at the adversarial edges by
+    test_sketches.test_loglin_bucket_exact_at_domain_edge; skipping the
+    JVM keeps this property cheap enough to run many examples.)"""
+    import duckdb
+
+    from core_etl_spark.operators import sketches
+
+    s_pow, scale_pow = sketches._LOGLIN_SUBDIV_POW, sketches._LOGLIN_SCALE_POW
+    s = 1 << s_pow
+
+    def py_bucket(y: int) -> int:
+        octave = y.bit_length()
+        pot = 1 << (octave - 1)
+        return (octave - 1) * s + ((y - pot) * s) // pot
+
+    # CAST: a bare decimal literal parses as DECIMAL in DuckDB and the
+    # bucket arithmetic would run in decimal, not the double the real
+    # oracles feed it (their value_expr is a DOUBLE column).
+    values = ", ".join(
+        f"(CAST({y / (1 << scale_pow)!r} AS DOUBLE))" for y in ys
+    )
+    con = duckdb.connect()
+    got = [
+        b
+        for (b,) in con.execute(
+            f"SELECT {sketches.loglin_bucket_sql('v', scale_pow, s_pow)} "
+            f"FROM (VALUES {values}) t(v)"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == [py_bucket(y) for y in ys]
