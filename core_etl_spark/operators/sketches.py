@@ -342,16 +342,30 @@ def _recover_store(path: str) -> None:
 #: guards — no second consistency protocol.
 _LEDGER_DIR = "_batches"
 
+#: how many applied-batch ids the ledger retains, in application order.
+#: Sized for the deliveries that can actually repeat: a Structured
+#: Streaming foreachBatch retry re-runs only the LAST epoch after a
+#: failure/restart (older epochs are committed in the checkpoint), and a
+#: batch orchestrator's re-run window is bounded by its own retention —
+#: 4096 ids covers both with orders of magnitude to spare while keeping
+#: the per-update ledger read/rewrite O(1) instead of O(batches-ever),
+#: so the "cost ∝ the batch" claim survives years of minutely batches.
+#: A batch older than the retained window would NOT be deduplicated —
+#: callers replaying ancient history must rebuild the store instead.
+_LEDGER_RETAIN = 4096
+
 
 def _applied_batch_ids(spark, path: str) -> list[str]:
-    """Batch ids already folded into the store at ``path`` (empty for a
-    ledger-less store — one updated only by batch_id=None calls)."""
+    """Batch ids already folded into the store at ``path``, oldest first
+    (empty for a ledger-less store — one updated only by batch_id=None
+    calls)."""
     import os
 
     ledger = os.path.join(path, _LEDGER_DIR)
     if not os.path.exists(ledger):
         return []
-    return [r.batch_id for r in spark.read.parquet(ledger).collect()]
+    rows = spark.read.parquet(ledger).collect()
+    return [r.batch_id for r in sorted(rows, key=lambda r: r.seq)]
 
 
 def _promote_store(
@@ -371,8 +385,11 @@ def _promote_store(
     retired = f"{path}__retired"
     merged.write.mode("overwrite").parquet(staged)
     if ledger_ids:
+        # keep only the newest _LEDGER_RETAIN ids (see the constant's
+        # sizing note); seq preserves application order across rewrites.
+        kept = list(ledger_ids)[-_LEDGER_RETAIN:]
         merged.sparkSession.createDataFrame(
-            [(i,) for i in ledger_ids], "batch_id string"
+            list(enumerate(kept)), "seq long, batch_id string"
         ).coalesce(1).write.parquet(os.path.join(staged, _LEDGER_DIR))
     if os.path.exists(path):
         os.rename(path, retired)
@@ -575,7 +592,10 @@ def update_cms_store(
     applied-batch ledger INSIDE itself (``_batches``, promoted atomically
     with the counters by the same staged swap): a re-delivered batch is
     detected and skipped, making the update effectively-once under
-    at-least-once delivery (VERDICT r11 directive 2). Returns True if the
+    at-least-once delivery (VERDICT r11 directive 2). The ledger retains
+    the newest ``_LEDGER_RETAIN`` ids (see its sizing note — repeats only
+    ever come from the recent window), so the per-update cost stays O(1)
+    however many batches the store has ever absorbed. Returns True if the
     batch was applied, False if the ledger says it already was.
     ``batch_id=None`` keeps the r11 behavior (caller guarantees
     exactly-once). ``width`` must stay constant across the store's life.

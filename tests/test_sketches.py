@@ -714,6 +714,22 @@ def test_loglin_store_batch_ledger_makes_retry_a_noop(spark, tmp_path):
     assert _frame_equal(whole, spark.read.parquet(store), ["bucket", "n"])
 
 
+def test_store_ledger_retention_window(spark, tmp_path, monkeypatch):
+    # The ledger keeps only the newest _LEDGER_RETAIN ids so per-update
+    # cost is O(1) over the store's life. Inside the window a re-delivery
+    # is a no-op; an id older than the window is NOT deduplicated — the
+    # documented trade (repeats only ever come from the recent window).
+    monkeypatch.setattr(sketches, "_LEDGER_RETAIN", 2)
+    store = str(tmp_path / "cms_store")
+    b = spark.range(0, 100).select((F.col("id") % 7).alias("k"))
+    for i in range(3):
+        assert sketches.update_cms_store(b, "k", store, batch_id=str(i))
+    # ids 1,2 retained (in order); id 0 aged out
+    assert sketches._applied_batch_ids(spark, store) == ["1", "2"]
+    assert sketches.update_cms_store(b, "k", store, batch_id="2") is False
+    assert sketches.update_cms_store(b, "k", store, batch_id="0") is True
+
+
 def test_cms_store_ledger_survives_crash_between_renames(spark, tmp_path):
     # The ledger lives INSIDE the store dir, so the existing recovery
     # path must carry it through the rename crash window: after recovery
