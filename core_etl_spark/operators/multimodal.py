@@ -340,12 +340,61 @@ def _pick(decoders: dict, codec: str):
     return decoders[codec]
 
 
-def image_features(media: DataFrame, bins: int = 16, codec: str = "fake") -> DataFrame:
+def _payload_errors() -> tuple[type[BaseException], ...]:
+    """The MALFORMED-PAYLOAD error class — what ``on_error="skip"`` may
+    skip. Deliberately excludes ``NotImplementedError`` (a missing codec
+    library or unsupported compression is an ENVIRONMENT problem: under
+    "skip" it would silently drop the entire corpus, so it always
+    propagates) and anything else that signals a bug rather than bad
+    bytes."""
+    import wave
+    import zlib
+
+    return (ValueError, IndexError, struct.error, EOFError, zlib.error,
+            wave.Error)
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("fail", "skip"):
+        raise ValueError(
+            f'on_error must be "fail" or "skip", got {on_error!r}'
+        )
+
+
+def _frame(rows: list, ddl: str) -> pd.DataFrame:
+    """Batch rows → pandas frame with the DDL's column names even when
+    every row in the batch was quarantined (a bare ``pd.DataFrame([])``
+    has no columns and fails mapInPandas' schema projection)."""
+    cols = [f.strip().split()[0] for f in ddl.split(",")]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _try_decode(decode, payload: bytes, on_error: str):
+    """Decode or quarantine: returns the decoded value, or ``None`` when
+    the payload is malformed and ``on_error="skip"``. At 100 TB corrupt
+    payloads are a statistical certainty — without "skip" one bad blob
+    fails its task 4× and kills the whole stage. "skip" drops the row
+    from the operator's output; pair it with :func:`media_decode_errors`
+    so nothing is lost silently."""
+    try:
+        return decode(payload)
+    except _payload_errors():
+        if on_error == "fail":
+            raise
+        return None
+
+
+def image_features(
+    media: DataFrame, bins: int = 16, codec: str = "fake",
+    on_error: str = "fail",
+) -> DataFrame:
     """Per-image features: dimensions, mean/std intensity, ``bins``-bucket
     intensity histogram. One pass, no shuffle; numpy-vectorized per batch.
     ``codec="real"`` swaps the Pillow decoder in; everything else —
     schema, batching, feature math — is identical (the swap claim is
     tested, Pillow-gated, in tests/test_multimodal.py).
+    ``on_error="skip"`` quarantines malformed payloads instead of failing
+    the stage (see :func:`_try_decode` / :func:`media_decode_errors`).
 
     Mean/std are evaluated in EXACT integer arithmetic (Σx and Σx² as
     Python ints, then one correctly-rounded float division / sqrt) rather
@@ -356,12 +405,15 @@ def image_features(media: DataFrame, bins: int = 16, codec: str = "fake") -> Dat
     DuckDB oracle replay them hash-exactly (population variance via
     ``(n·Σx² − (Σx)²)/n²``)."""
     decode = _pick(_IMAGE_DECODERS, codec)
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode(bytes(payload))
+                img = _try_decode(decode, bytes(payload), on_error)
+                if img is None:
+                    continue
                 iv = img.reshape(-1).astype(np.int64)
                 n, sx, sxx = iv.size, int(iv.sum()), int((iv * iv).sum())
                 hist = np.bincount(iv // (256 // bins), minlength=bins)
@@ -378,7 +430,7 @@ def image_features(media: DataFrame, bins: int = 16, codec: str = "fake") -> Dat
                         "histogram": hist.tolist(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield _frame(rows, IMAGE_FEATURE_DDL)
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=IMAGE_FEATURE_DDL
@@ -386,19 +438,24 @@ def image_features(media: DataFrame, bins: int = 16, codec: str = "fake") -> Dat
 
 
 def resize_images(
-    media: DataFrame, out_w: int, out_h: int, codec: str = "fake"
+    media: DataFrame, out_w: int, out_h: int, codec: str = "fake",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Nearest-neighbor resize — real resampling math on the fake codec
     (index arithmetic only, no interpolation libs), re-encoded to the
     fake-raw payload format. ``codec="real"`` decodes JPEG/PNG inputs via
-    Pillow; the resample math and output format are identical."""
+    Pillow; the resample math and output format are identical.
+    ``on_error="skip"`` quarantines malformed payloads."""
     decode = _pick(_IMAGE_DECODERS, codec)
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode(bytes(payload))
+                img = _try_decode(decode, bytes(payload), on_error)
+                if img is None:
+                    continue
                 h, w, c = img.shape
                 yi = (np.arange(out_h) * h // out_h)[:, None]
                 xi = (np.arange(out_w) * w // out_w)[None, :]
@@ -412,23 +469,30 @@ def resize_images(
                         "payload": header + out.tobytes(),
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield _frame(rows, RESIZE_DDL)
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZE_DDL)
 
 
-def audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
+def audio_features(
+    media: DataFrame, codec: str = "fake", on_error: str = "fail"
+) -> DataFrame:
     """Per-clip audio stats over i16 samples: RMS and zero-crossing count —
     the language-ID/quality-gate primitives of an audio pipeline.
     ``codec="real"`` decodes PCM16 WAV via the stdlib ``wave`` module, so
-    the real path runs (and is tested) even in this codec-less container."""
+    the real path runs (and is tested) even in this codec-less container.
+    ``on_error="skip"`` quarantines malformed payloads."""
     decode = _pick(_AUDIO_DECODERS, codec)
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, raw_samples = decode(bytes(payload))
+                decoded = _try_decode(decode, bytes(payload), on_error)
+                if decoded is None:
+                    continue
+                rate, raw_samples = decoded
                 samples = raw_samples.astype(np.float64)
                 zc = int(np.sum(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
                 rows.append(
@@ -440,33 +504,42 @@ def audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                         "zero_crossings": zc,
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield _frame(rows, AUDIO_FEATURE_DDL)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(
         run, schema=AUDIO_FEATURE_DDL
     )
 
 
-def sample_frames(media: DataFrame, every_k: int = 2, codec: str = "fake") -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_k: int = 2, codec: str = "fake",
+    on_error: str = "fail",
+) -> DataFrame:
     """Frame sampling: emit every *k*-th frame as its own binary payload —
     1 video row → ⌈n/k⌉ frame rows, the multimodal analogue of the CBC20
     batchTransfer 1→N explode (all inside one mapInPandas pass).
     ``codec="real"`` demuxes uncompressed RIFF/AVI with the stdlib parser
-    (compressed containers stay PyAV-gated)."""
+    (compressed containers stay PyAV-gated — NotImplementedError, which
+    ``on_error="skip"`` deliberately does NOT swallow).
+    ``on_error="skip"`` quarantines malformed payloads."""
     decode = _pick(_VIDEO_DECODERS, codec)
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n, w, h, frames = decode(bytes(payload))
+                decoded = _try_decode(decode, bytes(payload), on_error)
+                if decoded is None:
+                    continue
+                n, w, h, frames = decoded
                 frame_sz = w * h
                 for i in range(0, n, every_k):
                     frame = frames[i * frame_sz : (i + 1) * frame_sz]
                     rows.append(
                         {"media_id": mid, "frame_index": i, "frame_payload": frame}
                     )
-            yield pd.DataFrame(rows)
+            yield _frame(rows, FRAME_DDL)
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_DDL)
 
@@ -527,7 +600,9 @@ def synthetic_media(spark: SparkSession, n_per_kind: int = 20) -> DataFrame:
 AHASH_DDL = "media_id long, ahash string"
 
 
-def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+def image_ahash(
+    media: DataFrame, grid: int = 8, on_error: str = "fail"
+) -> DataFrame:
     """Perceptual average-hash per image: downsample the grayscale to a
     ``grid``×``grid`` patch (nearest-neighbor), threshold each cell at the
     patch mean, pack the bits to a 64-bit hex string. Identical and
@@ -544,13 +619,17 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     ``cell_sum · n_cells > total_sum`` over per-cell channel sums is the
     cross-multiplied form of ``cell_gray > mean(gray)`` (the /3 and
     /n_cells denominators cancel), so the hash carries no float rounding
-    and a SQL oracle can replay it bit-for-bit (m05's value-hash gate)."""
+    and a SQL oracle can replay it bit-for-bit (m05's value-hash gate).
+    ``on_error="skip"`` quarantines malformed payloads."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image_fake(bytes(payload))
+                img = _try_decode(_decode_image_fake, bytes(payload), on_error)
+                if img is None:
+                    continue
                 gray3 = img.astype(np.int64).sum(axis=2)  # 3× grayscale, exact
                 h, w = gray3.shape
                 ys = np.arange(grid) * h // grid
@@ -561,20 +640,65 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
                 for b in bits:
                     val = (val << 1) | int(b)
                 rows.append({"media_id": mid, "ahash": format(val, "016x")})
-            yield pd.DataFrame(rows)
+            yield _frame(rows, AHASH_DDL)
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=AHASH_DDL)
 
 
-def image_dedup_groups(media: DataFrame, grid: int = 8) -> DataFrame:
+def image_dedup_groups(
+    media: DataFrame, grid: int = 8, on_error: str = "fail"
+) -> DataFrame:
     """Image-level dedup report: aHash buckets with their member count and
     keeper (min media_id) — the image twin of text exact-dedup. One hash
     pass + one 8-byte-key groupBy."""
     return (
-        image_ahash(media, grid)
+        image_ahash(media, grid, on_error=on_error)
         .groupBy("ahash")
         .agg(
             F.count("*").alias("n_images"),
             F.min("media_id").alias("keeper"),
         )
     )
+
+
+DECODE_ERROR_DDL = "media_id long, kind string, error string"
+
+
+def media_decode_errors(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Quarantine audit — one row per payload its kind's decoder REJECTS
+    (the malformed-payload error class; NotImplementedError for a missing
+    codec library still propagates, see :func:`_payload_errors`). The
+    companion to ``on_error="skip"``: the skip variants drop bad rows
+    from their outputs, this lists exactly which rows were dropped and
+    why, so a 100 TB ingest can route them to a quarantine table instead
+    of losing them silently. Same single mapInPandas pass over the
+    payloads; output is one short row per BAD payload only."""
+    decoders = {
+        "image": _pick(_IMAGE_DECODERS, codec),
+        "audio": _pick(_AUDIO_DECODERS, codec),
+        "video": _pick(_VIDEO_DECODERS, codec),
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        errs = _payload_errors()
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                decode = decoders.get(kind)
+                if decode is None:
+                    continue
+                try:
+                    decode(bytes(payload))
+                except errs as e:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "kind": kind,
+                            "error": f"{type(e).__name__}: {e}"[:200],
+                        }
+                    )
+            yield _frame(rows, DECODE_ERROR_DDL)
+
+    return media.mapInPandas(run, schema=DECODE_ERROR_DDL)

@@ -56,6 +56,14 @@ _REWITNESS: tuple[str, ...] = (
     # they got green r11 rows, so leaving them here would waste snapshot
     # slots the 21 r08-stale specs need.)
     "g21d_loglin_quantiles",
+    # r12: every multimodal operator's decode loop changed for the corrupt-
+    # payload quarantine (on_error="skip" + _try_decode wrapper); defaults
+    # keep behavior identical, but changed code never rides on a stale row.
+    "m01_image_features",
+    "m02_image_resize",
+    "m03_audio_features",
+    "m04_video_frame_sample",
+    "m05_image_dedup_ahash",
 )
 
 

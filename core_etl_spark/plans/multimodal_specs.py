@@ -317,3 +317,75 @@ def m05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         media.withColumn("media_id", F.col("media_id") + 1000)
     )
     return M.image_dedup_groups(doubled).orderBy("keeper")
+
+
+# Quarantine replay: the corrupt set is deterministic (mid % 9 == 0 →
+# payload truncated to 3 bytes, so every header unpack fails), the
+# survivors' mean replays m01's exact-integer chain, and the corrupt
+# rows carry decoded=false with NULL mean — the oracle proves BOTH that
+# skip drops exactly the malformed payloads and that the survivors'
+# features are untouched by the quarantine path.
+_M06_ORACLE = f"""
+    WITH dims AS (
+        SELECT 3 * range AS mid,
+               (8 + (3 * range) % 8) * (8 + (3 * range) % 5) * 3 AS nbytes
+        FROM range(0, 30)
+    ),
+    bytes AS (
+        SELECT d.mid, {_md5_byte('img', 'd.mid', 'p.range')} AS val
+        FROM dims d JOIN range(0, 540) p ON p.range < d.nbytes
+        WHERE d.mid % 9 <> 0
+    ),
+    agg AS (
+        SELECT mid, COUNT(*) AS n, SUM(val) AS sx FROM bytes GROUP BY mid
+    )
+    SELECT d.mid AS media_id,
+           d.mid % 9 <> 0 AS decoded,
+           CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_intensity
+    FROM dims d LEFT JOIN agg a ON a.mid = d.mid
+"""
+
+
+@register(
+    "m06_decode_quarantine",
+    tables=(),
+    oracle=_M06_ORACLE,
+    tags=("multimodal", "image", "quarantine", "robustness", "mapInPandas"),
+)
+def m06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Corrupt-payload quarantine (r12): at 100 TB malformed blobs are a
+    statistical certainty, and a bare decode fails its task 4× and kills
+    the stage. Every media_id % 9 == 0 image payload is truncated to 3
+    bytes; ``image_features(on_error="skip")`` must return the OTHER
+    images' exact features while ``media_decode_errors`` names exactly
+    the truncated ones — joined into one per-image verdict row
+    (decoded, mean_intensity NULL when quarantined). NotImplementedError
+    (missing codec library) is deliberately NOT skippable — only the
+    malformed-payload error class is (operators/multimodal.py
+    _payload_errors)."""
+    media = M.synthetic_media(spark, n_per_kind=30)
+    imgs = media.filter(F.col("kind") == "image")
+    corrupted = imgs.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 9 == 0, F.expr("substring(payload, 1, 3)")
+        ).otherwise(F.col("payload")),
+    )
+    feats = M.image_features(corrupted, on_error="skip").select(
+        "media_id", "mean_intensity"
+    )
+    bad = (
+        M.media_decode_errors(corrupted)
+        .select("media_id")
+        .withColumn("bad", F.lit(True))
+    )
+    return (
+        imgs.select("media_id")
+        .join(feats, "media_id", "left")
+        .join(bad, "media_id", "left")
+        .select(
+            "media_id",
+            F.col("bad").isNull().alias("decoded"),
+            "mean_intensity",
+        )
+    )

@@ -532,3 +532,70 @@ def test_video_real_codec_compressed_avi_still_gated():
     struct.pack_into("<I", avi, i + 16, 0x47504A4D)  # biCompression = 'MJPG'
     with pytest.raises(NotImplementedError, match="PyAV"):
         M._decode_video_real(bytes(avi))
+
+
+# --- corrupt-payload quarantine (r12: on_error="skip" + decode-error audit) ---
+
+def _with_corrupt(media, ids):
+    """Truncate the listed media_ids' payloads to 3 bytes — magic byte
+    survives, every header unpack fails (struct.error)."""
+    return media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id").isin(list(ids)), F.expr("substring(payload, 1, 3)")
+        ).otherwise(F.col("payload")),
+    )
+
+
+def test_on_error_skip_quarantines_corrupt_payloads(spark):
+    # one corrupt payload per kind (0=image, 1=audio, 2=video); default
+    # on_error="fail" keeps the r11 behavior (stage fails), "skip" drops
+    # exactly the bad rows, and media_decode_errors names them with the
+    # error class — the quarantine pair a 100 TB ingest needs.
+    media = _with_corrupt(M.synthetic_media(spark, n_per_kind=4), [0, 1, 2])
+    with pytest.raises(Exception):
+        M.image_features(media).collect()
+    ok_imgs = {r.media_id for r in M.image_features(media, on_error="skip").collect()}
+    assert ok_imgs == {3, 6, 9}
+    ok_aud = {r.media_id for r in M.audio_features(media, on_error="skip").collect()}
+    assert ok_aud == {4, 7, 10}
+    ok_vid = {r.media_id for r in M.sample_frames(media, on_error="skip")
+              .select("media_id").distinct().collect()}
+    assert ok_vid == {5, 8, 11}
+    ok_hash = {r.media_id for r in M.image_ahash(media, on_error="skip").collect()}
+    assert ok_hash == {3, 6, 9}
+    errs = {(r.media_id, r.kind): r.error
+            for r in M.media_decode_errors(media).collect()}
+    assert set(errs) == {(0, "image"), (1, "audio"), (2, "video")}
+    assert all(e.startswith(("error", "ValueError", "struct.error"))
+               for e in errs.values())
+
+
+def test_on_error_skip_empty_output_when_all_corrupt(spark):
+    # the all-quarantined batch must come back as 0 rows with the right
+    # schema, not a column-less pandas frame that breaks the projection.
+    media = _with_corrupt(
+        M.synthetic_media(spark, n_per_kind=2), [0, 3]
+    ).filter(F.col("kind") == "image")
+    out = M.image_features(media, on_error="skip")
+    assert out.count() == 0
+    assert "mean_intensity" in out.columns
+
+
+def test_on_error_skip_does_not_swallow_missing_codec(spark):
+    # NotImplementedError is an ENVIRONMENT problem (missing codec
+    # library / unsupported compression): under "skip" it must still
+    # fail loudly — otherwise a missing Pillow/PyAV silently drops the
+    # whole corpus.
+    rows = [(1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"x" * 64))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(Exception, match="PyAV"):
+        M.sample_frames(media, codec="real", on_error="skip").collect()
+
+
+def test_on_error_rejects_unknown_mode(spark):
+    media = M.synthetic_media(spark, n_per_kind=1)
+    with pytest.raises(ValueError, match="on_error"):
+        M.image_features(media, on_error="ignore")
