@@ -125,6 +125,14 @@ def doc_shingles(
     """(doc_id, shingles array) — distinct word n-gram shingles, one row per
     doc. Docs shorter than *n* tokens yield one partial shingle (all their
     tokens joined), matching SQL ``concat_ws`` null-dropping semantics.
+    NULL text yields an EMPTY shingle array (r12): a null doc has no
+    content to near-match, so it simply never becomes a candidate — the
+    explode downstream drops it, exactly like ``split(NULL)`` →
+    ``explode`` in the SQL oracles. Before r12 a single NULL text row
+    crashed the whole shingle-based dedup family (the UDF called
+    ``t.split``), which real corpora would hit immediately; exact_dedup
+    still groups null texts together, the one dedup where that means
+    something.
 
     Implemented as an Arrow-batched pandas UDF *on purpose*: the pure-column
     formulation (``transform`` over a ``sequence`` with ``element_at``×n +
@@ -136,7 +144,9 @@ def doc_shingles(
 
     @pandas_udf("array<string>")
     def _sh(texts: pd.Series) -> pd.Series:
-        def sh(t: str) -> list[str]:
+        def sh(t: str | None) -> list[str]:
+            if t is None:
+                return []
             w = t.split(" ")
             return list(dict.fromkeys(
                 " ".join(w[i : i + n]) for i in range(max(len(w) - (n - 1), 1))

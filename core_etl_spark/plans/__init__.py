@@ -64,6 +64,25 @@ _REWITNESS: tuple[str, ...] = (
     "m03_audio_features",
     "m04_video_frame_sample",
     "m05_image_dedup_ahash",
+    # r12: doc_shingles' UDF became NULL-safe (a null text row crashed the
+    # whole shingle-based dedup family; now it yields no shingles, matching
+    # split(NULL)→explode in the oracles) — every spec whose plan includes
+    # the UDF re-witnesses. Values identical at spec data (null-free).
+    "l06_ngram_jaccard_dedup",
+    "l06x_ngram_jaccard_xxhash",
+    "l07_minhash_lsh_dedup",
+    "l07x_minhash_lsh_xxhash",
+    "l17_neardup_components",
+    "l18_neardup_components_star",
+    "l19_decontamination",
+    "l19x_decontamination_shuffle",
+    "l34_bloom_decontamination",
+    "l36_duplicated_spans",
+    "l44_overlap_sketch",
+    "c01_corpus_prep",
+    "c04_fuzzy_dedup",
+    "c06_incremental_dedup",
+    "c07_canonical_per_cluster",
 )
 
 

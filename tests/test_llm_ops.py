@@ -1801,3 +1801,30 @@ def test_materialize_rejects_unknown_mode(spark):
 
     with pytest.raises(ValueError, match="materialization mode"):
         dedup._materialize(spark.range(1), mode="eagr")
+
+
+def test_shingle_family_tolerates_null_text(spark):
+    # r12: real corpora contain NULL text rows; before the fix a single
+    # one crashed every shingle-routed pipeline (the UDF called t.split).
+    # Now a null doc yields no shingles — it never becomes a candidate —
+    # while identical non-null docs still pair, and exact dedup (where
+    # grouping nulls means something) still groups them.
+    df = spark.createDataFrame(
+        [
+            (1, "hello world foo bar baz"),
+            (2, None),
+            (3, ""),
+            (4, "hello world foo bar baz"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    shingled = {r.doc_id: list(r.shingles) for r in D.doc_shingles(df).collect()}
+    assert shingled[2] == [] and shingled[5] == []
+    assert shingled[1] == shingled[4] != []
+    pairs = {(r.id_a, r.id_b) for r in D.jaccard_pairs(df).collect()}
+    assert pairs == {(1, 4)}  # nulls never pair, with each other or anyone
+    sigs = D.minhash_signatures(D.doc_shingles(df))
+    assert sigs.count() == 5  # one row per doc either way
+    kept = {r.doc_id for r in D.exact_dedup(df).collect()}
+    assert kept == {1, 2, 3}  # null group keeps its min id, like any group
