@@ -666,7 +666,14 @@ def pq_encode_pandas(
     distances run in float64 — argmin can differ from the exact-decimal
     path only on sub-1e-9 near-ties. This is the throughput variant, not
     the oracle-parity variant (tested code-equal on the l28-config in
-    tests/test_llm_ops.py, including tie-breaks)."""
+    tests/test_llm_ops.py, including tie-breaks).
+
+    NULL/empty vectors encode to ``[NULL]*m`` — the literal path's
+    null-propagation, so the two encoders stay interchangeable under
+    :func:`pq_encode_auto` on corpora with missing embeddings (r12: the
+    pandas path used to crash the stage on the first null row). A
+    non-null vector of the WRONG dimension still raises — mixed dims are
+    schema corruption, not missing data."""
     import numpy as np
     import pandas as pd
 
@@ -678,24 +685,36 @@ def pq_encode_pandas(
     cb_sq = (cb * cb).sum(axis=2)  # (m, ksub)
 
     def run(batches):
+        null_codes = [None] * m
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.round(
-                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]), 3
-            )
-            n, dim = vecs.shape
-            if dim != m * dsub:
-                raise ValueError(f"dim {dim} != m*dsub {m * dsub}")
-            sub = vecs.reshape(n, m, dsub)
-            codes = np.empty((n, m), dtype=np.int32)
-            for j in range(m):
-                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant
-                # per row for the argmin, so skip it
-                d = cb_sq[j][None, :] - 2.0 * (sub[:, j, :] @ cb[j].T)
-                codes[:, j] = d.argmin(axis=1)
+            vals = list(pdf[vec_col])
+            valid = [
+                i for i, v in enumerate(vals) if v is not None and len(v) > 0
+            ]
+            out: list = [null_codes] * len(vals)
+            if valid:
+                vecs = np.round(
+                    np.stack(
+                        [np.asarray(vals[i], dtype=np.float64) for i in valid]
+                    ),
+                    3,
+                )
+                n, dim = vecs.shape
+                if dim != m * dsub:
+                    raise ValueError(f"dim {dim} != m*dsub {m * dsub}")
+                sub = vecs.reshape(n, m, dsub)
+                codes = np.empty((n, m), dtype=np.int32)
+                for j in range(m):
+                    # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant
+                    # per row for the argmin, so skip it
+                    d = cb_sq[j][None, :] - 2.0 * (sub[:, j, :] @ cb[j].T)
+                    codes[:, j] = d.argmin(axis=1)
+                for row, i in enumerate(valid):
+                    out[i] = codes[row]
             yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+                {"id": pdf[id_col].to_numpy(), "codes": out}
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(

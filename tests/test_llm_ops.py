@@ -1828,3 +1828,23 @@ def test_shingle_family_tolerates_null_text(spark):
     assert sigs.count() == 5  # one row per doc either way
     kept = {r.doc_id for r in D.exact_dedup(df).collect()}
     assert kept == {1, 2, 3}  # null group keeps its min id, like any group
+
+
+def test_pq_encoders_agree_on_null_and_empty_vectors(spark):
+    # r12: the two PQ encoders are interchangeable under pq_encode_auto,
+    # so they must agree on missing embeddings too — the literal path
+    # null-propagates to [NULL]*m; the pandas path used to crash the
+    # stage on the first null row.
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(6)]
+    rows += [(100, None), (101, [])]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = S.pq_codebooks_first_k(docs.filter("vec_id < 6"), m=2, ksub=4)
+    lit = {r.id: (list(r.codes) if r.codes is not None else None)
+           for r in S.pq_encode(docs, cb).collect()}
+    pdp = {r.id: (list(r.codes) if r.codes is not None else None)
+           for r in S.pq_encode_pandas(docs, cb).collect()}
+    assert lit == pdp
+    assert lit[100] == [None, None] and lit[101] == [None, None]
