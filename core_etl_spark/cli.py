@@ -209,17 +209,23 @@ def cmd_media(args: argparse.Namespace) -> int:
         media = spark.read.parquet(args.media)
     else:
         raise SystemExit("media requires --media <parquet> or --synthetic N")
+    on_error = "skip" if args.skip_errors else "fail"
     if args.action == "features":
-        out = M.image_features(media).withColumn(
+        out = M.image_features(media, on_error=on_error).withColumn(
             "histogram",
             F.array_join(F.transform("histogram", lambda x: x.cast("string")), ","),
         )
     elif args.action == "resize":
-        out = M.resize_images(media, args.width, args.height).select(
+        out = M.resize_images(
+            media, args.width, args.height, on_error=on_error
+        ).select(
             "media_id", "width", "height", F.length("payload").alias("payload_bytes")
         )
+    elif args.action == "errors":
+        # the quarantine audit: which payloads the decoders reject, and why
+        out = M.media_decode_errors(media)
     else:  # dedup
-        out = M.image_dedup_groups(media)
+        out = M.image_dedup_groups(media, on_error=on_error)
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")
@@ -531,13 +537,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_similarity)
 
     m = sub.add_parser("media", help="multimodal pipeline over a binary media table")
-    m.add_argument("action", choices=["features", "resize", "dedup"])
+    m.add_argument("action", choices=["features", "resize", "dedup", "errors"])
     m.add_argument("--media", default="", help="media parquet path")
     m.add_argument("--synthetic", type=int, default=0,
                    help="use the deterministic fake-codec fixture (N per kind)")
     m.add_argument("--out", default="", help="write parquet here instead of printing")
     m.add_argument("--width", type=int, default=4, help="resize: output width")
     m.add_argument("--height", type=int, default=4, help="resize: output height")
+    m.add_argument("--skip-errors", action="store_true",
+                   help="quarantine malformed payloads instead of failing "
+                        "the job (pair with the `errors` action to audit "
+                        "what was dropped)")
     m.set_defaults(fn=cmd_media)
 
     c = sub.add_parser("corpus", help="training-corpus pipeline over documents")

@@ -507,6 +507,30 @@ def test_cli_media_actions(spark, tmp_path, capsys):
     assert got.count() == 3 and set(got.columns) >= {"media_id", "payload_bytes"}
 
 
+def test_cli_media_errors_action(spark, tmp_path, capsys):
+    # r12 quarantine surface: `media errors` audits which payloads the
+    # decoders reject; --skip-errors lets the feature actions run over
+    # the same corrupted table instead of failing the job.
+    from pyspark.sql import functions as F
+
+    from core_etl_spark.operators import multimodal as M
+
+    path = str(tmp_path / "media")
+    M.synthetic_media(spark, n_per_kind=3).withColumn(
+        "payload",
+        F.when(F.col("media_id") == 0, F.expr("substring(payload, 1, 3)"))
+        .otherwise(F.col("payload")),
+    ).write.parquet(path)
+    assert cli.main(["media", "errors", "--media", path]) == 0
+    out = capsys.readouterr().out
+    assert "error" in out and "image" in out
+    assert cli.main(["media", "features", "--media", path,
+                     "--skip-errors"]) == 0
+    assert "mean_intensity" in capsys.readouterr().out
+    with pytest.raises(Exception):
+        cli.main(["media", "features", "--media", path])
+
+
 def test_cli_corpus_bpe(spark, sf_dir, capsys):
     docs = f"{sf_dir}/documents.parquet"
     assert cli.main(["corpus", "bpe", "--documents", docs,
