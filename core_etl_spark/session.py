@@ -74,6 +74,22 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"),
         )
     )
+    resolved_master = master or env_master or f"local[{cpus}]"
+    if resolved_master.startswith("local-cluster"):
+        # local-cluster executors are SEPARATE JVMs whose Python workers
+        # don't inherit the driver's sys.path, so any UDF closure that
+        # references a module-level helper (pickled by reference —
+        # the multimodal decoders, _frame, ...) dies with
+        # ModuleNotFoundError on the executor. On a real cluster the
+        # package ships via --py-files / a pip install; the single-box
+        # analogue is pointing the executor workers at the same repo
+        # checkout. Pure-column specs never notice either way.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{existing}" if existing else repo_root,
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
