@@ -361,12 +361,29 @@ def _check_on_error(on_error: str) -> None:
         )
 
 
+def _ddl_columns(ddl: str) -> list[str]:
+    """Column names from a DDL string, splitting on TOP-LEVEL commas only:
+    commas nested inside ``<...>`` (struct/array/map element types) or
+    ``(...)`` (decimal(p,s)) belong to the type, not the field list —
+    a naive ``ddl.split(",")`` would mangle them (ADVICE r12)."""
+    cols, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cols.append(ddl[start:i].strip().split()[0])
+            start = i + 1
+    cols.append(ddl[start:].strip().split()[0])
+    return cols
+
+
 def _frame(rows: list, ddl: str) -> pd.DataFrame:
     """Batch rows → pandas frame with the DDL's column names even when
     every row in the batch was quarantined (a bare ``pd.DataFrame([])``
     has no columns and fails mapInPandas' schema projection)."""
-    cols = [f.strip().split()[0] for f in ddl.split(",")]
-    return pd.DataFrame(rows, columns=cols)
+    return pd.DataFrame(rows, columns=_ddl_columns(ddl))
 
 
 def _try_decode(decode, payload: bytes, on_error: str):

@@ -322,8 +322,10 @@ def _recover_store(path: str) -> None:
     ``update_*_store`` caller per store path at a time — two concurrent
     updates can interleave (one's recovery rmtree deleting the other's
     freshly written ``__staged``, or racing renames) and silently drop a
-    batch. Serialize updates per store (foreachBatch already does; a
-    cron'd batch loader must not overlap itself)."""
+    batch. Since r13 the assumption is ENFORCED, not documented: every
+    ``update_*_store`` call runs recover→promote inside ``_store_lock``,
+    so a concurrent update raises :class:`StoreLockedError` loudly
+    instead of losing a batch."""
     import os
     import shutil
 
@@ -332,6 +334,97 @@ def _recover_store(path: str) -> None:
         os.rename(retired, path)  # crash landed between the two renames
     shutil.rmtree(f"{path}__staged", ignore_errors=True)
     shutil.rmtree(retired, ignore_errors=True)
+
+
+class StoreLockedError(RuntimeError):
+    """Another ``update_*_store`` call holds this store's writer lock.
+
+    Raised INSTEAD of proceeding: two concurrent updates on one store
+    path can interleave recovery/renames and silently drop a batch
+    (VERDICT r12 directive 4) — a loud failure the caller can retry
+    beats a quiet lost update. Serialize updates per store
+    (foreachBatch already does; a cron'd loader must not overlap
+    itself)."""
+
+
+#: a writer-lock sentinel older than this is presumed stranded by a
+#: crashed/killed process even when its pid can't be probed (pid reuse,
+#: or the lock was taken from another container sharing the volume).
+#: Generous vs any sane store update (the stores are ≤ a few thousand
+#: rows; updates take seconds) while still self-healing unattended.
+_LOCK_STALE_SEC = 3600.0
+
+
+class _store_lock:
+    """Create-exclusive writer lock around a store's recover→promote
+    window. ``O_CREAT | O_EXCL`` on ``<path>__lock`` is atomic on POSIX
+    and local filesystems; the sentinel records ``pid start-time`` so a
+    stranded lock (holder crashed between create and unlink) is
+    stale-detected — holder pid no longer alive, or sentinel older than
+    ``_LOCK_STALE_SEC`` — and broken exactly once before retrying. A
+    LIVE holder is never broken: that's the concurrent-writer case and
+    it raises :class:`StoreLockedError`."""
+
+    def __init__(self, path: str):
+        self._lock = f"{path}__lock"
+
+    @staticmethod
+    def _holder_alive(lock: str) -> bool:
+        import os
+        import time
+
+        try:
+            with open(lock) as f:
+                pid_s, ts_s = f.read().split()
+            pid, ts = int(pid_s), float(ts_s)
+        except (OSError, ValueError):
+            # unreadable/torn sentinel: only age can judge it
+            try:
+                return time.time() - os.path.getmtime(lock) < _LOCK_STALE_SEC
+            except OSError:
+                return False  # vanished — holder finished
+        if time.time() - ts >= _LOCK_STALE_SEC:
+            return False
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe, nothing delivered
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # alive, owned by someone else
+
+    def __enter__(self):
+        import os
+        import time
+
+        for attempt in (0, 1):
+            try:
+                fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(f"{os.getpid()} {time.time()}")
+                return self
+            except FileExistsError:
+                if attempt == 0 and not self._holder_alive(self._lock):
+                    try:
+                        os.unlink(self._lock)  # break the stale sentinel
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise StoreLockedError(
+                    f"store writer lock held: {self._lock} — another "
+                    "update_*_store call is in flight on this path; "
+                    "serialize updates per store"
+                ) from None
+        raise AssertionError("unreachable")
+
+    def __exit__(self, *exc):
+        import os
+
+        try:
+            os.unlink(self._lock)
+        except FileNotFoundError:
+            pass
+        return False
 
 
 #: name of the applied-batch ledger dir INSIDE a store: the leading
@@ -428,18 +521,20 @@ def update_hll_store(
     worst case is one batch merged twice, which HLL max-merge absorbs
     exactly — this store needs no batch ledger (the sum-merge CMS and
     loglin stores do; see :func:`update_cms_store`). Single-writer per
-    store path — see ``_recover_store``."""
+    store path, enforced by ``_store_lock`` (raises
+    :class:`StoreLockedError` on a concurrent update)."""
     import os
 
-    _recover_store(path)
-    spark = df.sparkSession
-    new = hll_registers(df, key_col, p=p, group_cols=group_cols)
-    if os.path.exists(path):
-        old = spark.read.parquet(path)
-        merged = hll_merge([old, new], group_cols=group_cols)
-    else:
-        merged = new
-    _promote_store(merged, path)
+    with _store_lock(path):
+        _recover_store(path)
+        spark = df.sparkSession
+        new = hll_registers(df, key_col, p=p, group_cols=group_cols)
+        if os.path.exists(path):
+            old = spark.read.parquet(path)
+            merged = hll_merge([old, new], group_cols=group_cols)
+        else:
+            merged = new
+        _promote_store(merged, path)
 
 
 #: Count-Min geometry: 4 hash rows (the four 32-bit words of one md5) ×
@@ -572,12 +667,33 @@ def sampled_quantiles(
     return sampled.groupBy(*group_cols).agg(*aggs)
 
 
+def _check_ledger_args(batch_id: str | None, unledgered: bool) -> None:
+    """The sum-merge stores' opt-out guard (VERDICT r12 directive 3):
+    omitting ``batch_id`` must be an explicit acknowledgment, never an
+    accident — an unledgered update under at-least-once delivery
+    silently double-counts retried batches."""
+    if batch_id is None and not unledgered:
+        raise ValueError(
+            "batch_id=None would skip the applied-batch ledger and "
+            "double-count a redelivered batch under at-least-once "
+            "delivery. Pass the delivery's batch/epoch id (foreachBatch "
+            "hands you one), or pass unledgered=True to acknowledge the "
+            "source is exactly-once."
+        )
+    if batch_id is not None and unledgered:
+        raise ValueError(
+            "batch_id and unledgered=True are mutually exclusive — "
+            "pick ledgered (batch_id=...) or acknowledged-unledgered."
+        )
+
+
 def update_cms_store(
     df: DataFrame,
     col: str,
     path: str,
     width: int = _CMS_WIDTH,
     batch_id: str | None = None,
+    unledgered: bool = False,
 ) -> bool:
     """Roll a persisted Count-Min frequency store forward with one batch —
     the counter analogue of :func:`update_hll_store` (counters are
@@ -597,24 +713,34 @@ def update_cms_store(
     ever come from the recent window), so the per-update cost stays O(1)
     however many batches the store has ever absorbed. Returns True if the
     batch was applied, False if the ledger says it already was.
-    ``batch_id=None`` keeps the r11 behavior (caller guarantees
-    exactly-once). ``width`` must stay constant across the store's life.
-    Single-writer per store path — see ``_recover_store``."""
+
+    Skipping the ledger is an explicit, acknowledged choice (VERDICT r12
+    directive 3): ``batch_id=None`` alone raises — under at-least-once
+    delivery it would silently double-count a retried batch. A caller
+    whose delivery really is exactly-once (a one-shot backfill, a
+    driver-side loop with no retry) passes ``unledgered=True`` to say so.
+    ``width`` must stay constant across the store's life. Single-writer
+    per store path, enforced by ``_store_lock`` (raises
+    :class:`StoreLockedError` on a concurrent update)."""
     import os
 
-    _recover_store(path)
-    spark = df.sparkSession
-    applied = _applied_batch_ids(spark, path) if os.path.exists(path) else []
-    if batch_id is not None and batch_id in applied:
-        return False
-    new = cms_build(df, col, width=width)
-    if os.path.exists(path):
-        merged = cms_merge([spark.read.parquet(path), new])
-    else:
-        merged = new
-    ledger = [*applied, batch_id] if batch_id is not None else applied
-    _promote_store(merged, path, ledger_ids=ledger)
-    return True
+    _check_ledger_args(batch_id, unledgered)
+    with _store_lock(path):
+        _recover_store(path)
+        spark = df.sparkSession
+        applied = (
+            _applied_batch_ids(spark, path) if os.path.exists(path) else []
+        )
+        if batch_id is not None and batch_id in applied:
+            return False
+        new = cms_build(df, col, width=width)
+        if os.path.exists(path):
+            merged = cms_merge([spark.read.parquet(path), new])
+        else:
+            merged = new
+        ledger = [*applied, batch_id] if batch_id is not None else applied
+        _promote_store(merged, path, ledger_ids=ledger)
+        return True
 
 
 # --- mergeable quantiles: log-linear (HDR-style) histogram -------------------
@@ -850,6 +976,7 @@ def update_loglin_store(
     scale_pow: int = _LOGLIN_SCALE_POW,
     subdiv_pow: int = _LOGLIN_SUBDIV_POW,
     batch_id: str | None = None,
+    unledgered: bool = False,
 ) -> bool:
     """Roll a persisted quantile-histogram store forward with one batch —
     the reason this family exists: quantiles over everything-ever-seen
@@ -858,26 +985,34 @@ def update_loglin_store(
     as the HLL/CMS stores, and the same applied-batch ledger as
     :func:`update_cms_store` (VERDICT r11 directive 2): pass the
     foreachBatch epoch as ``batch_id`` and a retried batch is a no-op
-    instead of a double-count — returns False when skipped. Geometry
-    (scale_pow, subdiv_pow) must stay constant across the store's life.
-    Single-writer per store path — see ``_recover_store``."""
+    instead of a double-count — returns False when skipped. As with
+    :func:`update_cms_store`, ``batch_id=None`` requires an explicit
+    ``unledgered=True`` acknowledgment or raises (VERDICT r12
+    directive 3). Geometry (scale_pow, subdiv_pow) must stay constant
+    across the store's life. Single-writer per store path, enforced by
+    ``_store_lock`` (raises :class:`StoreLockedError` on a concurrent
+    update)."""
     import os
 
-    _recover_store(path)
-    spark = df.sparkSession
-    applied = _applied_batch_ids(spark, path) if os.path.exists(path) else []
-    if batch_id is not None and batch_id in applied:
-        return False
-    new = loglin_histogram(
-        df, value_col, group_cols=group_cols, scale_pow=scale_pow,
-        subdiv_pow=subdiv_pow,
-    )
-    if os.path.exists(path):
-        merged = loglin_merge(
-            [spark.read.parquet(path), new], group_cols=group_cols
+    _check_ledger_args(batch_id, unledgered)
+    with _store_lock(path):
+        _recover_store(path)
+        spark = df.sparkSession
+        applied = (
+            _applied_batch_ids(spark, path) if os.path.exists(path) else []
         )
-    else:
-        merged = new
-    ledger = [*applied, batch_id] if batch_id is not None else applied
-    _promote_store(merged, path, ledger_ids=ledger)
-    return True
+        if batch_id is not None and batch_id in applied:
+            return False
+        new = loglin_histogram(
+            df, value_col, group_cols=group_cols, scale_pow=scale_pow,
+            subdiv_pow=subdiv_pow,
+        )
+        if os.path.exists(path):
+            merged = loglin_merge(
+                [spark.read.parquet(path), new], group_cols=group_cols
+            )
+        else:
+            merged = new
+        ledger = [*applied, batch_id] if batch_id is not None else applied
+        _promote_store(merged, path, ledger_ids=ledger)
+        return True

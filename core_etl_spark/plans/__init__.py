@@ -39,50 +39,28 @@ from . import maintenance_specs  # noqa: F401,E402
 # history and ``all_specs`` orders the registry oldest-latest-witness-first,
 # so every snapshot burns the stalest specs by construction and the staleness
 # bound is the arithmetic optimum — ceil(len(REGISTRY)/50) rounds — without
-# anyone maintaining a list. (With 162 specs and 50 slots that optimum is 4
-# witness rounds ≈ 3 rounds of staleness; the r10 directive's literal
-# "nothing older than r09 after r11" needs 64 slots and is infeasible — the
-# oldest-first order is the closest achievable policy and self-maintains.)
+# anyone maintaining a list. (At 50 slots the optimum is
+# ceil(len(REGISTRY)/50) witness rounds — tests/test_parity.py asserts this
+# arithmetic from the live registry so the number never drifts in a comment;
+# the r10 directive's literal "nothing older than r09 after r11" would need
+# ~64 slots and is infeasible — the oldest-first order is the closest
+# achievable policy and self-maintains.)
 #
 # ``_REWITNESS`` stays manual: the specs whose Spark code or oracle changed
 # THIS round jump the queue so behavior changes never ride on a stale green
 # row. A typo here would silently waste snapshot slots — fail loudly instead
 # (the r05 guard).
 _REWITNESS: tuple[str, ...] = (
-    # r12: the loglin sub-bucket computation moved from double floor-division
-    # to exact integer arithmetic (VERDICT r11 What's-wrong 1) — values are
-    # unchanged at this spec's data, but changed code never rides on a stale
-    # green row. (The r11 entries were cleared per VERDICT r11 What's-wrong 3:
-    # they got green r11 rows, so leaving them here would waste snapshot
-    # slots the 21 r08-stale specs need.)
-    "g21d_loglin_quantiles",
-    # r12: every multimodal operator's decode loop changed for the corrupt-
-    # payload quarantine (on_error="skip" + _try_decode wrapper); defaults
-    # keep behavior identical, but changed code never rides on a stale row.
-    "m01_image_features",
-    "m02_image_resize",
-    "m03_audio_features",
-    "m04_video_frame_sample",
-    "m05_image_dedup_ahash",
-    # r12: doc_shingles' UDF became NULL-safe (a null text row crashed the
-    # whole shingle-based dedup family; now it yields no shingles, matching
-    # split(NULL)→explode in the oracles) — every spec whose plan includes
-    # the UDF re-witnesses. Values identical at spec data (null-free).
-    "l06_ngram_jaccard_dedup",
-    "l06x_ngram_jaccard_xxhash",
-    "l07_minhash_lsh_dedup",
-    "l07x_minhash_lsh_xxhash",
-    "l17_neardup_components",
-    "l18_neardup_components_star",
-    "l19_decontamination",
-    "l19x_decontamination_shuffle",
-    "l34_bloom_decontamination",
-    "l36_duplicated_spans",
-    "l44_overlap_sketch",
-    "c01_corpus_prep",
-    "c04_fuzzy_dedup",
-    "c06_incremental_dedup",
-    "c07_canonical_per_cluster",
+    # r13: cleared at round open per VERDICT r12 directive 5 — every r12
+    # entry got a green r12 row, so leaving them here would waste the snapshot
+    # slots the 26 r09-stale specs (o2-family, q05b/q07, v02/v02b, ...) need.
+    # Repopulated below only for specs whose Spark code or oracle r13
+    # actually changes.
+    #
+    # r13: c11's builder changed (explicit raises around the redelivery
+    # exercise, ADVICE r12) and the CMS/loglin store updaters it calls
+    # gained the writer lock + ledger opt-out guard (directives 3/4).
+    "c11_incremental_telemetry",
 )
 
 

@@ -685,12 +685,23 @@ def c11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             SK.update_loglin_store(
                 b, "n_chars", ll_p, group_cols=("lang",), batch_id=str(i)
             )
-        # the retry: batch 0 arrives again — all three stores must shrug
+        # the retry: batch 0 arrives again — all three stores must shrug.
+        # Explicit raises, not `assert`: under `python -O` asserts are
+        # stripped and the redelivery exercise would silently stop running
+        # (ADVICE r12) — the hash would still match, hiding the lost
+        # coverage.
         SK.update_hll_store(batches[0], "text", hll_p, group_cols=("lang",))
-        assert not SK.update_cms_store(batches[0], "lang", cms_p, batch_id="0")
-        assert not SK.update_loglin_store(
+        cms_applied = SK.update_cms_store(
+            batches[0], "lang", cms_p, batch_id="0"
+        )
+        ll_applied = SK.update_loglin_store(
             batches[0], "n_chars", ll_p, group_cols=("lang",), batch_id="0"
         )
+        if cms_applied or ll_applied:
+            raise RuntimeError(
+                "redelivered batch was re-applied instead of skipped: "
+                f"cms={cms_applied} loglin={ll_applied}"
+            )
 
         hll = SK.hll_estimate(
             spark.read.parquet(hll_p), group_cols=("lang",),

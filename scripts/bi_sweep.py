@@ -38,11 +38,21 @@ def state_path(tag: str) -> str:
 
 
 def load(tag: str) -> dict:
+    # ValueError too: the run cap can kill mid-dump; a truncated checkpoint
+    # must restart that tag, not wedge the resumable sweep (ADVICE r12).
     try:
         with open(state_path(tag)) as f:
             return json.load(f)
-    except OSError:
+    except (OSError, ValueError):
         return {}
+
+
+def save(tag: str, state: dict) -> None:
+    # temp-file + rename so a kill mid-dump never leaves truncated JSON
+    tmp = state_path(tag) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, state_path(tag))
 
 
 def sweep(tag: str) -> None:
@@ -72,8 +82,7 @@ def sweep(tag: str) -> None:
             }
         except Exception as e:  # noqa: BLE001 — record and keep sweeping
             state[name] = {"err": f"{type(e).__name__}: {e}"[:200]}
-        with open(state_path(tag), "w") as f:
-            json.dump(state, f, indent=1)
+        save(tag, state)
         print(name, state[name].get("hash", state[name].get("err")),
               round(time.perf_counter() - t0, 1), flush=True)
     print("SWEEP DONE", tag, flush=True)

@@ -599,3 +599,18 @@ def test_on_error_rejects_unknown_mode(spark):
     media = M.synthetic_media(spark, n_per_kind=1)
     with pytest.raises(ValueError, match="on_error"):
         M.image_features(media, on_error="ignore")
+
+
+def test_ddl_columns_handles_nested_commas():
+    # ADVICE r12: a naive split(",") would mangle DDLs with commas inside
+    # a type — struct<...,...>, decimal(p,s), map<k,v>. _frame's column
+    # derivation must split on top-level commas only.
+    assert M._ddl_columns("a int, b string") == ["a", "b"]
+    assert M._ddl_columns(
+        "a int, b struct<x:int,y:string>, c decimal(10,2), d map<int,string>"
+    ) == ["a", "b", "c", "d"]
+    # every DDL constant in the module round-trips
+    for ddl in (M.MEDIA_DDL, M.IMAGE_FEATURE_DDL, M.AUDIO_FEATURE_DDL,
+                M.FRAME_DDL, M.RESIZE_DDL, M.AHASH_DDL, M.DECODE_ERROR_DDL):
+        cols = M._ddl_columns(ddl)
+        assert all(c.isidentifier() for c in cols), (ddl, cols)

@@ -378,6 +378,14 @@ def test_snapshot_rotation_front_loads_stalest():
     assert rounds == sorted(rounds), "rotation is not oldest-first"
     # every _REWITNESS name must resolve (the r05 fail-loud guard)
     assert not set(plans._REWITNESS) - set(plans.REGISTRY)
+    # The optimum-cycle arithmetic derives from the LIVE registry, never a
+    # literal in a comment (VERDICT r12 directive 6): with 50 driver slots,
+    # full re-witness of the surface takes ceil(len(REGISTRY)/50) rounds.
+    import math
+
+    optimum_rounds = math.ceil(len(plans.REGISTRY) / 50)
+    assert optimum_rounds == math.ceil(len(names) / 50)
+    assert len(plans.REGISTRY) >= 163, "registry shrank — specs were deleted"
 
 
 def test_g21d_histogram_shuffles_buckets_not_rows(spark, sf_dir):

@@ -666,7 +666,7 @@ def test_cms_store_rolls_forward_exactly(spark, tmp_path):
         for lo, hi in ((0, 3000), (3000, 5000), (5000, 9000))
     ]
     for b in batches:
-        sketches.update_cms_store(b, "k", store)
+        sketches.update_cms_store(b, "k", store, unledgered=True)
     whole = sketches.cms_build(
         spark.range(9000).select((F.col("id") % 97).alias("k")), "k"
     )
@@ -762,7 +762,7 @@ def test_loglin_store_quantiles_over_everything_fed(spark, tmp_path):
         for lo, hi in ((0, 4000), (4000, 6000), (6000, 10000))
     ]
     for b in batches:
-        sketches.update_loglin_store(b, "v", store)
+        sketches.update_loglin_store(b, "v", store, unledgered=True)
     whole = sketches.loglin_histogram(
         spark.range(10000).select((F.col("id") * 0.37 + 1).alias("v")), "v"
     )
@@ -857,3 +857,113 @@ def test_loglin_nulls_excluded_both_engines(spark):
     oracle = con.execute(sketches.loglin_quantiles_sql("t", "v", (0.5,))).fetchdf()
     assert int(oracle["n_total"][0]) == 3
     assert float(oracle["p50"][0]) == est["p50"]
+
+
+def test_sum_merge_stores_bare_batch_id_none_raises(spark, tmp_path):
+    # VERDICT r12 directive 3: the silent double-count path is closed.
+    # Omitting batch_id must be an explicit acknowledgment, never a
+    # default — a bare call raises; unledgered=True is the opt-out; the
+    # two are mutually exclusive.
+    import pytest
+
+    b = spark.range(0, 100).select((F.col("id") % 7).alias("k"))
+    v = spark.range(0, 100).select((F.col("id") * 0.5).alias("v"))
+    with pytest.raises(ValueError, match="unledgered"):
+        sketches.update_cms_store(b, "k", str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="unledgered"):
+        sketches.update_loglin_store(v, "v", str(tmp_path / "l"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sketches.update_cms_store(
+            b, "k", str(tmp_path / "c"), batch_id="0", unledgered=True
+        )
+    # and neither failed call created a store
+    import os
+
+    assert not os.path.exists(str(tmp_path / "c"))
+    assert not os.path.exists(str(tmp_path / "l"))
+
+
+def test_store_concurrent_update_raises_loudly(spark, tmp_path):
+    # VERDICT r12 directive 4: two concurrent update_*_store calls on one
+    # path could interleave recovery/renames and silently DROP a batch.
+    # The writer lock turns that into a clean StoreLockedError while the
+    # first writer is in flight — and the store is untouched.
+    import os
+
+    import pytest
+
+    store = str(tmp_path / "cms_store")
+    b1 = spark.range(0, 3000).select((F.col("id") % 97).alias("k"))
+    b2 = spark.range(3000, 5000).select((F.col("id") % 97).alias("k"))
+    sketches.update_cms_store(b1, "k", store, batch_id="0")
+
+    # simulate writer A holding the lock mid-update (live pid = this one)
+    import time
+
+    with open(f"{store}__lock", "w") as f:
+        f.write(f"{os.getpid()} {time.time()}")
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    with pytest.raises(sketches.StoreLockedError, match="in flight"):
+        sketches.update_cms_store(b2, "k", store, batch_id="1")
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == before
+    os.unlink(f"{store}__lock")
+
+    # once A releases, B's batch applies — nothing was lost
+    assert sketches.update_cms_store(b2, "k", store, batch_id="1") is True
+    whole = sketches.cms_build(
+        spark.range(5000).select((F.col("id") % 97).alias("k")), "k"
+    )
+    assert _frame_equal(
+        whole, spark.read.parquet(store), ["row_idx", "col_idx", "n"]
+    )
+
+
+def test_store_lock_stale_holder_is_broken(spark, tmp_path):
+    # A lock whose recorded pid is dead (holder crashed between create
+    # and unlink) must be stale-detected and broken — the store family
+    # self-heals unattended, it does not wedge forever. Same for a
+    # sentinel past the age threshold even with a live pid.
+    import os
+    import subprocess
+    import time
+
+    store = str(tmp_path / "loglin_store")
+    v1 = spark.range(0, 4000).select((F.col("id") * 0.37 + 1).alias("v"))
+
+    # a real dead pid: spawn-and-reap a child so the pid existed here
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(f"{store}__lock", "w") as f:
+        f.write(f"{child.pid} {time.time()}")
+    assert sketches.update_loglin_store(v1, "v", store, batch_id="0") is True
+    assert not os.path.exists(f"{store}__lock")  # released after update
+
+    # live pid but ancient timestamp: the age backstop breaks it too
+    with open(f"{store}__lock", "w") as f:
+        f.write(f"{os.getpid()} {time.time() - 2 * sketches._LOCK_STALE_SEC}")
+    v2 = spark.range(4000, 6000).select((F.col("id") * 0.37 + 1).alias("v"))
+    assert sketches.update_loglin_store(v2, "v", store, batch_id="1") is True
+    whole = sketches.loglin_histogram(
+        spark.range(6000).select((F.col("id") * 0.37 + 1).alias("v")), "v"
+    )
+    assert _frame_equal(whole, spark.read.parquet(store), ["bucket", "n"])
+
+
+def test_store_lock_torn_sentinel_uses_age(spark, tmp_path):
+    # An unreadable/torn sentinel (crash mid-write) can't be pid-probed;
+    # only age judges it. Fresh-torn → treated live (locked error);
+    # old-torn → broken and the update proceeds.
+    import os
+    import time
+
+    import pytest
+
+    store = str(tmp_path / "cms_store")
+    b = spark.range(0, 100).select((F.col("id") % 7).alias("k"))
+    with open(f"{store}__lock", "w") as f:
+        f.write("not a pid")
+    with pytest.raises(sketches.StoreLockedError):
+        sketches.update_cms_store(b, "k", store, batch_id="0")
+    old = time.time() - 2 * sketches._LOCK_STALE_SEC
+    os.utime(f"{store}__lock", (old, old))
+    assert sketches.update_cms_store(b, "k", store, batch_id="0") is True
