@@ -209,7 +209,14 @@ def cmd_media(args: argparse.Namespace) -> int:
         media = spark.read.parquet(args.media)
     else:
         raise SystemExit("media requires --media <parquet> or --synthetic N")
-    on_error = "skip" if args.skip_errors else "fail"
+    # --quarantine-out upgrades skip to quarantine mode: ONE decode pass
+    # emits features + the error rows; skip alone drops bad rows silently.
+    quarantine = bool(args.quarantine_out)
+    if quarantine and not args.skip_errors:
+        raise SystemExit("--quarantine-out requires --skip-errors")
+    on_error = (
+        "quarantine" if quarantine else ("skip" if args.skip_errors else "fail")
+    )
     if args.action == "features":
         out = M.image_features(media, on_error=on_error).withColumn(
             "histogram",
@@ -219,14 +226,41 @@ def cmd_media(args: argparse.Namespace) -> int:
         out = M.resize_images(
             media, args.width, args.height, on_error=on_error
         ).select(
-            "media_id", "width", "height", F.length("payload").alias("payload_bytes")
+            "media_id", "width", "height",
+            F.length("payload").alias("payload_bytes"),
+            *(["decode_error"] if quarantine else []),
         )
     elif args.action == "errors":
-        # the quarantine audit: which payloads the decoders reject, and why
+        # the standalone audit: which payloads the decoders reject, and
+        # why — decode-only, when no features are wanted alongside
         out = M.media_decode_errors(media)
+    elif args.action == "dedup" and quarantine:
+        # hash once in quarantine mode, split, group the survivors — the
+        # quarantine rows come out of the SAME hash pass
+        out = M.image_ahash(media, on_error="quarantine")
     else:  # dedup
         out = M.image_dedup_groups(media, on_error=on_error)
-    if args.out:
+    if quarantine:
+        # one decode pass for BOTH outputs: persist the combined frame,
+        # split by the nullable decode_error column, write each side.
+        out = out.persist()
+        try:
+            good, bad = M.quarantine_split(out)
+            if args.action == "dedup":
+                good = good.groupBy("ahash").agg(
+                    F.count("*").alias("n_images"),
+                    F.min("media_id").alias("keeper"),
+                )
+            bad.write.mode("overwrite").parquet(args.quarantine_out)
+            if args.out:
+                good.write.mode("overwrite").parquet(args.out)
+                print(f"wrote {args.out} (+ quarantine {args.quarantine_out})")
+            else:
+                print(f"wrote quarantine {args.quarantine_out}")
+                _show(good)
+        finally:
+            out.unpersist()
+    elif args.out:
         out.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")
     else:
@@ -545,9 +579,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--width", type=int, default=4, help="resize: output width")
     m.add_argument("--height", type=int, default=4, help="resize: output height")
     m.add_argument("--skip-errors", action="store_true",
-                   help="quarantine malformed payloads instead of failing "
-                        "the job (pair with the `errors` action to audit "
-                        "what was dropped)")
+                   help="drop malformed payloads instead of failing the "
+                        "job (add --quarantine-out to keep them)")
+    m.add_argument("--quarantine-out", default="",
+                   help="with --skip-errors: write the quarantined rows "
+                        "(media_id, error) to this parquet path, produced "
+                        "by the SAME decode pass as the main output")
     m.set_defaults(fn=cmd_media)
 
     c = sub.add_parser("corpus", help="training-corpus pipeline over documents")

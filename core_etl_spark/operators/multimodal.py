@@ -355,9 +355,10 @@ def _payload_errors() -> tuple[type[BaseException], ...]:
 
 
 def _check_on_error(on_error: str) -> None:
-    if on_error not in ("fail", "skip"):
+    if on_error not in ("fail", "skip", "quarantine"):
         raise ValueError(
-            f'on_error must be "fail" or "skip", got {on_error!r}'
+            f'on_error must be "fail", "skip" or "quarantine", '
+            f"got {on_error!r}"
         )
 
 
@@ -387,18 +388,54 @@ def _frame(rows: list, ddl: str) -> pd.DataFrame:
 
 
 def _try_decode(decode, payload: bytes, on_error: str):
-    """Decode or quarantine: returns the decoded value, or ``None`` when
-    the payload is malformed and ``on_error="skip"``. At 100 TB corrupt
-    payloads are a statistical certainty — without "skip" one bad blob
-    fails its task 4× and kills the whole stage. "skip" drops the row
-    from the operator's output; pair it with :func:`media_decode_errors`
-    so nothing is lost silently."""
+    """Decode or quarantine: returns ``(decoded, None)`` on success, or
+    ``(None, "ErrType: why")`` when the payload is malformed and
+    ``on_error`` is not ``"fail"``. At 100 TB corrupt payloads are a
+    statistical certainty — without this one bad blob fails its task 4×
+    and kills the whole stage. ``"skip"`` drops the row from the
+    operator's output; ``"quarantine"`` (r13, VERDICT r12 directive 2)
+    keeps it as a row whose feature columns are NULL and whose
+    ``decode_error`` column carries the reason — features AND the
+    quarantine list come out of ONE decode pass, where pairing "skip"
+    with :func:`media_decode_errors` decodes everything twice."""
     try:
-        return decode(payload)
-    except _payload_errors():
+        return decode(payload), None
+    except _payload_errors() as e:
         if on_error == "fail":
             raise
-        return None
+        return None, f"{type(e).__name__}: {e}"[:200]
+
+
+def _quarantine_ddl(ddl: str, on_error: str) -> str:
+    """The operator's output DDL for the chosen error mode: quarantine
+    mode appends the nullable ``decode_error`` column (NULL on
+    survivors, the reason on quarantined rows)."""
+    return ddl + ", decode_error string" if on_error == "quarantine" else ddl
+
+
+def _quarantined_row(mid, out_ddl: str, err: str) -> dict:
+    """The quarantine-mode row for a payload its decoder rejected: every
+    feature column NULL (explicit ``None``, never a missing dict key —
+    pandas would otherwise coerce the column to float NaN and break the
+    Arrow int conversion), ``decode_error`` carrying the reason."""
+    row = {c: None for c in _ddl_columns(out_ddl)}
+    row["media_id"] = mid
+    row["decode_error"] = err
+    return row
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a quarantine-mode operator output into ``(good, bad)``:
+    ``good`` is the survivors with the ``decode_error`` column dropped
+    (exactly the ``on_error="skip"`` output), ``bad`` is
+    ``(media_id, error)``. Both are filters over the SAME upstream plan —
+    persist the input if you materialize both sides, so the decode pass
+    runs once (the CLI quarantine flow does; see ``cmd_media``)."""
+    good = df.filter(F.col("decode_error").isNull()).drop("decode_error")
+    bad = df.filter(F.col("decode_error").isNotNull()).select(
+        "media_id", F.col("decode_error").alias("error")
+    )
+    return good, bad
 
 
 def image_features(
@@ -410,8 +447,10 @@ def image_features(
     ``codec="real"`` swaps the Pillow decoder in; everything else —
     schema, batching, feature math — is identical (the swap claim is
     tested, Pillow-gated, in tests/test_multimodal.py).
-    ``on_error="skip"`` quarantines malformed payloads instead of failing
-    the stage (see :func:`_try_decode` / :func:`media_decode_errors`).
+    ``on_error="skip"`` drops malformed payloads instead of failing the
+    stage; ``on_error="quarantine"`` keeps them as NULL-feature rows with
+    a ``decode_error`` column, so features + quarantine list come from
+    one decode pass (see :func:`_try_decode` / :func:`quarantine_split`).
 
     Mean/std are evaluated in EXACT integer arithmetic (Σx and Σx² as
     Python ints, then one correctly-rounded float division / sqrt) rather
@@ -423,13 +462,16 @@ def image_features(
     ``(n·Σx² − (Σx)²)/n²``)."""
     decode = _pick(_IMAGE_DECODERS, codec)
     _check_on_error(on_error)
+    out_ddl = _quarantine_ddl(IMAGE_FEATURE_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _try_decode(decode, bytes(payload), on_error)
+                img, err = _try_decode(decode, bytes(payload), on_error)
                 if img is None:
+                    if err is not None and on_error == "quarantine":
+                        rows.append(_quarantined_row(mid, out_ddl, err))
                     continue
                 iv = img.reshape(-1).astype(np.int64)
                 n, sx, sxx = iv.size, int(iv.sum()), int((iv * iv).sum())
@@ -445,12 +487,13 @@ def image_features(
                             math.sqrt((n * sxx - sx * sx) / (n * n)) if n else 0.0
                         ),
                         "histogram": hist.tolist(),
+                        "decode_error": None,
                     }
                 )
-            yield _frame(rows, IMAGE_FEATURE_DDL)
+            yield _frame(rows, out_ddl)
 
     return media.filter(F.col("kind") == "image").mapInPandas(
-        run, schema=IMAGE_FEATURE_DDL
+        run, schema=out_ddl
     )
 
 
@@ -462,16 +505,20 @@ def resize_images(
     (index arithmetic only, no interpolation libs), re-encoded to the
     fake-raw payload format. ``codec="real"`` decodes JPEG/PNG inputs via
     Pillow; the resample math and output format are identical.
-    ``on_error="skip"`` quarantines malformed payloads."""
+    ``on_error="skip"`` drops malformed payloads; ``"quarantine"`` keeps
+    them as NULL rows with a ``decode_error`` column."""
     decode = _pick(_IMAGE_DECODERS, codec)
     _check_on_error(on_error)
+    out_ddl = _quarantine_ddl(RESIZE_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _try_decode(decode, bytes(payload), on_error)
+                img, err = _try_decode(decode, bytes(payload), on_error)
                 if img is None:
+                    if err is not None and on_error == "quarantine":
+                        rows.append(_quarantined_row(mid, out_ddl, err))
                     continue
                 h, w, c = img.shape
                 yi = (np.arange(out_h) * h // out_h)[:, None]
@@ -484,11 +531,12 @@ def resize_images(
                         "width": out_w,
                         "height": out_h,
                         "payload": header + out.tobytes(),
+                        "decode_error": None,
                     }
                 )
-            yield _frame(rows, RESIZE_DDL)
+            yield _frame(rows, out_ddl)
 
-    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZE_DDL)
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=out_ddl)
 
 
 def audio_features(
@@ -498,16 +546,20 @@ def audio_features(
     the language-ID/quality-gate primitives of an audio pipeline.
     ``codec="real"`` decodes PCM16 WAV via the stdlib ``wave`` module, so
     the real path runs (and is tested) even in this codec-less container.
-    ``on_error="skip"`` quarantines malformed payloads."""
+    ``on_error="skip"`` drops malformed payloads; ``"quarantine"`` keeps
+    them as NULL rows with a ``decode_error`` column."""
     decode = _pick(_AUDIO_DECODERS, codec)
     _check_on_error(on_error)
+    out_ddl = _quarantine_ddl(AUDIO_FEATURE_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = _try_decode(decode, bytes(payload), on_error)
+                decoded, err = _try_decode(decode, bytes(payload), on_error)
                 if decoded is None:
+                    if err is not None and on_error == "quarantine":
+                        rows.append(_quarantined_row(mid, out_ddl, err))
                     continue
                 rate, raw_samples = decoded
                 samples = raw_samples.astype(np.float64)
@@ -519,12 +571,13 @@ def audio_features(
                         "n_samples": len(samples),
                         "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
                         "zero_crossings": zc,
+                        "decode_error": None,
                     }
                 )
-            yield _frame(rows, AUDIO_FEATURE_DDL)
+            yield _frame(rows, out_ddl)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(
-        run, schema=AUDIO_FEATURE_DDL
+        run, schema=out_ddl
     )
 
 
@@ -537,28 +590,39 @@ def sample_frames(
     batchTransfer 1→N explode (all inside one mapInPandas pass).
     ``codec="real"`` demuxes uncompressed RIFF/AVI with the stdlib parser
     (compressed containers stay PyAV-gated — NotImplementedError, which
-    ``on_error="skip"`` deliberately does NOT swallow).
-    ``on_error="skip"`` quarantines malformed payloads."""
+    the skip/quarantine modes deliberately do NOT swallow).
+    ``on_error="skip"`` drops malformed payloads; ``"quarantine"`` keeps
+    each bad video as ONE NULL-frame row with a ``decode_error`` column
+    (not ⌈n/k⌉ of them — the frame count is unknowable for a payload
+    that didn't decode)."""
     decode = _pick(_VIDEO_DECODERS, codec)
     _check_on_error(on_error)
+    out_ddl = _quarantine_ddl(FRAME_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = _try_decode(decode, bytes(payload), on_error)
+                decoded, err = _try_decode(decode, bytes(payload), on_error)
                 if decoded is None:
+                    if err is not None and on_error == "quarantine":
+                        rows.append(_quarantined_row(mid, out_ddl, err))
                     continue
                 n, w, h, frames = decoded
                 frame_sz = w * h
                 for i in range(0, n, every_k):
                     frame = frames[i * frame_sz : (i + 1) * frame_sz]
                     rows.append(
-                        {"media_id": mid, "frame_index": i, "frame_payload": frame}
+                        {
+                            "media_id": mid,
+                            "frame_index": i,
+                            "frame_payload": frame,
+                            "decode_error": None,
+                        }
                     )
-            yield _frame(rows, FRAME_DDL)
+            yield _frame(rows, out_ddl)
 
-    return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_DDL)
+    return media.filter(F.col("kind") == "video").mapInPandas(run, schema=out_ddl)
 
 
 # --- deterministic fixture ----------------------------------------------------
@@ -637,15 +701,21 @@ def image_ahash(
     cross-multiplied form of ``cell_gray > mean(gray)`` (the /3 and
     /n_cells denominators cancel), so the hash carries no float rounding
     and a SQL oracle can replay it bit-for-bit (m05's value-hash gate).
-    ``on_error="skip"`` quarantines malformed payloads."""
+    ``on_error="skip"`` drops malformed payloads; ``"quarantine"`` keeps
+    them as NULL-hash rows with a ``decode_error`` column."""
     _check_on_error(on_error)
+    out_ddl = _quarantine_ddl(AHASH_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _try_decode(_decode_image_fake, bytes(payload), on_error)
+                img, err = _try_decode(
+                    _decode_image_fake, bytes(payload), on_error
+                )
                 if img is None:
+                    if err is not None and on_error == "quarantine":
+                        rows.append(_quarantined_row(mid, out_ddl, err))
                     continue
                 gray3 = img.astype(np.int64).sum(axis=2)  # 3× grayscale, exact
                 h, w = gray3.shape
@@ -656,10 +726,16 @@ def image_ahash(
                 val = 0
                 for b in bits:
                     val = (val << 1) | int(b)
-                rows.append({"media_id": mid, "ahash": format(val, "016x")})
-            yield _frame(rows, AHASH_DDL)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "ahash": format(val, "016x"),
+                        "decode_error": None,
+                    }
+                )
+            yield _frame(rows, out_ddl)
 
-    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=AHASH_DDL)
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=out_ddl)
 
 
 def image_dedup_groups(
@@ -667,9 +743,15 @@ def image_dedup_groups(
 ) -> DataFrame:
     """Image-level dedup report: aHash buckets with their member count and
     keeper (min media_id) — the image twin of text exact-dedup. One hash
-    pass + one 8-byte-key groupBy."""
+    pass + one 8-byte-key groupBy. Under ``on_error="quarantine"`` the
+    NULL-hash quarantine rows are excluded from the buckets (they'd
+    otherwise pool into one bogus NULL group); audit them via
+    :func:`quarantine_split` on :func:`image_ahash` instead."""
+    hashes = image_ahash(media, grid, on_error=on_error)
+    if on_error == "quarantine":
+        hashes, _ = quarantine_split(hashes)
     return (
-        image_ahash(media, grid, on_error=on_error)
+        hashes
         .groupBy("ahash")
         .agg(
             F.count("*").alias("n_images"),
@@ -682,14 +764,17 @@ DECODE_ERROR_DDL = "media_id long, kind string, error string"
 
 
 def media_decode_errors(media: DataFrame, codec: str = "fake") -> DataFrame:
-    """Quarantine audit — one row per payload its kind's decoder REJECTS
-    (the malformed-payload error class; NotImplementedError for a missing
-    codec library still propagates, see :func:`_payload_errors`). The
-    companion to ``on_error="skip"``: the skip variants drop bad rows
-    from their outputs, this lists exactly which rows were dropped and
-    why, so a 100 TB ingest can route them to a quarantine table instead
-    of losing them silently. Same single mapInPandas pass over the
-    payloads; output is one short row per BAD payload only."""
+    """STANDALONE quarantine audit — one row per payload its kind's
+    decoder REJECTS (the malformed-payload error class;
+    NotImplementedError for a missing codec library still propagates,
+    see :func:`_payload_errors`), all three kinds in one mapInPandas
+    pass. Use this when you want ONLY the error list (an ingest
+    pre-flight over a sample, a post-mortem). When you want features AND
+    the error list, do NOT pair ``on_error="skip"`` with this — that
+    decodes every payload twice, and at 100 TB decode dominates (VERDICT
+    r12 directive 2). Use ``on_error="quarantine"`` on the feature
+    operator instead: one decode pass emits both, split downstream with
+    :func:`quarantine_split` (the CLI ``--quarantine-out`` flow)."""
     decoders = {
         "image": _pick(_IMAGE_DECODERS, codec),
         "audio": _pick(_AUDIO_DECODERS, codec),

@@ -61,6 +61,17 @@ _REWITNESS: tuple[str, ...] = (
     # exercise, ADVICE r12) and the CMS/loglin store updaters it calls
     # gained the writer lock + ledger opt-out guard (directives 3/4).
     "c11_incremental_telemetry",
+    # r13: every multimodal operator's decode loop changed again — the
+    # one-pass quarantine mode (_try_decode now returns (value, err); the
+    # loops emit NULL-feature+decode_error rows under "quarantine").
+    # Default skip/fail outputs are value-identical, but changed code
+    # never rides on a stale green row.
+    "m01_image_features",
+    "m02_image_resize",
+    "m03_audio_features",
+    "m04_video_frame_sample",
+    "m05_image_dedup_ahash",
+    "m06_decode_quarantine",
 )
 
 

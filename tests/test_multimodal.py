@@ -614,3 +614,106 @@ def test_ddl_columns_handles_nested_commas():
                 M.FRAME_DDL, M.RESIZE_DDL, M.AHASH_DDL, M.DECODE_ERROR_DDL):
         cols = M._ddl_columns(ddl)
         assert all(c.isidentifier() for c in cols), (ddl, cols)
+
+
+# --- one-pass quarantine mode (r13: features + error list from ONE decode) ---
+
+def test_on_error_quarantine_emits_features_and_errors_one_pass(spark):
+    # VERDICT r12 directive 2: quarantine mode's combined output must be
+    # exactly skip-mode's features PLUS one NULL-feature row per bad
+    # payload carrying the reason — all from a single mapInPandas (one
+    # decode per payload), where skip + media_decode_errors decoded twice.
+    media = _with_corrupt(M.synthetic_media(spark, n_per_kind=4), [0, 1, 2])
+    combined = M.image_features(media, on_error="quarantine")
+    assert "decode_error" in combined.columns
+    # exactly one payload-scanning python stage beyond the fixture's own
+    # encode (the feature UDF is named `run`, the fixture's `encode`)
+    plan = combined._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas run(") == 1
+    assert plan.count("MapInPandas") - plan.count("MapInPandas encode(") == 1
+
+    good, bad = M.quarantine_split(combined)
+    skip_rows = sorted(
+        map(tuple, M.image_features(media, on_error="skip").collect())
+    )
+    assert sorted(map(tuple, good.collect())) == skip_rows
+    bad_rows = {r.media_id: r.error for r in bad.collect()}
+    audit = {r.media_id: r.error for r in M.media_decode_errors(media)
+             .filter(F.col("kind") == "image").collect()}
+    assert bad_rows == audit  # same rows, same reasons — one pass instead of two
+
+
+def test_on_error_quarantine_all_operators(spark):
+    # every payload operator supports the mode with its own schema:
+    # survivors match skip-mode, quarantined ids match the planted set.
+    media = _with_corrupt(M.synthetic_media(spark, n_per_kind=4), [0, 1, 2])
+    cases = [
+        (M.image_features, {0}, {3, 6, 9}),
+        (M.audio_features, {1}, {4, 7, 10}),
+        (M.sample_frames, {2}, {5, 8, 11}),
+        (M.image_ahash, {0}, {3, 6, 9}),
+        (lambda m, **kw: M.resize_images(m, 4, 4, **kw), {0}, {3, 6, 9}),
+    ]
+    for op, bad_ids, good_ids in cases:
+        good, bad = M.quarantine_split(op(media, on_error="quarantine"))
+        assert {r.media_id for r in bad.collect()} == bad_ids
+        assert {r.media_id for r in good.select("media_id").distinct()
+                .collect()} == good_ids
+
+
+def test_quarantine_video_one_row_per_bad_payload(spark):
+    # a corrupt video contributes ONE quarantine row, not ceil(n/k) —
+    # the frame count is unknowable for a payload that didn't decode.
+    media = _with_corrupt(M.synthetic_media(spark, n_per_kind=4), [2])
+    out = M.sample_frames(media, on_error="quarantine")
+    bad = out.filter(F.col("decode_error").isNotNull())
+    assert bad.count() == 1
+    row = bad.collect()[0]
+    assert row.media_id == 2 and row.frame_index is None \
+        and row.frame_payload is None
+
+
+def test_quarantine_dedup_groups_exclude_null_hash(spark):
+    # image_dedup_groups under quarantine must not pool the NULL-hash
+    # quarantine rows into a bogus bucket.
+    media = _with_corrupt(M.synthetic_media(spark, n_per_kind=4), [0])
+    groups = M.image_dedup_groups(media, on_error="quarantine").collect()
+    assert all(g.ahash is not None for g in groups)
+    assert sum(g.n_images for g in groups) == 3  # ids 3, 6, 9
+
+
+def test_quarantine_mode_does_not_swallow_missing_codec(spark):
+    # NotImplementedError stays fatal under quarantine, same as skip —
+    # a missing codec library must never become 100% quarantined corpus.
+    rows = [(1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"x" * 64))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(Exception, match="PyAV"):
+        M.sample_frames(media, codec="real", on_error="quarantine").collect()
+
+
+def test_cli_media_quarantine_out_writes_both(spark, tmp_path):
+    # the CLI flow: features + quarantine table from one decode pass.
+    from core_etl_spark import cli as C
+
+    out, qout = str(tmp_path / "feats"), str(tmp_path / "quar")
+    rc = C.main([
+        "media", "features", "--synthetic", "4", "--skip-errors",
+        "--quarantine-out", qout, "--out", out,
+    ])
+    assert rc == 0
+    feats = spark.read.parquet(out)
+    quar = spark.read.parquet(qout)
+    # the synthetic fixture is clean: all 4 images survive, 0 quarantined
+    assert feats.count() == 4 and quar.count() == 0
+    assert set(quar.columns) == {"media_id", "error"}
+    assert "decode_error" not in feats.columns
+
+
+def test_cli_media_quarantine_out_requires_skip_errors():
+    from core_etl_spark import cli as C
+
+    with pytest.raises(SystemExit, match="skip-errors"):
+        C.main(["media", "features", "--synthetic", "2",
+                "--quarantine-out", "/tmp/nope"])
