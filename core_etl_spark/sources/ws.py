@@ -36,6 +36,15 @@ _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BIN, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 0xA
 
+#: adversarial-input bounds (r13 audit): a corrupt/malicious length field
+#: must become a WsError → reconnect, never an unbounded recv/allocation.
+#: 64 MiB per frame / 256 MiB per reassembled message is orders of
+#: magnitude above any real block payload; the handshake response bound
+#: caps a server that streams headers without ever sending \r\n\r\n.
+_MAX_FRAME_BYTES = 64 * 1024 * 1024
+_MAX_MESSAGE_BYTES = 256 * 1024 * 1024
+_MAX_HANDSHAKE_BYTES = 1024 * 1024
+
 
 class WsError(ConnectionError):
     """Handshake failure, protocol violation, or a dead connection."""
@@ -137,6 +146,8 @@ class _WsSocket:
 
     def _read_until(self, marker: bytes) -> bytes:
         while marker not in self._buf:
+            if len(self._buf) > _MAX_HANDSHAKE_BYTES:
+                raise WsError("handshake response exceeded 1 MiB")
             chunk = self._sock.recv(4096)
             if not chunk:
                 raise WsError("connection closed during handshake")
@@ -173,8 +184,15 @@ class _WsSocket:
         ``socket.timeout`` escapes untouched only when it fires *between*
         frames (no partial bytes consumed) — the caller may simply call
         again (idle subscription). A timeout mid-frame leaves the stream
-        unparseable, so it becomes :class:`WsError` → reconnect."""
+        unparseable, so it becomes :class:`WsError` → reconnect. Every
+        other malformed-stream condition (reserved opcode, oversized
+        length field, invalid UTF-8) is also :class:`WsError` (r13
+        adversarial audit): after any of them the byte stream's framing
+        can't be trusted, and reconnecting is the designed recovery —
+        an escaping UnicodeDecodeError would instead kill the
+        subscription loop for good."""
         parts: list[bytes] = []
+        total = 0
         while True:
             try:
                 b1, b2 = self._recv_exact(2)
@@ -184,11 +202,21 @@ class _WsSocket:
                 raise WsError("timed out mid-frame; stream position lost") from None
             fin, opcode = b1 & 0x80, b1 & 0x0F
             masked, n = b2 & 0x80, b2 & 0x7F
+            if opcode not in (OP_CONT, OP_TEXT, OP_BIN, OP_CLOSE, OP_PING,
+                              OP_PONG):
+                # a reserved opcode means lost framing or a broken server;
+                # appending its payload would silently corrupt the message
+                raise WsError(f"reserved/unknown opcode 0x{opcode:x}")
             try:
                 if n == 126:
                     (n,) = struct.unpack(">H", self._recv_exact(2))
                 elif n == 127:
                     (n,) = struct.unpack(">Q", self._recv_exact(8))
+                if n > _MAX_FRAME_BYTES or total + n > _MAX_MESSAGE_BYTES:
+                    raise WsError(
+                        f"frame length {n} exceeds the sanity bound — "
+                        "corrupt length field or hostile server"
+                    )
                 mask = self._recv_exact(4) if masked else b""
                 payload = self._recv_exact(n)
             except socket.timeout:
@@ -204,8 +232,12 @@ class _WsSocket:
                 self._send_control(OP_CLOSE, payload)
                 raise WsError("server closed the connection")
             parts.append(payload)
+            total += len(payload)
             if fin:
-                return b"".join(parts).decode()
+                try:
+                    return b"".join(parts).decode()
+                except UnicodeDecodeError as e:
+                    raise WsError(f"invalid UTF-8 in text message: {e}") from None
 
     def _send_control(self, opcode: int, payload: bytes) -> None:
         mask = os.urandom(4)
@@ -321,16 +353,38 @@ class WsJsonRpcTransport:
 
     def _recv_one(self) -> None:
         """Receive ONE message (holding ``_rx_lock``) and route it: replies
-        by id into ``_replies``, subscription pushes into ``_notes``."""
+        by id into ``_replies``, subscription pushes into ``_notes``.
+
+        Malformed server output — unparseable JSON, or a message that
+        isn't a JSON object — becomes :class:`WsError` (r13 adversarial
+        audit): after one garbled message nothing downstream on this
+        connection can be trusted, and WsError is what every caller's
+        recovery path catches (reconnect + re-send / re-subscribe). A
+        bare ``json.JSONDecodeError`` would instead escape those handlers
+        and permanently kill the subscription loop."""
         with self._rx_lock:
             ws = self._ws
             if ws is None:
                 raise WsError("connection lost")
-            msg = json.loads(ws.recv_text())
+            text = ws.recv_text()
+        try:
+            msg = json.loads(text)
+        except ValueError as e:
+            raise WsError(f"malformed JSON-RPC message: {e}") from None
+        if not isinstance(msg, dict):
+            raise WsError(
+                f"JSON-RPC message is {type(msg).__name__}, expected object"
+            )
         if msg.get("id") is not None:
             self._replies[msg["id"]] = msg
-        elif "method" in msg and msg["method"].endswith("_subscription"):
-            self._notes.append(msg.get("params", {}))
+        elif isinstance(msg.get("method"), str) and msg["method"].endswith(
+            "_subscription"
+        ):
+            params = msg.get("params")
+            # only dict params can carry a subscription push; anything
+            # else would AttributeError inside the heads() consumer
+            if isinstance(params, dict):
+                self._notes.append(params)
 
     def __call__(self, method: str, params_json: str) -> str:
         last: Exception | None = None
@@ -394,7 +448,12 @@ class WsJsonRpcTransport:
                 while self._notes:
                     params = self._notes.popleft()
                     if params.get("subscription") == sub_id:
-                        yield params.get("result")
+                        head = params.get("result")
+                        # a push with a missing/non-object result carries
+                        # no header — skip it rather than hand consumers
+                        # a None they'd crash on (r13 adversarial audit)
+                        if isinstance(head, dict):
+                            yield head
                 try:
                     self._recv_one()
                 except socket.timeout:

@@ -118,16 +118,37 @@ class HeadPoller:
     def _fetch_full(self, head: dict) -> dict | None:
         """One ``getBlockByNumber(number, full_txs=True)`` per head —
         the header push carries no transactions (etl.rs:137-139 refetches
-        the same way)."""
-        number = head.get("number")
+        the same way).
+
+        Malformed heads are SKIPPED with a log line, never raised (r13
+        adversarial audit): the poller is a long-lived daemon, and one
+        garbled push — a non-dict head, a number that isn't a hex
+        quantity, a reply that isn't a block object — must not kill the
+        subscription for every block after it. A skipped height is not
+        lost: the tail's stale/parent checks re-sync it from the next
+        good head (same recovery as a missed push)."""
+        number = head.get("number") if isinstance(head, dict) else None
         if number is None:
+            if head is not None:
+                log.warning("head poller: skipping malformed head %r", head)
             return None
-        if isinstance(number, str):  # hex-quantity form
-            number = int(number, 16)
+        try:
+            if isinstance(number, str):  # hex-quantity form
+                number = int(number, 16)
+            number = int(number)
+        except (ValueError, TypeError):
+            log.warning("head poller: skipping head with bad number %r", number)
+            return None
         payload = self.transport(
             f"{self.namespace}_getBlockByNumber", json.dumps([hex(number), True])
         )
-        return json.loads(payload)
+        raw = json.loads(payload)
+        if not isinstance(raw, dict):
+            log.warning(
+                "head poller: skipping non-object block reply for %s", hex(number)
+            )
+            return None
+        return raw
 
     def _drop(self, raws: list[dict]) -> None:
         """Append one parquet drop. ``coalesce(1)``: a drop is at most

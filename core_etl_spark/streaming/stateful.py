@@ -191,6 +191,13 @@ def running_totals_tws(
             n_new, amt_new = 0, 0
             for b in rows:
                 n_new += len(b)
+                # NULL amounts are safe here without special-casing:
+                # pandas sums with skipna=True for every dtype nulls
+                # arrive as (float64 NaN, nullable Int64, object), and an
+                # all-null/empty column sums to scalar 0, which int()
+                # accepts — probed by the r13 adversarial audit
+                # (tests/test_adversarial_streaming.py), matching SUM()'s
+                # null semantics (nulls count toward n, not the sum).
                 amt_new += int(b[amount_col].sum())
             prev = self._totals.get() if self._totals.exists() else (0, 0)
             n, tot = prev[0] + n_new, prev[1] + amt_new

@@ -199,6 +199,29 @@ class MockWsRpcServer:
             return
         self._send_text(conn, json.dumps({"jsonrpc": "2.0", "id": rid, "result": result}))
 
+    def push_raw_text(self, text: str) -> None:
+        """Push an arbitrary text frame (malformed-JSON probes)."""
+        self._conn_ready.wait(5)
+        self._send_text(self._conn, text)
+
+    def push_raw_bytes(self, data: bytes) -> None:
+        """Push arbitrary bytes straight onto the socket (malformed-frame
+        probes: reserved opcodes, lying length fields, invalid UTF-8)."""
+        self._conn_ready.wait(5)
+        self._conn.sendall(data)
+
+    def push_subscription_params(self, params, namespace: str = "xcb") -> None:
+        """Push a subscription notification with ARBITRARY params (probes
+        for non-dict params / missing or non-dict result)."""
+        self._conn_ready.wait(5)
+        self._send_text(
+            self._conn,
+            json.dumps(
+                {"jsonrpc": "2.0", "method": f"{namespace}_subscription",
+                 "params": params}
+            ),
+        )
+
     def push_head(self, header: dict, namespace: str = "xcb") -> None:
         """Push a newHeads notification to the connected client."""
         self._conn_ready.wait(5)
