@@ -46,6 +46,10 @@ operators/sampling.py is Efraimidis & Spirakis 2006; the mergeable
 log-linear quantile histogram at the bottom of this module is
 HdrHistogram's bucketing (Tene) with DDSketch's error model (Masson,
 Rim & Lee, VLDB 2019), done entirely in dyadic-exact arithmetic.
+
+The persisted-store contract (staged swap, applied-batch ledger,
+single-writer lock, batch_id wiring for foreachBatch vs cron, geometry
+rules) is consolidated in one page: ``docs/sketch-stores.md``.
 """
 
 from __future__ import annotations
