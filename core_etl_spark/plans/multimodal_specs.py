@@ -389,3 +389,46 @@ def m06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             "mean_intensity",
         )
     )
+
+
+@register(
+    "m07_onepass_quarantine",
+    tables=(),
+    oracle=_M06_ORACLE,  # same per-image verdict as m06 — proving the
+    # one-pass mode produces byte-identical features AND the identical
+    # quarantine set without the second decode
+    tags=("multimodal", "image", "quarantine", "one-pass", "mapInPandas"),
+)
+def m07(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """ONE-PASS corrupt-payload quarantine (r13, VERDICT r12 directive
+    2): where m06 builds its per-image verdict from TWO decode passes
+    (``image_features(on_error="skip")`` + ``media_decode_errors``),
+    this spec builds the same verdict from ONE —
+    ``image_features(on_error="quarantine")`` emits survivors' features
+    and quarantined rows' reasons from a single mapInPandas, and
+    ``quarantine_split`` separates them. Same oracle as m06, so the
+    green hash proves the one-pass mode changes NOTHING about which
+    rows survive or what their features are — it only deletes the
+    second decode (the cost that dominates a 100 TB media corpus;
+    measured in SCALE.md's one-decode-pass section)."""
+    media = M.synthetic_media(spark, n_per_kind=30)
+    imgs = media.filter(F.col("kind") == "image")
+    corrupted = imgs.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 9 == 0, F.expr("substring(payload, 1, 3)")
+        ).otherwise(F.col("payload")),
+    )
+    combined = M.image_features(corrupted, on_error="quarantine")
+    good, bad = M.quarantine_split(combined)
+    return (
+        imgs.select("media_id")
+        .join(good.select("media_id", "mean_intensity"), "media_id", "left")
+        .join(bad.select("media_id", F.lit(True).alias("bad")),
+              "media_id", "left")
+        .select(
+            "media_id",
+            F.col("bad").isNull().alias("decoded"),
+            "mean_intensity",
+        )
+    )
