@@ -391,3 +391,31 @@ def test_interval_join_null_key_and_ts_dropped(spark):
     out = W.interval_join(l, r, "key").collect()
     assert len(out) == 1
     assert out[0].key == "k" and out[0].lag_us == 60_000_000
+
+
+# --- lake maintenance edges (probed already-safe; pinned) ---------------------
+
+
+def test_lake_maintenance_safe_on_empty_and_overdeep(spark, tmp_path):
+    # the mutation paths a production tail hits in weird states: an empty
+    # warehouse (first boot, post-wipe) and a truncate deeper than
+    # history (crash recovery with a huge safety margin). All no-ops or
+    # graceful, never a crash.
+    from core_etl_spark.lake import Lake
+    from core_etl_spark.operators.transforms import normalize_blocks
+    from core_etl_spark.sources import fixtures as FX
+
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    assert lake.latest_block_number() == -1          # empty → sentinel
+    lake.truncate_from_last_saved(100)               # no-op, no crash
+    hdrs = spark.createDataFrame(
+        [(1, "h", "p")], "number long, hash string, parent_hash string"
+    )
+    assert lake.detect_reorgs(hdrs).collect() == []  # nothing stored → no fork
+    lake.retention_cleanup(1_700_000_000)            # no-op, no crash
+
+    raw = FX.raw_blocks(spark, n_blocks=3, txs_per_block=0)
+    lake.write_all(normalize_blocks(raw), None)
+    lake.truncate_from_last_saved(1000)              # deeper than history
+    assert lake.blocks().count() == 0
+    assert lake.latest_block_number() == -1          # back to empty state

@@ -967,3 +967,46 @@ def test_store_lock_torn_sentinel_uses_age(spark, tmp_path):
     old = time.time() - 2 * sketches._LOCK_STALE_SEC
     os.utime(f"{store}__lock", (old, old))
     assert sketches.update_cms_store(b, "k", store, batch_id="0") is True
+
+
+def test_store_lock_true_race_converges_with_retry(spark, tmp_path):
+    # Two threads updating ONE store concurrently (the real overlap the
+    # lock exists for): at most one holds the lock at a time; the loser
+    # gets StoreLockedError, retries, and after both finish the store
+    # equals one build over both batches — nothing lost, nothing doubled.
+    import threading
+    import time as _t
+
+    store = str(tmp_path / "cms_store")
+    batches = {
+        "0": spark.range(0, 3000).select((F.col("id") % 97).alias("k")),
+        "1": spark.range(3000, 5000).select((F.col("id") % 97).alias("k")),
+    }
+    lock_errors, failures = [], []
+
+    def worker(bid):
+        for _ in range(60):  # retry loop: the designed caller response
+            try:
+                sketches.update_cms_store(batches[bid], "k", store, batch_id=bid)
+                return
+            except sketches.StoreLockedError:
+                lock_errors.append(bid)
+                _t.sleep(0.3)
+            except Exception as e:  # noqa: BLE001 — record real failures
+                failures.append((bid, repr(e)))
+                return
+        failures.append((bid, "never acquired the lock"))
+
+    ts = [threading.Thread(target=worker, args=(b,)) for b in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert not failures, failures
+    whole = sketches.cms_build(
+        spark.range(5000).select((F.col("id") % 97).alias("k")), "k"
+    )
+    assert _frame_equal(
+        whole, spark.read.parquet(store), ["row_idx", "col_idx", "n"]
+    )
+    assert sorted(sketches._applied_batch_ids(spark, store)) == ["0", "1"]
