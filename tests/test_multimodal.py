@@ -717,3 +717,59 @@ def test_cli_media_quarantine_out_requires_skip_errors():
     with pytest.raises(SystemExit, match="skip-errors"):
         C.main(["media", "features", "--synthetic", "2",
                 "--quarantine-out", "/tmp/nope"])
+
+
+def test_streaming_quarantine_foreachbatch_two_tables_one_decode(spark, tmp_path):
+    # the production wiring of the r13 one-pass mode: a media STREAM
+    # (file source, exactly-once checkpoint) runs quarantine-mode
+    # features inside foreachBatch, persisting each micro-batch's
+    # combined frame once and writing survivors and quarantine rows to
+    # two tables. After draining, the union of both tables covers every
+    # image exactly once and matches the batch answer.
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    feats_out = str(tmp_path / "feats")
+    quar_out = str(tmp_path / "quar")
+    os.makedirs(src)
+
+    media = _with_corrupt(M.synthetic_media(spark, n_per_kind=6), [0, 9])
+    imgs = media.filter(F.col("kind") == "image")
+    # two micro-batch drops
+    imgs.filter(F.col("media_id") < 9).write.mode("append").parquet(f"{src}/d1")
+    imgs.filter(F.col("media_id") >= 9).write.mode("append").parquet(f"{src}/d2")
+
+    stream = (
+        spark.readStream.schema(imgs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/d*")
+    )
+
+    def process(batch, _bid):
+        combined = M.image_features(batch, on_error="quarantine").persist()
+        try:
+            good, bad = M.quarantine_split(combined)
+            good.write.mode("append").parquet(feats_out)
+            bad.write.mode("append").parquet(quar_out)
+        finally:
+            combined.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    feats = spark.read.parquet(feats_out)
+    quar = spark.read.parquet(quar_out)
+    assert {r.media_id for r in quar.collect()} == {0, 9}
+    got_ids = {r.media_id for r in feats.collect()} | {
+        r.media_id for r in quar.collect()
+    }
+    assert got_ids == {r.media_id for r in imgs.select("media_id").collect()}
+    # survivors' features equal the batch skip-mode answer
+    want = sorted(map(tuple, M.image_features(media, on_error="skip").collect()))
+    assert sorted(map(tuple, feats.collect())) == want
