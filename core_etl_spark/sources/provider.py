@@ -40,6 +40,34 @@ def _no_network(method: str, params: str) -> str:
     )
 
 
+def _raw_block_columns() -> list[str]:
+    """Top-level column names of RAW_BLOCK_DDL, so an all-skipped fetch
+    batch still yields a frame with the right columns (a bare
+    ``pd.DataFrame([])`` has none and fails mapInPandas' projection —
+    the multimodal ``_frame`` lesson). Splits on top-level commas only:
+    the transactions column is an ``array<struct<...,...>>``."""
+    from ..operators.multimodal import _ddl_columns
+
+    return _ddl_columns(RAW_BLOCK_DDL)
+
+
+def _quantity(value, default: int) -> int:
+    """A JSON-RPC quantity that may arrive as an int, a hex string
+    ("0x1"), a decimal string, or garbage/None — garbage maps to the
+    default instead of killing the executor task (r13 adversarial
+    audit)."""
+    if isinstance(value, bool):
+        return int(value)
+    if isinstance(value, int):
+        return value
+    if isinstance(value, str):
+        try:
+            return int(value, 16) if value.startswith("0x") else int(value)
+        except ValueError:
+            return default
+    return default
+
+
 class FixtureBlockProvider:
     """Deterministic chain for tests and demos (S2-S4 shapes), optionally
     forked at one height (reorg drills)."""
@@ -105,8 +133,16 @@ class RpcBlockProvider:
                     payload = transport(
                         "xcb_getBlockByNumber", json.dumps([hex(int(number)), True])
                     )
-                    rows.append(json.loads(payload))
-                yield pd.DataFrame(rows)
+                    raw = json.loads(payload)
+                    # a node answers null (or garbage) for a height it has
+                    # pruned or not yet sealed — a REAL case whenever a
+                    # backfill range touches the tip. One such reply must
+                    # not kill the stage 4× (r13 adversarial audit): skip
+                    # the height; the V2 gap check flags it and the next
+                    # resume re-fetches (same recovery as a missed drop).
+                    if isinstance(raw, dict):
+                        rows.append(raw)
+                yield pd.DataFrame(rows, columns=_raw_block_columns())
 
         rng = spark.range(start, end + 1).repartition(parts)
         return rng.mapInPandas(fetch, schema=RAW_BLOCK_DDL)
@@ -128,8 +164,18 @@ class RpcBlockProvider:
                     rec = json.loads(
                         transport("xcb_getTransactionReceipt", json.dumps([h]))
                     )
-                    out.append({"tx_hash": h, "status": int(rec.get("status", 1))})
-                yield pd.DataFrame(out)
+                    # a missing receipt arrives as null (dropped/replaced
+                    # tx — a real case) and a live node returns status as
+                    # a hex quantity ("0x1"): neither may kill the stage
+                    # (r13 adversarial audit). Default mirrors the
+                    # existing missing-status default: success.
+                    status = (
+                        _quantity(rec.get("status", 1), 1)
+                        if isinstance(rec, dict)
+                        else 1
+                    )
+                    out.append({"tx_hash": h, "status": status})
+                yield pd.DataFrame(out, columns=["tx_hash", "status"])
 
         txs = raw.select(F.explode("transactions").alias("t")).select(
             F.col("t.hash").alias("tx_hash")

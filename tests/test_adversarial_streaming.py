@@ -419,3 +419,74 @@ def test_lake_maintenance_safe_on_empty_and_overdeep(spark, tmp_path):
     lake.truncate_from_last_saved(1000)              # deeper than history
     assert lake.blocks().count() == 0
     assert lake.latest_block_number() == -1          # back to empty state
+
+
+# --- provider distributed fetch: malformed RPC replies ------------------------
+
+
+def test_fetch_blocks_skips_null_and_garbage_block_replies(spark):
+    # a node answers null for a pruned/not-yet-sealed height (REAL
+    # whenever a backfill range touches the tip) — one such reply must
+    # not kill the executor task 4x. Skipped heights surface via the V2
+    # gap check; the good blocks still arrive.
+    from core_etl_spark.sources.provider import RpcBlockProvider
+
+    def transport(method, params_json):
+        number = int(json.loads(params_json)[0], 16)
+        if number == 1:
+            return "null"          # pruned / not found
+        if number == 2:
+            return '["garbage"]'   # non-object reply
+        return json.dumps(
+            {
+                "number": number, "hash": f"h{number}",
+                "parent_hash": f"h{number - 1}",
+                "nonce": "00", "sha3_uncles": "u", "logs_bloom": "b",
+                "transactions_root": "t", "state_root": "s",
+                "receipts_root": "r", "miner": "m", "difficulty": "1",
+                "total_difficulty": "1", "extra_data": "00",
+                "energy_limit": 1, "energy_used": 0,
+                "timestamp": 1_700_000_000, "transactions": [],
+            }
+        )
+
+    p = RpcBlockProvider(transport=transport, chunk_size=2)
+    got = {r.number for r in p.fetch_blocks(spark, 0, 4).select("number").collect()}
+    assert got == {0, 3, 4}
+
+
+def test_fetch_blocks_all_skipped_chunk_keeps_schema(spark):
+    # a chunk whose every reply is null must yield an EMPTY frame with
+    # the right columns, not a column-less frame that breaks the
+    # mapInPandas projection.
+    from core_etl_spark.sources.provider import RpcBlockProvider
+
+    p = RpcBlockProvider(transport=lambda m, a: "null", chunk_size=10)
+    out = p.fetch_blocks(spark, 0, 9)
+    assert out.count() == 0
+    assert "number" in out.columns and "transactions" in out.columns
+
+
+def test_receipts_null_reply_and_hex_status(spark):
+    # a missing receipt (null — dropped/replaced tx) defaults to the
+    # missing-status default (success); a live node's hex-quantity
+    # status ("0x0"/"0x1") parses instead of crashing int().
+    from core_etl_spark.sources.provider import RpcBlockProvider
+
+    def transport(method, params_json):
+        h = json.loads(params_json)[0]
+        return {
+            "t0": '{"status": "0x0"}',
+            "t1": '{"status": "0x1"}',
+            "t2": "null",
+            "t3": '{"status": 0}',
+            "t4": '{"status": "bogus"}',
+        }[h]
+
+    raw = spark.createDataFrame(
+        [([{"hash": f"t{i}"} for i in range(5)],)],
+        "transactions array<struct<hash:string>>",
+    )
+    p = RpcBlockProvider(transport=transport)
+    got = {r.tx_hash: r.status for r in p.receipts_for(raw).collect()}
+    assert got == {"t0": 0, "t1": 1, "t2": 1, "t3": 0, "t4": 1}
