@@ -125,14 +125,18 @@ def doc_shingles(
     """(doc_id, shingles array) — distinct word n-gram shingles, one row per
     doc. Docs shorter than *n* tokens yield one partial shingle (all their
     tokens joined), matching SQL ``concat_ws`` null-dropping semantics.
-    NULL text yields an EMPTY shingle array (r12): a null doc has no
-    content to near-match, so it simply never becomes a candidate — the
-    explode downstream drops it, exactly like ``split(NULL)`` →
-    ``explode`` in the SQL oracles. Before r12 a single NULL text row
-    crashed the whole shingle-based dedup family (the UDF called
-    ``t.split``), which real corpora would hit immediately; exact_dedup
-    still groups null texts together, the one dedup where that means
-    something.
+    TOKENS ARE NON-EMPTY (r13): ``''`` fragments from leading/trailing/
+    repeated separators are dropped before shingling, and a doc with NO
+    real tokens — NULL text (r12), empty text, whitespace-only text —
+    yields an EMPTY shingle array: it has no content to near-match, so it
+    never becomes a candidate and the explode downstream drops it. Before
+    r13 the adversarial-DATA parity sweep showed empty/whitespace docs
+    fabricating degenerate ``''``/``' '`` shingles that pooled every
+    blank doc in a corpus into one giant near-dup cluster (a real 100 TB
+    corpus has millions of blank docs — that cluster is a pair-explosion
+    DoS), and NULL docs diverging from the oracles' ``greatest(len-2,1)``
+    arithmetic. exact_dedup still groups null/blank texts together, the
+    one dedup where that means something.
 
     Implemented as an Arrow-batched pandas UDF *on purpose*: the pure-column
     formulation (``transform`` over a ``sequence`` with ``element_at``×n +
@@ -147,7 +151,9 @@ def doc_shingles(
         def sh(t: str | None) -> list[str]:
             if t is None:
                 return []
-            w = t.split(" ")
+            w = [x for x in t.split(" ") if x]
+            if not w:
+                return []
             return list(dict.fromkeys(
                 " ".join(w[i : i + n]) for i in range(max(len(w) - (n - 1), 1))
             ))

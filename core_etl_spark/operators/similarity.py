@@ -35,15 +35,52 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC))
 
 
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Modal vector dimension — one tiny aggregation over a narrow
+    column (max count, ties to the larger dimension, so the answer is
+    deterministic). The anchor for :func:`valid_vectors` when the caller
+    doesn't declare the corpus dimension."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("d"))
+        .count()
+        .collect()
+    )
+    sizes = [(r["count"], r["d"]) for r in rows if r["d"] > 0]
+    if not sizes:
+        raise ValueError(f"no non-empty vectors in column {vec_col!r}")
+    return max(sizes)[1]
+
+
+def valid_vectors(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[DataFrame, int]:
+    """Drop vectors similarity is undefined for — NULL, empty, or a
+    dimension other than ``dim`` (inferred modal when not declared).
+    At 100 TB a real embedding column WILL contain these (the r13
+    adversarial-data audit planted them and one NULL vector crashed four
+    operators with DIVIDE_BY_ZERO / len(None)); excluding them is the
+    only semantics every engine agrees on, and the DuckDB oracles apply
+    the identical filter. Returns ``(filtered, dim)`` so the corpus's
+    dimension anchors the query side too."""
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    c = F.col(vec_col)
+    return df.filter(c.isNotNull() & (F.size(c) == dim)), dim
+
+
 def with_norm(
     df: DataFrame, vec_col: str = "embedding", parallelize: bool = True
 ) -> DataFrame:
-    """Attach the exact-decimal squared norm (computed once per vector).
-    Repartitions thin inputs first — the decimal fold is compute-heavy and
-    must not run on a single small-file task. Pass ``parallelize=False``
-    for a small side that is about to be broadcast: spreading ten query
-    rows over the cluster just buys an extra shuffle stage before the
-    broadcast collect."""
+    """Attach the exact-decimal squared norm (computed once per vector),
+    dropping zero-norm vectors — cosine is undefined for them, and under
+    ANSI mode the division would kill the stage (r13 adversarial-data
+    audit). Callers gate NULL/empty/wrong-dim vectors first via
+    :func:`valid_vectors`. Repartitions thin inputs first — the decimal
+    fold is compute-heavy and must not run on a single small-file task.
+    Pass ``parallelize=False`` for a small side that is about to be
+    broadcast: spreading ten query rows over the cluster just buys an
+    extra shuffle stage before the broadcast collect."""
     from .dedup import ensure_parallelism
 
     dec = _dec_vec(F.col(vec_col))
@@ -52,6 +89,7 @@ def with_norm(
     return (
         df.withColumn("_dec", dec)
         .withColumn("_normsq", _dot(F.col("_dec"), F.col("_dec")))
+        .filter(F.col("_normsq") > 0)
     )
 
 
@@ -70,7 +108,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: broadcast queries × corpus,
     ranked window per query (ties broken by neighbor id). Output
-    (query_id, neighbor_id, rank, cosine_sim)."""
+    (query_id, neighbor_id, rank, cosine_sim). Malformed vectors
+    (NULL/empty/wrong-dim/zero-norm) are excluded on both sides — see
+    :func:`valid_vectors`."""
+    corpus, dim = valid_vectors(corpus, vec_col)
+    queries, _ = valid_vectors(queries, vec_col, dim)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_dec").alias("c_dec"),
@@ -157,7 +199,10 @@ def lsh_ann_topk(
     happens on the (small) query side — corpus keeps exactly one bucket per
     vector, so the candidate join stays an equi-join: with 6 planes and
     hamming-1 probing each query touches ~7/64 of a uniformly-bucketed
-    corpus, not all of it."""
+    corpus, not all of it. Malformed vectors are excluded on both sides
+    (:func:`valid_vectors`, anchored on the declared ``dim``)."""
+    corpus, _ = valid_vectors(corpus, vec_col, dim)
+    queries, _ = valid_vectors(queries, vec_col, dim)
     c = with_norm(corpus, vec_col).withColumn(
         "bucket", hyperplane_signature(F.col("_dec"), n_planes, dim)
     ).select(
@@ -248,6 +293,9 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # KMeans needs a uniform dimension; one NULL/short vector fails the
+    # whole fit (r13 adversarial-data audit) -- gate malformed rows first.
+    corpus, _ = valid_vectors(corpus, vec_col)
     feats = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
         feats = feats.sample(fraction=sample_fraction, seed=seed)
@@ -288,7 +336,12 @@ def ivf_ann_topk(
     Cost at scale: one broadcast pass + one narrow shuffle to build the
     inverted lists (amortizable: persist the assigned corpus), then each
     query touches ~nprobe/n_centroids of the corpus via a broadcast
-    equi-join on the cell id — no cartesian product anywhere."""
+    equi-join on the cell id — no cartesian product anywhere. Malformed
+    vectors are excluded on both sides (:func:`valid_vectors`); the
+    default first-K centroid table is therefore the VALID vectors with
+    id < K (the oracle replays the same rule)."""
+    corpus, dim = valid_vectors(corpus, vec_col)
+    queries, _ = valid_vectors(queries, vec_col, dim)
     n = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("id"), "_dec", "_normsq"
     ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
@@ -363,7 +416,9 @@ def embedding_near_dups(
     the bucket key. Recall is the standard LSH trade — raise ``n_planes``
     with corpus size to keep buckets small (4 planes / hamming-1 probing =
     5/16 of the corpus per vector; 16 planes → 17/65536). ``n_planes=None``
-    falls back to exact all-pairs — small corpora only."""
+    falls back to exact all-pairs — small corpora only. Malformed
+    vectors are excluded (:func:`valid_vectors`, anchored on ``dim``)."""
+    df, _ = valid_vectors(df, vec_col, dim)
     n = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_dec").alias("dec"), F.col("_normsq").alias("normsq")
     )
@@ -413,7 +468,10 @@ def write_ivf_index(
     that every query batch reads only its probed cells *from disk*:
     the cell filter is a partition predicate, so a probe touches
     ~nprobe/n_centroids of the files, not the corpus. Centroids (K rows)
-    are stored alongside so the index is self-contained."""
+    are stored alongside so the index is self-contained. Malformed
+    vectors are excluded (:func:`valid_vectors`) — an index must never
+    be poisoned by rows no query could score."""
+    corpus, _ = valid_vectors(corpus, vec_col)
     n = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("id"), "_dec", "_normsq"
     ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
@@ -444,8 +502,12 @@ def ivf_index_topk(
     literal partition filter on the lists table, so the scan prunes to
     the probed directories before any row is read — at 100 TB the query
     cost is proportional to nprobe/n_centroids of the index, which is
-    the entire point of building one."""
+    the entire point of building one. Malformed query vectors are
+    excluded, anchored on the INDEX's dimension (read off the stored
+    centroids — K rows, driver-cheap)."""
     cents = spark.read.parquet(f"{path}/centroids")
+    dim = len(cents.select("c_dec").first()["c_dec"])
+    queries, _ = valid_vectors(queries, vec_col, dim)
     q = with_norm(queries, vec_col, parallelize=False).select(
         F.col(id_col).alias("query_id"),
         F.col("_dec").alias("q_dec"),
@@ -515,18 +577,25 @@ def pq_codebooks_first_k(
     id_col: str = "vec_id",
 ) -> list[list[list]]:
     """Deterministic PQ codebooks: sub-codebook j = the j-th subvector
-    slices of the first ``ksub`` corpus vectors by id (the PQ analogue of
-    ``ivf_ann_topk``'s first-K centroids — replayable by the oracle).
-    Returns ``codebooks[j][code] -> list of Decimal`` — a bounded collect
-    of ksub rows (the training artifact is bytes, never data-sized)."""
+    slices of the VALID vectors among the first ``ksub`` corpus ids (the
+    PQ analogue of ``ivf_ann_topk``'s first-K centroids — replayable by
+    the oracle, which applies the same validity filter). Malformed
+    vectors among the training ids shrink the codebook instead of
+    crashing the collect (r13 adversarial-data audit: a NULL embedding
+    at id 0 was len(None)). Returns ``codebooks[j][code] -> list of
+    Decimal`` — a bounded collect of ≤ ksub rows (the training artifact
+    is bytes, never data-sized)."""
+    corpus, _ = valid_vectors(corpus, vec_col)
     rows = (
         corpus.filter(F.col(id_col) < ksub)
         .select(F.col(id_col).alias("id"), _dec_vec(F.col(vec_col)).alias("dec"))
         .orderBy("id")
         .collect()
     )
-    if len(rows) < ksub:
-        raise ValueError(f"pq_codebooks_first_k: corpus has < {ksub} vectors")
+    if len(rows) < 2:
+        raise ValueError(
+            f"pq_codebooks_first_k: < 2 valid vectors among ids < {ksub}"
+        )
     dim = len(rows[0].dec)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -555,6 +624,7 @@ def pq_codebooks_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    corpus, _ = valid_vectors(corpus, vec_col)  # see kmeans_centroids
     feats = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
         feats = feats.sample(fraction=sample_fraction, seed=seed)
@@ -774,7 +844,10 @@ def pq_adc_topk(
     KBs), the scored rows collapse through the same per-query top-k window
     as every other ANN path. Compose with IVF cells to prune WHERE to look
     before PQ shrinks WHAT is read. Output (query_id, neighbor_id, rank,
-    adc_dist) — distances exact-decimal, so ranking is engine-portable."""
+    adc_dist) — distances exact-decimal, so ranking is engine-portable.
+    Malformed vectors are excluded on both sides (:func:`valid_vectors`)."""
+    corpus, dim = valid_vectors(corpus, vec_col)
+    queries, _ = valid_vectors(queries, vec_col, dim)
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
         corpus, m, ksub, vec_col, id_col
     )
@@ -827,7 +900,10 @@ def ivfpq_adc_topk(
     codebooks are first-K by id (oracle-replayable); pass
     ``kmeans_centroids(...)`` / ``pq_codebooks_kmeans(...)`` for the
     production data-adaptive versions — every downstream step is
-    unchanged."""
+    unchanged. Malformed vectors are excluded on both sides
+    (:func:`valid_vectors`)."""
+    corpus, dim = valid_vectors(corpus, vec_col)
+    queries, _ = valid_vectors(queries, vec_col, dim)
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
         corpus, m, ksub, vec_col, id_col
     )
@@ -923,6 +999,7 @@ def write_ivfpq_index(
     float32 (**40.1×**) — inside the classic 30-100× PQ band. Probe cost
     scales with the same ratio: each query batch reads
     nprobe/n_centroids of an already-compressed index."""
+    corpus, _ = valid_vectors(corpus, vec_col)  # see write_ivf_index
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
         corpus, m, ksub, vec_col, id_col
     )
@@ -986,6 +1063,8 @@ def ivfpq_index_topk(
     bytes on the dim-64 synthetic table over the actually-probed cells —
     see write_ivfpq_index)."""
     cents = spark.read.parquet(f"{path}/centroids")
+    dim = len(cents.select("c_dec").first()["c_dec"])
+    queries, _ = valid_vectors(queries, vec_col, dim)
     cb = read_pq_codebooks(spark, path)
     q = with_norm(queries, vec_col, parallelize=False).select(
         F.col(id_col).alias("query_id"),

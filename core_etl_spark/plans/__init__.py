@@ -72,6 +72,35 @@ _REWITNESS: tuple[str, ...] = (
     "m04_video_frame_sample",
     "m05_image_dedup_ahash",
     "m06_decode_quarantine",
+    # r13 adversarial-DATA parity sweep fixes: the similarity family
+    # gained the valid_vectors gate (operator + oracle CTE filter) and
+    # the shingle family gained non-empty tokenization (doc_shingles UDF
+    # + the four oracle shingle CTEs). Clean-data values are identical
+    # (every clean row passes the new filters — re-driven green), but
+    # both code AND oracles changed, so all of them re-witness.
+    "l09_cosine_topk",
+    "l10_ann_lsh_topk",
+    "l11_embedding_neardup",
+    "l12_ann_ivf_topk",
+    "l12b_ann_ivf_kmeans",
+    "l28_pq_adc_topk",
+    "l29_ivfpq_topk",
+    "l06_ngram_jaccard_dedup",
+    "l06x_ngram_jaccard_xxhash",
+    "l07_minhash_lsh_dedup",
+    "l07x_minhash_lsh_xxhash",
+    "l17_neardup_components",
+    "l18_neardup_components_star",
+    "l18b_star_cc_chains",
+    "l19_decontamination",
+    "l19x_decontamination_shuffle",
+    "l34_bloom_decontamination",
+    "l36_duplicated_spans",
+    "l44_overlap_sketch",
+    "c01_corpus_prep",
+    "c04_fuzzy_dedup",
+    "c06_incremental_dedup",
+    "c07_canonical_per_cluster",
 )
 
 

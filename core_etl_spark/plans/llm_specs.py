@@ -27,17 +27,24 @@ from .base import REGISTRY, register
 
 _TOKS = "string_split(text, ' ')"
 
+#: shingle tokenization (r13, mirrors doc_shingles): only NON-EMPTY
+#: fragments count as tokens, and a doc with zero real tokens (NULL/
+#: empty/whitespace-only text) yields NO shingles — without the filter,
+#: blank docs fabricate degenerate ''-shingles that pool into one giant
+#: bogus near-dup cluster, and NULL docs hit greatest(NULL-2,1)=1.
+_SH_TOKS = f"list_filter({_TOKS}, x -> x <> '')"
+
 #: (doc_id, shingle) inverted index: distinct word 3-grams, matching
 #: operators.dedup.doc_shingles (short docs yield one partial shingle —
 #: concat_ws drops the out-of-range NULL tail here, the UDF joins what's
 #: left; identical output).
 _SHINGLE_CTE = f"""
-toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+toks AS (SELECT doc_id, {_SH_TOKS} AS t FROM documents),
 sh AS (
     SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(1, greatest(len(t) - 2, 1)),
         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
-    FROM toks
+    FROM toks WHERE len(t) > 0
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
@@ -183,12 +190,12 @@ def l05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 MAX_SHINGLE_DF = 64
 
 _SHINGLE_CTE_CAPPED = f"""
-toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+toks AS (SELECT doc_id, {_SH_TOKS} AS t FROM documents),
 sh0 AS (
     SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(1, greatest(len(t) - 2, 1)),
         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
-    FROM toks
+    FROM toks WHERE len(t) > 0
 ),
 hot AS (
     SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF}
@@ -429,15 +436,22 @@ _DEC_VEC = (
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(10,3)))"
 )
 
+# The validity gate mirrors operators/similarity.py::valid_vectors +
+# with_norm (r13 adversarial-data audit): NULL/empty/wrong-dim vectors are
+# excluded in `v`, zero-norm vectors in `n` — cosine is undefined for all
+# of them, and on clean data every row passes so parity is unchanged.
 _VEC_CTE = f"""
 v AS (
     SELECT vec_id, {_DEC_VEC} AS dec
     FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 n AS (
-    SELECT vec_id, dec,
-           list_sum(list_transform(dec, x -> CAST(x * x AS DECIMAL(28,6)))) AS normsq
-    FROM v
+    SELECT * FROM (
+        SELECT vec_id, dec,
+               list_sum(list_transform(dec, x -> CAST(x * x AS DECIMAL(28,6)))) AS normsq
+        FROM v
+    ) WHERE normsq > 0
 )
 """
 
@@ -1004,12 +1018,12 @@ _BENCH_PRED = "doc_id % 17 = 0"
     "l19_decontamination",
     tables=("documents",),
     oracle=f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        WITH toks AS (SELECT doc_id, {_SH_TOKS} AS t FROM documents),
         sh AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                 generate_series(1, greatest(len(t) - 2, 1)),
                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
-            FROM toks
+            FROM toks WHERE len(t) > 0
         ),
         bench AS (SELECT DISTINCT shingle FROM sh WHERE {_BENCH_PRED}),
         corp AS (SELECT * FROM sh WHERE NOT ({_BENCH_PRED})),
@@ -1339,7 +1353,8 @@ def _pq_oracle(m: int = 4, ksub: int = 16, dsub: int = 16, n_q: int = 10, k: int
     )
     adc = " + ".join(f"q{j}.d{j}" for j in range(m))
     return f"""
-        WITH v AS (SELECT vec_id, {_DEC_VEC} AS dec FROM embeddings),
+        WITH v AS (SELECT vec_id, {_DEC_VEC} AS dec FROM embeddings
+                   WHERE embedding IS NOT NULL AND len(embedding) = 64),
         cb AS (SELECT CAST(vec_id AS INT) AS code, dec FROM v WHERE vec_id < {ksub}),
         dists AS (
             SELECT d.vec_id, c.code,
@@ -1674,12 +1689,12 @@ _BLOOM_BENCH_PRED = "doc_id % 13 = 0"
     "l34_bloom_decontamination",
     tables=("documents",),
     oracle=f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        WITH toks AS (SELECT doc_id, {_SH_TOKS} AS t FROM documents),
         sh AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                 generate_series(1, greatest(len(t) - 2, 1)),
                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
-            FROM toks
+            FROM toks WHERE len(t) > 0
         ),
         bench AS (SELECT DISTINCT shingle FROM sh WHERE {_BLOOM_BENCH_PRED}),
         corp AS (SELECT * FROM sh WHERE NOT ({_BLOOM_BENCH_PRED})),

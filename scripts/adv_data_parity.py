@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Adversarial-DATA parity sweep (r13): corrupt the documents and
+embeddings tables the way a real 100 TB corpus is corrupt — NULL text,
+empty text, whitespace-only text, NULL lang/source, NULL embeddings,
+empty vectors, wrong-dimension vectors — then run every corpus-surface
+spec (names l*/c*) AND its DuckDB oracle on the SAME corrupted tables
+and compare value hashes.
+
+This is one level stronger than the r12/r13 no-crash probes: a green row
+proves the operator's null/edge SEMANTICS match ANSI SQL, not merely
+that it survives. A crash is a stage-killer bug; a mismatch is a
+cross-engine null-semantics divergence to triage.
+
+Usage: python scripts/adv_data_parity.py  (prints one line per spec)
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SRC = os.environ.get("ADV_SF_DIR", "/root/testdata/sf0.001")
+DST = os.environ.get("ADV_OUT_DIR", "/tmp/r13/sf_adv")
+CKPT = os.path.join(DST, "_results.json")
+
+
+def build_corrupted_dir() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    # documents: cycle of corruptions keyed on doc_id so both engines see
+    # the identical corrupted bytes (deterministic, no RNG)
+    con.execute(f"""
+        COPY (
+            SELECT doc_id,
+                   CASE doc_id % 23
+                        WHEN 0 THEN NULL
+                        WHEN 1 THEN ''
+                        WHEN 2 THEN '   '
+                        ELSE text END AS text,
+                   CASE WHEN doc_id % 23 = 3 THEN NULL ELSE lang END AS lang,
+                   CASE WHEN doc_id % 23 = 4 THEN NULL ELSE source END AS source,
+                   n_chars
+            FROM read_parquet('{SRC}/documents.parquet')
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT vec_id,
+                   CASE vec_id % 19
+                        WHEN 0 THEN NULL
+                        WHEN 1 THEN []::FLOAT[]
+                        WHEN 2 THEN embedding[1:3]
+                        ELSE embedding END AS embedding,
+                   label
+            FROM read_parquet('{SRC}/embeddings.parquet')
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for f in os.listdir(SRC):
+        dst = os.path.join(DST, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            shutil.copyfile(os.path.join(SRC, f), dst)
+
+
+def main() -> None:
+    build_corrupted_dir()
+    from core_etl_spark.plans import REGISTRY
+    from core_etl_spark.session import get_spark
+    from tests.parity import duck_connection, compare
+
+    try:
+        with open(CKPT) as f:
+            state = json.load(f)
+    except (OSError, ValueError):
+        state = {}
+
+    spark = get_spark(app_name="adv_data_parity")
+    con = duck_connection(DST)
+    names = [n for n in sorted(REGISTRY) if n[0] in "lc" and n[1].isdigit()]
+    print(f"{len(names)} corpus-surface specs; {len(state)} cached", flush=True)
+    import time
+    deadline = time.time() + 520
+    for name in names:
+        if name in state:
+            continue
+        spec = REGISTRY[name]
+        try:
+            sdf = spec.builder(spark, DST)
+            if spec.oracle is None:
+                state[name] = {"status": "rows_only", "rows": sdf.count()}
+            else:
+                problems = compare(sdf, con.execute(spec.oracle).fetchdf())
+                state[name] = {
+                    "status": "OK" if not problems else "MISMATCH",
+                    "detail": None if not problems else str(problems)[:300],
+                }
+        except Exception as e:  # noqa: BLE001 — a crash IS the finding
+            state[name] = {
+                "status": "CRASH",
+                "detail": f"{type(e).__name__}: {e}"[:300],
+            }
+        tmp = CKPT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, CKPT)
+        print(name, state[name]["status"],
+              state[name].get("detail") or "", flush=True)
+        if time.time() > deadline:
+            print("TIME CAP — resumable, re-run", flush=True)
+            return
+    bad = {k: v for k, v in state.items() if v["status"] not in ("OK", "rows_only")}
+    print("SWEEP COMPLETE; problems:", json.dumps(bad, indent=1) if bad else "none",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
