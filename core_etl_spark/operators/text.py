@@ -115,15 +115,28 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 5) -> DataF
     within the document and the relative frequency of its most common
     token. Pure array expressions over the token list — one corpus pass,
     no explode, no shuffle; per-doc cost is O(tokens · distinct-tokens),
-    bounded by document length, independent of corpus size."""
+    bounded by document length, independent of corpus size.
+
+    Tokens are NON-EMPTY fragments, and a doc with no real tokens —
+    NULL/empty/whitespace-only text — gets ``n_ngrams = 0`` and NULL
+    ratios (r13 adversarial-data audit): the ratios are undefined for an
+    empty doc, and the engines disagreed on the degenerate values (Spark
+    kept a NULL gram, DuckDB's list_distinct dropped it → ratios 0 vs 1
+    for the same doc). A quality gate treats NULL as "no signal", which
+    is exactly right for a blank doc."""
     text = F.col(text_col)
-    toks = tokens(text)
-    n_tok = F.size(toks)
-    n_grams = F.greatest(n_tok - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    toks = F.filter(tokens(text), lambda t: t != "")
+    n_tok = F.coalesce(F.size(toks), F.lit(0))
+    n_grams = F.when(
+        n_tok > 0, F.greatest(n_tok - F.lit(n - 1), F.lit(1))
+    ).otherwise(F.lit(0))
+    grams = F.when(
+        n_tok > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_tok - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     top_tok_hits = F.array_max(
         F.transform(
             F.array_distinct(toks),
@@ -133,10 +146,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 5) -> DataF
     return df.select(
         "*",
         n_grams.alias("n_ngrams"),
-        (F.lit(1) - F.size(F.array_distinct(grams)) / n_grams).alias(
-            "dup_ngram_ratio"
-        ),
-        (top_tok_hits / n_tok).alias("top_token_ratio"),
+        F.when(
+            n_grams > 0,
+            F.lit(1) - F.size(F.array_distinct(grams)) / n_grams,
+        ).alias("dup_ngram_ratio"),
+        F.when(n_tok > 0, top_tok_hits / n_tok).alias("top_token_ratio"),
     )
 
 

@@ -101,6 +101,16 @@ _REWITNESS: tuple[str, ...] = (
     "c04_fuzzy_dedup",
     "c06_incremental_dedup",
     "c07_canonical_per_cluster",
+    # r13 adversarial-data fixes, second wave: repetition stats (blank
+    # docs → 0 n-grams + NULL ratios, both sides), span ops' NULL-text
+    # null propagation (oracle COALESCE scoped to real docs), l25's
+    # NULL-doc row restored in the oracle, l37's NULL stratum excluded
+    # from the oracle counts (the ADVICE r06 rule, finally mirrored).
+    "l13_repetition_stats",
+    "l25_intradoc_chunk_dedup",
+    "l33_span_corruption",
+    "l37_temperature_sampling",
+    "c08_span_excision",
 )
 
 

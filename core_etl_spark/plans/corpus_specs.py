@@ -506,7 +506,11 @@ _SPAN_CTES = """
             FROM kept GROUP BY doc_id
         )
         SELECT t.doc_id,
-               COALESCE(a.cleaned_text, '') AS cleaned_text,
+               -- the '' coalesce is for real docs whose every token was
+               -- excised; a NULL text null-propagates on both engines
+               -- (r13 adversarial-data audit)
+               CASE WHEN t.toks IS NOT NULL
+                    THEN COALESCE(a.cleaned_text, '') END AS cleaned_text,
                CAST(len(t.toks) AS BIGINT) AS n_tokens,
                CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
         FROM t LEFT JOIN agg a USING (doc_id)

@@ -701,21 +701,25 @@ def l11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 @register(
     "l13_repetition_stats",
     tables=("documents",),
-    oracle="""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_SH_TOKS} AS t FROM documents),
         g AS (
             SELECT doc_id, t,
-                   list_transform(generate_series(1, greatest(len(t) - 4, 1)),
-                                  i -> array_to_string(list_slice(t, i, i + 4), ' '))
-                       AS grams
+                   CASE WHEN len(t) > 0 THEN
+                       list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+                                      i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                   ELSE [] END AS grams
             FROM toks
         )
         SELECT doc_id,
                CAST(len(grams) AS BIGINT) AS n_ngrams,
-               1 - len(list_distinct(grams)) / len(grams) AS dup_ngram_ratio,
-               list_max(list_transform(list_distinct(t),
-                        w -> len(list_filter(t, x -> x = w)))) / len(t)
-                   AS top_token_ratio
+               CASE WHEN len(grams) > 0
+                    THEN 1 - len(list_distinct(grams)) / len(grams)
+               END AS dup_ngram_ratio,
+               CASE WHEN len(t) > 0
+                    THEN list_max(list_transform(list_distinct(t),
+                             w -> len(list_filter(t, x -> x = w)))) / len(t)
+               END AS top_token_ratio
         FROM g
     """,
     tags=("llm", "text", "repetition"),
@@ -903,12 +907,19 @@ def l24(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
               FROM p),
         r AS (SELECT *, row_number() OVER (
                   PARTITION BY doc_id, chunk ORDER BY pos) AS rn
-              FROM c)
-        SELECT doc_id,
-               coalesce(string_agg(chunk, ' ' ORDER BY pos)
-                        FILTER (rn = 1), '') AS clean_text,
-               CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
-        FROM r GROUP BY doc_id
+              FROM c),
+        agg AS (
+            SELECT doc_id,
+                   coalesce(string_agg(chunk, ' ' ORDER BY pos)
+                            FILTER (rn = 1), '') AS clean_text,
+                   CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+            FROM r GROUP BY doc_id
+        )
+        -- left join back onto w so a NULL-text doc keeps its row with
+        -- NULL outputs, matching Spark's null propagation — the p CTE's
+        -- generate_series(0, NULL) silently dropped it (r13 audit)
+        SELECT w.doc_id, a.clean_text, a.n_dropped
+        FROM w LEFT JOIN agg a USING (doc_id)
     """,
     tags=("llm", "dedup", "repetition", "intradoc"),
 )
@@ -1655,11 +1666,16 @@ def _span_oracle(mask_rate: float = 0.15, salt: str = "sc1") -> str:
                    i -> CASE WHEN fl[i] THEN '<mask>' ELSE tk[i] END), ' ')
                    AS input_text,
                -- array_to_string([]) is NULL in DuckDB but '' in Spark's
-               -- array_join: coalesce the zero-masked case
-               COALESCE(array_to_string(list_filter(list_transform(
-                   generate_series(1, len(tk)),
-                   i -> CASE WHEN fl[i] THEN tk[i] ELSE NULL END),
-                   x -> x IS NOT NULL), ' '), '') AS target_text
+               -- array_join: coalesce the zero-masked case — but ONLY for
+               -- real docs. A NULL text null-propagates on both engines
+               -- (r13 adversarial-data audit: the unconditional coalesce
+               -- fabricated '' where Spark correctly says NULL).
+               CASE WHEN tk IS NOT NULL THEN
+                   COALESCE(array_to_string(list_filter(list_transform(
+                       generate_series(1, len(tk)),
+                       i -> CASE WHEN fl[i] THEN tk[i] ELSE NULL END),
+                       x -> x IS NOT NULL), ' '), '')
+               END AS target_text
         FROM m
     """
 
@@ -1889,7 +1905,13 @@ def l38(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     "l37_temperature_sampling",
     tables=("documents",),
     oracle="""
-        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        -- NULL strata are excluded from the counts too (the ADVICE r06
+        -- rule, mirrored from temperature_sample in r13): a NULL-lang
+        -- group can never be admitted (the USING join drops it), and
+        -- letting it set n_min would silently over-thin every real
+        -- stratum.
+        WITH c AS (SELECT lang, count(*) AS n FROM documents
+                   WHERE lang IS NOT NULL GROUP BY lang),
         m AS (SELECT min(n) AS n_m FROM c),
         thr AS (
             SELECT c.lang,

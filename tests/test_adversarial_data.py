@@ -1,0 +1,128 @@
+"""Adversarial-DATA semantics pins (r13) — the corrupt-corpus behavior
+the full parity sweep (scripts/adv_data_parity.py) proved out, pinned on
+tiny fixtures so regressions surface in seconds. The sweep corrupts the
+real sf0.001 tables (NULL/empty/whitespace text, NULL/empty/truncated
+embeddings) and value-hash-compares every corpus-surface spec against
+its DuckDB oracle on the SAME corrupted data; after the r13 fixes all 63
+are green. These tests pin the operator-level rules that made it so:
+
+- similarity: NULL/empty/wrong-dim vectors are excluded everywhere
+  (valid_vectors); zero-norm vectors are excluded from cosine paths
+  (with_norm) — no DIVIDE_BY_ZERO, no len(None), no KMeans fit crash;
+- shingles: only non-empty fragments are tokens, zero-token docs yield
+  zero shingles — blank docs can never pool into one giant bogus
+  near-dup cluster;
+- repetition stats: zero-token docs get n_ngrams=0 and NULL ratios;
+- span ops / chunk dedup: NULL text null-propagates (a row with NULL
+  outputs, never fabricated '' or a silently dropped row);
+- temperature sampling: NULL strata excluded from counts AND admission.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_etl_spark.operators import dedup as D
+from core_etl_spark.operators import similarity as S
+from core_etl_spark.operators import text as X
+
+
+def _docs(spark):
+    rows = [(0, None), (1, ""), (2, "   "), (3, "a b c d e f"),
+            (4, "a b c d e f")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _vecs(spark):
+    rows = [(0, None), (1, []), (2, [1.0, 2.0]), (3, [0.0] * 4),
+            (4, [1.0, 0.0, 0.0, 0.0]), (5, [0.0, 1.0, 0.0, 0.0]),
+            (6, [1.0, 1.0, 0.0, 0.0])]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_valid_vectors_drops_null_empty_wrong_dim(spark):
+    out, dim = S.valid_vectors(_vecs(spark))
+    assert dim == 4  # modal dimension
+    assert {r.vec_id for r in out.collect()} == {3, 4, 5, 6}
+
+
+def test_with_norm_drops_zero_norm(spark):
+    n = S.with_norm(_vecs(spark).filter(F.col("vec_id").isin([3, 4])))
+    assert {r.vec_id for r in n.collect()} == {4}  # all-zero vector gone
+
+
+def test_brute_force_topk_survives_malformed_vectors(spark):
+    # the 4 crash classes in one corpus: NULL, empty, wrong-dim, zero-norm
+    vecs = _vecs(spark)
+    out = S.brute_force_topk(vecs, vecs, k=2).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert ids <= {4, 5, 6}
+    assert all(r.cosine_sim is not None for r in out)
+
+
+def test_kmeans_centroids_survives_malformed_vectors(spark):
+    cents = S.kmeans_centroids(_vecs(spark), n_centroids=2)
+    assert cents.count() == 2
+
+
+def test_pq_codebooks_skip_invalid_training_rows(spark):
+    cb = S.pq_codebooks_first_k(_vecs(spark), m=2, ksub=16)
+    # ids 3..6 are the valid dim-4 vectors among ids < 16
+    assert len(cb) == 2 and len(cb[0]) == 4
+
+
+def test_doc_shingles_blank_docs_yield_nothing(spark):
+    sh = {r.doc_id: r.shingles for r in D.doc_shingles(_docs(spark)).collect()}
+    assert sh[0] == [] and sh[1] == [] and sh[2] == []
+    assert sh[3] == ["a b c", "b c d", "c d e", "d e f"]
+    # the pair explosion this prevents: blank docs never become candidates
+    pairs = D.jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(3, 4)}
+
+
+def test_repetition_stats_blank_docs_null_ratios(spark):
+    out = {r.doc_id: r for r in X.repetition_stats(_docs(spark), n=5)
+           .select("doc_id", "n_ngrams", "dup_ngram_ratio", "top_token_ratio")
+           .collect()}
+    for blank in (0, 1, 2):
+        r = out[blank]
+        assert r.n_ngrams == 0
+        assert r.dup_ngram_ratio is None and r.top_token_ratio is None
+    assert out[3].n_ngrams == 2 and out[3].dup_ngram_ratio == 0.0
+
+
+def test_span_excision_null_text_null_propagates(spark):
+    out = {r.doc_id: r for r in
+           D.excise_duplicated_spans(_docs(spark), n=8, min_docs=2).collect()}
+    assert out[0].cleaned_text is None and out[0].n_tokens is None
+    assert out[1].cleaned_text == ""  # empty doc passes through, not NULL
+    assert len(out) == 5  # every input doc keeps a row
+
+
+def test_temperature_sample_null_stratum_excluded_from_counts(spark):
+    from core_etl_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(100)] + [(100 + i, "small") for i in range(25)]
+    rows += [(200 + i, None) for i in range(5)]  # must not set n_min = 5
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept, thr = temperature_sample(df, alpha=0.5)
+    assert set(thr) == {"big", "small"}
+    assert thr["small"] == (1 << 32)  # smallest REAL stratum survives whole
+    assert kept.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_adv_sweep_script_importable_and_corruption_deterministic(spark):
+    # the sweep's corruption is keyed on ids (no RNG), so both engines see
+    # identical corrupted bytes — pin the documents corruption cycle.
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.execute("""
+        SELECT doc_id % 23 AS k,
+               CASE doc_id % 23 WHEN 0 THEN NULL WHEN 1 THEN ''
+                    WHEN 2 THEN '   ' ELSE 'orig' END AS t
+        FROM (SELECT unnest(generate_series(0, 4)) AS doc_id)
+        ORDER BY doc_id
+    """).fetchall()
+    assert got == [(0, None), (1, ""), (2, "   "), (3, "orig"), (4, "orig")]
