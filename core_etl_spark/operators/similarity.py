@@ -105,13 +105,15 @@ def brute_force_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query: broadcast queries × corpus,
     ranked window per query (ties broken by neighbor id). Output
     (query_id, neighbor_id, rank, cosine_sim). Malformed vectors
     (NULL/empty/wrong-dim/zero-norm) are excluded on both sides — see
-    :func:`valid_vectors`."""
-    corpus, dim = valid_vectors(corpus, vec_col)
+    :func:`valid_vectors`; declare ``dim`` when you know it (production
+    callers do) to skip the one-job modal-dimension inference."""
+    corpus, dim = valid_vectors(corpus, vec_col, dim)
     queries, _ = valid_vectors(queries, vec_col, dim)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -319,6 +321,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: partition the corpus into
     ``n_centroids`` Voronoi cells, score each query only against the
@@ -339,8 +342,9 @@ def ivf_ann_topk(
     equi-join on the cell id — no cartesian product anywhere. Malformed
     vectors are excluded on both sides (:func:`valid_vectors`); the
     default first-K centroid table is therefore the VALID vectors with
-    id < K (the oracle replays the same rule)."""
-    corpus, dim = valid_vectors(corpus, vec_col)
+    id < K (the oracle replays the same rule). Declare ``dim`` when
+    known to skip the modal-dimension inference job."""
+    corpus, dim = valid_vectors(corpus, vec_col, dim)
     queries, _ = valid_vectors(queries, vec_col, dim)
     n = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("id"), "_dec", "_normsq"
@@ -832,6 +836,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """PQ top-k by asymmetric distance (ADC): encode the corpus once, then
     per query build the m × ksub table of exact subvector distances and
@@ -845,8 +850,9 @@ def pq_adc_topk(
     as every other ANN path. Compose with IVF cells to prune WHERE to look
     before PQ shrinks WHAT is read. Output (query_id, neighbor_id, rank,
     adc_dist) — distances exact-decimal, so ranking is engine-portable.
-    Malformed vectors are excluded on both sides (:func:`valid_vectors`)."""
-    corpus, dim = valid_vectors(corpus, vec_col)
+    Malformed vectors are excluded on both sides (:func:`valid_vectors`;
+    declare ``dim`` when known to skip the inference job)."""
+    corpus, dim = valid_vectors(corpus, vec_col, dim)
     queries, _ = valid_vectors(queries, vec_col, dim)
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
         corpus, m, ksub, vec_col, id_col
@@ -887,6 +893,7 @@ def ivfpq_adc_topk(
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     codebooks: list[list[list]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Full FAISS-style IVF-PQ: IVF cells prune WHERE to look (each query
     probes its ``nprobe`` nearest Voronoi cells), PQ shrinks WHAT is read
@@ -901,8 +908,8 @@ def ivfpq_adc_topk(
     ``kmeans_centroids(...)`` / ``pq_codebooks_kmeans(...)`` for the
     production data-adaptive versions — every downstream step is
     unchanged. Malformed vectors are excluded on both sides
-    (:func:`valid_vectors`)."""
-    corpus, dim = valid_vectors(corpus, vec_col)
+    (:func:`valid_vectors`; declare ``dim`` when known)."""
+    corpus, dim = valid_vectors(corpus, vec_col, dim)
     queries, _ = valid_vectors(queries, vec_col, dim)
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
         corpus, m, ksub, vec_col, id_col

@@ -490,7 +490,8 @@ def l09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     corpus scan, exact-decimal dot products (bit-identical ranking), ranked
     window per query. The exactness baseline for ANN."""
     emb = t["embeddings"]
-    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                             dim=64)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -628,7 +629,7 @@ def l12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     centroids are a drop-in swap (same plan). Candidate join is a
     broadcast equi-join on the cell id — corpus side never expands."""
     emb = t["embeddings"]
-    out = S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 30), k=5)
+    out = S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 30), k=5, dim=64)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -648,7 +649,8 @@ def l12b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     emb = t["embeddings"]
     cents = S.kmeans_centroids(emb, n_centroids=16, seed=7)
     out = S.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 30), k=5, nprobe=3, centroids=cents
+        emb, emb.filter(F.col("vec_id") < 30), k=5, nprobe=3,
+        centroids=cents, dim=64,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -1412,7 +1414,7 @@ def l28(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     query time. First-ksub codebooks keep it deterministic; exact-decimal
     distances make codes and ranking engine-portable."""
     emb = t["embeddings"]
-    return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return S.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
 def _ivfpq_oracle(
@@ -1524,7 +1526,8 @@ def l29(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     carry 2 bytes of codes per vector, never raw floats). First-K
     centroids AND codebooks keep the whole index oracle-replayable."""
     emb = t["embeddings"]
-    return S.ivfpq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return S.ivfpq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                            dim=64)
 
 
 @register(
