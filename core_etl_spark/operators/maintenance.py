@@ -66,14 +66,23 @@ def incremental_agg_merge(
 
     Both inputs carry ``keys + count_col + sum_col`` (sums kept as exact
     decimals so merge order can't change a cent). The merge is a
-    full-outer equi-join on the keys — one shuffle proportional to the
-    DISTINCT KEY COUNT, not the row count; at 100 TB the aggregate table
-    is the small side and the refresh cost tracks batch size. The proof
-    obligation (spec k12) is merged(prior, batch) == full recompute."""
+    full-outer NULL-SAFE equi-join on the keys (``<=>``): GROUP BY puts
+    all NULL keys in one group, so the merge must match NULL keys too —
+    a plain equi-join would split each NULL-key group into two rows and
+    break merged == full-recompute the moment a key column has nulls
+    (r13 adversarial-data audit; a real event stream has them). One
+    shuffle proportional to the DISTINCT KEY COUNT, not the row count;
+    at 100 TB the aggregate table is the small side and the refresh cost
+    tracks batch size. The proof obligation (spec k12) is
+    merged(prior, batch) == full recompute."""
     p, b = prev_agg.alias("p"), batch_agg.alias("b")
     zero = F.lit(0)
-    return p.join(b, on=list(keys), how="full_outer").select(
-        *keys,
+    cond = None
+    for k in keys:
+        c = F.col(f"p.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else (cond & c)
+    return p.join(b, on=cond, how="full_outer").select(
+        *[F.coalesce(F.col(f"p.{k}"), F.col(f"b.{k}")).alias(k) for k in keys],
         (
             F.coalesce(F.col(f"p.{count_col}"), zero)
             + F.coalesce(F.col(f"b.{count_col}"), zero)

@@ -32,17 +32,39 @@ def asof_join(
     """Backward as-of join: attach the latest ``right`` row (per ``by`` key,
     ``right.on <= left.on``) to every left row. Left rows with no prior
     right row get NULLs. Ties on the timestamp prefer the right row (it is
-    'already known' at that instant)."""
+    'already known' at that instant).
+
+    Dirty-data rules (r13 adversarial-data audit, matching DuckDB's
+    native ASOF JOIN): a right row with a NULL timestamp is DROPPED —
+    "at-or-before" is undefined for an un-timed mark, and under Spark's
+    NULLS FIRST window order it would otherwise leak its value into
+    every left row. A left row with a NULL timestamp gets NULLs (no
+    prior mark can be established). And the carried payload rides in a
+    STRUCT, so a right row whose VALUE is NULL is still "the latest
+    mark" and correctly yields NULL — the old bare-column carry used
+    ``last(ignorenulls)`` which skipped it and resurrected an older
+    mark's value. A right row with a NULL ``by`` key is dropped for the
+    same reason: join equality never matches NULL (the window's
+    partitionBy would otherwise pool all NULL-key rows into one bogus
+    timeline and hand its marks to every NULL-key left row)."""
     keys = [by] if by else []
+    right = right.filter(F.col(on).isNotNull())
+    if by:
+        right = right.filter(F.col(by).isNotNull())
+    payload_t = (
+        "struct<"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols)
+        + ">"
+    )
     l_tag = left.select(
         *keys, F.col(on), F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(payload_t).alias("_r"),
     )
     r_tag = right.select(
         *keys, F.col(on), F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).cast(payload_t).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts (ties prefer right);
@@ -52,22 +74,19 @@ def asof_join(
     w = (
         W.partitionBy(*keys)
         .orderBy(
-            F.col(on).asc(),
+            F.col(on).asc_nulls_first(),  # NULL-ts left rows see no marks
             F.col("_is_left").asc(),
-            *[F.col(f"_r_{c}").asc_nulls_first() for c in right_cols],
+            *[F.col("_r")[c].asc_nulls_first() for c in right_cols],
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_carried")
     )
     out_cols = [F.col("_l")[c].alias(c) for c in left.columns]
     return carried.filter(F.col("_is_left") == 1).select(
-        *out_cols, *[f"{c}{suffix}" for c in right_cols]
+        *out_cols,
+        *[F.col("_carried")[c].alias(f"{c}{suffix}") for c in right_cols],
     )
 
 

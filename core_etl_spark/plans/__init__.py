@@ -111,6 +111,20 @@ _REWITNESS: tuple[str, ...] = (
     "l33_span_corruption",
     "l37_temperature_sampling",
     "c08_span_excision",
+    # r13 adversarial-data fixes, events leg: g15 try_element_at +
+    # sum-of-empty-is-NULL; g17 excludes un-timed events (NULL window-
+    # order trap); j01's asof_join null rules (struct carry, un-timed/
+    # keyless marks dropped) + explicit oracle contract; k12's merge is
+    # null-safe on keys; the o2-family fixture derivations filter null
+    # ts/user/type identically in builder and oracle.
+    "g15_array_functions",
+    "g17_sessionization",
+    "j01_asof_join",
+    "k12_incremental_agg",
+    "o2b_stateful_streaming",
+    "o2c_stream_dedup_watermark",
+    "o2e_stream_stream_join",
+    "o2f_streaming_session_window",
 )
 
 

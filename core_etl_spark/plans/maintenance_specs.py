@@ -517,7 +517,10 @@ _O2B_ORACLE = f"""
     WITH base AS (
         SELECT ts, event_id, user_id, event_type,
                row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
-        FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT {_O2B_ROWS})
+        FROM (SELECT * FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                AND event_type IS NOT NULL
+              ORDER BY ts, event_id LIMIT {_O2B_ROWS})
     ),
     batched AS (
         SELECT CAST(user_id % {_O2B_MOD} AS VARCHAR) AS fp, event_type,
@@ -576,8 +579,17 @@ def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     from ..streaming import stateful as S
 
+    # dirty-events guard (r13 adversarial-data audit): a fixture row
+    # needs every derivation column non-null — a NULL ts would also make
+    # the ORDER BY pick different rows per engine (Spark NULLS FIRST,
+    # DuckDB NULLS LAST). The oracle's base CTE filters identically.
     fixture = (
         t["events"]
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select(
             "ts", "event_id", "event_type",
             (F.col("user_id") % _O2B_MOD).cast("string").alias("fp"),
@@ -666,7 +678,9 @@ _O2C_ROWS, _O2C_PER_BATCH, _O2C_MOD, _O2C_DELAY_MIN = 200, 25, 37, 97
 _O2C_ORACLE = f"""
     WITH RECURSIVE base AS (
         SELECT (user_id % {_O2C_MOD}) AS key, ts, event_id
-        FROM events ORDER BY ts, event_id LIMIT {_O2C_ROWS}
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ORDER BY ts, event_id LIMIT {_O2C_ROWS}
     ),
     src AS (
         SELECT key, ts, event_id,
@@ -748,8 +762,9 @@ def o2c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     from ..streaming.stateful import dedup_within_watermark
 
-    fixture = (
+    fixture = (  # dirty-events guard — see o2b
         t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select(
             (F.col("user_id") % _O2C_MOD).alias("key"), "ts", "event_id"
         )
@@ -995,7 +1010,9 @@ _O2E_ROWS, _O2E_FILES, _O2E_MOD = 300, 3, 8
 _O2E_ORACLE = f"""
     WITH base AS (
         SELECT ts, event_id, user_id
-        FROM events ORDER BY ts, event_id LIMIT {_O2E_ROWS}
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ORDER BY ts, event_id LIMIT {_O2E_ROWS}
     ),
     l AS (SELECT (user_id % {_O2E_MOD}) AS key, ts AS l_ts
           FROM base WHERE event_id % 2 = 0),
@@ -1039,8 +1056,9 @@ def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     from ..streaming.windows import interval_join
 
-    fixture = (
+    fixture = (  # dirty-events guard — see o2b
         t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("ts", "event_id", (F.col("user_id") % _O2E_MOD).alias("key"))
         .orderBy("ts", "event_id")
         .limit(_O2E_ROWS)
@@ -1112,7 +1130,9 @@ _O2F_ROWS, _O2F_FILES, _O2F_MOD = 300, 3, 10
 _O2F_ORACLE = f"""
     WITH base AS (
         SELECT ts, (user_id % {_O2F_MOD}) AS user_id
-        FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT {_O2F_ROWS})
+        FROM (SELECT * FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              ORDER BY ts, event_id LIMIT {_O2F_ROWS})
     ),
     flag AS (
         SELECT user_id, ts,
@@ -1174,8 +1194,9 @@ def o2f(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     from ..streaming.windows import session_counts
 
-    fixture = (
+    fixture = (  # dirty-events guard — see o2b
         t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("ts", "event_id", (F.col("user_id") % _O2F_MOD).alias("user_id"))
         .orderBy("ts", "event_id")
         .limit(_O2F_ROWS)

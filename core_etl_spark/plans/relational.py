@@ -583,7 +583,14 @@ def g14(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 def g15(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """Array surface: size / element_at / element-wise transform + fold —
     the primitives under the ABI array decode (T6) and the ANN dot products.
-    The fold runs on exact decimals so the sum is order-independent."""
+    The fold runs on exact decimals so the sum is order-independent.
+
+    Null/empty-array semantics match ANSI (r13 adversarial-data audit):
+    ``try_element_at`` — a bare ``element_at`` on an empty array KILLS
+    the stage under ANSI mode, where DuckDB's ``arr[1]`` is NULL — and
+    the fold is NULL for an empty array (SQL's sum-of-nothing), which is
+    what DuckDB's ``list_sum([])`` returns; Spark's raw ``aggregate``
+    would say 0."""
     dec = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double"), 3).cast("decimal(10,3)"),
@@ -595,14 +602,19 @@ def g15(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             "vec_id",
             "label",
             F.size("embedding").alias("dim"),
-            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
             F.round(
-                F.aggregate(
-                    dec,
-                    F.lit(0).cast("decimal(20,3)"),
-                    lambda acc, x: (acc + x).cast("decimal(20,3)"),
-                ).cast("double"),
-                3,
+                F.try_element_at("embedding", F.lit(1)).cast("double"), 4
+            ).alias("first_val"),
+            F.when(
+                F.size("embedding") > 0,
+                F.round(
+                    F.aggregate(
+                        dec,
+                        F.lit(0).cast("decimal(20,3)"),
+                        lambda acc, x: (acc + x).cast("decimal(20,3)"),
+                    ).cast("double"),
+                    3,
+                ),
             ).alias("coord_sum"),
         )
     )
@@ -693,7 +705,10 @@ def g16b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             SELECT user_id, event_id, ts,
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-            FROM events
+            -- an event with no timestamp cannot be sessionized, and a NULL
+            -- in the window ORDER BY splits the engines (Spark NULLS
+            -- FIRST, DuckDB NULLS LAST) — r13 adversarial-data audit
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -714,10 +729,12 @@ def g16b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 def g17(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """Sessionization: 30-minute-gap cumsum session ids per user (the batch
     twin of streaming ``session_window``). Two stages, both partitioned by
-    user_id — a single shuffle."""
+    user_id — a single shuffle. Timestamp-less events are excluded — they
+    cannot be sessionized, and a NULL in the window ORDER BY splits the
+    engines (r13 adversarial-data audit)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
-    gaps = t["events"].select(
+    gaps = t["events"].filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         "ts",

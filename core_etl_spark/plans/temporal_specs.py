@@ -15,16 +15,29 @@ from .base import register
     "j01_asof_join",
     tables=("events",),
     oracle="""
+        -- Dirty-data contract made explicit (r13 adversarial-data audit):
+        -- marks need a timestamp and a key (an un-timed or keyless mark
+        -- belongs to no timeline), and an un-timed LEFT event has no
+        -- "most recent prior" — NULL, by three-valued logic. DuckDB's
+        -- KEYED ASOF would otherwise sort the NULL-ts left after
+        -- everything and hand it the latest mark (its own unkeyed ASOF
+        -- returns NULL for the same row), so the un-timed lefts are
+        -- routed around the ASOF.
         WITH marks AS (
             SELECT user_id, ts, value AS mark_value
-            FROM events WHERE event_type = 'error'
+            FROM events
+            WHERE event_type = 'error'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
         )
         SELECT e.event_id,
                e.user_id,
                m.mark_value AS last_error_value
-        FROM events e
+        FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
         ASOF LEFT JOIN marks m
           ON e.user_id = m.user_id AND e.ts >= m.ts
+        UNION ALL
+        SELECT event_id, user_id, NULL AS last_error_value
+        FROM events WHERE ts IS NULL
     """,
     tags=("asof", "temporal", "window", "join"),
 )

@@ -32,6 +32,21 @@ CKPT = os.path.join(DST, "_results.json")
 def build_corrupted_dir() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # events (r13 second leg): null event time / user / type / value —
+    # what a real event stream contains; probes the temporal/window/
+    # verify surface (as-of joins, gap checks, watermark windows), where
+    # NULL-ordering in windows is a known cross-engine trap.
+    con.execute(f"""
+        COPY (
+            SELECT event_id,
+                   CASE WHEN event_id % 29 = 0 THEN NULL ELSE ts END AS ts,
+                   CASE WHEN event_id % 29 = 1 THEN NULL ELSE user_id END AS user_id,
+                   CASE WHEN event_id % 29 = 2 THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_id % 29 = 3 THEN NULL ELSE value END AS value,
+                   props
+            FROM read_parquet('{SRC}/events.parquet')
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+    """)
     # documents: cycle of corruptions keyed on doc_id so both engines see
     # the identical corrupted bytes (deterministic, no RNG)
     con.execute(f"""
@@ -80,8 +95,12 @@ def main() -> None:
 
     spark = get_spark(app_name="adv_data_parity")
     con = duck_connection(DST)
-    names = [n for n in sorted(REGISTRY) if n[0] in "lc" and n[1].isdigit()]
-    print(f"{len(names)} corpus-surface specs; {len(state)} cached", flush=True)
+    scope = os.environ.get("ADV_SCOPE", "corpus")
+    if scope == "corpus":
+        names = [n for n in sorted(REGISTRY) if n[0] in "lc" and n[1].isdigit()]
+    else:  # "all": the events leg — every registry spec on the corrupted dir
+        names = sorted(REGISTRY)
+    print(f"{len(names)} specs in scope={scope}; {len(state)} cached", flush=True)
     import time
     deadline = time.time() + 520
     for name in names:

@@ -126,3 +126,91 @@ def test_adv_sweep_script_importable_and_corruption_deterministic(spark):
         ORDER BY doc_id
     """).fetchall()
     assert got == [(0, None), (1, ""), (2, "   "), (3, "orig"), (4, "orig")]
+
+
+# --- temporal / maintenance null rules (r13 events-leg findings) --------------
+
+
+def test_asof_join_null_rules(spark):
+    # the three dirty-data rules, each a real cross-engine divergence or
+    # stage-risk the events-leg sweep found:
+    # 1. a NULL-ts mark is dropped (it would otherwise leak its value
+    #    into EVERY left row via NULLS FIRST window order);
+    # 2. a NULL-VALUE mark is still "the latest" and yields NULL (the
+    #    old bare-column ignorenulls carry resurrected an older value);
+    # 3. NULL-ts or NULL-key left rows get NULL (no timeline).
+    from core_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00"), (2, 7, None), (3, None, "2024-01-01 10:00:00")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    marks = spark.createDataFrame(
+        [(7, "2024-01-01 08:00:00", 10.0),   # older real mark
+         (7, "2024-01-01 09:00:00", None),   # newest mark: NULL value
+         (7, None, 99.0),                     # un-timed mark: dropped
+         (None, "2024-01-01 07:00:00", 55.0)],  # keyless mark: dropped
+        "user_id long, ts_s string, v double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {r.event_id: r.v for r in
+           asof_join(left, marks, on="ts", by="user_id",
+                     right_cols=("v",), suffix="").collect()}
+    assert out[1] is None  # newest prior mark has NULL value — NOT 10.0/99.0
+    assert out[2] is None  # un-timed left: no "most recent prior"
+    assert out[3] is None  # keyless left: no timeline
+
+
+def test_incremental_agg_merge_null_keys_one_group(spark):
+    # GROUP BY pools NULL keys into one group; the merge's full-outer
+    # join must match them too (null-safe <=>), or merged != recompute
+    # the moment a key column has nulls.
+    from core_etl_spark.operators.maintenance import incremental_agg_merge
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("v").cast("decimal(12,2)")).cast("decimal(18,2)")
+            .alias("total_v"),
+        )
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("a", 3.0), (None, 4.0), ("a", 5.0)],
+        "k string, v double",
+    )
+    merged = incremental_agg_merge(
+        agg(df.limit(3)), agg(df.subtract(df.limit(3))), ("k",)
+    )
+    whole = {(r.k,): (r.n_events, float(r.total_v)) for r in agg(df).collect()}
+    got = {(r.k,): (r.n_events, float(r.total_v)) for r in merged.collect()}
+    assert got == whole  # one NULL-key row, correct totals
+
+
+def test_g15_array_ops_null_and_empty_arrays(spark):
+    # element_at on an empty array kills the stage under ANSI; the spec
+    # uses try_element_at and SQL sum-of-empty-is-NULL semantics.
+    from core_etl_spark.plans import REGISTRY
+    import duckdb
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="g15_adv_")
+    try:
+        spark.createDataFrame(
+            [(0, None, 0), (1, [], 1), (2, [1.5, 2.5], 2)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(os.path.join(root, "embeddings.parquet"))
+        spec = REGISTRY["g15_array_functions"]
+        rows = {r.vec_id: r for r in spec.builder(spark, root).collect()}
+        assert rows[0].first_val is None and rows[0].coord_sum is None
+        assert rows[1].dim == 0 and rows[1].first_val is None \
+            and rows[1].coord_sum is None
+        assert rows[2].first_val == 1.5 and rows[2].coord_sum == 4.0
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{os.path.join(root, 'embeddings.parquet')}/*.parquet')")
+        odf = con.execute(spec.oracle).fetchdf().sort_values("vec_id")
+        assert [None if v != v else v for v in odf["coord_sum"]] == \
+            [None, None, 4.0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
