@@ -284,12 +284,17 @@ shared_sql(
     "g08_window_functions",
     f"""
     SELECT o_custkey, o_orderkey,
-           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-           rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
-           lag(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key,
-           lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key,
+           row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn,
+           rank()       OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rk,
+           lag(o_orderkey)  OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS prev_key,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS next_key,
            CAST(SUM({_PRICE}) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
     FROM orders
     """,
@@ -297,7 +302,11 @@ shared_sql(
     tags=("gap", "window"),
     headline=True,
     doc="row_number/rank/lag/lead + running frame sum, partitioned per "
-    "customer — shuffles once on o_custkey, no global sort.",
+    "customer — shuffles once on o_custkey, no global sort. Null ordering "
+    "is EXPLICIT (r13 adversarial-data audit): shared-SQL text runs on "
+    "both engines, and their defaults differ (Spark ASC=NULLS FIRST, "
+    "DuckDB=NULLS LAST) — an implicit order diverges the moment a window "
+    "order column has a null.",
 )
 
 shared_sql(

@@ -50,13 +50,14 @@ def g21(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 def g22(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """Salted two-stage aggregation — identical result to a plain groupBy
     (the oracle), but a hot supplier key spreads over 16 reducers before the
-    final ≤16-rows-per-key merge."""
+    final ≤16-rows-per-key merge. Count and sum come from ONE salted pass
+    (salted_count_sum, r13): the old salted_count⋈salted_sum join scanned
+    twice and dropped the NULL-key group GROUP BY produces."""
     li = t["lineitem"]
-    counts = skew.salted_count(li, ["l_suppkey"], agg_col="n")
-    sums = skew.salted_sum(
-        li, ["l_suppkey"], F.col("l_quantity").cast("decimal(20,2)"), agg_col="_total"
-    )
-    return counts.join(sums, "l_suppkey").select(
+    return skew.salted_count_sum(
+        li, ["l_suppkey"], F.col("l_quantity").cast("decimal(20,2)"),
+        count_col="n", sum_col="_total",
+    ).select(
         "l_suppkey", "n", F.col("_total").cast("double").alias("total_qty")
     )
 
@@ -199,8 +200,13 @@ def _cms_oracle() -> str:
             FROM base_cells GROUP BY row_idx, col_idx
         ),
         probes AS (
+            -- NULL is not a key: CMS cells hash md5(key), which is NULL
+            -- for NULL and counts nothing, so a NULL heavy hitter could
+            -- never be estimated — it is excluded from the report on
+            -- both engines (r13 adversarial-data audit)
             SELECT l_suppkey, count(*) AS exact_n
-            FROM lineitem GROUP BY l_suppkey
+            FROM lineitem WHERE l_suppkey IS NOT NULL
+            GROUP BY l_suppkey
             ORDER BY exact_n DESC, l_suppkey LIMIT 20
         ),
         probe_cells AS (
@@ -238,8 +244,12 @@ def g49(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     # probes feeds both the estimate and the final join — lazily
     # checkpointed (20 rows) so the exact-count aggregation runs once,
     # not once per appearance (the l44 union-reuse lesson).
+    # NULL is not a key: md5(NULL) cells count nothing in the sketch, so
+    # a NULL heavy hitter could never be estimated — excluded from the
+    # report (the oracle applies the same rule).
     probes = (
-        li.groupBy("l_suppkey")
+        li.filter(F.col("l_suppkey").isNotNull())
+        .groupBy("l_suppkey")
         .agg(F.count("*").alias("exact_n"))
         .orderBy(F.col("exact_n").desc(), F.col("l_suppkey"))
         .limit(20)

@@ -47,6 +47,31 @@ def build_corrupted_dir() -> None:
             FROM read_parquet('{SRC}/events.parquet')
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
+    # TPC-H tables (r13 third leg): null dates, flags, measures and
+    # foreign keys in lineitem/orders — integrity violations a real
+    # warehouse ingest produces; probes the relational surface's
+    # null-grouping/joining/windowing parity.
+    con.execute(f"""
+        COPY (
+            SELECT * REPLACE (
+                CASE WHEN l_orderkey % 31 = 0 THEN NULL ELSE l_shipdate END AS l_shipdate,
+                CASE WHEN l_orderkey % 31 = 1 THEN NULL ELSE l_returnflag END AS l_returnflag,
+                CASE WHEN l_orderkey % 31 = 2 THEN NULL ELSE l_quantity END AS l_quantity,
+                CASE WHEN l_orderkey % 31 = 3 THEN NULL ELSE l_suppkey END AS l_suppkey
+            )
+            FROM read_parquet('{SRC}/lineitem.parquet')
+        ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT * REPLACE (
+                CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+                CASE WHEN o_orderkey % 37 = 1 THEN NULL ELSE o_custkey END AS o_custkey,
+                CASE WHEN o_orderkey % 37 = 2 THEN NULL ELSE o_orderstatus END AS o_orderstatus
+            )
+            FROM read_parquet('{SRC}/orders.parquet')
+        ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+    """)
     # documents: cycle of corruptions keyed on doc_id so both engines see
     # the identical corrupted bytes (deterministic, no RNG)
     con.execute(f"""

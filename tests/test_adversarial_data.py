@@ -214,3 +214,34 @@ def test_g15_array_ops_null_and_empty_arrays(spark):
             [None, None, 4.0]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- relational TPC-H-leg rules (r13 third corruption leg) --------------------
+
+
+def test_salted_count_sum_keeps_null_key_group(spark):
+    # GROUP BY produces a NULL-key group; the one-pass salted form keeps
+    # it (the old salted_count JOIN salted_sum dropped it) and matches
+    # the plain groupBy exactly.
+    from core_etl_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (7, 3.0), (7, 4.0), (8, 5.0)],
+        "k long, v double",
+    )
+    got = {r.k: (r.n, float(r.total)) for r in skew.salted_count_sum(
+        df, ["k"], F.col("v").cast("decimal(20,2)")).collect()}
+    want = {r.k: (r["count(1)"], float(r["sum(v)"])) for r in
+            df.groupBy("k").agg(F.count(F.lit(1)), F.sum("v")).collect()}
+    assert got == want and None in got
+
+
+def test_window_specs_declare_null_ordering(spark):
+    # shared-SQL window specs run the same text on both engines, whose
+    # null-ordering DEFAULTS differ — any window ORDER BY over a nullable
+    # column must say NULLS FIRST/LAST explicitly. Pin g08 (the spec the
+    # TPC-H corruption leg caught).
+    from core_etl_spark.plans import REGISTRY
+
+    sql = REGISTRY["g08_window_functions"].oracle
+    assert sql.count("NULLS FIRST") >= 4 and "DESC NULLS LAST" in sql
