@@ -84,12 +84,21 @@ def with_norm(
     from .dedup import ensure_parallelism
 
     dec = _dec_vec(F.col(vec_col))
+    # zero-norm test as a cheap short-circuit EXISTS over the raw coords
+    # (normsq > 0 ⟺ some coordinate rounds non-zero at 3 dp): filtering
+    # on the _normsq column itself gets pushed into the scan as a
+    # predicate and Catalyst does not share the aggregate subexpression
+    # between Filter and Project — the O(dim) decimal fold would run
+    # TWICE per row (seen in the l12 plan, r13).
+    nonzero = F.exists(
+        F.col(vec_col), lambda x: F.round(x.cast("double"), 3) != 0.0
+    )
     if parallelize:
         df = ensure_parallelism(df)
     return (
-        df.withColumn("_dec", dec)
+        df.filter(nonzero)
+        .withColumn("_dec", dec)
         .withColumn("_normsq", _dot(F.col("_dec"), F.col("_dec")))
-        .filter(F.col("_normsq") > 0)
     )
 
 
