@@ -556,8 +556,15 @@ def g13(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     "g14_json_functions",
     tables=("events",),
     oracle="""
+        -- json_valid guard (r13 adversarial-data audit): Spark's
+        -- get_json_object returns NULL for malformed JSON, DuckDB's
+        -- json_extract_string THROWS — a single corrupt payload killed
+        -- the oracle query. Malformed JSON contributes NULL (skipped by
+        -- SUM) on both engines.
         SELECT event_type,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(CASE WHEN json_valid(props)
+                   THEN json_extract_string(props, '$.k') END AS BIGINT))
+                   AS BIGINT) AS sum_k,
                COUNT(*) AS n
         FROM events
         GROUP BY event_type
@@ -566,7 +573,9 @@ def g13(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 )
 def g14(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """JSON extraction from the ``props`` payload column — the engine-side
-    equivalent of the reference's serde on RPC payloads (provider.rs)."""
+    equivalent of the reference's serde on RPC payloads (provider.rs).
+    Malformed/NULL payloads contribute NULL (get_json_object's native
+    behavior, mirrored by the oracle's json_valid guard)."""
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         t["events"]

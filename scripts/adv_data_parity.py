@@ -43,7 +43,9 @@ def build_corrupted_dir() -> None:
                    CASE WHEN event_id % 29 = 1 THEN NULL ELSE user_id END AS user_id,
                    CASE WHEN event_id % 29 = 2 THEN NULL ELSE event_type END AS event_type,
                    CASE WHEN event_id % 29 = 3 THEN NULL ELSE value END AS value,
-                   props
+                   CASE WHEN event_id % 29 = 4 THEN NULL
+                        WHEN event_id % 29 = 5 THEN '{{broken json'
+                        ELSE props END AS props
             FROM read_parquet('{SRC}/events.parquet')
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
