@@ -74,6 +74,35 @@ def build_corrupted_dir() -> None:
             FROM read_parquet('{SRC}/orders.parquet')
         ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
     """)
+    # dimension tables (r13 fourth leg): null attributes and FKs in
+    # customer/part/supplier — probes the join/pruning/top-k surface.
+    con.execute(f"""
+        COPY (
+            SELECT * REPLACE (
+                CASE WHEN c_custkey % 43 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+                CASE WHEN c_custkey % 43 = 1 THEN NULL ELSE c_nationkey END AS c_nationkey
+            )
+            FROM read_parquet('{SRC}/customer.parquet')
+        ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT * REPLACE (
+                CASE WHEN p_partkey % 43 = 0 THEN NULL ELSE p_type END AS p_type,
+                CASE WHEN p_partkey % 43 = 1 THEN NULL ELSE p_brand END AS p_brand,
+                CASE WHEN p_partkey % 43 = 2 THEN NULL ELSE p_size END AS p_size
+            )
+            FROM read_parquet('{SRC}/part.parquet')
+        ) TO '{DST}/part.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT * REPLACE (
+                CASE WHEN s_suppkey % 17 = 0 THEN NULL ELSE s_nationkey END AS s_nationkey
+            )
+            FROM read_parquet('{SRC}/supplier.parquet')
+        ) TO '{DST}/supplier.parquet' (FORMAT PARQUET)
+    """)
     # documents: cycle of corruptions keyed on doc_id so both engines see
     # the identical corrupted bytes (deterministic, no RNG)
     con.execute(f"""
