@@ -214,6 +214,14 @@ def cmd_media(args: argparse.Namespace) -> int:
     quarantine = bool(args.quarantine_out)
     if quarantine and not args.skip_errors:
         raise SystemExit("--quarantine-out requires --skip-errors")
+    if quarantine and args.action == "errors":
+        # `errors` IS the quarantine-side audit already — its output has no
+        # decode_error column to split on (ADVICE r13: quarantine_split
+        # raised AnalysisException here).
+        raise SystemExit(
+            "--quarantine-out is redundant with the errors action: "
+            "use --out to write the error table"
+        )
     on_error = (
         "quarantine" if quarantine else ("skip" if args.skip_errors else "fail")
     )

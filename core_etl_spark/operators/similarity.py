@@ -55,18 +55,23 @@ def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
 def valid_vectors(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> tuple[DataFrame, int]:
-    """Drop vectors similarity is undefined for — NULL, empty, or a
-    dimension other than ``dim`` (inferred modal when not declared).
-    At 100 TB a real embedding column WILL contain these (the r13
-    adversarial-data audit planted them and one NULL vector crashed four
-    operators with DIVIDE_BY_ZERO / len(None)); excluding them is the
-    only semantics every engine agrees on, and the DuckDB oracles apply
-    the identical filter. Returns ``(filtered, dim)`` so the corpus's
-    dimension anchors the query side too."""
+    """Drop vectors similarity is undefined for — NULL, empty, a
+    dimension other than ``dim`` (inferred modal when not declared), or
+    containing a NULL element. At 100 TB a real embedding column WILL
+    contain these (the r13 adversarial-data audit planted them and one
+    NULL vector crashed four operators with DIVIDE_BY_ZERO / len(None));
+    excluding them is the only semantics every engine agrees on, and the
+    DuckDB oracles apply the identical filter. The element-NULL arm is
+    the ADVICE r13 fix: Spark's decimal fold null-propagates where
+    DuckDB's list_sum SKIPS nulls, so an element-null vector would score
+    differently per engine — it carries no agreed-on similarity at all.
+    Returns ``(filtered, dim)`` so the corpus's dimension anchors the
+    query side too."""
     if dim is None:
         dim = infer_dim(df, vec_col)
     c = F.col(vec_col)
-    return df.filter(c.isNotNull() & (F.size(c) == dim)), dim
+    no_null_elem = ~F.exists(c, lambda x: x.isNull())
+    return df.filter(c.isNotNull() & (F.size(c) == dim) & no_null_elem), dim
 
 
 def with_norm(

@@ -375,13 +375,15 @@ class _store_lock:
     @staticmethod
     def _holder_alive(lock: str) -> bool:
         import os
+        import socket
         import time
 
         try:
             with open(lock) as f:
-                pid_s, ts_s = f.read().split()
-            pid, ts = int(pid_s), float(ts_s)
-        except (OSError, ValueError):
+                parts = f.read().split()
+            pid, ts = int(parts[0]), float(parts[1])
+            host = parts[2] if len(parts) > 2 else None
+        except (OSError, ValueError, IndexError):
             # unreadable/torn sentinel: only age can judge it
             try:
                 return time.time() - os.path.getmtime(lock) < _LOCK_STALE_SEC
@@ -389,6 +391,14 @@ class _store_lock:
                 return False  # vanished — holder finished
         if time.time() - ts >= _LOCK_STALE_SEC:
             return False
+        if host != socket.gethostname():
+            # Foreign holder (store on a shared volume updated from another
+            # container/host, or a pre-r14 two-field sentinel): probing the
+            # pid on THIS host says nothing about the writer — kill(pid, 0)
+            # would break a LIVE remote lock the moment the pid happens to
+            # be free locally (ADVICE r13). Treat un-probeable holders as
+            # alive until the age test above says stale.
+            return True
         try:
             os.kill(pid, 0)  # signal 0: existence probe, nothing delivered
             return True
@@ -397,22 +407,58 @@ class _store_lock:
         except PermissionError:
             return True  # alive, owned by someone else
 
+    def _break_stale(self) -> None:
+        """Break a stale sentinel atomically: rename it aside first — only
+        one of N concurrent breakers wins the rename, so two waiters that
+        both judged the same sentinel stale cannot each unlink a lock (the
+        loser of the race would otherwise remove the winner's FRESH lock —
+        the TOCTOU in ADVICE r13). The caught file is re-verified by
+        content before deletion; catching a different (fresh) sentinel
+        restores it."""
+        import os
+
+        try:
+            with open(self._lock) as f:
+                judged = f.read()
+        except OSError:
+            return  # vanished/unreadable — retry the create
+        grave = f"{self._lock}.stale.{os.getpid()}"
+        try:
+            os.rename(self._lock, grave)
+        except OSError:
+            return  # another breaker (or the holder's exit) got there first
+        try:
+            with open(grave) as f:
+                caught = f.read()
+        except OSError:
+            return
+        if caught == judged:
+            try:
+                os.unlink(grave)
+            except FileNotFoundError:
+                pass
+        else:
+            # we raced past a break+recreate and caught a FRESH lock —
+            # put it back; the retry loop will then see it held and raise
+            try:
+                os.rename(grave, self._lock)
+            except OSError:
+                pass
+
     def __enter__(self):
         import os
+        import socket
         import time
 
         for attempt in (0, 1):
             try:
                 fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "w") as f:
-                    f.write(f"{os.getpid()} {time.time()}")
+                    f.write(f"{os.getpid()} {time.time()} {socket.gethostname()}")
                 return self
             except FileExistsError:
                 if attempt == 0 and not self._holder_alive(self._lock):
-                    try:
-                        os.unlink(self._lock)  # break the stale sentinel
-                    except FileNotFoundError:
-                        pass
+                    self._break_stale()
                     continue
                 raise StoreLockedError(
                     f"store writer lock held: {self._lock} — another "

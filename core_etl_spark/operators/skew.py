@@ -19,29 +19,27 @@ def salted_count(
 ) -> DataFrame:
     """Two-stage count: stage 1 groups on (keys, salt) — the hot key spreads
     over ``n_salts`` reducers — stage 2 sums the partials on keys alone.
-    The second shuffle moves ≤ ``n_salts`` rows per key, not the raw rows."""
-    salt = (F.rand(seed=42) * n_salts).cast("int")
-    partial = (
-        df.withColumn("_salt", salt)
-        .groupBy(*keys, "_salt")
-        .agg(F.count("*").alias("_partial"))
-    )
-    return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias(agg_col))
+    The second shuffle moves ≤ ``n_salts`` rows per key, not the raw rows.
+
+    Thin wrapper over :func:`salted_count_sum` (r14, VERDICT r13 directive
+    5): a caller who wants count AND sum must call the one-pass form, never
+    join this with :func:`salted_sum` — the equi-join drops the NULL-key
+    group GROUP BY produces and scans the data twice."""
+    return salted_count_sum(
+        df, keys, F.lit(0), n_salts=n_salts, count_col=agg_col, sum_col="_drop"
+    ).drop("_drop")
 
 
 def salted_sum(
     df: DataFrame, keys: list[str], value: Column, n_salts: int = 16, agg_col: str = "total"
 ) -> DataFrame:
     """Two-stage sum with the same spread; value must be decimal/long for
-    order-independent exactness (doubles re-associate)."""
-    salt = (F.rand(seed=42) * n_salts).cast("int")
-    partial = (
-        df.withColumn("_salt", salt)
-        .withColumn("_v", value)
-        .groupBy(*keys, "_salt")
-        .agg(F.sum("_v").alias("_partial"))
-    )
-    return partial.groupBy(*keys).agg(F.sum("_partial").alias(agg_col))
+    order-independent exactness (doubles re-associate). Thin wrapper over
+    :func:`salted_count_sum` — see :func:`salted_count` for why the joined
+    count⋈sum form is banned."""
+    return salted_count_sum(
+        df, keys, value, n_salts=n_salts, count_col="_drop", sum_col=agg_col
+    ).drop("_drop")
 
 
 def salted_count_sum(

@@ -51,33 +51,18 @@ from . import maintenance_specs  # noqa: F401,E402
 # row. A typo here would silently waste snapshot slots — fail loudly instead
 # (the r05 guard).
 _REWITNESS: tuple[str, ...] = (
-    # r13: cleared at round open per VERDICT r12 directive 5 — every r12
-    # entry got a green r12 row, so leaving them here would waste the snapshot
-    # slots the 26 r09-stale specs (o2-family, q05b/q07, v02/v02b, ...) need.
-    # Repopulated below only for specs whose Spark code or oracle r13
+    # r14: cleared at round open per VERDICT r13 directive 3 — all 47 r13
+    # entries got green r13 rows, so with the list empty the oldest-first
+    # rotation puts the r09/r10-stale tail (g01, g06b, g16/g16b, g21, g23,
+    # l03-l05, l08, l21, l22, l41c, o2, v02/v02b, ...) in the head-50.
+    # Repopulated below only for specs whose Spark code or oracle r14
     # actually changes.
     #
-    # r13: c11's builder changed (explicit raises around the redelivery
-    # exercise, ADVICE r12) and the CMS/loglin store updaters it calls
-    # gained the writer lock + ledger opt-out guard (directives 3/4).
-    "c11_incremental_telemetry",
-    # r13: every multimodal operator's decode loop changed again — the
-    # one-pass quarantine mode (_try_decode now returns (value, err); the
-    # loops emit NULL-feature+decode_error rows under "quarantine").
-    # Default skip/fail outputs are value-identical, but changed code
-    # never rides on a stale green row.
-    "m01_image_features",
-    "m02_image_resize",
-    "m03_audio_features",
-    "m04_video_frame_sample",
-    "m05_image_dedup_ahash",
-    "m06_decode_quarantine",
-    # r13 adversarial-DATA parity sweep fixes: the similarity family
-    # gained the valid_vectors gate (operator + oracle CTE filter) and
-    # the shingle family gained non-empty tokenization (doc_shingles UDF
-    # + the four oracle shingle CTEs). Clean-data values are identical
-    # (every clean row passes the new filters — re-driven green), but
-    # both code AND oracles changed, so all of them re-witness.
+    # r14: valid_vectors (operator) and _VALID_VEC_SQL (every similarity
+    # oracle's v CTE) now exclude element-NULL vectors too (ADVICE r13:
+    # DuckDB list_sum skips null elements, Spark's fold null-propagates —
+    # no agreed similarity exists for them). Clean-data values identical,
+    # but both sides changed.
     "l09_cosine_topk",
     "l10_ann_lsh_topk",
     "l11_embedding_neardup",
@@ -85,56 +70,13 @@ _REWITNESS: tuple[str, ...] = (
     "l12b_ann_ivf_kmeans",
     "l28_pq_adc_topk",
     "l29_ivfpq_topk",
-    "l06_ngram_jaccard_dedup",
-    "l06x_ngram_jaccard_xxhash",
-    "l07_minhash_lsh_dedup",
-    "l07x_minhash_lsh_xxhash",
-    "l17_neardup_components",
-    "l18_neardup_components_star",
-    "l18b_star_cc_chains",
-    "l19_decontamination",
-    "l19x_decontamination_shuffle",
-    "l34_bloom_decontamination",
-    "l36_duplicated_spans",
-    "l44_overlap_sketch",
-    "c01_corpus_prep",
-    "c04_fuzzy_dedup",
-    "c06_incremental_dedup",
-    "c07_canonical_per_cluster",
-    # r13 adversarial-data fixes, second wave: repetition stats (blank
-    # docs → 0 n-grams + NULL ratios, both sides), span ops' NULL-text
-    # null propagation (oracle COALESCE scoped to real docs), l25's
-    # NULL-doc row restored in the oracle, l37's NULL stratum excluded
-    # from the oracle counts (the ADVICE r06 rule, finally mirrored).
-    "l13_repetition_stats",
-    "l25_intradoc_chunk_dedup",
-    "l33_span_corruption",
-    "l37_temperature_sampling",
-    "c08_span_excision",
-    # r13 adversarial-data fixes, events leg: g15 try_element_at +
-    # sum-of-empty-is-NULL; g17 excludes un-timed events (NULL window-
-    # order trap); j01's asof_join null rules (struct carry, un-timed/
-    # keyless marks dropped) + explicit oracle contract; k12's merge is
-    # null-safe on keys; the o2-family fixture derivations filter null
-    # ts/user/type identically in builder and oracle.
-    "g15_array_functions",
-    "g17_sessionization",
-    "j01_asof_join",
-    "k12_incremental_agg",
-    "o2b_stateful_streaming",
-    "o2c_stream_dedup_watermark",
-    "o2e_stream_stream_join",
-    "o2f_streaming_session_window",
-    # r13 adversarial-data fixes, TPC-H leg: g08's window null ordering
-    # made explicit (engine defaults differ); g22 one-pass salted
-    # count+sum (the join dropped the NULL-key group); g49 excludes NULL
-    # from the heavy-hitter report (md5(NULL) counts nothing in CMS).
-    "g08_window_functions",
-    "g22_salted_aggregation",
-    "g49_cms_heavy_hitters",
-    # r13: g14's oracle gained the json_valid guard (DuckDB throws on
-    # malformed JSON where Spark's get_json_object is NULL).
-    "g14_json_functions",
+    # r14: decode_batch_transfer gained the well-formed-batch DoS bound
+    # (VERDICT r13 directive 2) and t4678's oracle mirrors it; every spec
+    # whose plan runs the batch decode path re-witnesses.
+    "t4678_cbc20_extract",
+    "k78_partition_mutations",
+    "o1_backfill_pipeline",
+    "o2_streaming_tail",
 )
 
 

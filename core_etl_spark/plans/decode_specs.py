@@ -155,8 +155,18 @@ def t45(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             FROM matched WHERE substr(input, 1, 8) = '31f2e679'
         ),
         batch_src AS (
-            SELECT *, CAST('0x' || substr(input, 137, 64) AS BIGINT) AS n
-            FROM matched WHERE substr(input, 1, 8) = 'e86e7c5f'
+            -- the r14 well-formed gate (operators/decode.py::batch_wellformed):
+            -- count word must be a plausible hex count AND the payload must
+            -- actually carry n recipient + n value words
+            SELECT * FROM (
+                SELECT *,
+                       CASE WHEN regexp_matches(substr(input, 137, 64),
+                                                '^0{{48}}[0-9a-fA-F]{{16}}$')
+                            THEN TRY_CAST('0x' || substr(input, 137, 64) AS BIGINT)
+                       END AS n,
+                       CAST(floor((length(input) - 264) / 128) AS BIGINT) AS n_cap
+                FROM matched WHERE substr(input, 1, 8) = 'e86e7c5f'
+            ) WHERE n IS NOT NULL AND n >= 1 AND n <= n_cap
         ),
         batch AS (
             SELECT b.block_number, b.from_addr,

@@ -440,11 +440,19 @@ _DEC_VEC = (
 # with_norm (r13 adversarial-data audit): NULL/empty/wrong-dim vectors are
 # excluded in `v`, zero-norm vectors in `n` — cosine is undefined for all
 # of them, and on clean data every row passes so parity is unchanged.
+# Element-NULL vectors are excluded too (ADVICE r13): DuckDB's list_sum
+# SKIPS null elements while Spark's fold null-propagates, so they have no
+# cross-engine-agreed similarity.
+_VALID_VEC_SQL = (
+    "embedding IS NOT NULL AND len(embedding) = 64 "
+    "AND NOT coalesce(list_contains(list_transform(embedding, x -> x IS NULL), true), false)"
+)
+
 _VEC_CTE = f"""
 v AS (
     SELECT vec_id, {_DEC_VEC} AS dec
     FROM embeddings
-    WHERE embedding IS NOT NULL AND len(embedding) = 64
+    WHERE {_VALID_VEC_SQL}
 ),
 n AS (
     SELECT * FROM (
@@ -1367,7 +1375,7 @@ def _pq_oracle(m: int = 4, ksub: int = 16, dsub: int = 16, n_q: int = 10, k: int
     adc = " + ".join(f"q{j}.d{j}" for j in range(m))
     return f"""
         WITH v AS (SELECT vec_id, {_DEC_VEC} AS dec FROM embeddings
-                   WHERE embedding IS NOT NULL AND len(embedding) = 64),
+                   WHERE {_VALID_VEC_SQL}),
         cb AS (SELECT CAST(vec_id AS INT) AS code, dec FROM v WHERE vec_id < {ksub}),
         dists AS (
             SELECT d.vec_id, c.code,

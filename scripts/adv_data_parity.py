@@ -126,6 +126,7 @@ def build_corrupted_dir() -> None:
                         WHEN 0 THEN NULL
                         WHEN 1 THEN []::FLOAT[]
                         WHEN 2 THEN embedding[1:3]
+                        WHEN 3 THEN list_append(embedding[1:63], CAST(NULL AS FLOAT))
                         ELSE embedding END AS embedding,
                    label
             FROM read_parquet('{SRC}/embeddings.parquet')

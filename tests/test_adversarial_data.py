@@ -37,11 +37,14 @@ def _docs(spark):
 def _vecs(spark):
     rows = [(0, None), (1, []), (2, [1.0, 2.0]), (3, [0.0] * 4),
             (4, [1.0, 0.0, 0.0, 0.0]), (5, [0.0, 1.0, 0.0, 0.0]),
-            (6, [1.0, 1.0, 0.0, 0.0])]
+            (6, [1.0, 1.0, 0.0, 0.0]), (7, [1.0, None, 0.0, 0.0])]
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
 def test_valid_vectors_drops_null_empty_wrong_dim(spark):
+    # id 7 is the ADVICE r13 shape: right dimension but a NULL element —
+    # Spark's decimal fold null-propagates where DuckDB's list_sum skips
+    # nulls, so the only cross-engine-agreed semantics is exclusion.
     out, dim = S.valid_vectors(_vecs(spark))
     assert dim == 4  # modal dimension
     assert {r.vec_id for r in out.collect()} == {3, 4, 5, 6}

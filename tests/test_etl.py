@@ -87,6 +87,49 @@ def test_receipt_status_join(golden_txs, spark):
     assert st["t3"] == 1
 
 
+def test_batch_transfer_hostile_count_word_cannot_explode(spark):
+    # VERDICT r13 directive 2: a corrupt/hostile count word must never
+    # reach sequence() — `ffffffff…` would try to build a billions-element
+    # array and one bad row kills the stage. Malformed batch payloads
+    # decode to ZERO rows; well-formed neighbors in the same frame still
+    # decode. (The reference loops blindly over the claimed count,
+    # cbc20.rs:62-71 — same capability, without the DoS.)
+    head = "e86e7c5f" + "0" * 62 + "40" + "0" * 62 + "a0"
+    one_recipient = ("0" * 20 + ADDR_A) + ("0" * 63 + "1") + WORD_1
+    rows = [
+        ("huge", head + "f" * 64 + one_recipient),
+        ("zero", head + "0" * 64 + one_recipient),
+        ("nonhex", head + "0" * 48 + "z" * 16 + one_recipient),
+        ("mixed", head + "0" * 48 + "12zz56789abcdef0" + one_recipient),
+        # claims 3 recipients, payload carries 1 (length < 264 + 128*3)
+        ("lying", head + "0" * 63 + "3" + one_recipient),
+        # over-long count that would overflow even u64 parsing
+        ("wide", head + "0" * 40 + "f" * 24 + one_recipient),
+        ("null", None),
+        ("trunc", head[:40]),
+        # the well-formed control: count=1 and the payload carries it
+        ("good", head + "0" * 63 + "1" + one_recipient),
+        # trailing garbage after a complete payload is ignored
+        ("tail", head + "0" * 63 + "1" + one_recipient + "f"),
+    ]
+    txs = spark.createDataFrame(
+        [(h, 1, SENDER, CONTRACT, i) for h, i in rows],
+        "hash string, block_number long, from_addr string, to_addr string, input string",
+    )
+    out = D.extract_token_transfers(txs, CONTRACT).collect()
+    assert {r.tx_hash for r in out} == {"good", "tail"}
+    good = next(r for r in out if r.tx_hash == "good")
+    assert (good.to_addr, good.value, good.transfer_index) == (ADDR_A, WORD_1, 0)
+    # and the predicate itself is exported for drop audits
+    flagged = txs.filter(
+        (F.substring("input", 1, 8) == D.SELECTOR_BATCH_TRANSFER)
+        & ~F.coalesce(D.batch_wellformed(F.col("input")), F.lit(False))
+    )
+    assert {r.hash for r in flagged.collect()} == {
+        "huge", "zero", "nonhex", "mixed", "lying", "wide", "trunc",
+    }
+
+
 def _names_types(schema):
     return [(f.name, f.dataType) for f in schema.fields]
 

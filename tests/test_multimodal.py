@@ -719,6 +719,17 @@ def test_cli_media_quarantine_out_requires_skip_errors():
                 "--quarantine-out", "/tmp/nope"])
 
 
+def test_cli_media_errors_action_rejects_quarantine_out():
+    # ADVICE r13: the errors action's output has no decode_error column,
+    # so the quarantine split crashed with AnalysisException. It IS the
+    # error table already — reject the flag up front.
+    from core_etl_spark import cli as C
+
+    with pytest.raises(SystemExit, match="redundant"):
+        C.main(["media", "errors", "--synthetic", "2", "--skip-errors",
+                "--quarantine-out", "/tmp/nope"])
+
+
 def test_streaming_quarantine_foreachbatch_two_tables_one_decode(spark, tmp_path):
     # the production wiring of the r13 one-pass mode: a media STREAM
     # (file source, exactly-once checkpoint) runs quarantine-mode

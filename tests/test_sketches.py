@@ -898,10 +898,11 @@ def test_store_concurrent_update_raises_loudly(spark, tmp_path):
     sketches.update_cms_store(b1, "k", store, batch_id="0")
 
     # simulate writer A holding the lock mid-update (live pid = this one)
+    import socket
     import time
 
     with open(f"{store}__lock", "w") as f:
-        f.write(f"{os.getpid()} {time.time()}")
+        f.write(f"{os.getpid()} {time.time()} {socket.gethostname()}")
     before = sorted(map(tuple, spark.read.parquet(store).collect()))
     with pytest.raises(sketches.StoreLockedError, match="in flight"):
         sketches.update_cms_store(b2, "k", store, batch_id="1")
@@ -924,6 +925,7 @@ def test_store_lock_stale_holder_is_broken(spark, tmp_path):
     # self-heals unattended, it does not wedge forever. Same for a
     # sentinel past the age threshold even with a live pid.
     import os
+    import socket
     import subprocess
     import time
 
@@ -931,22 +933,105 @@ def test_store_lock_stale_holder_is_broken(spark, tmp_path):
     v1 = spark.range(0, 4000).select((F.col("id") * 0.37 + 1).alias("v"))
 
     # a real dead pid: spawn-and-reap a child so the pid existed here
+    # (sentinel names THIS host — the pid probe only applies to local pids)
     child = subprocess.Popen(["true"])
     child.wait()
     with open(f"{store}__lock", "w") as f:
-        f.write(f"{child.pid} {time.time()}")
+        f.write(f"{child.pid} {time.time()} {socket.gethostname()}")
     assert sketches.update_loglin_store(v1, "v", store, batch_id="0") is True
     assert not os.path.exists(f"{store}__lock")  # released after update
 
     # live pid but ancient timestamp: the age backstop breaks it too
     with open(f"{store}__lock", "w") as f:
-        f.write(f"{os.getpid()} {time.time() - 2 * sketches._LOCK_STALE_SEC}")
+        f.write(
+            f"{os.getpid()} {time.time() - 2 * sketches._LOCK_STALE_SEC} "
+            f"{socket.gethostname()}"
+        )
     v2 = spark.range(4000, 6000).select((F.col("id") * 0.37 + 1).alias("v"))
     assert sketches.update_loglin_store(v2, "v", store, batch_id="1") is True
     whole = sketches.loglin_histogram(
         spark.range(6000).select((F.col("id") * 0.37 + 1).alias("v")), "v"
     )
     assert _frame_equal(whole, spark.read.parquet(store), ["bucket", "n"])
+
+
+def test_store_lock_foreign_holder_never_pid_probed(spark, tmp_path):
+    # ADVICE r13 (medium): a sentinel recorded on ANOTHER host/container
+    # (shared volume) must NOT be broken just because its pid is free on
+    # THIS host — pid namespaces differ, so a live remote writer would be
+    # evicted and the lost-batch bug the lock prevents would reopen.
+    # Foreign holders are judged by age alone: fresh → locked error;
+    # past _LOCK_STALE_SEC → broken.
+    import os
+    import subprocess
+    import time
+
+    import pytest
+
+    store = str(tmp_path / "cms_store")
+    b = spark.range(0, 100).select((F.col("id") % 7).alias("k"))
+
+    child = subprocess.Popen(["true"])  # a pid guaranteed dead locally
+    child.wait()
+    with open(f"{store}__lock", "w") as f:
+        f.write(f"{child.pid} {time.time()} some-other-host")
+    with pytest.raises(sketches.StoreLockedError):
+        sketches.update_cms_store(b, "k", store, batch_id="0")
+
+    # same for a pre-r14 two-field sentinel: host unknown ⇒ foreign rules
+    with open(f"{store}__lock", "w") as f:
+        f.write(f"{child.pid} {time.time()}")
+    with pytest.raises(sketches.StoreLockedError):
+        sketches.update_cms_store(b, "k", store, batch_id="0")
+
+    # a STALE foreign sentinel self-heals via the age test
+    with open(f"{store}__lock", "w") as f:
+        f.write(
+            f"{child.pid} {time.time() - 2 * sketches._LOCK_STALE_SEC} "
+            "some-other-host"
+        )
+    assert sketches.update_cms_store(b, "k", store, batch_id="0") is True
+    assert not os.path.exists(f"{store}__lock")
+
+
+def test_store_lock_break_restores_fresh_lock(tmp_path, monkeypatch):
+    # ADVICE r13 TOCTOU: waiter B judges sentinel S stale; winner A breaks
+    # S and creates a FRESH lock before B's unlink lands. B's break must
+    # not remove A's lock. The rename-aside + content re-verify catches
+    # exactly this: B discovers it caught a different sentinel and
+    # restores it. (Simulated by an os.rename hook that performs A's
+    # break+recreate inside B's judge→rename window.)
+    import os
+    import socket
+    import time
+
+    import pytest
+
+    lockpath = str(tmp_path / "s__lock")
+    stale = f"1 {time.time() - 2 * sketches._LOCK_STALE_SEC} {socket.gethostname()}"
+    fresh = f"{os.getpid()} {time.time()} {socket.gethostname()}"
+    with open(lockpath, "w") as f:
+        f.write(stale)
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst, **kw):
+        if src == lockpath and os.path.exists(src):
+            with open(src) as fh:
+                cur = fh.read()
+            if cur == stale:  # A's break+recreate lands first
+                with open(src, "w") as fh:
+                    fh.write(fresh)
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    lk._break_stale()
+    with open(lockpath) as fh:
+        assert fh.read() == fresh  # A's lock survived B's break
+    # and the full acquire path now sees a live local holder and raises
+    with pytest.raises(sketches.StoreLockedError):
+        lk.__enter__()
 
 
 def test_store_lock_torn_sentinel_uses_age(spark, tmp_path):
