@@ -174,10 +174,12 @@ def cmd_similarity(args: argparse.Namespace) -> int:
                                id_col=args.id_col)
     elif args.method == "exact":
         out = S.brute_force_topk(emb, queries, k=args.k,
-                                 vec_col=args.vec_col, id_col=args.id_col)
+                                 vec_col=args.vec_col, id_col=args.id_col,
+                                 dim=args.dim)
     elif args.method == "lsh":
         out = S.lsh_ann_topk(emb, queries, k=args.k,
-                             vec_col=args.vec_col, id_col=args.id_col)
+                             vec_col=args.vec_col, id_col=args.id_col,
+                             **({"dim": args.dim} if args.dim else {}))
     else:  # ivf
         cents = None
         if args.centroids == "kmeans":
@@ -188,7 +190,7 @@ def cmd_similarity(args: argparse.Namespace) -> int:
         out = S.ivf_ann_topk(emb, queries, k=args.k,
                              n_centroids=args.n_centroids, nprobe=args.nprobe,
                              vec_col=args.vec_col, id_col=args.id_col,
-                             centroids=cents)
+                             centroids=cents, dim=args.dim)
     _show(out.orderBy("query_id", "rank"), args.n_queries * args.k)
     return 0
 
@@ -568,6 +570,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="KMeans training sample (None = full table)")
     s.add_argument("--vec-col", default="embedding")
     s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--dim", type=int, default=None,
+                   help="declared embedding dimension: skips the one-job "
+                        "modal-dimension inference the validity gate "
+                        "otherwise runs (production callers know their dim)")
     s.add_argument("--build-index", default="",
                    help="build a persisted IVF index at this path and exit")
     s.add_argument("--index", default="",

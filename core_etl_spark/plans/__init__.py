@@ -77,6 +77,10 @@ _REWITNESS: tuple[str, ...] = (
     "k78_partition_mutations",
     "o1_backfill_pipeline",
     "o2_streaming_tail",
+    # r14: g15's fold now SKIPS NULL elements like SQL SUM / DuckDB
+    # list_sum (the element-NULL corruption arm caught Spark's aggregate
+    # null-propagating the whole sum).
+    "g15_array_functions",
 )
 
 

@@ -129,13 +129,22 @@ def t45(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-@register(
-    "t4678_cbc20_extract",
-    tables=("customer",),
-    oracle=f"""
-        WITH {FIXTURE_CTE},
+#: the r14 well-formed gate (operators/decode.py::batch_wellformed) in the
+#: DuckDB dialect: the count word must be a plausible hex count AND the
+#: payload must actually carry n recipient + n value words.
+_COUNT_RE_SQL = "'^0{48}[0-9a-fA-F]{16}$'"
+
+
+def _extract_sql(src: str) -> str:
+    """The full CBC20 extraction (matched → selector dispatch → gated batch
+    explode → status join) as DuckDB CTE bodies over any ``src`` relation
+    with (key, block_number, hash, from_addr, to_addr, input) — the oracle
+    twin of ``extract_token_transfers``, shared between the clean and the
+    dirty-fixture specs. Slices the CONSTRUCTED input like the operator
+    does, so corrupted calldata replays byte-for-byte."""
+    return f"""
         matched AS (
-            SELECT * FROM tx
+            SELECT * FROM {src}
             WHERE to_addr = '{CONTRACT}'
               AND substr(input, 1, 8) IN ('4b40e901', 'e86e7c5f', '31f2e679')
         ),
@@ -155,13 +164,10 @@ def t45(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             FROM matched WHERE substr(input, 1, 8) = '31f2e679'
         ),
         batch_src AS (
-            -- the r14 well-formed gate (operators/decode.py::batch_wellformed):
-            -- count word must be a plausible hex count AND the payload must
-            -- actually carry n recipient + n value words
             SELECT * FROM (
                 SELECT *,
                        CASE WHEN regexp_matches(substr(input, 137, 64),
-                                                '^0{{48}}[0-9a-fA-F]{{16}}$')
+                                                {_COUNT_RE_SQL})
                             THEN TRY_CAST('0x' || substr(input, 137, 64) AS BIGINT)
                        END AS n,
                        CAST(floor((length(input) - 264) / 128) AS BIGINT) AS n_cap
@@ -183,7 +189,13 @@ def t45(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                '{CONTRACT}' AS address, transfer_index,
                CAST({_RECEIPT_STATUS} AS BIGINT) AS status
         FROM transfers
-    """,
+    """
+
+
+@register(
+    "t4678_cbc20_extract",
+    tables=("customer",),
+    oracle=f"WITH {FIXTURE_CTE}, {_extract_sql('tx')}",
     tags=("decode", "t4", "t6", "t7", "t8", "t12", "explode", "join"),
 )
 def t4678(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
@@ -195,6 +207,99 @@ def t4678(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     from pyspark.sql import functions as F
 
     tx = spark.sql(_TX_SQL)
+    receipts = tx.select(
+        F.col("hash").alias("tx_hash"), F.expr(_RECEIPT_STATUS).alias("status")
+    )
+    return extract_token_transfers(tx, CONTRACT, receipts=receipts)
+
+
+# --- dirty-chain fixture (r14, VERDICT r13 directive 1) ---------------------
+# The same tx fixture post-processed with deterministic, key-addressed
+# corruption — the shapes real chain calldata contains (and that the
+# reference tolerates via NULL-defaults, transaction.rs:26-36, or would
+# PANIC on — its fixed-range slices at cbc20.rs:41-78 are out-of-bounds on
+# truncated input): NULL calldata, truncation mid-word, an odd-length tail,
+# count words that lie (huge / zero / non-hex), a payload shorter than its
+# count claims, and NULL recipients. Shared SQL dialect, so the oracle sees
+# byte-identical corruption.
+DIRTY_FIXTURE_CTE = (
+    FIXTURE_CTE
+    + """,
+dirty AS (
+    SELECT key, block_number, hash, from_addr,
+           CASE WHEN key % 19 = 7 THEN NULL ELSE to_addr END AS to_addr,
+           CASE key % 19
+                WHEN 0 THEN NULL
+                WHEN 1 THEN substr(input, 1, 40)
+                WHEN 2 THEN concat(input, 'f')
+                WHEN 3 THEN concat(substr(input, 1, 136), repeat('f', 64),
+                                   substr(input, 201))
+                WHEN 4 THEN concat(substr(input, 1, 136), repeat('0', 64),
+                                   substr(input, 201))
+                WHEN 5 THEN concat(substr(input, 1, 136), repeat('0', 48),
+                                   repeat('z', 16), substr(input, 201))
+                WHEN 6 THEN substr(input, 1, 392)
+                ELSE input END AS input
+    FROM tx
+)
+"""
+)
+
+_DIRTY_TX_SQL = f"WITH {DIRTY_FIXTURE_CTE} SELECT * FROM dirty"
+
+
+@register(
+    "t45x_transfer_decode_dirty",
+    tables=("customer",),
+    oracle=f"""
+        WITH {DIRTY_FIXTURE_CTE}
+        SELECT block_number,
+               from_addr,
+               substr(input, 29, 44) AS to_addr,
+               substr(input, 73, 64) AS value,
+               hash AS tx_hash
+        FROM dirty
+        WHERE to_addr = '{CONTRACT}' AND substr(input, 1, 8) = '4b40e901'
+    """,
+    tags=("decode", "t4", "t5", "adversarial"),
+)
+def t45x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """T4+T5 on the DIRTY fixture: NULL calldata / NULL recipients fail the
+    predicate (NULL is not true); truncated calldata decodes to the short
+    slices the bytes actually carry — substring is total in both engines,
+    where the reference's fixed-range slice would panic (cbc20.rs:41-46)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.decode import SELECTOR_TRANSFER, decode_transfer, is_transfer_call
+
+    tx = spark.sql(_DIRTY_TX_SQL)
+    return (
+        tx.filter(is_transfer_call(F.col("input"), F.col("to_addr"), CONTRACT))
+        .filter(F.substring("input", 1, 8) == SELECTOR_TRANSFER)
+        .select(
+            "block_number",
+            *decode_transfer(F.col("input"), F.col("from_addr"))[:3],
+            F.col("hash").alias("tx_hash"),
+        )
+    )
+
+
+@register(
+    "t4678x_cbc20_extract_dirty",
+    tables=("customer",),
+    oracle=f"WITH {DIRTY_FIXTURE_CTE}, {_extract_sql('dirty')}",
+    tags=("decode", "t4", "t6", "t7", "t8", "t12", "explode", "adversarial"),
+)
+def t4678x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """T4-T8 + T12 on the DIRTY fixture — the full extraction pipeline fed
+    hostile calldata: the batch legs with lying count words (huge / zero /
+    non-hex / longer than the payload) produce ZERO rows via the
+    well-formed gate instead of a stage-killing ``sequence()`` explode or
+    fabricated transfers; everything still decodable decodes identically
+    to the byte-slicing oracle."""
+    from pyspark.sql import functions as F
+
+    tx = spark.sql(_DIRTY_TX_SQL)
     receipts = tx.select(
         F.col("hash").alias("tx_hash"), F.expr(_RECEIPT_STATUS).alias("status")
     )
@@ -234,4 +339,27 @@ def t3(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     from ..operators.transforms import filter_addresses
 
     tx = spark.sql(_TX_SQL)
+    return filter_addresses(tx, _WATCH).select("key", "from_addr", "to_addr")
+
+
+@register(
+    "t3x_address_filter_dirty",
+    tables=("customer",),
+    oracle=f"""
+        WITH {DIRTY_FIXTURE_CTE}
+        SELECT key, from_addr, to_addr FROM dirty
+        WHERE from_addr IN ({", ".join(repr(a) for a in _WATCH)})
+           OR to_addr IN ({", ".join(repr(a) for a in _WATCH)})
+    """,
+    tags=("t3", "filter", "adversarial"),
+)
+def t3x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """T3 on the DIRTY fixture: a NULL recipient makes ``to IN (...)``
+    NULL, and NULL OR false is NULL — the row drops in both engines. A
+    watched SENDER still surfaces the tx even when its recipient is NULL
+    (true OR null = true), so corruption never hides a watched party the
+    bytes still name."""
+    from ..operators.transforms import filter_addresses
+
+    tx = spark.sql(_DIRTY_TX_SQL)
     return filter_addresses(tx, _WATCH).select("key", "from_addr", "to_addr")

@@ -397,6 +397,183 @@ def _o1_oracle(nb: int = 500, tpb: int = 4, extra: str | None = None) -> str:
     """
 
 
+def _o1x_oracle(nb: int = 200, tpb: int = 4, extra: str | None = None) -> str:
+    """DuckDB replay of the DIRTY-chain ingest end-state (r14, VERDICT r13
+    directive 1): the fixture chain with ``dirty=True`` corruption
+    (sources/fixtures.py — NULL block ts/hash, NULL/truncated/odd-length
+    calldata, lying batch count words, NULL recipients), normalized with
+    the reference's NULL-defaults (``to``→'', ``input``→'0x',
+    ``block_hash``→'', transaction.rs:26-36), CBC20-decoded through the
+    well-formed-batch gate, and digested per table. Unlike
+    :func:`_o1_oracle` (which replays transfer columns from the generator
+    formulas), the transfer legs here SLICE the constructed-and-corrupted
+    input — byte-for-byte what the operator decodes."""
+    known = "ab" * 22
+    watch = "c" * 44
+    kv = "CAST(k AS VARCHAR)"
+    h64, a44 = _fx_h64, _fx_a44
+
+    def w(e: str) -> str:
+        return f"lpad({e},64,'0')"
+
+    vw = f"lpad(substr(md5({kv}),1,16),64,'0')"
+    transfer_input = f"'4b40e901'||{w(a44('t', kv))}||{vw}"
+    tfrom_input = f"'31f2e679'||{w(a44('f', kv))}||{w(a44('t', kv))}||{vw}"
+    n_b = "(1 + num % 3)"
+    count_word = f"lpad(CAST({n_b} AS VARCHAR),64,'0')"
+
+    def batch_words(tag: str) -> str:
+        ws = [w(a44(tag, f"CAST(k*10+{j} AS VARCHAR)")) for j in (1, 2, 3)]
+        return (
+            f"CASE {n_b} WHEN 1 THEN {ws[0]} WHEN 2 THEN {ws[0]}||{ws[1]} "
+            f"ELSE {ws[0]}||{ws[1]}||{ws[2]} END"
+        )
+
+    batch_input = (
+        f"'e86e7c5f'||{w(chr(39) + '40' + chr(39))}||{w(chr(39) + '80' + chr(39))}"
+        f"||{count_word}||{batch_words('bt')}||{count_word}||{batch_words('bv')}"
+    )
+    status = (
+        "CASE WHEN CAST('0x'||substr(md5('tx'||CAST(k AS VARCHAR)),1,4) AS BIGINT)"
+        " % 17 = 0 THEN 0 ELSE 1 END"
+    )
+    digest = _fx_digest
+    blk_concat = _fx_blk_concat(tpb)
+    tx_concat = (
+        "concat_ws('|', hash, nonce, block_hash, num, i, from_addr, to_addr,"
+        " value, '21000', CAST(10 + k % 90 AS VARCHAR), input, ts)"
+    )
+    xf_concat = (
+        f"concat_ws('|', num, from_addr, t2, v, tx_hash, '{watch}',"
+        f" transfer_index, {status}, ts)"
+    )
+    nv = _FX_NV
+    return f"""
+        WITH nums AS (SELECT range AS num FROM range(0, {nb})),
+        blk AS (
+            SELECT num,
+                   CASE WHEN num % 17 = 3 THEN NULL
+                        ELSE {_fx_h64('blk', nv)} END AS hash,
+                   CASE WHEN num = 0 THEN repeat('0', 64)
+                        ELSE {_fx_h64('blk', 'CAST(num - 1 AS VARCHAR)')} END AS parent_hash,
+                   {_fx_h64('nonce', nv)} AS nonce,
+                   {_fx_h64('uncles', nv)} AS sha3_uncles,
+                   {_fx_h64('bloom', nv)} AS logs_bloom,
+                   {_fx_h64('txroot', nv)} AS transactions_root,
+                   {_fx_h64('stroot', nv)} AS state_root,
+                   {_fx_h64('rcroot', nv)} AS receipts_root,
+                   {_fx_a44('miner', 'CAST(num % 5 AS VARCHAR)')} AS miner,
+                   CAST(num * 1000 + 12345 AS VARCHAR) AS difficulty,
+                   CAST(num * num * 500 + 99999 AS VARCHAR) AS total_difficulty,
+                   ((num % 1000) * 7919) % 8000000 AS energy_used,
+                   CASE WHEN num % 13 = 5 THEN NULL
+                        ELSE 1700000000 + num * 7 END AS ts
+            FROM nums
+        ),
+        blocks_d AS (
+            SELECT 'blocks' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+                   {digest(blk_concat)} AS digest
+            FROM blk
+        ),
+        txd AS (
+            SELECT t.num, t.ts, coalesce(t.hash, '') AS block_hash, i.i,
+                   t.num * 31 + i.i AS k
+            FROM blk t CROSS JOIN
+                 (SELECT unnest(generate_series(0, {tpb - 1})) AS i) i
+        ),
+        txf0 AS (
+            SELECT num, ts, block_hash, i, k,
+                   {h64('tx', kv)} AS hash,
+                   upper(to_hex(k % 100)) AS nonce,
+                   CASE WHEN k % 5 = 0 THEN '{known}' ELSE {a44('s', kv)} END AS from_addr,
+                   CASE WHEN k % 13 = 0 THEN ''
+                        WHEN (k % 3 = 0 OR k % 7 = 0 OR k % 11 = 0) THEN '{watch}'
+                        WHEN k % 4 = 0 THEN '{known}'
+                        ELSE {a44('r', kv)} END AS to0,
+                   CASE WHEN k % 11 = 0 THEN {batch_input}
+                        WHEN k % 7 = 0 THEN {tfrom_input}
+                        WHEN k % 3 = 0 THEN {transfer_input}
+                        ELSE '0x' END AS input0
+            FROM txd
+        ),
+        txf AS (
+            SELECT num, ts, block_hash, i, k, hash, nonce, from_addr,
+                   CAST(k * 1000000007 AS VARCHAR) AS value,
+                   CASE WHEN k % 19 = 7 THEN '' ELSE to0 END AS to_addr,
+                   coalesce(CASE k % 19
+                        WHEN 0 THEN NULL
+                        WHEN 1 THEN substr(input0, 1, 40)
+                        WHEN 2 THEN concat(input0, 'f')
+                        WHEN 3 THEN concat(substr(input0, 1, 136),
+                                           repeat('f', 64), substr(input0, 201))
+                        WHEN 4 THEN concat(substr(input0, 1, 136),
+                                           repeat('0', 64), substr(input0, 201))
+                        WHEN 5 THEN concat(substr(input0, 1, 136), repeat('0', 48),
+                                           repeat('z', 16), substr(input0, 201))
+                        WHEN 6 THEN substr(input0, 1, 392)
+                        ELSE input0 END, '0x') AS input
+            FROM txf0
+        ),
+        txs_d AS (
+            SELECT 'transactions' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+                   {digest(tx_concat)} AS digest
+            FROM txf
+        ),
+        matched AS (
+            SELECT * FROM txf
+            WHERE to_addr = '{watch}'
+              AND substr(input, 1, 8) IN ('4b40e901', 'e86e7c5f', '31f2e679')
+        ),
+        x_single AS (
+            SELECT num, ts, k, hash AS tx_hash, from_addr,
+                   substr(input, 29, 44) AS t2, substr(input, 73, 64) AS v,
+                   CAST(0 AS BIGINT) AS transfer_index
+            FROM matched WHERE substr(input, 1, 8) = '4b40e901'
+        ),
+        x_from AS (
+            SELECT num, ts, k, hash AS tx_hash,
+                   substr(input, 29, 44) AS from_addr,
+                   substr(input, 93, 44) AS t2, substr(input, 137, 64) AS v,
+                   CAST(0 AS BIGINT) AS transfer_index
+            FROM matched WHERE substr(input, 1, 8) = '31f2e679'
+        ),
+        batch_src AS (
+            SELECT * FROM (
+                SELECT *,
+                       CASE WHEN regexp_matches(substr(input, 137, 64),
+                                                '^0{{48}}[0-9a-fA-F]{{16}}$')
+                            THEN TRY_CAST('0x' || substr(input, 137, 64) AS BIGINT)
+                       END AS n,
+                       CAST(floor((length(input) - 264) / 128) AS BIGINT) AS n_cap
+                FROM matched WHERE substr(input, 1, 8) = 'e86e7c5f'
+            ) WHERE n IS NOT NULL AND n >= 1 AND n <= n_cap
+        ),
+        x_batch AS (
+            SELECT b.num, b.ts, b.k, b.hash AS tx_hash, b.from_addr,
+                   substr(b.input, 201 + 64 * j.j + 20, 44) AS t2,
+                   substr(b.input, CAST(265 + 64 * b.n + 64 * j.j AS INT), 64) AS v,
+                   CAST(j.j AS BIGINT) AS transfer_index
+            FROM batch_src b
+            JOIN (SELECT unnest(generate_series(0, 2)) AS j) j ON j.j < b.n
+        ),
+        xfers AS (
+            SELECT * FROM x_single
+            UNION ALL SELECT * FROM x_from
+            UNION ALL SELECT * FROM x_batch
+        ),
+        xfers_d AS (
+            SELECT 'token_transfers' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+                   {digest(xf_concat)} AS digest
+            FROM xfers
+        )
+        SELECT tbl, n_rows, digest,
+               {extra or f"CAST({nb} AS BIGINT) AS n_backfilled, CAST(0 AS BIGINT) AS n_resumed"}
+        FROM (SELECT * FROM blocks_d
+              UNION ALL SELECT * FROM txs_d
+              UNION ALL SELECT * FROM xfers_d)
+    """
+
+
 @register(
     "o1_backfill_pipeline",
     tables=(),
@@ -446,6 +623,56 @@ def o1(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                 .withColumn("n_resumed", F.lit(resumed).cast("long"))
             )
             # the lake dirs die with the spec — materialize before cleanup
+            return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "o1x_backfill_dirty_chain",
+    tables=(),
+    oracle=_o1x_oracle(),
+    tags=("o1", "pipeline", "etl", "mutation", "adversarial"),
+)
+def o1x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """O1 on the DIRTY chain (r14, VERDICT r13 directive 1): the same
+    chunked backfill fed fixture blocks with NULL timestamps/hashes and
+    corrupted calldata (sources/fixtures.py ``dirty=True``). The warehouse
+    end-state digest proves the normalize NULL-defaults, the decode
+    well-formed gate, and the created_at propagation all match the
+    byte-slicing DuckDB replay on corrupt input — the reference's own
+    tolerance surface (transaction.rs:26-36) without its panics."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..lake import Lake
+    from ..pipeline import backfill
+    from ..sources.fixtures import WATCH_CONTRACT
+    from ..sources.provider import FixtureBlockProvider
+
+    root = _tf.mkdtemp(prefix="backfill_dirty_spec_")
+    lake = Lake(spark, root, bucket_size=50)
+    try:
+        with _shuffle_partitions(spark, 8):
+            provider = FixtureBlockProvider(n_blocks=200, txs_per_block=4, dirty=True)
+            n = backfill(spark, lake, provider, (WATCH_CONTRACT,), chunk_size=100)
+            epoch = F.col("created_at").cast("long")
+            out = (
+                _digest_frame(lake.blocks(), "blocks", _blk_digest_cols())
+                .unionByName(_digest_frame(
+                    lake.transactions(), "transactions",
+                    ["hash", "nonce", "block_hash", "block_number",
+                     "transaction_index", "from_addr", "to_addr", "value",
+                     "energy", "energy_price", "input", epoch],
+                ))
+                .unionByName(_digest_frame(
+                    lake.token_transfers(), "token_transfers",
+                    ["block_number", "from_addr", "to_addr", "value", "tx_hash",
+                     "address", "transfer_index", "status", epoch],
+                ))
+                .withColumn("n_backfilled", F.lit(n).cast("long"))
+                .withColumn("n_resumed", F.lit(0).cast("long"))
+            )
             return out.localCheckpoint(eager=True)
     finally:
         _sh.rmtree(root, ignore_errors=True)
@@ -889,6 +1116,66 @@ def o2(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                 )
             )
             # the lake dirs die with the spec — materialize before cleanup
+            return out.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "o2x_streaming_tail_dirty",
+    tables=(),
+    oracle=_o1x_oracle(nb=30, tpb=2, extra="CAST(29 AS BIGINT) AS tip"),
+    tags=("o2", "streaming", "adversarial"),
+)
+def o2x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """O2 on the DIRTY chain (r14): backfill 0..19 and stream 20..29 of the
+    corrupted fixture (NULL block ts/hash, hostile calldata) through the
+    real foreachBatch tail — the streamed warehouse must STILL be
+    byte-equivalent to a clean batch backfill of the same dirty range.
+    Proves the tail's normalize/decode micro-batch path shares every
+    null/gate semantics with the batch path (same code, but the checkpoint
+    replay and per-batch chunking differ, which is what this pins)."""
+    from ..lake import Lake
+    from ..pipeline import backfill
+    from ..sources.fixtures import WATCH_CONTRACT, raw_blocks, receipts
+    from ..sources.provider import FixtureBlockProvider
+    from ..streaming.tail import start_tail
+
+    with _shuffle_partitions(spark, 8):
+        root = tempfile.mkdtemp(prefix="lake_dirty_spec_")
+        lake = Lake(spark, root, bucket_size=10)
+        src = os.path.join(root, "incoming")
+        ckpt = os.path.join(root, "ckpt")
+        try:
+            backfill(
+                spark, lake,
+                FixtureBlockProvider(n_blocks=20, txs_per_block=2, dirty=True),
+                (WATCH_CONTRACT,),
+            )
+            tail_raw = raw_blocks(
+                spark, n_blocks=30, txs_per_block=2, dirty=True
+            ).filter(F.col("number") >= 20)
+            tail_raw.coalesce(1).write.mode("append").parquet(src)
+            q = start_tail(spark, lake, src, ckpt, (WATCH_CONTRACT,), receipts)
+            q.awaitTermination(120)
+            epoch = F.col("created_at").cast("long")
+            out = (
+                _digest_frame(lake.blocks(), "blocks", _blk_digest_cols())
+                .unionByName(_digest_frame(
+                    lake.transactions(), "transactions",
+                    ["hash", "nonce", "block_hash", "block_number",
+                     "transaction_index", "from_addr", "to_addr", "value",
+                     "energy", "energy_price", "input", epoch],
+                ))
+                .unionByName(_digest_frame(
+                    lake.token_transfers(), "token_transfers",
+                    ["block_number", "from_addr", "to_addr", "value", "tx_hash",
+                     "address", "transfer_index", "status", epoch],
+                ))
+                .withColumn(
+                    "tip", F.lit(lake.latest_block_number()).cast("long")
+                )
+            )
             return out.localCheckpoint(eager=True)
         finally:
             shutil.rmtree(root, ignore_errors=True)

@@ -603,15 +603,21 @@ def g15(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     the primitives under the ABI array decode (T6) and the ANN dot products.
     The fold runs on exact decimals so the sum is order-independent.
 
-    Null/empty-array semantics match ANSI (r13 adversarial-data audit):
-    ``try_element_at`` — a bare ``element_at`` on an empty array KILLS
-    the stage under ANSI mode, where DuckDB's ``arr[1]`` is NULL — and
-    the fold is NULL for an empty array (SQL's sum-of-nothing), which is
-    what DuckDB's ``list_sum([])`` returns; Spark's raw ``aggregate``
-    would say 0."""
-    dec = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double"), 3).cast("decimal(10,3)"),
+    Null/empty-array semantics match ANSI (r13 adversarial-data audit +
+    r14 element-NULL arm): ``try_element_at`` — a bare ``element_at`` on
+    an empty array KILLS the stage under ANSI mode, where DuckDB's
+    ``arr[1]`` is NULL — and the fold SKIPS NULL elements like SQL's SUM
+    (DuckDB ``list_sum`` does exactly this; Spark's raw ``aggregate``
+    null-propagates, so one NULL coordinate silently nulled the whole
+    sum — the r14 pytest smoke caught the divergence the moment the
+    corrupted twin grew an element-NULL vector). A list with no non-null
+    elements sums to NULL (sum-of-nothing), empty included."""
+    dec_nn = F.filter(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double"), 3).cast("decimal(10,3)"),
+        ),
+        lambda x: x.isNotNull(),
     )
     return (
         t["embeddings"]
@@ -624,10 +630,10 @@ def g15(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                 F.try_element_at("embedding", F.lit(1)).cast("double"), 4
             ).alias("first_val"),
             F.when(
-                F.size("embedding") > 0,
+                F.size(dec_nn) > 0,
                 F.round(
                     F.aggregate(
-                        dec,
+                        dec_nn,
                         F.lit(0).cast("decimal(20,3)"),
                         lambda acc, x: (acc + x).cast("decimal(20,3)"),
                     ).cast("double"),

@@ -47,19 +47,33 @@ def raw_blocks(
     n_blocks: int = 100,
     txs_per_block: int = 4,
     with_fork_at: int | None = None,
+    dirty: bool = False,
 ) -> DataFrame:
     """Nested raw blocks: one row per block with a ``transactions``
-    array<struct> — the S4 fetch shape before T1/T2 normalization."""
+    array<struct> — the S4 fetch shape before T1/T2 normalization.
+
+    ``dirty=True`` (r14, VERDICT r13 directive 1) corrupts the chain the
+    way a real node's output is corrupt, deterministically keyed on the
+    block number / tx key so the DuckDB oracle can replay byte-identical
+    corruption: NULL block timestamps (num % 13 == 5) and NULL block
+    hashes (num % 17 == 3) at the block level, plus the per-tx calldata
+    corruption in :func:`_tx_struct` (NULL/truncated/odd-length input,
+    lying batch count words, NULL recipients). The reference tolerates
+    the null fields via defaults (transaction.rs:26-36); its decode
+    slices would panic on the truncated calldata (cbc20.rs:41-78)."""
     b = spark.range(0, n_blocks).withColumnRenamed("id", "number")
 
     num = F.col("number")
     tx_struct = F.transform(
         F.sequence(F.lit(0), F.lit(txs_per_block - 1)),
-        lambda i: _tx_struct(num, i),
+        lambda i: _tx_struct(num, i, dirty=dirty),
     )
+    blk_hash = _hash64("blk", num)
+    if dirty:
+        blk_hash = F.when(num % 17 == 3, F.lit(None).cast("string")).otherwise(blk_hash)
     out = b.select(
         num,
-        _hash64("blk", num).alias("hash"),
+        blk_hash.alias("hash"),
         F.when(num == 0, F.lit("0" * 64)).otherwise(_hash64("blk", num - 1)).alias(
             "parent_hash"
         ),
@@ -75,7 +89,10 @@ def raw_blocks(
         F.lit("00").alias("extra_data"),
         F.lit(8_000_000).cast("long").alias("energy_limit"),
         (num % 1000 * 7919 % 8_000_000).cast("long").alias("energy_used"),
-        (F.lit(_EPOCH) + num * 7).cast("long").alias("timestamp"),
+        (
+            F.when(F.lit(dirty) & (num % 13 == 5), F.lit(None).cast("long"))
+            .otherwise((F.lit(_EPOCH) + num * 7).cast("long"))
+        ).alias("timestamp"),
         tx_struct.alias("transactions"),
     )
     if with_fork_at is not None:
@@ -88,8 +105,10 @@ def raw_blocks(
     return out
 
 
-def _tx_struct(num, i):
-    """One transaction struct; calldata kind cycles by (number*31 + i)."""
+def _tx_struct(num, i, dirty: bool = False):
+    """One transaction struct; calldata kind cycles by (number*31 + i).
+    ``dirty=True`` post-corrupts input/to keyed on ``k % 19`` — see
+    :func:`raw_blocks`."""
     k = num * 31 + i
     sender = F.when((k % 5) == 0, F.lit(KNOWN_ADDR)).otherwise(_addr44("s", k))
     recipient = F.when((k % 4) == 0, F.lit(KNOWN_ADDR)).otherwise(_addr44("r", k))
@@ -129,6 +148,28 @@ def _tx_struct(num, i):
         .when((k % 3) == 0, transfer_input)
         .otherwise(F.lit("0x"))
     )
+    if dirty:
+        # the same corruption arms as plans/decode_specs.DIRTY_FIXTURE_CTE,
+        # keyed on k % 19 (19 is coprime to every kind modulus, so every
+        # (kind × corruption) combination occurs)
+        head136 = F.substring(input_col, 1, 136)
+        tail = F.substring(input_col, 201, 1 << 20)
+
+        def _count_word(w: str):
+            return F.concat(head136, F.lit(w), tail)
+
+        m = k % 19
+        input_col = (
+            F.when(m == 0, F.lit(None).cast("string"))
+            .when(m == 1, F.substring(input_col, 1, 40))
+            .when(m == 2, F.concat(input_col, F.lit("f")))
+            .when(m == 3, _count_word("f" * 64))
+            .when(m == 4, _count_word("0" * 64))
+            .when(m == 5, _count_word("0" * 48 + "z" * 16))
+            .when(m == 6, F.substring(input_col, 1, 392))
+            .otherwise(input_col)
+        )
+        to_addr = F.when(m == 7, F.lit(None).cast("string")).otherwise(to_addr)
     return F.struct(
         _hash64("tx", k).alias("hash"),
         F.conv((k % 100).cast("string"), 10, 16).alias("nonce"),

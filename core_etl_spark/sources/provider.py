@@ -72,9 +72,12 @@ class FixtureBlockProvider:
     """Deterministic chain for tests and demos (S2-S4 shapes), optionally
     forked at one height (reorg drills)."""
 
-    def __init__(self, n_blocks: int = 1000, txs_per_block: int = 4) -> None:
+    def __init__(
+        self, n_blocks: int = 1000, txs_per_block: int = 4, dirty: bool = False
+    ) -> None:
         self.n_blocks = n_blocks
         self.txs_per_block = txs_per_block
+        self.dirty = dirty
 
     def chain_tip(self) -> int:  # S3 get_block(Latest)
         return self.n_blocks - 1
@@ -89,7 +92,9 @@ class FixtureBlockProvider:
         """S4 — raw nested blocks for [start, end]."""
         from pyspark.sql import functions as F
 
-        raw = fixtures.raw_blocks(spark, self.n_blocks, self.txs_per_block)
+        raw = fixtures.raw_blocks(
+            spark, self.n_blocks, self.txs_per_block, dirty=self.dirty
+        )
         return raw.filter(F.col("number").between(start, end))
 
     def receipts_for(self, raw: DataFrame) -> DataFrame:  # S5

@@ -11,6 +11,18 @@ proves the operator's null/edge SEMANTICS match ANSI SQL, not merely
 that it survives. A crash is a stage-killer bug; a mismatch is a
 cross-engine null-semantics divergence to triage.
 
+The r14 chain-warehouse leg (VERDICT r13 directive 1) lives as REGISTERED
+specs rather than in this script, because the chain tables are
+formula-generated fixtures, not parquet inputs: t3x/t45x/t4678x (dirty
+decode fixture, plans/decode_specs.py) and o1x/o2x (dirty raw_blocks
+backfill + streaming tail, plans/maintenance_specs.py) corrupt the
+fixture generation itself — NULL calldata/recipients/timestamps/hashes,
+truncated and odd-length input, lying batch count words — identically on
+both engines, so the driver re-witnesses the corrupt-chain parity every
+rotation instead of only when this script runs. A per-family subset of
+THIS script's corrupted-table sweep runs in pytest on every push
+(tests/test_adversarial_sweep.py, VERDICT r13 directive 4).
+
 Usage: python scripts/adv_data_parity.py  (prints one line per spec)
 """
 from __future__ import annotations
@@ -29,7 +41,11 @@ DST = os.environ.get("ADV_OUT_DIR", "/tmp/r13/sf_adv")
 CKPT = os.path.join(DST, "_results.json")
 
 
-def build_corrupted_dir() -> None:
+def build_corrupted_dir(src: str = None, dst: str = None) -> None:
+    """Write the corrupted twins of every table under ``dst`` (defaults to
+    the env-configured sweep dirs; tests pass a tmp dir). Corruption is
+    id-keyed and deterministic, so both engines see identical bytes."""
+    SRC, DST = src or globals()["SRC"], dst or globals()["DST"]
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     # events (r13 second leg): null event time / user / type / value —

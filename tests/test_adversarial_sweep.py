@@ -1,0 +1,75 @@
+"""Miniature corrupt-data parity smoke (r14, VERDICT r13 directive 4).
+
+The full adversarial-DATA sweep (scripts/adv_data_parity.py) corrupts
+every table and value-hash-compares all 160+ specs — minutes of wall
+time, run per round by hand. A regression in the pinned null semantics
+between sweeps would go unseen until someone re-runs it, so this module
+keeps ONE representative spec per operator family in the default suite:
+it builds the same id-keyed corrupted twins of the sf0.001 tables (the
+sweep's own generator, imported from the script) and value-hash-compares
+each representative against its DuckDB oracle ON the corrupted tables.
+
+Red here = a pinned corrupt-data rule regressed (docs/adversarial-data.md)
+— run the full sweep to triage the blast radius.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+from core_etl_spark.plans import REGISTRY
+from tests.parity import compare, duck_connection
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+from adv_data_parity import build_corrupted_dir  # noqa: E402
+
+#: one spec per family the r13 sweep found real bugs in (plus the g14
+#: JSON guard): text stats, shingle dedup, similarity, sampling, span
+#: excision, array/event functions, sessionization, as-of join, salted
+#: null-key aggregation, CMS heavy hitters, JSON oracle guard, window
+#: null ordering.
+REPRESENTATIVES = (
+    "l13_repetition_stats",
+    "l06_ngram_jaccard_dedup",
+    "l09_cosine_topk",
+    "l37_temperature_sampling",
+    "c08_span_excision",
+    "g15_array_functions",
+    "g17_sessionization",
+    "j01_asof_join",
+    "g22_salted_aggregation",
+    "g49_cms_heavy_hitters",
+    "g14_json_functions",
+    "g08_window_functions",
+)
+
+
+@pytest.fixture(scope="module")
+def corrupt_dir(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_adv_smoke"))
+    build_corrupted_dir(src="/root/testdata/sf0.001", dst=dst)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def corrupt_duck(corrupt_dir):
+    return duck_connection(corrupt_dir)
+
+
+def test_representatives_still_registered():
+    missing = [n for n in REPRESENTATIVES if n not in REGISTRY]
+    assert not missing, f"representatives vanished from REGISTRY: {missing}"
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_corrupt_data_parity(name, spark, corrupt_dir, corrupt_duck):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle — pick another representative"
+    sdf = spec.builder(spark, corrupt_dir)
+    problems = compare(sdf, corrupt_duck.execute(spec.oracle).fetchdf())
+    assert not problems, f"{name} diverged on corrupted tables: {problems}"

@@ -190,6 +190,24 @@ def test_cli_similarity_kmeans_end_to_end(spark, sf_dir, capsys):
         assert out.count("\n") > 6
 
 
+def test_cli_similarity_declared_dim_matches_inferred(spark, sf_dir, capsys):
+    """--dim declares the corpus dimension so the validity gate skips its
+    one-job modal-dimension inference (the zero-extra-job path the specs
+    use); results must be identical to the inferred path."""
+    emb = f"{sf_dir}/embeddings.parquet"
+    outs = []
+    for extra in ([], ["--dim", "64"]):
+        assert cli.main(["similarity", "--embeddings", emb, "--method",
+                         "exact", "--n-queries", "3", "--k", "2"] + extra) == 0
+        outs.append(capsys.readouterr().out)
+    assert outs[0] == outs[1]
+    # lsh and ivf accept it too
+    assert cli.main(["similarity", "--embeddings", emb, "--method", "lsh",
+                     "--dim", "64", "--n-queries", "2", "--k", "2"]) == 0
+    assert cli.main(["similarity", "--embeddings", emb, "--method", "ivf",
+                     "--dim", "64", "--n-queries", "2", "--k", "2"]) == 0
+
+
 def test_retention_loop_ticks_and_sweeps(spark, tmp_path):
     """K9 scheduler: each tick deletes data older than the retention window
     against the injected clock (reference sqlite3.rs:483-536 cadence)."""
