@@ -33,19 +33,28 @@ def detect_reorgs(stored_blocks: DataFrame, incoming_headers: DataFrame) -> Data
 
     Two signals: a same-height hash conflict (the literal PK-conflict
     analogue) and a parent-hash mismatch at ``number - 1`` (the stored
-    parent is on a dead branch). One column out: ``forked_number``."""
+    parent is on a dead branch). One column out: ``forked_number``.
+
+    Comparisons are null-safe IS-DISTINCT-FROM (r14 chain-corruption
+    audit): with plain ``!=`` a NULL hash on either side makes the
+    predicate NULL and the row silently DROPS — a reorg at a height whose
+    stored or incoming hash is corrupt would be missed, exactly where
+    vigilance matters most. IS DISTINCT FROM flags the height unless the
+    hashes are provably the same, so a corrupt/NULL stored hash
+    self-heals by re-ingest instead of lingering unverifiable (two NULLs
+    compare same: nothing to act on, nothing provable)."""
     stored = stored_blocks.select(
         F.col("number").alias("_s_number"), F.col("hash").alias("_s_hash")
     )
     inc = incoming_headers.select("number", "hash", "parent_hash")
     same_height = (
         inc.join(stored, inc["number"] == stored["_s_number"])
-        .filter(F.col("hash") != F.col("_s_hash"))
+        .filter(~F.col("hash").eqNullSafe(F.col("_s_hash")))
         .select(F.col("_s_number").alias("forked_number"))
     )
     parent_mismatch = (
         inc.join(stored, inc["number"] - 1 == stored["_s_number"])
-        .filter(F.col("parent_hash") != F.col("_s_hash"))
+        .filter(~F.col("parent_hash").eqNullSafe(F.col("_s_hash")))
         .select(F.col("_s_number").alias("forked_number"))
     )
     return same_height.unionByName(parent_mismatch).distinct()

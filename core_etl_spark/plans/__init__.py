@@ -81,6 +81,9 @@ _REWITNESS: tuple[str, ...] = (
     # list_sum (the element-NULL corruption arm caught Spark's aggregate
     # null-propagating the whole sum).
     "g15_array_functions",
+    # r14: detect_reorgs compares IS-DISTINCT-FROM (a NULL hash flagged
+    # the height instead of silently passing); k10's oracle mirrors it.
+    "k10_reorg_detect",
 )
 
 

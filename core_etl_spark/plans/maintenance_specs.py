@@ -77,12 +77,12 @@ def k06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         same_height AS (
             SELECT s.number AS forked_number
             FROM incoming i JOIN chain s ON i.number = s.number
-            WHERE i.hash <> s.hash
+            WHERE i.hash IS DISTINCT FROM s.hash
         ),
         parent_mismatch AS (
             SELECT s.number AS forked_number
             FROM incoming i JOIN chain s ON i.number - 1 = s.number
-            WHERE i.parent_hash <> s.hash
+            WHERE i.parent_hash IS DISTINCT FROM s.hash
         )
         SELECT DISTINCT forked_number
         FROM (SELECT * FROM same_height UNION ALL SELECT * FROM parent_mismatch)
@@ -107,6 +107,79 @@ def k10(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         ).otherwise(F.col("parent_hash")).alias("parent_hash"),
     )
     return detect_reorgs(chain, incoming)
+
+
+#: dirty reorg fixture (r14 chain-corruption audit): the stored chain has
+#: NULL hashes at number % 17 == 3 (a corrupt warehouse row); the incoming
+#: batch carries the k10 forks PLUS NULL hashes (% 40 == 11) and NULL
+#: parent links (% 40 == 31) — what a flaky node actually returns.
+_K10X_STORED = """
+stored AS (
+    SELECT number,
+           CASE WHEN number % 17 = 3 THEN NULL ELSE hash END AS hash,
+           parent_hash
+    FROM chain
+)
+"""
+
+_K10X_INCOMING = """
+incoming AS (
+    SELECT number,
+           CASE WHEN number % 40 = 7 THEN md5(concat('fork', CAST(number AS STRING)))
+                WHEN number % 40 = 11 THEN NULL
+                ELSE hash END AS hash,
+           CASE WHEN number % 40 = 23 THEN md5(concat('fork', CAST(number AS STRING)))
+                WHEN number % 40 = 31 THEN NULL
+                ELSE parent_hash END AS parent_hash
+    FROM chain WHERE number >= 100
+)
+"""
+
+
+@register(
+    "k10x_reorg_detect_dirty",
+    tables=("customer",),
+    oracle=f"""
+        WITH {CHAIN_CTE}, {_K10X_STORED}, {_K10X_INCOMING},
+        same_height AS (
+            SELECT s.number AS forked_number
+            FROM incoming i JOIN stored s ON i.number = s.number
+            WHERE i.hash IS DISTINCT FROM s.hash
+        ),
+        parent_mismatch AS (
+            SELECT s.number AS forked_number
+            FROM incoming i JOIN stored s ON i.number - 1 = s.number
+            WHERE i.parent_hash IS DISTINCT FROM s.hash
+        )
+        SELECT DISTINCT forked_number
+        FROM (SELECT * FROM same_height UNION ALL SELECT * FROM parent_mismatch)
+    """,
+    tags=("k10", "maintenance", "join", "adversarial"),
+)
+def k10x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """K10 on CORRUPT hashes: a NULL hash — stored or incoming — must flag
+    the height, not silently pass (with plain ``!=`` the NULL predicate
+    dropped the row and a reorg at a corrupt height was invisible; r14
+    audit). IS-DISTINCT-FROM semantics: flag unless provably same, so a
+    corrupt stored hash self-heals by re-ingest."""
+    chain = spark.sql(_CHAIN_SQL)
+    stored = chain.select(
+        "number",
+        F.when(F.col("number") % 17 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("hash")).alias("hash"),
+        "parent_hash",
+    )
+    fork = F.md5(F.concat(F.lit("fork"), F.col("number").cast("string")))
+    incoming = chain.filter(F.col("number") >= 100).select(
+        "number",
+        F.when(F.col("number") % 40 == 7, fork)
+        .when(F.col("number") % 40 == 11, F.lit(None).cast("string"))
+        .otherwise(F.col("hash")).alias("hash"),
+        F.when(F.col("number") % 40 == 23, fork)
+        .when(F.col("number") % 40 == 31, F.lit(None).cast("string"))
+        .otherwise(F.col("parent_hash")).alias("parent_hash"),
+    )
+    return detect_reorgs(stored, incoming)
 
 
 @contextmanager

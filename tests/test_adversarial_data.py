@@ -248,3 +248,25 @@ def test_window_specs_declare_null_ordering(spark):
 
     sql = REGISTRY["g08_window_functions"].oracle
     assert sql.count("NULLS FIRST") >= 4 and "DESC NULLS LAST" in sql
+
+
+def test_detect_reorgs_null_hash_flags_not_hides(spark):
+    # r14 chain-corruption audit: with plain != a NULL hash on either side
+    # made the conflict predicate NULL and the row DROPPED — a reorg at a
+    # corrupt height was invisible. IS-DISTINCT-FROM semantics: flag
+    # unless provably same (NULL vs NULL: nothing provable, not flagged).
+    from core_etl_spark.operators.maintenance import detect_reorgs
+
+    stored = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "number long, hash string"
+    )
+    incoming = spark.createDataFrame(
+        [(2, "b", "a"),      # stored hash NULL vs incoming b → flagged
+         (3, None, None),    # incoming hash NULL vs stored c → flagged;
+                             # parent NULL vs stored-2 NULL → provably-same? no,
+                             # nothing provable — NOT flagged via parent
+         (4, "d", "c")],     # clean: parent c == stored-3 c
+        "number long, hash string, parent_hash string",
+    )
+    out = {r.forked_number for r in detect_reorgs(stored, incoming).collect()}
+    assert out == {2, 3}
