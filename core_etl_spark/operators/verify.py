@@ -17,10 +17,19 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 def sequence_gaps(df: DataFrame, col: str = "number") -> DataFrame:
     """V2 — ranged gap check: rows whose predecessor is not ``value - 1``
     (reference verify.rs:48-59). Returns (prev_value, value, missing) rows,
-    one per gap."""
+    one per gap.
+
+    NULL keys are excluded EXPLICITLY (r14 chain-corruption audit): a
+    NULL carries no position in a sequence, and leaving it to implicit
+    comparison semantics makes the two engines disagree on where it
+    sorts (Spark windows order NULLS FIRST, DuckDB NULLS LAST) and lets
+    it silently vanish from the ``!=`` filter. The contract is "gaps
+    among the real keys"; NULL-key accounting is :func:`profile_columns`'
+    job (v05)."""
     w = W.orderBy("value")
     return (
         df.select(F.col(col).cast("long").alias("value"))
+        .filter(F.col("value").isNotNull())
         .select("value", F.lag("value", 1).over(w).alias("prev_value"))
         .filter(F.col("prev_value").isNotNull() & (F.col("value") != F.col("prev_value") + 1))
         .select(
@@ -44,6 +53,10 @@ def sequence_gaps_scalable(df: DataFrame, col: str = "number", bucket: int = 1_0
     q = F.expr(f"`{col}` div {bucket}")
     r = F.col(col) % F.lit(bucket)
     b = F.when(r < 0, q - 1).otherwise(q).alias("bucket")
+    # NULL keys excluded explicitly — same contract as sequence_gaps
+    # (implicitly they'd form a NULL bucket here but silently drop in
+    # the non-scalable form: divergent, so neither is allowed to count)
+    df = df.filter(F.col(col).isNotNull())
     agg = df.select(F.col(col).alias("v"), b).groupBy("bucket").agg(
         F.count("v").alias("cnt"),
         F.min("v").alias("lo"),
@@ -84,7 +97,9 @@ def positional_check(df: DataFrame, col: str = "number", bucket: int = 1_000_000
     window over the ~|N|/B bucket-count rows. One data shuffle + one
     broadcast join; no single-partition sort at any table size."""
     bucket = int(bucket)
-    vals = df.select(F.col(col).cast("long").alias("value"))
+    vals = df.select(F.col(col).cast("long").alias("value")).filter(
+        F.col("value").isNotNull()  # NULL keys: no position — see sequence_gaps
+    )
     # exact floor division (negative-safe, like sequence_gaps_scalable)
     q = F.expr(f"value div {bucket}")
     r = F.col("value") % F.lit(bucket)

@@ -84,6 +84,12 @@ _REWITNESS: tuple[str, ...] = (
     # r14: detect_reorgs compares IS-DISTINCT-FROM (a NULL hash flagged
     # the height instead of silently passing); k10's oracle mirrors it.
     "k10_reorg_detect",
+    # r14: the sequence verifiers exclude NULL keys EXPLICITLY (implicit
+    # semantics diverge: Spark windows sort NULLS FIRST, DuckDB NULLS
+    # LAST, and equi-joins drop NULL buckets); oracles mirror the filter.
+    "v02_sequence_gap_check",
+    "v02b_sequence_gap_scalable",
+    "v03_positional_check",
 )
 
 

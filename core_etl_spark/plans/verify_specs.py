@@ -18,7 +18,8 @@ from .base import register
         WITH s AS (
             SELECT event_id AS value,
                    lag(event_id) OVER (ORDER BY event_id) AS prev_value
-            FROM events WHERE event_type = 'click'
+            FROM events
+            WHERE event_type = 'click' AND event_id IS NOT NULL
         )
         SELECT prev_value, value, value - prev_value - 1 AS missing
         FROM s
@@ -43,7 +44,8 @@ def v02(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         WITH s AS (
             SELECT event_id AS v,
                    CAST(floor(event_id / 1000) AS BIGINT) AS bucket
-            FROM events WHERE event_type = 'click'
+            FROM events
+            WHERE event_type = 'click' AND event_id IS NOT NULL
         ),
         agg AS (
             SELECT bucket, CAST(COUNT(v) AS BIGINT) AS cnt,
@@ -83,7 +85,8 @@ def v02b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         WITH s AS (
             SELECT event_id AS value,
                    row_number() OVER (ORDER BY event_id) - 1 AS pos
-            FROM events WHERE event_type = 'view'
+            FROM events
+            WHERE event_type = 'view' AND event_id IS NOT NULL
         )
         SELECT value, pos FROM s WHERE value <> pos
     """,
@@ -93,6 +96,84 @@ def v03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """V3 — positional check from zero: i-th ordered row must equal i
     (reference verify.rs:74-79)."""
     views = t["events"].filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("number")
+    )
+    return VF.positional_check(views)
+
+
+#: dirty sequence fixture (r14): every 53rd click id is NULLed — the
+#: corrupt-warehouse shape where a key column itself is damaged. The
+#: nulled ids become REAL gaps the checker must report; the NULL rows
+#: themselves are excluded by the explicit contract (a NULL has no
+#: position; v05 profiles null counts).
+_DIRTY_SEQ = """
+dirty AS (
+    SELECT CASE WHEN event_id % 53 = 7 THEN NULL ELSE event_id END AS event_id,
+           event_type
+    FROM events
+)
+"""
+
+
+def _dirty_events(t):
+    return t["events"].select(
+        F.when(F.col("event_id") % 53 == 7, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id")).alias("event_id"),
+        "event_type",
+    )
+
+
+@register(
+    "v02x_gap_check_dirty",
+    tables=("events",),
+    oracle=f"""
+        WITH {_DIRTY_SEQ},
+        s AS (
+            SELECT event_id AS value,
+                   lag(event_id) OVER (ORDER BY event_id) AS prev_value
+            FROM dirty
+            WHERE event_type = 'click' AND event_id IS NOT NULL
+        )
+        SELECT prev_value, value, value - prev_value - 1 AS missing
+        FROM s
+        WHERE prev_value IS NOT NULL AND value <> prev_value + 1
+    """,
+    tags=("verify", "v2", "window", "adversarial"),
+)
+def v02x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """V2 on a corrupt key column: NULLed click ids surface as REAL gaps
+    (the checker reports what's missing from the sequence) while the NULL
+    rows are excluded by explicit contract — without the explicit filter
+    the two engines disagree on where NULL sorts in the lag window and
+    the NULL row itself vanishes from ``!=`` silently."""
+    clicks = _dirty_events(t).filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("number")
+    )
+    return VF.sequence_gaps(clicks)
+
+
+@register(
+    "v03x_positional_check_dirty",
+    tables=("events",),
+    oracle=f"""
+        WITH {_DIRTY_SEQ},
+        s AS (
+            SELECT event_id AS value,
+                   row_number() OVER (ORDER BY event_id) - 1 AS pos
+            FROM dirty
+            WHERE event_type = 'view' AND event_id IS NOT NULL
+        )
+        SELECT value, pos FROM s WHERE value <> pos
+    """,
+    tags=("verify", "v3", "window", "adversarial"),
+)
+def v03x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """V3 on a corrupt key column: every id after the first NULLed one is
+    off-position (the check reports the shift), NULL rows excluded by
+    the same explicit contract as v02x — in the bucketed two-phase plan
+    a NULL key would otherwise form a silent NULL bucket that the offset
+    join drops."""
+    views = _dirty_events(t).filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("number")
     )
     return VF.positional_check(views)
