@@ -324,6 +324,7 @@ def editdist_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_block_df: int | None = None,
+    unit: str = "byte",
 ) -> DataFrame:
     """Blocked edit-distance near-dup pairs: (id_a, id_b, edit_dist) for
     documents whose whitespace-normalized text is within ``max_dist``
@@ -340,7 +341,19 @@ def editdist_pairs(
     quadratic, so ``max_block_df`` is the valve — blocks larger than it
     are excluded wholesale (agg + broadcast anti-join, the same shape as
     l06's stop-shingle valve; the dropped docs are exactly the
-    boilerplate family a separate exact-dedup pass already collapses)."""
+    boilerplate family a separate exact-dedup pass already collapses).
+
+    **Distance unit: UTF-8 bytes** (r14 multibyte-corpus audit). Engines
+    disagree on multibyte Levenshtein — Spark counts Unicode code points,
+    DuckDB counts UTF-8 bytes under the same function name — so the
+    portable contract is the byte unit, which Spark reaches losslessly by
+    re-decoding the UTF-8 bytes as ISO-8859-1 (one char per byte, a
+    built-in JVM expression, no UDF). On ASCII text the two units are
+    identical; on multibyte, an edit costs its byte width (a CJK swap
+    counts 3), which only makes the ``max_dist`` gate stricter — it can
+    never fabricate a near-dup. ``unit="codepoint"`` keeps the
+    Spark-native linguistic unit for callers who want it, documented as
+    NOT replayable in ANSI SQL on non-ASCII text."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     b = df.select(
         F.col(id_col).alias("doc_id"),
@@ -356,13 +369,24 @@ def editdist_pairs(
         )
         b = b.join(F.broadcast(hot), "_blk", "left_anti")
     a, c = b.alias("a"), b.alias("b")
+    if unit == "byte":
+        # one ISO-8859-1 char per UTF-8 byte → Spark's per-char distance
+        # becomes the per-byte distance DuckDB computes natively
+        def _d(col):
+            return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")
+    elif unit == "codepoint":
+        def _d(col):
+            return col
+    else:
+        raise ValueError(f"unit must be 'byte' or 'codepoint', got {unit!r}")
     return (
         a.join(c, F.col("a._blk") == F.col("b._blk"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a._t"), F.col("b._t")).cast("long").alias("edit_dist"),
+            F.levenshtein(_d(F.col("a._t")), _d(F.col("b._t")))
+            .cast("long").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= max_dist)
     )

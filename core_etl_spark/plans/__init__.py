@@ -90,6 +90,11 @@ _REWITNESS: tuple[str, ...] = (
     "v02_sequence_gap_check",
     "v02b_sequence_gap_scalable",
     "v03_positional_check",
+    # r14 multibyte leg: editdist_pairs' distance unit is now explicitly
+    # UTF-8 bytes (Spark re-decodes the bytes as ISO-8859-1 so its
+    # per-char distance equals DuckDB's native byte distance; the two
+    # engines disagreed on CJK under the same function name).
+    "l22_editdist_dedup",
 )
 
 

@@ -120,7 +120,11 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
         ) TO '{DST}/supplier.parquet' (FORMAT PARQUET)
     """)
     # documents: cycle of corruptions keyed on doc_id so both engines see
-    # the identical corrupted bytes (deterministic, no RNG)
+    # the identical corrupted bytes (deterministic, no RNG). Arms 5-7
+    # (r14 multibyte leg): a 100 TB corpus is MULTILINGUAL — CJK, emoji,
+    # combining accents, RTL — and char-length/substring/case/regex
+    # semantics are where engines classically diverge; n_chars keeps its
+    # ORIGINAL value so the metadata also lies about the new text.
     con.execute(f"""
         COPY (
             SELECT doc_id,
@@ -128,6 +132,9 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
                         WHEN 0 THEN NULL
                         WHEN 1 THEN ''
                         WHEN 2 THEN '   '
+                        WHEN 5 THEN '你好 世界 数据 清洗 你好 世界 清洗 数据'
+                        WHEN 6 THEN 'café naïve déjà vu 🚀 café naïve 🎉 🚀'
+                        WHEN 7 THEN concat(text, ' 你好 مرحبا é')
                         ELSE text END AS text,
                    CASE WHEN doc_id % 23 = 3 THEN NULL ELSE lang END AS lang,
                    CASE WHEN doc_id % 23 = 4 THEN NULL ELSE source END AS source,

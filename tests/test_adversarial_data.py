@@ -270,3 +270,34 @@ def test_detect_reorgs_null_hash_flags_not_hides(spark):
     )
     out = {r.forked_number for r in detect_reorgs(stored, incoming).collect()}
     assert out == {2, 3}
+
+
+def test_editdist_unit_is_utf8_bytes(spark):
+    # r14 multibyte leg: Spark's levenshtein counts code points, DuckDB's
+    # counts UTF-8 bytes — same function name, different answers on CJK.
+    # The portable contract is the BYTE unit (ISO-8859-1 re-decode trick);
+    # on ASCII the units coincide, and a byte-priced edit can only make
+    # the max_dist gate stricter, never fabricate a near-dup.
+    import duckdb
+
+    rows = [(1, "abcdefghijklmnopqq 你好"), (2, "abcdefghijklmnopqq 你坏"),
+            (3, "abcdefghijklmnopqq plain"), (4, "abcdefghijklmnopqq plane")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.edit_dist
+           for r in D.editdist_pairs(df, max_dist=50, prefix_len=16).collect()}
+    want = {}
+    con = duckdb.connect()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = con.execute(
+                "SELECT levenshtein(?, ?)",
+                [rows[i][1].lower(), rows[j][1].lower()],
+            ).fetchone()[0]
+            want[(rows[i][0], rows[j][0])] = d
+    assert got == want
+    assert got[(1, 2)] == 2   # byte distance (好→坏 shares its first byte)
+    # the Spark-native code-point unit stays available, just not oracle-backed
+    cp = {(r.id_a, r.id_b): r.edit_dist
+          for r in D.editdist_pairs(df, max_dist=50, prefix_len=16,
+                                    unit="codepoint").collect()}
+    assert cp[(1, 2)] == 1

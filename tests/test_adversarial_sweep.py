@@ -36,6 +36,7 @@ from adv_data_parity import build_corrupted_dir  # noqa: E402
 REPRESENTATIVES = (
     "l13_repetition_stats",
     "l06_ngram_jaccard_dedup",
+    "l22_editdist_dedup",  # r14 multibyte leg: the byte-unit contract
     "l09_cosine_topk",
     "l37_temperature_sampling",
     "c08_span_excision",
