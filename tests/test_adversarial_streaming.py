@@ -272,10 +272,12 @@ def test_tail_batch_survives_null_header_fields(spark, tmp_path):
 
 
 def test_tail_reorg_check_null_hash_headers_no_crash(spark, tmp_path):
-    # detect_reorgs over headers with NULL hash/parent_hash: the null
-    # comparisons are three-valued (NULL != x is NULL → not a conflict),
-    # so null-header rows neither crash nor fabricate a fork; a REAL
-    # conflict in the same batch is still detected.
+    # detect_reorgs over headers with NULL hash/parent_hash: no crash, and
+    # (r14 IS-DISTINCT-FROM contract — see maintenance.detect_reorgs) a
+    # NULL incoming hash against a real stored hash FLAGS the height
+    # rather than silently passing it: the stored block cannot be proven
+    # canonical, so it self-heals by re-ingest. A fully-null header
+    # (NULL number) joins nothing and is inert.
     from core_etl_spark.lake import Lake
     from core_etl_spark.operators.transforms import normalize_blocks
     from core_etl_spark.sources import fixtures as FX
@@ -286,14 +288,15 @@ def test_tail_reorg_check_null_hash_headers_no_crash(spark, tmp_path):
     stored_h1 = lake.blocks().filter(F.col("number") == 1).collect()[0].hash
     headers = spark.createDataFrame(
         [
-            (None, None, None),        # fully null header
-            (2, None, None),           # null hashes at a stored height
+            (None, None, None),        # fully null header: joins nothing
+            (2, None, None),           # NULL hash at stored height 2 → flag 2;
+                                       # NULL parent vs stored hash 1 → flag 1
             (2, "FORK", stored_h1),    # real same-height conflict, valid parent
         ],
         "number long, hash string, parent_hash string",
     )
-    forked = [r.forked_number for r in lake.detect_reorgs(headers).collect()]
-    assert forked == [2]
+    forked = {r.forked_number for r in lake.detect_reorgs(headers).collect()}
+    assert forked == {1, 2}
 
 
 # --- stateful operators: null keys -------------------------------------------
