@@ -56,22 +56,34 @@ def valid_vectors(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> tuple[DataFrame, int]:
     """Drop vectors similarity is undefined for — NULL, empty, a
-    dimension other than ``dim`` (inferred modal when not declared), or
-    containing a NULL element. At 100 TB a real embedding column WILL
-    contain these (the r13 adversarial-data audit planted them and one
-    NULL vector crashed four operators with DIVIDE_BY_ZERO / len(None));
-    excluding them is the only semantics every engine agrees on, and the
-    DuckDB oracles apply the identical filter. The element-NULL arm is
-    the ADVICE r13 fix: Spark's decimal fold null-propagates where
-    DuckDB's list_sum SKIPS nulls, so an element-null vector would score
-    differently per engine — it carries no agreed-on similarity at all.
-    Returns ``(filtered, dim)`` so the corpus's dimension anchors the
-    query side too."""
+    dimension other than ``dim`` (inferred modal when not declared),
+    containing a NULL element, or containing a non-finite element. At
+    100 TB a real embedding column WILL contain these (the r13
+    adversarial-data audit planted them and one NULL vector crashed four
+    operators with DIVIDE_BY_ZERO / len(None)); excluding them is the
+    only semantics every engine agrees on, and the DuckDB oracles apply
+    the identical filter. The element-NULL arm is the ADVICE r13 fix:
+    Spark's decimal fold null-propagates where DuckDB's list_sum SKIPS
+    nulls, so an element-null vector would score differently per engine
+    — it carries no agreed-on similarity at all. The non-finite arm is
+    the r14 numeric-extremes leg: a NaN/±Inf coordinate makes every dot
+    product NaN/±Inf (no meaningful rank position), the 3-dp decimal
+    quantization both engines share cannot represent it (DuckDB's
+    NaN→DECIMAL cast is an error, not even a TRY_CAST NULL), and Spark's
+    ML KMeans raises outright on such vectors — the sweep caught l12b
+    dying mid-stage on one planted NaN. Returns ``(filtered, dim)`` so
+    the corpus's dimension anchors the query side too."""
     if dim is None:
         dim = infer_dim(df, vec_col)
     c = F.col(vec_col)
     no_null_elem = ~F.exists(c, lambda x: x.isNull())
-    return df.filter(c.isNotNull() & (F.size(c) == dim) & no_null_elem), dim
+    no_nonfinite = ~F.exists(
+        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return (
+        df.filter(c.isNotNull() & (F.size(c) == dim) & no_null_elem & no_nonfinite),
+        dim,
+    )
 
 
 def with_norm(

@@ -818,11 +818,33 @@ _LOGLIN_SCALE_POW = 8
 _LOGLIN_SUBDIV_POW = 4
 
 
+def _loglin_max_v(scale_pow: int) -> float:
+    """Saturation rail: the largest magnitude the documented domain
+    (|v|·2^scale_pow < 2^53) can hold. (2^53−1) and the power-of-two
+    division are both exactly representable, so the clamp and the
+    clamped bucket are bit-identical across engines."""
+    return float((1 << 53) - 1) / float(1 << scale_pow)
+
+
 def _loglin_bucket(value: Column, scale_pow: int, subdiv_pow: int) -> Column:
     # Sign-mirrored (r11.13): negatives get bucket −2 − posb(|x|), so
     # ascending bucket index == ascending value across the whole real
     # line (…, −2−16·S < … < −2 [x=−1's bucket] < −1 [x=0] < 0 < …) and
     # the quantile cumsum needs no special-casing.
+    #
+    # Out-of-domain magnitudes SATURATE (r14 numeric-extremes leg):
+    # ±Infinity and finite values beyond the 2^53 grid clamp to the
+    # extreme bucket (HdrHistogram's highest-trackable-value behavior) —
+    # they keep their count and their ordering rank, and the quantile
+    # estimate for ranks landing there reports ≈ the domain edge. The
+    # alternative (dropping them like NULLs) would silently shift every
+    # upper quantile left. Without the clamp, one 1e308 row is a
+    # stage-killer: floor(1e308·2^8) is +Inf and the BIGINT cast raises
+    # under ANSI (Spark) / errors (DuckDB). NaN has no order rank at all
+    # and is EXCLUDED upstream like NULL (loglin_histogram's filter —
+    # clamping NaN is unsafe anyway: least(NaN, rail) silently returns
+    # the rail on both engines, which would count an undefined value as
+    # a huge one).
     #
     # The sub-bucket is PURE INTEGER arithmetic (r12, VERDICT r11): the
     # r11 double floor-division ((y−pot)·S as DOUBLE / pot) lost exactness
@@ -833,7 +855,9 @@ def _loglin_bucket(value: Column, scale_pow: int, subdiv_pow: int) -> Column:
     # power-of-two division are both exact over the FULL documented domain
     # y < 2^53 (num < 2^53·S < 2^63 keeps the BIGINT side exact too).
     s = 1 << subdiv_pow
-    x = F.floor(value * F.lit(float(1 << scale_pow))).cast("long")
+    rail = _loglin_max_v(scale_pow)
+    clamped = F.least(F.greatest(value, F.lit(-rail)), F.lit(rail))
+    x = F.floor(clamped * F.lit(float(1 << scale_pow))).cast("long")
     y = F.abs(x)
     blen = F.length(F.bin(y))
     pot = F.pow(F.lit(2.0), blen - 1).cast("long")  # 2^(octave-1), exact
@@ -850,9 +874,13 @@ def _loglin_bucket(value: Column, scale_pow: int, subdiv_pow: int) -> Column:
 def loglin_bucket_sql(value_expr: str, scale_pow: int = _LOGLIN_SCALE_POW,
                       subdiv_pow: int = _LOGLIN_SUBDIV_POW) -> str:
     """DuckDB replay of :func:`_loglin_bucket` — generated so both
-    dialects share the scale/subdivision constants."""
+    dialects share the scale/subdivision constants (and the r14
+    saturation rail; NaN exclusion lives in the caller's WHERE, mirroring
+    loglin_histogram's filter)."""
     s = 1 << subdiv_pow
-    x = f"CAST(floor(({value_expr}) * {float(1 << scale_pow)}) AS BIGINT)"
+    rail = _loglin_max_v(scale_pow)
+    clamped = f"least(greatest(({value_expr}), {-rail!r}), {rail!r})"
+    x = f"CAST(floor({clamped} * {float(1 << scale_pow)}) AS BIGINT)"
     y = f"abs({x})"
     blen = f"length(bin({y}))"
     pot = f"CAST(pow(2.0, {blen} - 1) AS BIGINT)"
@@ -890,10 +918,16 @@ def loglin_histogram(
     :func:`loglin_merge`. NULL values are excluded (a null bucket row
     would poison the quantile cumsum, and the two engines disagree on
     default NULL ordering in window frames — the oracle generator
-    filters identically)."""
+    filters identically). NaN is excluded the same way (r14
+    numeric-extremes leg: it has no order rank, and the saturation clamp
+    would silently count it as the domain edge); ±Inf and finite
+    overflow SATURATE to the extreme bucket — see :func:`_loglin_bucket`."""
     b = _loglin_bucket(F.col(value_col), scale_pow, subdiv_pow)
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .select(*group_cols, b.alias("bucket"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count("*").alias("n"))
@@ -1004,6 +1038,7 @@ def loglin_quantiles_sql(
         WITH vals AS (
             SELECT {g_sel}{value_expr} AS v FROM {table}
             WHERE ({value_expr}) IS NOT NULL
+              AND NOT isnan(CAST({value_expr} AS DOUBLE))
         ), hist AS (
             SELECT {g_col}{loglin_bucket_sql("v", scale_pow, subdiv_pow)} AS bucket,
                    count(*) AS n

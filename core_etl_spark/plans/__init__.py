@@ -95,6 +95,44 @@ _REWITNESS: tuple[str, ...] = (
     # per-char distance equals DuckDB's native byte distance; the two
     # engines disagreed on CJK under the same function name).
     "l22_editdist_dedup",
+    # r14 numeric-extremes leg (docs/adversarial-data.md rules 11-13):
+    # (a) the ledger-cast contract — every double→decimal measure cast is
+    # Column.try_cast / isnan-guarded TRY_CAST, because one NaN/Inf/1e308
+    # row made the plain CAST a stage-killer on BOTH engines (changes the
+    # oracle text of every TPC-H money spec + the events decimal aggs);
+    # (b) valid_vectors/_VALID_VEC_SQL exclude non-finite elements (the
+    # similarity specs above are already listed); (c) the loglin sketch
+    # gains the saturation rail + NaN exclusion (g21d, c11).
+    "g01_hash_agg_tpch_q1",
+    "g02_join_agg_topk_tpch_q3",
+    "g03_star_join_tpch_q5",
+    "g07_rollup",
+    "g07b_cube",
+    "g07c_grouping_sets",
+    "g08_window_functions",
+    "g12_datetime_functions",
+    "g16_tumbling_window",
+    "g19_scalar_subquery",
+    "g20_decorrelated_subquery",
+    "g21d_loglin_quantiles",
+    "g22_salted_aggregation",
+    "g24_time_range_frame",
+    "g28_returns_by_customer_tpch_q10",
+    "g31_large_orders_tpch_q18",
+    "g33_bucketed_colocated_join",
+    "g36_promo_revenue_tpch_q14",
+    "g37_forecast_revenue_tpch_q6",
+    "g38_small_quantity_revenue_tpch_q17",
+    "g40_volume_shipping_tpch_q7",
+    "g41_market_share_tpch_q8",
+    "g42_product_profit_tpch_q9",
+    "g43_important_parts_tpch_q11",
+    "g45_top_supplier_tpch_q15",
+    "g46_disjunct_revenue_tpch_q19",
+    "g47_promotion_suppliers_tpch_q20",
+    "g48_dormant_customers_tpch_q22",
+    "k12_incremental_agg",
+    "c11_incremental_telemetry",
 )
 
 

@@ -432,8 +432,17 @@ def l08(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
 # --- similarity search -------------------------------------------------------
 
+# TOTAL over the raw table domain (r14 numeric-extremes leg): DuckDB's
+# optimizer pushes the `normsq > 0` filter — and with it this whole
+# quantization expression — BELOW the validity-gate WHERE, so it runs on
+# pre-gate rows too, and an unguarded NaN→DECIMAL cast crashed six
+# similarity oracles even though the gate excludes those rows from the
+# result. Same class as the r13 Spark pushed-fold finding, other engine.
+# The CASE yields NULL for non-finite elements; gated-in rows are
+# all-finite, so admitted values are unchanged.
 _DEC_VEC = (
-    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(10,3)))"
+    "list_transform(embedding, x -> CASE WHEN isfinite(CAST(x AS DOUBLE)) "
+    "THEN CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(10,3)) END)"
 )
 
 # The validity gate mirrors operators/similarity.py::valid_vectors +
@@ -442,10 +451,17 @@ _DEC_VEC = (
 # of them, and on clean data every row passes so parity is unchanged.
 # Element-NULL vectors are excluded too (ADVICE r13): DuckDB's list_sum
 # SKIPS null elements while Spark's fold null-propagates, so they have no
-# cross-engine-agreed similarity.
+# cross-engine-agreed similarity. Non-finite elements likewise (r14
+# numeric-extremes leg): a NaN/±Inf coordinate has no rankable dot
+# product, and DuckDB cannot even TRY_CAST NaN to the shared DECIMAL
+# quantization grid (Invalid Input Error, not NULL) — the sweep caught
+# six similarity oracles crashing on one planted NaN element. The
+# predicate treats NULL-or-non-finite as one "bad element" test so the
+# isfinite(NULL)→NULL three-valued trap cannot mask a NULL element.
 _VALID_VEC_SQL = (
     "embedding IS NOT NULL AND len(embedding) = 64 "
-    "AND NOT coalesce(list_contains(list_transform(embedding, x -> x IS NULL), true), false)"
+    "AND NOT coalesce(list_contains(list_transform(embedding, "
+    "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE))), true), false)"
 )
 
 _VEC_CTE = f"""

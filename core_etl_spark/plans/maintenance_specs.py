@@ -1327,7 +1327,7 @@ def k11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     oracle="""
         SELECT user_id, event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_v
+               CAST(sum(CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total_v
         FROM events
         GROUP BY user_id, event_type
     """,
@@ -1347,7 +1347,7 @@ def k12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     def agg(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id", "event_type").agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
+            F.sum(F.col("value").try_cast("decimal(12,2)"))
             .cast("decimal(18,2)")
             .alias("total_v"),
         )

@@ -17,21 +17,33 @@ from .base import register, shared_sql
 
 # Exact-decimal money arithmetic (values < 1e10, 2-dec cents; discount/tax
 # are 4-dec fractions). Shared Spark/DuckDB SQL text.
+#
+# LEDGER-CAST CONTRACT (r14 numeric-extremes leg): every double→decimal
+# cast on a measure column is `CASE WHEN NOT isnan(col) THEN
+# TRY_CAST(col AS DECIMAL(p,s)) END` — a value the decimal grid cannot
+# represent (NaN, ±Inf, finite overflow) contributes NULL, i.e. is
+# excluded from SUM like SQL NULL. Plain CAST is a stage-killer on BOTH
+# engines: Spark under ANSI raises NUMERIC_VALUE_OUT_OF_RANGE on one
+# 1e308 row, DuckDB errors on NaN — and DuckDB's TRY_CAST alone still
+# errors on NaN (Invalid Input, not NULL), hence the explicit isnan
+# guard. Spark-side DataFrame builders use Column.try_cast, whose
+# NaN/Inf/overflow→NULL semantics match the guarded SQL exactly.
+# DataFrame twins of these SQL oracles mirror with Column.try_cast.
 _REV = (
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+    "CASE WHEN NOT isnan(l_extendedprice) THEN TRY_CAST(l_extendedprice AS DECIMAL(12,2)) END * (1 - CASE WHEN NOT isnan(l_discount) THEN TRY_CAST(l_discount AS DECIMAL(6,4)) END)"
 )
-_PRICE = "CAST(o_totalprice AS DECIMAL(12,2))"
+_PRICE = "CASE WHEN NOT isnan(o_totalprice) THEN TRY_CAST(o_totalprice AS DECIMAL(12,2)) END"
 
 shared_sql(
     "g01_hash_agg_tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CASE WHEN NOT isnan(l_extendedprice) THEN TRY_CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_base_price,
            CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM({_REV} * (1 + CASE WHEN NOT isnan(l_tax) THEN TRY_CAST(l_tax AS DECIMAL(6,4)) END)) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CASE WHEN NOT isnan(l_extendedprice) THEN TRY_CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) / COUNT(*) AS avg_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2000-09-02'
@@ -100,8 +112,8 @@ def g03(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     sf0.1 (AQE picks broadcast anyway — 5 BroadcastHashJoins in the
     executed plan) and ~20% slower at sf10's 1.5M-row customer; at 100 TB
     a forced broadcast of a scaling dim is an executor OOM."""
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    rev = F.col("l_extendedprice").try_cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").try_cast("decimal(6,4)")
     )
     return (
         t["lineitem"]
@@ -241,7 +253,7 @@ shared_sql(
            coalesce(l_linestatus, 'ALL') AS ls,
            CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
            CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -345,7 +357,7 @@ shared_sql(
                    -- floor before the cast: DuckDB rounds double->BIGINT,
                    -- Spark's unix_timestamp truncates
                    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-                   CAST(value AS DECIMAL(12,2)) AS v
+                   CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(12,2)) END AS v
             FROM events
         )
         SELECT user_id, event_id, epoch_s,
@@ -367,7 +379,7 @@ def g24(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_timestamp("ts").alias("epoch_s"),
-        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.col("value").try_cast("decimal(12,2)").alias("v"),
     )
     w = W.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-600, 0)
     return e.select(
@@ -509,7 +521,7 @@ def g12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         )
         .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.sum(F.col("o_totalprice").try_cast("decimal(12,2)")).cast("double").alias("total"),
             F.count("*").alias("n_orders"),
             F.min(F.year("o_orderdate")).alias("yr"),
             F.min(F.month("o_orderdate")).alias("mon"),
@@ -592,7 +604,9 @@ def g14(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                len(embedding) AS dim,
                round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
                round(CAST(list_sum(list_transform(embedding,
-                     x -> CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(10,3)))) AS DOUBLE), 3) AS coord_sum
+                     x -> CASE WHEN NOT isnan(CAST(x AS DOUBLE))
+                               THEN TRY_CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(10,3)) END))
+                     AS DOUBLE), 3) AS coord_sum
         FROM embeddings
         WHERE vec_id < 50
     """,
@@ -611,11 +625,16 @@ def g15(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     null-propagates, so one NULL coordinate silently nulled the whole
     sum — the r14 pytest smoke caught the divergence the moment the
     corrupted twin grew an element-NULL vector). A list with no non-null
-    elements sums to NULL (sum-of-nothing), empty included."""
+    elements sums to NULL (sum-of-nothing), empty included. An element
+    that cannot be represented on the DECIMAL(10,3) grid — NaN, ±Inf, or
+    a finite overflow — contributes NULL the same way (r14
+    numeric-extremes leg): try_cast here, and in the oracle an
+    isnan-guarded TRY_CAST because DuckDB's TRY_CAST(NaN AS DECIMAL) is
+    an Invalid Input *error*, not NULL."""
     dec_nn = F.filter(
         F.transform(
             F.col("embedding"),
-            lambda x: F.round(x.cast("double"), 3).cast("decimal(10,3)"),
+            lambda x: F.round(x.cast("double"), 3).try_cast("decimal(10,3)"),
         ),
         lambda x: x.isNotNull(),
     )
@@ -651,7 +670,7 @@ def g15(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
                event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+               CAST(SUM(CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total_value
         FROM events
         WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
         GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
@@ -668,7 +687,7 @@ def g16(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").try_cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -819,7 +838,7 @@ shared_sql(
     """
     WITH part_avg AS (
         SELECT l_partkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+               CAST(SUM(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) / COUNT(*) AS avg_qty
         FROM lineitem
         GROUP BY l_partkey
     )
@@ -889,14 +908,14 @@ shared_sql(
     SELECT c_name, c_custkey, o_orderkey,
            CAST(o_orderdate AS STRING) AS o_orderdate,
            o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+           CAST(SUM(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+        HAVING SUM(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END) > 150
     )
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
@@ -983,11 +1002,11 @@ shared_sql(
     "g36_promo_revenue_tpch_q14",
     """
     SELECT (100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
-                       * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END)
+                  THEN CASE WHEN NOT isnan(l_extendedprice) THEN TRY_CAST(l_extendedprice AS DECIMAL(12,2)) END
+                       * (1 - CASE WHEN NOT isnan(l_discount) THEN TRY_CAST(l_discount AS DECIMAL(4,2)) END) ELSE 0 END)
                       AS DOUBLE))
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           / CAST(SUM(CASE WHEN NOT isnan(l_extendedprice) THEN TRY_CAST(l_extendedprice AS DECIMAL(12,2)) END
+                      * (1 - CASE WHEN NOT isnan(l_discount) THEN TRY_CAST(l_discount AS DECIMAL(4,2)) END)) AS DOUBLE)
            AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1997-09-01'
@@ -1005,8 +1024,8 @@ shared_sql(
 shared_sql(
     "g37_forecast_revenue_tpch_q6",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CASE WHEN NOT isnan(l_extendedprice) THEN TRY_CAST(l_extendedprice AS DECIMAL(12,2)) END
+                    * CASE WHEN NOT isnan(l_discount) THEN TRY_CAST(l_discount AS DECIMAL(4,2)) END) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-01-01'
@@ -1025,12 +1044,12 @@ shared_sql(
 shared_sql(
     "g38_small_quantity_revenue_tpch_q17",
     """
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CASE WHEN NOT isnan(l_extendedprice) THEN TRY_CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE)
                 / 7.0 AS DOUBLE) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_size = 5
       AND l_quantity < (
-        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+        SELECT 0.2 * (CAST(SUM(CASE WHEN NOT isnan(l2.l_quantity) THEN TRY_CAST(l2.l_quantity AS DECIMAL(12,2)) END)
                            AS DOUBLE) / COUNT(*))
         FROM lineitem l2 WHERE l2.l_partkey = p_partkey
       )
@@ -1161,8 +1180,8 @@ shared_sql(
         SELECT n_name AS nation,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
                {_REV}
-                 - CAST(p_retailprice AS DECIMAL(12,2))
-                   * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+                 - CASE WHEN NOT isnan(p_retailprice) THEN TRY_CAST(p_retailprice AS DECIMAL(12,2)) END
+                   * CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END AS amount
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -1298,7 +1317,7 @@ shared_sql(
           AND l_shipdate >= DATE '1997-01-01'
           AND l_shipdate < DATE '1998-01-01'
         GROUP BY l_suppkey, l_partkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 45
+        HAVING SUM(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END) > 45
     )
     ORDER BY s_name
     """,
@@ -1315,16 +1334,16 @@ shared_sql(
     "g48_dormant_customers_tpch_q22",
     """
     SELECT cntrycode, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           CAST(SUM(CASE WHEN NOT isnan(c_acctbal) THEN TRY_CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS totacctbal
     FROM (
         SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
         FROM customer c
         WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
-          AND CAST(c_acctbal AS DECIMAL(12,2)) * (
+          AND CASE WHEN NOT isnan(c_acctbal) THEN TRY_CAST(c_acctbal AS DECIMAL(12,2)) END * (
                 SELECT COUNT(*) FROM customer
                 WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9)
               ) > (
-                SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+                SELECT SUM(CASE WHEN NOT isnan(c_acctbal) THEN TRY_CAST(c_acctbal AS DECIMAL(12,2)) END) FROM customer
                 WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9)
               )
           AND NOT EXISTS (

@@ -42,7 +42,7 @@ def g21(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     tables=("lineitem",),
     oracle="""
         SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS total_qty
+               CAST(sum(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS total_qty
         FROM lineitem GROUP BY l_suppkey
     """,
     tags=("skew", "salting", "agg"),
@@ -55,7 +55,7 @@ def g22(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     twice and dropped the NULL-key group GROUP BY produces."""
     li = t["lineitem"]
     return skew.salted_count_sum(
-        li, ["l_suppkey"], F.col("l_quantity").cast("decimal(20,2)"),
+        li, ["l_suppkey"], F.col("l_quantity").try_cast("decimal(20,2)"),
         count_col="n", sum_col="_total",
     ).select(
         "l_suppkey", "n", F.col("_total").cast("double").alias("total_qty")
@@ -386,7 +386,7 @@ def g30(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     tables=("orders", "customer"),
     oracle="""
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               CAST(sum(CASE WHEN NOT isnan(o_totalprice) THEN TRY_CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -426,7 +426,7 @@ def g33(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(
                 F.count("*").alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                F.sum(F.col("o_totalprice").try_cast("decimal(18,2)"))
                 .cast("double")
                 .alias("total"),
             )

@@ -51,14 +51,23 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
     # events (r13 second leg): null event time / user / type / value —
     # what a real event stream contains; probes the temporal/window/
     # verify surface (as-of joins, gap checks, watermark windows), where
-    # NULL-ordering in windows is a known cross-engine trap.
+    # NULL-ordering in windows is a known cross-engine trap. Arms 6-9
+    # (r14 numeric-extremes leg): NaN / +-Infinity / 1e308 measure values
+    # — IEEE semantics are where engines classically diverge (NaN
+    # equality, NaN-vs-NULL ordering, Inf arithmetic, sum overflow to
+    # Inf), and a 100 TB telemetry stream WILL contain them.
     con.execute(f"""
         COPY (
             SELECT event_id,
                    CASE WHEN event_id % 29 = 0 THEN NULL ELSE ts END AS ts,
                    CASE WHEN event_id % 29 = 1 THEN NULL ELSE user_id END AS user_id,
                    CASE WHEN event_id % 29 = 2 THEN NULL ELSE event_type END AS event_type,
-                   CASE WHEN event_id % 29 = 3 THEN NULL ELSE value END AS value,
+                   CASE WHEN event_id % 29 = 3 THEN NULL
+                        WHEN event_id % 29 = 6 THEN 'NaN'::DOUBLE
+                        WHEN event_id % 29 = 7 THEN 'Infinity'::DOUBLE
+                        WHEN event_id % 29 = 8 THEN '-Infinity'::DOUBLE
+                        WHEN event_id % 29 = 9 THEN 1e308
+                        ELSE value END AS value,
                    CASE WHEN event_id % 29 = 4 THEN NULL
                         WHEN event_id % 29 = 5 THEN '{{broken json'
                         ELSE props END AS props
@@ -68,14 +77,25 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
     # TPC-H tables (r13 third leg): null dates, flags, measures and
     # foreign keys in lineitem/orders — integrity violations a real
     # warehouse ingest produces; probes the relational surface's
-    # null-grouping/joining/windowing parity.
+    # null-grouping/joining/windowing parity. Arms 4-7 / 3-4 (r14
+    # numeric-extremes leg): NaN / 1e308 / -Infinity MEASURES — one such
+    # row made every plain double→decimal ledger cast a stage-killer
+    # (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE, DuckDB NaN-cast error),
+    # which is why the ledger-cast contract exists (plans/relational.py).
     con.execute(f"""
         COPY (
             SELECT * REPLACE (
                 CASE WHEN l_orderkey % 31 = 0 THEN NULL ELSE l_shipdate END AS l_shipdate,
                 CASE WHEN l_orderkey % 31 = 1 THEN NULL ELSE l_returnflag END AS l_returnflag,
-                CASE WHEN l_orderkey % 31 = 2 THEN NULL ELSE l_quantity END AS l_quantity,
-                CASE WHEN l_orderkey % 31 = 3 THEN NULL ELSE l_suppkey END AS l_suppkey
+                CASE WHEN l_orderkey % 31 = 2 THEN NULL
+                     WHEN l_orderkey % 31 = 4 THEN 'NaN'::DOUBLE
+                     ELSE l_quantity END AS l_quantity,
+                CASE WHEN l_orderkey % 31 = 3 THEN NULL ELSE l_suppkey END AS l_suppkey,
+                CASE WHEN l_orderkey % 31 = 5 THEN 1e308
+                     WHEN l_orderkey % 31 = 6 THEN '-Infinity'::DOUBLE
+                     ELSE l_extendedprice END AS l_extendedprice,
+                CASE WHEN l_orderkey % 31 = 7 THEN 'Infinity'::DOUBLE
+                     ELSE l_discount END AS l_discount
             )
             FROM read_parquet('{SRC}/lineitem.parquet')
         ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
@@ -85,7 +105,10 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
             SELECT * REPLACE (
                 CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
                 CASE WHEN o_orderkey % 37 = 1 THEN NULL ELSE o_custkey END AS o_custkey,
-                CASE WHEN o_orderkey % 37 = 2 THEN NULL ELSE o_orderstatus END AS o_orderstatus
+                CASE WHEN o_orderkey % 37 = 2 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+                CASE WHEN o_orderkey % 37 = 3 THEN 'NaN'::DOUBLE
+                     WHEN o_orderkey % 37 = 4 THEN 1e308
+                     ELSE o_totalprice END AS o_totalprice
             )
             FROM read_parquet('{SRC}/orders.parquet')
         ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
@@ -143,6 +166,10 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
     """)
     con.execute(f"""
+        -- arms 4-6 (r14 numeric-extremes leg): non-finite ELEMENTS inside
+        -- otherwise-plausible vectors — no agreed similarity exists for
+        -- them (any dot product is NaN/Inf), so like element-NULLs they
+        -- must be excluded by the validity gate on BOTH engines.
         COPY (
             SELECT vec_id,
                    CASE vec_id % 19
@@ -150,6 +177,9 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
                         WHEN 1 THEN []::FLOAT[]
                         WHEN 2 THEN embedding[1:3]
                         WHEN 3 THEN list_append(embedding[1:63], CAST(NULL AS FLOAT))
+                        WHEN 4 THEN list_append(embedding[1:63], 'NaN'::FLOAT)
+                        WHEN 5 THEN list_append(embedding[1:63], 'Infinity'::FLOAT)
+                        WHEN 6 THEN list_append(embedding[1:63], '-Infinity'::FLOAT)
                         ELSE embedding END AS embedding,
                    label
             FROM read_parquet('{SRC}/embeddings.parquet')

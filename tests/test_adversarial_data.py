@@ -301,3 +301,71 @@ def test_editdist_unit_is_utf8_bytes(spark):
           for r in D.editdist_pairs(df, max_dist=50, prefix_len=16,
                                     unit="codepoint").collect()}
     assert cp[(1, 2)] == 1
+
+
+def test_valid_vectors_excludes_nonfinite_elements(spark):
+    # r14 numeric-extremes leg: a NaN/±Inf coordinate has no rankable dot
+    # product, DuckDB cannot even TRY_CAST NaN onto the shared decimal
+    # quantization grid, and Spark ML KMeans raises on such vectors (the
+    # sweep caught l12b dying mid-stage on one planted NaN). The gate
+    # excludes them on both engines (_VALID_VEC_SQL mirrors).
+    nan, inf = float("nan"), float("inf")
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [nan, 0.0, 0.0, 0.0]),
+            (2, [0.0, inf, 0.0, 0.0]), (3, [0.0, 0.0, -inf, 0.0]),
+            (4, [0.5, 0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept, dim = S.valid_vectors(df, dim=4)
+    assert {r.vec_id for r in kept.collect()} == {0, 4}
+    assert dim == 4
+
+
+def test_ledger_cast_contract_nan_inf_overflow_to_null(spark):
+    # r14 ledger-cast contract (plans/relational.py): a measure the
+    # DECIMAL(12,2) grid cannot represent — NaN, ±Inf, finite overflow —
+    # contributes NULL (excluded from SUM). Plain CAST is a stage-killer
+    # on BOTH engines: Spark/ANSI raises NUMERIC_VALUE_OUT_OF_RANGE on
+    # 1e308, DuckDB errors on NaN EVEN under TRY_CAST (hence the isnan
+    # guard in the oracles). Spark's try_cast == the guarded SQL exactly.
+    import duckdb
+
+    vals = [1.5, 2.25, float("nan"), float("inf"), float("-inf"), 1e308, None]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = df.agg(
+        F.sum(F.col("value").try_cast("decimal(12,2)"))
+        .cast("double").alias("s")
+    ).collect()[0].s
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT CAST(SUM(CASE WHEN NOT isnan(value) THEN"
+        " TRY_CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)"
+        " FROM (SELECT unnest(?::DOUBLE[]) AS value)", [vals]
+    ).fetchone()[0]
+    assert got == want == 3.75
+
+
+def test_loglin_saturates_out_of_domain_excludes_nan(spark):
+    # r14: ±Inf / finite-overflow measures SATURATE to the extreme bucket
+    # (keep their count and rank — dropping them would shift every upper
+    # quantile left), NaN is excluded like NULL (no order rank, and
+    # least(NaN, rail) would silently alias it to the rail). Without the
+    # clamp, floor(1e308·2^8) is +Inf and the BIGINT cast is a
+    # stage-killer under ANSI. The DuckDB replay shares the clamp.
+    import duckdb
+
+    from core_etl_spark.operators import sketches as SK
+
+    vals = [1.0, 2.0, 1e308, float("inf"), float("-inf"), float("nan"), None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    hist = {r.bucket: r.n for r in SK.loglin_histogram(df, "v").collect()}
+    assert sum(hist.values()) == 5  # NaN + NULL excluded
+    rail_bucket = max(hist)
+    con = duckdb.connect()
+    expr = SK.loglin_bucket_sql("v")
+    dd = con.execute(
+        f"SELECT {expr} AS b, count(*) FROM (SELECT unnest(?::DOUBLE[]) AS v)"
+        " WHERE v IS NOT NULL AND NOT isnan(v) GROUP BY b", [vals]
+    ).fetchall()
+    assert {b: n for b, n in dd} == hist
+    # +Inf and 1e308 share the saturation bucket; -Inf sits in its mirror
+    assert hist[rail_bucket] == 2
+    assert min(hist) == -2 - rail_bucket

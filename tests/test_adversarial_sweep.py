@@ -47,6 +47,12 @@ REPRESENTATIVES = (
     "g49_cms_heavy_hitters",
     "g14_json_functions",
     "g08_window_functions",
+    # r14 numeric-extremes leg: the ledger-cast contract (NaN/Inf/1e308
+    # measures → NULL) on the events and TPC-H surfaces, and the loglin
+    # saturation rail (lineitem's 1e308 arm lands in the extreme bucket).
+    "g16_tumbling_window",
+    "g01_hash_agg_tpch_q1",
+    "g21d_loglin_quantiles",
 )
 
 
