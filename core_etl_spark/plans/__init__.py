@@ -133,6 +133,15 @@ _REWITNESS: tuple[str, ...] = (
     "g48_dormant_customers_tpch_q22",
     "k12_incremental_agg",
     "c11_incremental_telemetry",
+    # r14 temporal-extremes leg (rule 15): g24's floor-epoch recipe
+    # (already listed above), j01's simultaneous-marks MAX collapse, and
+    # the o2 deterministic-batching family's bound_event_time
+    # watermark-poisoning guard (builders + oracle base CTEs).
+    "j01_asof_join",
+    "o2b_stateful_streaming",
+    "o2c_stream_dedup_watermark",
+    "o2e_stream_stream_join",
+    "o2f_streaming_session_window",
 )
 
 

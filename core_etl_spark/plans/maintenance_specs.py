@@ -807,6 +807,22 @@ def k09(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             shutil.rmtree(root, ignore_errors=True)
 
 
+#: Event-time sanity bound shared by the o2b/o2c/o2e/o2f builders (via
+#: streaming.windows.bound_event_time) and their DuckDB oracles — the
+#: watermark-poisoning guard (r14 temporal-extremes leg: one planted
+#: 2262-04-11 event silently turned all later rows "late"; a 1677 flood
+#: pinned the first-N fixture windows to garbage). Derived from the
+#: operator's constant so the two dialects cannot drift.
+from ..streaming.windows import (  # noqa: E402
+    EVENT_TIME_VALID_RANGE as _ETR,
+    bound_event_time,
+)
+
+_TS_BOUND_SQL = (
+    f"ts >= TIMESTAMP '{_ETR[0]}' AND ts < TIMESTAMP '{_ETR[1]}'"
+)
+
+
 #: o2b's deterministic-batching parameters: first 200 ts-ordered events,
 #: 4 files of 50 rows; run 1 streams files 0-1, run 2 (checkpoint-resumed)
 #: streams files 2-3. first_seen keys on user_id mod 12, running_counts on
@@ -819,6 +835,7 @@ _O2B_ORACLE = f"""
                row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
         FROM (SELECT * FROM events
               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND {_TS_BOUND_SQL}
                 AND event_type IS NOT NULL
               ORDER BY ts, event_id LIMIT {_O2B_ROWS})
     ),
@@ -882,12 +899,13 @@ def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     # dirty-events guard (r13 adversarial-data audit): a fixture row
     # needs every derivation column non-null — a NULL ts would also make
     # the ORDER BY pick different rows per engine (Spark NULLS FIRST,
-    # DuckDB NULLS LAST). The oracle's base CTE filters identically.
+    # DuckDB NULLS LAST). bound_event_time is the r14 watermark-poisoning
+    # guard (see _TS_BOUND_SQL above). The oracle's base CTE filters
+    # identically.
     fixture = (
-        t["events"]
+        bound_event_time(t["events"])
         .filter(
-            F.col("ts").isNotNull()
-            & F.col("user_id").isNotNull()
+            F.col("user_id").isNotNull()
             & F.col("event_type").isNotNull()
         )
         .select(
@@ -980,6 +998,7 @@ _O2C_ORACLE = f"""
         SELECT (user_id % {_O2C_MOD}) AS key, ts, event_id
         FROM events
         WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND {_TS_BOUND_SQL}
         ORDER BY ts, event_id LIMIT {_O2C_ROWS}
     ),
     src AS (
@@ -1062,9 +1081,9 @@ def o2c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     from ..streaming.stateful import dedup_within_watermark
 
-    fixture = (  # dirty-events guard — see o2b
-        t["events"]
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    fixture = (  # dirty-events + watermark-poisoning guards — see o2b
+        bound_event_time(t["events"])
+        .filter(F.col("user_id").isNotNull())
         .select(
             (F.col("user_id") % _O2C_MOD).alias("key"), "ts", "event_id"
         )
@@ -1372,6 +1391,7 @@ _O2E_ORACLE = f"""
         SELECT ts, event_id, user_id
         FROM events
         WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND {_TS_BOUND_SQL}
         ORDER BY ts, event_id LIMIT {_O2E_ROWS}
     ),
     l AS (SELECT (user_id % {_O2E_MOD}) AS key, ts AS l_ts
@@ -1416,9 +1436,9 @@ def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     from ..streaming.windows import interval_join
 
-    fixture = (  # dirty-events guard — see o2b
-        t["events"]
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    fixture = (  # dirty-events + watermark-poisoning guards — see o2b
+        bound_event_time(t["events"])
+        .filter(F.col("user_id").isNotNull())
         .select("ts", "event_id", (F.col("user_id") % _O2E_MOD).alias("key"))
         .orderBy("ts", "event_id")
         .limit(_O2E_ROWS)
@@ -1492,6 +1512,7 @@ _O2F_ORACLE = f"""
         SELECT ts, (user_id % {_O2F_MOD}) AS user_id
         FROM (SELECT * FROM events
               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND {_TS_BOUND_SQL}
               ORDER BY ts, event_id LIMIT {_O2F_ROWS})
     ),
     flag AS (
@@ -1554,9 +1575,9 @@ def o2f(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     from ..streaming.windows import session_counts
 
-    fixture = (  # dirty-events guard — see o2b
-        t["events"]
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    fixture = (  # dirty-events + watermark-poisoning guards — see o2b
+        bound_event_time(t["events"])
+        .filter(F.col("user_id").isNotNull())
         .select("ts", "event_id", (F.col("user_id") % _O2F_MOD).alias("user_id"))
         .orderBy("ts", "event_id")
         .limit(_O2F_ROWS)

@@ -354,9 +354,18 @@ shared_sql(
     oracle="""
         WITH e AS (
             SELECT user_id, event_id,
-                   -- floor before the cast: DuckDB rounds double->BIGINT,
-                   -- Spark's unix_timestamp truncates
-                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   -- FLOOR epoch seconds, computed in exact integer
+                   -- microseconds (r14 temporal-extremes leg): Spark's
+                   -- unix_timestamp truncates toward ZERO, so a pre-epoch
+                   -- fractional second (-89.5 s) gave -89 there vs
+                   -- floor(epoch())'s -90 here — and floor(epoch()) itself
+                   -- goes through a double whose 52-bit mantissa cannot
+                   -- hold microsecond precision at the NANOS domain edges
+                   -- (|s| ≈ 9.2e9 needs 54 bits with the fraction).
+                   -- Subtracting the positive mod first keeps everything
+                   -- integer until an exact division.
+                   CAST((epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000) % 1000000)
+                        / 1000000 AS BIGINT) AS epoch_s,
                    CASE WHEN NOT isnan(value) THEN TRY_CAST(value AS DECIMAL(12,2)) END AS v
             FROM events
         )
@@ -375,10 +384,19 @@ def g24(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     (the sliding-lookback shape ROWS frames can't express; peers at one
     timestamp all see the same frame, so the result is order-independent).
     Shuffles once on user_id; frame evaluation is a per-partition sweep."""
+    # floor-epoch in pure integer arithmetic: unix_timestamp truncates
+    # toward zero (wrong below 1970), and a double round-trip is inexact
+    # at the NANOS domain edges. pmod makes the value an exact multiple
+    # of 1e6, so the `div` is exact — no doubles anywhere (the oracle's
+    # dividend does pass through a double, where DuckDB's round-on-cast
+    # absorbs the ≤0.0005 error; Spark's truncate-on-cast would not,
+    # hence `div`).
     e = t["events"].select(
         "user_id",
         "event_id",
-        F.unix_timestamp("ts").alias("epoch_s"),
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"
+        ).alias("epoch_s"),
         F.col("value").try_cast("decimal(12,2)").alias("v"),
     )
     w = W.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-600, 0)

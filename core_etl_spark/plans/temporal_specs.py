@@ -23,11 +23,20 @@ from .base import register
         -- everything and hand it the latest mark (its own unkeyed ASOF
         -- returns NULL for the same row), so the un-timed lefts are
         -- routed around the ASOF.
+        --
+        -- Simultaneous marks collapse to MAX(value) (r14 temporal-extremes
+        -- leg): two error marks of one user at the SAME instant have no
+        -- defined "most recent" between them — DuckDB's native ASOF picks
+        -- one arbitrarily, while the Spark composition deterministically
+        -- carries the greatest payload (its tie window orders by value).
+        -- Unique-ts data is unaffected; the planted constant-ts arms made
+        -- the ambiguity real.
         WITH marks AS (
-            SELECT user_id, ts, value AS mark_value
+            SELECT user_id, ts, MAX(value) AS mark_value
             FROM events
             WHERE event_type = 'error'
               AND ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id, ts
         )
         SELECT e.event_id,
                e.user_id,

@@ -13,6 +13,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+#: Default event-time sanity window for bound_event_time — wide enough
+#: for any honest telemetry, narrow enough that no representable-garbage
+#: timestamp (epoch zero, parquet-NANOS domain edges 1677/2262, a device
+#: clock reset to 1969) can poison a watermark.
+EVENT_TIME_VALID_RANGE = ("2000-01-01", "2100-01-01")
+
+
+def bound_event_time(
+    events: DataFrame,
+    ts_col: str = "ts",
+    lo: str = EVENT_TIME_VALID_RANGE[0],
+    hi: str = EVENT_TIME_VALID_RANGE[1],
+) -> DataFrame:
+    """Watermark-poisoning guard (r14 temporal-extremes leg): keep only
+    rows with ``lo <= ts < hi`` (NULL excluded). The watermark is
+    ``max(event time) − delay`` and only ever advances, so ONE row with a
+    far-future timestamp silently turns every subsequent honest event
+    into "late data" — the r14 sweep measured a stream-stream join
+    emitting 6 of 163 rows after a single planted 2262-04-11 event, with
+    no error anywhere. A 100 TB telemetry stream WILL carry corrupt
+    device clocks; bound event time BEFORE the watermark, and quarantine
+    the complement (the inverse predicate) if the garbage needs auditing.
+    Batch and streaming DataFrames both accepted (plain filter)."""
+    c = F.col(ts_col)
+    return events.filter(c.isNotNull() & (c >= F.lit(lo)) & (c < F.lit(hi)))
+
+
 def with_watermark(events: DataFrame, ts_col: str = "ts", delay: str = "1 minute") -> DataFrame:
     """Late-data bound: state for windows older than max(event time) − delay
     is finalized and dropped — the streaming analogue of the reference's

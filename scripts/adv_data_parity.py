@@ -55,11 +55,22 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
     # (r14 numeric-extremes leg): NaN / +-Infinity / 1e308 measure values
     # — IEEE semantics are where engines classically diverge (NaN
     # equality, NaN-vs-NULL ordering, Inf arithmetic, sum overflow to
-    # Inf), and a 100 TB telemetry stream WILL contain them.
+    # Inf), and a 100 TB telemetry stream WILL contain them. Arms 10-13
+    # (r14 temporal-extremes leg): the parquet-NANOS domain edges
+    # (1677-09-21 / 2262-04-11), a PRE-EPOCH fractional second (floor
+    # and truncate-toward-zero disagree below 1970 — the classic
+    # negative-epoch trap), and epoch zero itself; a corrupt device
+    # clock produces exactly these, and one far-future row is a
+    # watermark poisoner.
     con.execute(f"""
         COPY (
             SELECT event_id,
-                   CASE WHEN event_id % 29 = 0 THEN NULL ELSE ts END AS ts,
+                   CASE WHEN event_id % 29 = 0 THEN NULL
+                        WHEN event_id % 29 = 10 THEN TIMESTAMP '1677-09-21 00:12:44.5'
+                        WHEN event_id % 29 = 11 THEN TIMESTAMP '1969-12-31 23:58:30.5'
+                        WHEN event_id % 29 = 12 THEN TIMESTAMP '2262-04-11 23:47:16'
+                        WHEN event_id % 29 = 13 THEN TIMESTAMP '1970-01-01 00:00:00'
+                        ELSE ts END AS ts,
                    CASE WHEN event_id % 29 = 1 THEN NULL ELSE user_id END AS user_id,
                    CASE WHEN event_id % 29 = 2 THEN NULL ELSE event_type END AS event_type,
                    CASE WHEN event_id % 29 = 3 THEN NULL

@@ -369,3 +369,74 @@ def test_loglin_saturates_out_of_domain_excludes_nan(spark):
     # +Inf and 1e308 share the saturation bucket; -Inf sits in its mirror
     assert hist[rail_bucket] == 2
     assert min(hist) == -2 - rail_bucket
+
+
+def test_floor_epoch_seconds_pre_epoch_and_domain_edges(spark):
+    # r14 temporal-extremes leg: Spark's unix_timestamp truncates toward
+    # ZERO (-89.5 s -> -89) while floor(epoch()) floors (-90) — the two
+    # agreed for 54 years of positive epochs and diverge on every
+    # pre-1970 fractional second. The portable recipe stays integer:
+    # subtract the positive mod of the exact microseconds, then an exact
+    # division (g24's epoch_s; the oracle mirrors, where DuckDB's
+    # round-on-cast absorbs the double error that Spark's truncate-on-
+    # cast would not).
+    import duckdb
+
+    vals = ["1677-09-21 00:12:44.5", "1969-12-31 23:58:30.5",
+            "2262-04-11 23:47:16", "1970-01-01 00:00:00",
+            "2024-03-05 07:08:09.123456"]
+    got = [
+        r.e
+        for r in spark.createDataFrame([(v,) for v in vals], "s string")
+        .select(F.expr(
+            "(unix_micros(CAST(s AS TIMESTAMP)) - "
+            "pmod(unix_micros(CAST(s AS TIMESTAMP)), 1000000)) div 1000000"
+        ).alias("e"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT CAST((epoch_us(t) - ((epoch_us(t) % 1000000) + 1000000) % 1000000)"
+        " / 1000000 AS BIGINT) FROM (SELECT ?::TIMESTAMP AS t)", [v]
+    ).fetchone()[0] for v in vals]
+    assert got == want == [-9223372036, -90, 9223372036, 0, 1709622489]
+
+
+def test_asof_join_simultaneous_marks_carry_max(spark):
+    # r14 temporal-extremes leg: two marks of one key at the SAME instant
+    # have no defined "most recent" — DuckDB's native ASOF picks one
+    # arbitrarily; the engine's contract is deterministic: the greatest
+    # payload wins (the tie window orders by value; j01's oracle
+    # collapses with MAX to match). Unique-ts data is unaffected.
+    from core_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    marks = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 8.0),
+         (1, "2024-01-01 00:05:00", 1.5),
+         (1, "2024-01-01 00:05:00", None)],
+        "user_id long, ts string, mark_value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "mark_value")
+    out = asof_join(left, marks, on="ts", by="user_id",
+                    right_cols=("mark_value",), suffix="").collect()
+    assert [r.mark_value for r in out] == [8.0]
+
+
+def test_bound_event_time_blocks_watermark_poison(spark):
+    # r14 temporal-extremes leg: the watermark only advances, so ONE
+    # far-future row turns every later honest event into dropped "late
+    # data" (the sweep measured o2e emitting 6 of 163 rows after a single
+    # planted 2262-04-11 event). bound_event_time is the guard: honest
+    # rows pass, epoch zero / domain edges / pre-epoch garbage do not.
+    from core_etl_spark.streaming.windows import bound_event_time
+
+    rows = [(1, "2024-01-01 00:00:00"), (2, "2262-04-11 23:47:16"),
+            (3, "1677-09-21 00:12:44"), (4, "1970-01-01 00:00:00"),
+            (5, "1969-12-31 23:58:30"), (6, None),
+            (7, "2024-06-01 12:00:00")]
+    df = spark.createDataFrame(rows, "event_id long, s string").select(
+        "event_id", F.col("s").cast("timestamp").alias("ts"))
+    kept = {r.event_id for r in bound_event_time(df).collect()}
+    assert kept == {1, 7}

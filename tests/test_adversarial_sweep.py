@@ -53,6 +53,10 @@ REPRESENTATIVES = (
     "g16_tumbling_window",
     "g01_hash_agg_tpch_q1",
     "g21d_loglin_quantiles",
+    # r14 temporal-extremes leg: the exact floor-epoch recipe over the
+    # planted pre-epoch / domain-edge timestamps (the as-of tie contract
+    # rides the j01 rep above).
+    "g24_time_range_frame",
 )
 
 
