@@ -402,6 +402,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                     docs,
                     threshold=args.threshold_jaccard,
                     max_shingle_df=args.max_shingle_df or None,
+                    max_tokens=args.max_doc_tokens or None,
                 )
             pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
             if args.keep == "best":
@@ -619,6 +620,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-shingle-df", type=int, default=64,
                    help="dedup(jaccard): drop shingles appearing in more docs "
                         "than this before the self-join (0 disables the valve)")
+    c.add_argument("--max-doc-tokens", type=int, default=0,
+                   help="dedup(jaccard): shingle only each doc's first N "
+                        "tokens — the pathological-document valve (one "
+                        "100M-token log-spam doc is otherwise a single-task "
+                        "straggler; 0 = uncapped)")
     c.add_argument("--max-dist", type=int, default=20,
                    help="dedup(editdist): Levenshtein budget")
     c.add_argument("--max-block-df", type=int, default=256,

@@ -120,7 +120,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --- shingling ---------------------------------------------------------------
 
 def doc_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """(doc_id, shingles array) — distinct word n-gram shingles, one row per
     doc. Docs shorter than *n* tokens yield one partial shingle (all their
@@ -144,7 +148,17 @@ def doc_shingles(
     which Spark evaluates **interpreted, not codegen'd** — measured ~8×
     slower than this UDF at sf0.1 (4.0 s vs 0.5 s warm for 260k shingles).
     The batch shape survives at 100 TB: one Arrow exchange per partition,
-    Python cost linear in token count."""
+    Python cost linear in token count.
+
+    ``max_tokens`` (r14, opt-in) is the pathological-document valve: per-doc
+    cost is O(tokens) here and O(tokens × num_hashes) in the MinHash stage
+    downstream, all inside ONE task — a 100 TB corpus carries concatenated
+    logs and binary-as-text with 10^8 tokens, and one such row is a
+    multi-minute straggler (measured: a single 10^6-token doc added ~60% to
+    a 5k-doc MinHash run). Capping shingles docs to their first
+    ``max_tokens`` tokens is the standard near-dup practice (a prefix this
+    long identifies a duplicate as reliably as the full body); exact dedup
+    (l01) still sees full texts. Default None = no behavior change."""
 
     @pandas_udf("array<string>")
     def _sh(texts: pd.Series) -> pd.Series:
@@ -152,6 +166,8 @@ def doc_shingles(
             if t is None:
                 return []
             w = [x for x in t.split(" ") if x]
+            if max_tokens is not None:
+                w = w[:max_tokens]
             if not w:
                 return []
             return list(dict.fromkeys(
@@ -166,10 +182,15 @@ def doc_shingles(
 
 
 def shingle_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_tokens: int | None = None,
 ) -> DataFrame:
-    """(id, shingle) inverted-index rows — the exploded form."""
-    return doc_shingles(df, text_col, id_col, n).select(
+    """(id, shingle) inverted-index rows — the exploded form.
+    ``max_tokens``: see :func:`doc_shingles` (pathological-doc valve)."""
+    return doc_shingles(df, text_col, id_col, n, max_tokens=max_tokens).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
 
@@ -184,6 +205,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
     shingle_key: str = "string",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 shingle, scored with exact Jaccard and
     filtered to ``threshold``. ``max_shingle_df`` drops ubiquitous shingles
@@ -207,7 +229,7 @@ def jaccard_pairs(
     # in the lazy mode's worst case. The r09 A/B on this host
     # (scripts/l06_checkpoint_ab.py, table in PROGRESS.md) settled the
     # default; see CHECKPOINT_MODE.
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingle_table(df, text_col, id_col, n, max_tokens=max_tokens)
     if shingle_key == "xxhash64":
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     elif shingle_key != "string":
@@ -500,6 +522,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
     verified with exact Jaccard over the shingle index. Only candidate
@@ -524,7 +547,7 @@ def minhash_dedup_pairs(
     # the tokenize→shingle pipeline, so the worst case is bounded cheap;
     # making all four eager cost ~0.4 s of dedicated-job overhead per call
     # at sf0.1 (4 jobs) for no additional protection.
-    doc_sh = _materialize(doc_shingles(df, text_col, id_col, n))
+    doc_sh = _materialize(doc_shingles(df, text_col, id_col, n, max_tokens=max_tokens))
     sh = doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
     buckets = band_buckets(doc_sh, n_hashes, rows_per_band, hash_fn).localCheckpoint(
         eager=False

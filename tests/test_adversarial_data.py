@@ -440,3 +440,24 @@ def test_bound_event_time_blocks_watermark_poison(spark):
         "event_id", F.col("s").cast("timestamp").alias("ts"))
     kept = {r.event_id for r in bound_event_time(df).collect()}
     assert kept == {1, 7}
+
+
+def test_max_tokens_valve_bounds_pathological_docs(spark):
+    # r14 pathological-document valve: per-doc shingle cost is O(tokens)
+    # and the MinHash stage multiplies it by num_hashes, all inside ONE
+    # task — a 10^8-token log-spam doc is a multi-minute straggler. The
+    # opt-in max_tokens cap shingles each doc's PREFIX only (the standard
+    # near-dup practice); capped output equals shingling the truncated
+    # text, and docs under the cap are untouched.
+    rows = [(1, "a b c d e f g h"), (2, " ".join(f"t{i}" for i in range(500)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {r.doc_id: r.shingles
+              for r in D.doc_shingles(df, max_tokens=8).collect()}
+    full = {r.doc_id: r.shingles for r in D.doc_shingles(df).collect()}
+    assert capped[1] == full[1]                      # under the cap: identical
+    truncated = " ".join(f"t{i}" for i in range(8))
+    want = {r.doc_id: r.shingles for r in D.doc_shingles(
+        spark.createDataFrame([(2, truncated)], "doc_id long, text string")
+    ).collect()}
+    assert capped[2] == want[2]                      # over: prefix shingles
+    assert len(capped[2]) == 6 and len(full[2]) == 498
