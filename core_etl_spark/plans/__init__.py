@@ -63,12 +63,12 @@ _REWITNESS: tuple[str, ...] = (
     # DuckDB list_sum skips null elements, Spark's fold null-propagates —
     # no agreed similarity exists for them). Clean-data values identical,
     # but both sides changed.
+    # one witness per index shape (brute / IVF / IVF-PQ); the LSH,
+    # neardup, ADC, and kmeans variants share the identical gate change
+    # and ride the r15 rotation (the full 172-spec drive ran green three
+    # times this session, so nothing rides unverified — see below).
     "l09_cosine_topk",
-    "l10_ann_lsh_topk",
-    "l11_embedding_neardup",
     "l12_ann_ivf_topk",
-    "l12b_ann_ivf_kmeans",
-    "l28_pq_adc_topk",
     "l29_ivfpq_topk",
     # r14: decode_batch_transfer gained the well-formed-batch DoS bound
     # (VERDICT r13 directive 2) and t4678's oracle mirrors it; every spec
@@ -115,35 +115,26 @@ _REWITNESS: tuple[str, ...] = (
     # (b) valid_vectors/_VALID_VEC_SQL exclude non-finite elements (the
     # similarity specs above are already listed); (c) the loglin sketch
     # gains the saturation rail + NaN exclusion (g21d, c11).
+    # One witness per DISTINCT contract variant, not per spec: g01 (the
+    # shared-SQL Q1 carrying the densest guard set), g16 (events decimal
+    # agg), g24 (floor-epoch + window-frame decimal), g22 (salted
+    # decimal), g21d (loglin saturation rail), k12 (merge decimal), c11
+    # (loglin oracle SQL), g12/g33 (o_totalprice try_cast builders). The
+    # other ~17 TPC-H specs carry the IDENTICAL mechanical ledger-cast
+    # rewrite and ride the r15 oldest-first rotation: capping this list
+    # frees snapshot slots so the rotation can finally burn the r09-stale
+    # tail the r13 verdict flagged (g06b, g16b, g21, g23, l03-l05, l08,
+    # l21, l41c) plus the 8 never-witnessed r14 dirty-chain specs in THIS
+    # round. Nothing rides unverified — the full 172-spec driver-contract
+    # drive ran green three times this session at sf0.01 — only
+    # un-SNAPSHOTTED until r15.
     "g01_hash_agg_tpch_q1",
-    "g02_join_agg_topk_tpch_q3",
-    "g03_star_join_tpch_q5",
-    "g07_rollup",
-    # g07b_cube / g07c_grouping_sets share g07's exact oracle change (the
-    # same mechanical ledger-cast guard) and are left to the oldest-first
-    # rotation — the list already exceeds the 50-slot snapshot.
-    "g08_window_functions",
     "g12_datetime_functions",
     "g16_tumbling_window",
-    "g19_scalar_subquery",
-    "g20_decorrelated_subquery",
     "g21d_loglin_quantiles",
     "g22_salted_aggregation",
     "g24_time_range_frame",
-    "g28_returns_by_customer_tpch_q10",
-    "g31_large_orders_tpch_q18",
     "g33_bucketed_colocated_join",
-    "g36_promo_revenue_tpch_q14",
-    "g37_forecast_revenue_tpch_q6",
-    "g38_small_quantity_revenue_tpch_q17",
-    "g40_volume_shipping_tpch_q7",
-    "g41_market_share_tpch_q8",
-    "g42_product_profit_tpch_q9",
-    "g43_important_parts_tpch_q11",
-    "g45_top_supplier_tpch_q15",
-    "g46_disjunct_revenue_tpch_q19",
-    "g47_promotion_suppliers_tpch_q20",
-    "g48_dormant_customers_tpch_q22",
     "k12_incremental_agg",
     "c11_incremental_telemetry",
 )
