@@ -33,12 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from adv_data_parity import build_corrupted_dir  # noqa: E402 (scripts/)
+# running as `python scripts/extremes_scale_soak.py` puts scripts/ itself
+# at sys.path[0], which is what resolves this sibling import
+from adv_data_parity import build_corrupted_dir  # noqa: E402
 from core_etl_spark.io import load_tables
 from core_etl_spark.plans import all_specs
 from core_etl_spark.session import get_spark
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASE = "/root/testdata/sf0.1"
 K = 10
