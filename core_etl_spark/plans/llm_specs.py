@@ -189,6 +189,10 @@ def l05(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 #: fan-out at DF² per shingle. Mirrored exactly in the oracle below.
 MAX_SHINGLE_DF = 64
 
+#: l06v's max_tokens valve setting — below the corpus median so the
+#: prefix cap genuinely changes the shingle sets the spec verifies.
+DOC_CAP_TOKENS = 40
+
 _SHINGLE_CTE_CAPPED = f"""
 toks AS (SELECT doc_id, {_SH_TOKS} AS t FROM documents),
 sh0 AS (
@@ -233,6 +237,59 @@ def l06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     oracle mirrors the same document-frequency cap, so parity holds with
     the hot-key fan-out bounded."""
     return D.jaccard_pairs(t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF)
+
+
+@register(
+    "l06v_ngram_jaccard_doc_capped",
+    tables=("documents",),
+    # the max_tokens pathological-document valve as a FIRST-CLASS
+    # oracle-backed spec (r14): shingle only each doc's first 40 real
+    # tokens (the snapshot corpus's median is 56, so the cap genuinely
+    # bites on over half the docs — this is not accidentally l06). The
+    # oracle truncates the SAME post-filter token list: the UDF caps
+    # AFTER dropping '' fragments, so the SQL slices list_filter's
+    # output, and DuckDB's [1:40] on a shorter list returns it whole.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, ({_SH_TOKS})[1:{DOC_CAP_TOKENS}] AS t FROM documents
+        ),
+        sh0 AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t) - 2, 1)),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+            FROM toks WHERE len(t) > 0
+        ),
+        hot AS (
+            SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF}
+        ),
+        sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_inter,
+               n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    tags=("llm", "dedup", "jaccard", "valve"),
+)
+def l06v(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """l06 with the max_tokens valve engaged — the operator's prefix
+    shingling is driver-witnessed against a SQL replay that truncates the
+    identical post-filter token list. At 100 TB the cap is what keeps one
+    10^8-token log-spam row from becoming a multi-minute single-task
+    straggler (measured in SCALE.md); this spec pins that the capped
+    SEMANTICS are exactly 'shingle the prefix', not an engine quirk."""
+    return D.jaccard_pairs(
+        t["documents"], threshold=0.5, max_shingle_df=MAX_SHINGLE_DF,
+        max_tokens=DOC_CAP_TOKENS,
+    )
 
 
 @register(
