@@ -62,27 +62,43 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
     # negative-epoch trap), and epoch zero itself; a corrupt device
     # clock produces exactly these, and one far-future row is a
     # watermark poisoner.
+    # arm 14 (r14 duplicate-delivery leg): the row takes its victim's id
+    # AND timestamp (self-join on event_id - 5) but keeps its own
+    # user/type/value/props — a retried ingest delivering the same event
+    # key twice with different content, the EXACT-(ts, id)-tie shape.
+    # Everything that assumes (ts, event_id) is a total order (sequence
+    # verifiers, ORDER BY ... LIMIT fixture windows, row_number ranks,
+    # as-of outputs keyed by event_id) meets real duplicates; any
+    # divergence means an operator or oracle makes an ARBITRARY pick
+    # among tied rows.
     con.execute(f"""
         COPY (
-            SELECT event_id,
-                   CASE WHEN event_id % 29 = 0 THEN NULL
-                        WHEN event_id % 29 = 10 THEN TIMESTAMP '1677-09-21 00:12:44.5'
-                        WHEN event_id % 29 = 11 THEN TIMESTAMP '1969-12-31 23:58:30.5'
-                        WHEN event_id % 29 = 12 THEN TIMESTAMP '2262-04-11 23:47:16'
-                        WHEN event_id % 29 = 13 THEN TIMESTAMP '1970-01-01 00:00:00'
-                        ELSE ts END AS ts,
-                   CASE WHEN event_id % 29 = 1 THEN NULL ELSE user_id END AS user_id,
-                   CASE WHEN event_id % 29 = 2 THEN NULL ELSE event_type END AS event_type,
-                   CASE WHEN event_id % 29 = 3 THEN NULL
-                        WHEN event_id % 29 = 6 THEN 'NaN'::DOUBLE
-                        WHEN event_id % 29 = 7 THEN 'Infinity'::DOUBLE
-                        WHEN event_id % 29 = 8 THEN '-Infinity'::DOUBLE
-                        WHEN event_id % 29 = 9 THEN 1e308
-                        ELSE value END AS value,
-                   CASE WHEN event_id % 29 = 4 THEN NULL
-                        WHEN event_id % 29 = 5 THEN '{{broken json'
-                        ELSE props END AS props
-            FROM read_parquet('{SRC}/events.parquet')
+            SELECT CASE WHEN e.event_id % 29 = 14 THEN e.event_id - 5
+                        ELSE e.event_id END AS event_id,
+                   CASE WHEN e.event_id % 29 = 14 THEN v.ts
+                        WHEN e.event_id % 29 = 0 THEN NULL
+                        WHEN e.event_id % 29 = 10 THEN TIMESTAMP '1677-09-21 00:12:44.5'
+                        WHEN e.event_id % 29 = 11 THEN TIMESTAMP '1969-12-31 23:58:30.5'
+                        WHEN e.event_id % 29 = 12 THEN TIMESTAMP '2262-04-11 23:47:16'
+                        WHEN e.event_id % 29 = 13 THEN TIMESTAMP '1970-01-01 00:00:00'
+                        ELSE e.ts END AS ts,
+                   CASE WHEN e.event_id % 29 = 1 THEN NULL ELSE e.user_id END AS user_id,
+                   CASE WHEN e.event_id % 29 = 2 THEN NULL ELSE e.event_type END AS event_type,
+                   CASE WHEN e.event_id % 29 = 3 THEN NULL
+                        WHEN e.event_id % 29 = 6 THEN 'NaN'::DOUBLE
+                        WHEN e.event_id % 29 = 7 THEN 'Infinity'::DOUBLE
+                        WHEN e.event_id % 29 = 8 THEN '-Infinity'::DOUBLE
+                        WHEN e.event_id % 29 = 9 THEN 1e308
+                        ELSE e.value END AS value,
+                   CASE WHEN e.event_id % 29 = 4 THEN NULL
+                        WHEN e.event_id % 29 = 5 THEN '{{broken json'
+                        ELSE e.props END AS props
+            -- the victim (event_id - 5) is always ≡ 9 (mod 29): its own ts
+            -- arm never fires, so its raw ts IS its post-corruption ts and
+            -- the duplicate pair ties EXACTLY on (ts, event_id)
+            FROM read_parquet('{SRC}/events.parquet') e
+            LEFT JOIN read_parquet('{SRC}/events.parquet') v
+              ON v.event_id = e.event_id - 5
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
     # TPC-H tables (r13 third leg): null dates, flags, measures and
