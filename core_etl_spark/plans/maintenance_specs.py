@@ -832,12 +832,12 @@ _O2B_ROWS, _O2B_PER_FILE, _O2B_MOD = 200, 50, 12
 _O2B_ORACLE = f"""
     WITH base AS (
         SELECT ts, event_id, user_id, event_type,
-               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+               row_number() OVER (ORDER BY ts, event_id, user_id) - 1 AS rn
         FROM (SELECT * FROM events
               WHERE ts IS NOT NULL AND user_id IS NOT NULL
           AND {_TS_BOUND_SQL}
                 AND event_type IS NOT NULL
-              ORDER BY ts, event_id LIMIT {_O2B_ROWS})
+              ORDER BY ts, event_id, user_id LIMIT {_O2B_ROWS})
     ),
     batched AS (
         SELECT CAST(user_id % {_O2B_MOD} AS VARCHAR) AS fp, event_type,
@@ -908,12 +908,12 @@ def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             F.col("user_id").isNotNull()
             & F.col("event_type").isNotNull()
         )
+        .orderBy("ts", "event_id", "user_id")
+        .limit(_O2B_ROWS)
         .select(
             "ts", "event_id", "event_type",
             (F.col("user_id") % _O2B_MOD).cast("string").alias("fp"),
         )
-        .orderBy("ts", "event_id")
-        .limit(_O2B_ROWS)
         .collect()  # bounded: _O2B_ROWS rows
     )
     root = _tf.mkdtemp(prefix="stateful_spec_")
@@ -995,15 +995,15 @@ _O2C_ROWS, _O2C_PER_BATCH, _O2C_MOD, _O2C_DELAY_MIN = 200, 25, 37, 97
 
 _O2C_ORACLE = f"""
     WITH RECURSIVE base AS (
-        SELECT (user_id % {_O2C_MOD}) AS key, ts, event_id
+        SELECT (user_id % {_O2C_MOD}) AS key, ts, event_id, user_id
         FROM events
         WHERE ts IS NOT NULL AND user_id IS NOT NULL
           AND {_TS_BOUND_SQL}
-        ORDER BY ts, event_id LIMIT {_O2C_ROWS}
+        ORDER BY ts, event_id, user_id LIMIT {_O2C_ROWS}
     ),
     src AS (
-        SELECT key, ts, event_id,
-               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+        SELECT key, ts, event_id, user_id,
+               row_number() OVER (ORDER BY ts, event_id, user_id) - 1 AS rn
         FROM base
     ),
     -- one row per (key, micro-batch): the builder writes exactly these
@@ -1012,7 +1012,7 @@ _O2C_ORACLE = f"""
             SELECT key, ts, CAST(rn // {_O2C_PER_BATCH} AS INT) AS b,
                    row_number() OVER (
                        PARTITION BY key, CAST(rn // {_O2C_PER_BATCH} AS INT)
-                       ORDER BY ts, event_id) AS rk
+                       ORDER BY ts, event_id, user_id) AS rk
             FROM src
         ) WHERE rk = 1
     ),
@@ -1084,11 +1084,11 @@ def o2c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     fixture = (  # dirty-events + watermark-poisoning guards — see o2b
         bound_event_time(t["events"])
         .filter(F.col("user_id").isNotNull())
+        .orderBy("ts", "event_id", "user_id")
+        .limit(_O2C_ROWS)
         .select(
             (F.col("user_id") % _O2C_MOD).alias("key"), "ts", "event_id"
         )
-        .orderBy("ts", "event_id")
-        .limit(_O2C_ROWS)
         .collect()  # bounded: _O2C_ROWS rows
     )
     root = _tf.mkdtemp(prefix="wmdedup_spec_")
@@ -1392,7 +1392,7 @@ _O2E_ORACLE = f"""
         FROM events
         WHERE ts IS NOT NULL AND user_id IS NOT NULL
           AND {_TS_BOUND_SQL}
-        ORDER BY ts, event_id LIMIT {_O2E_ROWS}
+        ORDER BY ts, event_id, user_id LIMIT {_O2E_ROWS}
     ),
     l AS (SELECT (user_id % {_O2E_MOD}) AS key, ts AS l_ts
           FROM base WHERE event_id % 2 = 0),
@@ -1439,9 +1439,9 @@ def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     fixture = (  # dirty-events + watermark-poisoning guards — see o2b
         bound_event_time(t["events"])
         .filter(F.col("user_id").isNotNull())
-        .select("ts", "event_id", (F.col("user_id") % _O2E_MOD).alias("key"))
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "user_id")
         .limit(_O2E_ROWS)
+        .select("ts", "event_id", (F.col("user_id") % _O2E_MOD).alias("key"))
         .collect()  # bounded: _O2E_ROWS rows
     )
     left = [(r.key, r.ts) for r in fixture if r.event_id % 2 == 0]
@@ -1513,7 +1513,7 @@ _O2F_ORACLE = f"""
         FROM (SELECT * FROM events
               WHERE ts IS NOT NULL AND user_id IS NOT NULL
           AND {_TS_BOUND_SQL}
-              ORDER BY ts, event_id LIMIT {_O2F_ROWS})
+              ORDER BY ts, event_id, user_id LIMIT {_O2F_ROWS})
     ),
     flag AS (
         SELECT user_id, ts,
@@ -1578,9 +1578,9 @@ def o2f(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     fixture = (  # dirty-events + watermark-poisoning guards — see o2b
         bound_event_time(t["events"])
         .filter(F.col("user_id").isNotNull())
-        .select("ts", "event_id", (F.col("user_id") % _O2F_MOD).alias("user_id"))
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "user_id")
         .limit(_O2F_ROWS)
+        .select("ts", "event_id", (F.col("user_id") % _O2F_MOD).alias("user_id"))
         .collect()  # bounded: _O2F_ROWS rows
     )
     root = _tf.mkdtemp(prefix="sesswin_spec_")
@@ -1671,3 +1671,69 @@ def k13(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     stored = old.join(dim, "c_custkey")
     merged = incremental_join_append(stored, batch, dim, "c_custkey")
     return merged.select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "o1d_duplicate_redelivery",
+    tables=(),
+    oracle=_o1_oracle(
+        nb=300,
+        extra=(
+            "CAST(300 AS BIGINT) AS n_backfilled,"
+            " CAST(300 AS BIGINT) AS n_redelivered"
+        ),
+    ),
+    tags=("o1", "idempotency", "pipeline", "etl", "mutation"),
+)
+def o1d(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """Ingest idempotency (r15, VERDICT r14 directive 1 — the last
+    reference-parity gap): the reference's PRIMARY KEYs reject a
+    re-delivered block at insert time (etl.rs:147-169, sqlite3.rs:68-108);
+    here ``Lake._drop_redelivered`` anti-joins incoming natural keys
+    against the touched buckets. This spec backfills the 300-block fixture
+    chain with chunk (150) deliberately MISALIGNED to the bucket size
+    (125) — so the normal forward path already crosses a committed bucket
+    and must drop nothing — then re-delivers two full chunks (100..249 and
+    150..299: partial-bucket, full-bucket, and tip overlaps) through the
+    same ``ingest_raw`` slice, simulating crashed-and-retried deliveries.
+    The warehouse end-state digest must equal DuckDB's replay of exactly
+    ONE delivery: any double-append changes n_rows and the value digest."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..lake import Lake
+    from ..pipeline import backfill, ingest_raw
+    from ..sources.fixtures import WATCH_CONTRACT
+    from ..sources.provider import FixtureBlockProvider
+
+    root = _tf.mkdtemp(prefix="redelivery_spec_")
+    lake = Lake(spark, root, bucket_size=125)
+    try:
+        with _shuffle_partitions(spark, 8):
+            provider = FixtureBlockProvider(n_blocks=300, txs_per_block=4)
+            n = backfill(spark, lake, provider, (WATCH_CONTRACT,), chunk_size=150)
+            redelivered = 0
+            for lo, hi in ((100, 249), (150, 299)):
+                raw = provider.fetch_blocks(spark, lo, hi)
+                ingest_raw(lake, raw, (WATCH_CONTRACT,), provider.receipts_for)
+                redelivered += hi - lo + 1
+            epoch = F.col("created_at").cast("long")
+            out = (
+                _digest_frame(lake.blocks(), "blocks", _blk_digest_cols())
+                .unionByName(_digest_frame(
+                    lake.transactions(), "transactions",
+                    ["hash", "nonce", "block_hash", "block_number",
+                     "transaction_index", "from_addr", "to_addr", "value",
+                     "energy", "energy_price", "input", epoch],
+                ))
+                .unionByName(_digest_frame(
+                    lake.token_transfers(), "token_transfers",
+                    ["block_number", "from_addr", "to_addr", "value", "tx_hash",
+                     "address", "transfer_index", "status", epoch],
+                ))
+                .withColumn("n_backfilled", F.lit(n).cast("long"))
+                .withColumn("n_redelivered", F.lit(redelivered).cast("long"))
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)

@@ -101,6 +101,22 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
               ON v.event_id = e.event_id - 5
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
+    # ADVICE r14 item 1: the o2b/o2c/o2e/o2f fixture windows ORDER BY
+    # (ts, event_id, user_id) — arm 14 plants exact (ts, event_id)
+    # duplicate pairs, so the user_id tiebreaker is what keeps the window
+    # order TOTAL on this dirty table. Assert that here: a future arm that
+    # also collided user_id would make window membership engine-arbitrary
+    # again, and this sweep must fail loudly instead of passing by luck.
+    ties = con.execute(f"""
+        SELECT count(*) FROM (
+            SELECT 1 FROM read_parquet('{DST}/events.parquet')
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY ts, event_id, user_id HAVING count(*) > 1)
+    """).fetchone()[0]
+    assert ties == 0, (
+        f"(ts, event_id, user_id) is not a total order on the dirty "
+        f"events table: {ties} tied groups — extend the tiebreaker"
+    )
     # TPC-H tables (r13 third leg): null dates, flags, measures and
     # foreign keys in lineitem/orders — integrity violations a real
     # warehouse ingest produces; probes the relational surface's

@@ -95,7 +95,14 @@ def main() -> None:
                 import shutil
 
                 d = os.path.join(dst, f"{t}.parquet")
-                (shutil.copytree if os.path.isdir(p) else shutil.copyfile)(p, d)
+                # re-run friendly (ADVICE r14): refresh existing copies
+                # instead of raising FileExistsError/IsADirectoryError
+                if os.path.isdir(p):
+                    shutil.copytree(p, d, dirs_exist_ok=True)
+                else:
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
+                    shutil.copyfile(p, d)
 
     specs = all_specs()
     results = []

@@ -1848,3 +1848,30 @@ def test_pq_encoders_agree_on_null_and_empty_vectors(spark):
            for r in S.pq_encode_pandas(docs, cb).collect()}
     assert lit == pdp
     assert lit[100] == [None, None] and lit[101] == [None, None]
+
+
+def test_strata_cardinality_guard(spark):
+    # Bounded-strata contract (r15, VERDICT r14 item 3): a high-cardinality
+    # strata column (doc_id-like) must raise loudly instead of collecting
+    # one row per value to the driver.
+    import pytest
+
+    from core_etl_spark.operators import sampling as S
+
+    wide = spark.range(0, 30).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("doc_id"),
+    )
+    old = S.MAX_STRATA
+    S.MAX_STRATA = 10
+    try:
+        with pytest.raises(ValueError, match="more than 10 distinct strata"):
+            S.temperature_sample(wide, strata_col="url", key_col="doc_id")
+        # mixture_rebalance pre-filters to the target strata, so even a
+        # wide column stays under the cap when few strata are targeted
+        kept, thr = S.mixture_rebalance(
+            wide, {"u1": 1, "u2": 1}, strata_col="url", key_col="doc_id"
+        )
+        assert set(thr) == {"u1", "u2"}
+    finally:
+        S.MAX_STRATA = old

@@ -374,8 +374,21 @@ def test_snapshot_rotation_front_loads_stalest():
     assert set(names) == set(plans.REGISTRY)
     k = len(plans._REWITNESS)
     assert names[:k] == list(plans._REWITNESS)
-    rounds = [latest.get(n, 0) for n in names[k:]]
-    assert rounds == sorted(rounds), "rotation is not oldest-first"
+    # r15 (VERDICT r14 directive 7): the designed rows-only specs sort
+    # behind every oracle-backed spec so no snapshot seat is spent on a
+    # hash-less `no_oracle` row; within each class the order is ascending
+    # staleness.
+    rest = names[k:]
+    backed = [n for n in rest if plans.REGISTRY[n].oracle is not None]
+    rows_only = [n for n in rest if plans.REGISTRY[n].oracle is None]
+    assert rest == backed + rows_only, "rows-only specs not ordered last"
+    for group in (backed, rows_only):
+        rounds = [latest.get(n, 0) for n in group]
+        assert rounds == sorted(rounds), "rotation is not oldest-first"
+    # the driver snapshots the head-50: every seat must carry hash evidence
+    assert all(
+        plans.REGISTRY[n].oracle is not None for n in names[:50]
+    ), "a rows-only spec occupies a snapshot seat"
     # every _REWITNESS name must resolve (the r05 fail-loud guard)
     assert not set(plans._REWITNESS) - set(plans.REGISTRY)
     # The optimum-cycle arithmetic derives from the LIVE registry, never a

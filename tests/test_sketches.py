@@ -1095,3 +1095,214 @@ def test_store_lock_true_race_converges_with_retry(spark, tmp_path):
         whole, spark.read.parquet(store), ["row_idx", "col_idx", "n"]
     )
     assert sorted(sketches._applied_batch_ids(spark, store)) == ["0", "1"]
+
+
+def test_store_lock_three_way_contested_restore(tmp_path, monkeypatch):
+    # VERDICT r14 item 2 — the three-way race: breaker B judges sentinel S
+    # stale; winner A breaks S and recreates FRESH before B's rename-aside
+    # lands (B catches A's live lock); waiter C then claims the freed path
+    # before B's restore. The restore must (a) never clobber C's lock (the
+    # r14 os.rename restore REPLACED it on POSIX) and (b) raise loudly
+    # instead of letting B's caller re-enter the create loop as a second
+    # holder.
+    import os
+    import socket
+    import time
+
+    import pytest
+
+    lockpath = str(tmp_path / "s__lock")
+    now = time.time()
+    host = socket.gethostname()
+    stale = f"1 {now - 2 * sketches._LOCK_STALE_SEC} {host}"
+    fresh = f"{os.getpid()} {now} {host}"
+    c_lock = f"77777 {now} {host}"
+    with open(lockpath, "w") as f:
+        f.write(stale)
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst, **kw):
+        if src == lockpath and os.path.exists(src):
+            with open(src) as fh:
+                cur = fh.read()
+            if cur == stale:
+                with open(src, "w") as fh:
+                    fh.write(fresh)  # A's break+recreate lands first
+                real_rename(src, dst, **kw)
+                with open(lockpath, "w") as fh:
+                    fh.write(c_lock)  # C claims the freed path
+                return
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    with pytest.raises(sketches.StoreLockedError, match="contested"):
+        lk._break_stale()
+    with open(lockpath) as fh:
+        assert fh.read() == c_lock  # C's lock never clobbered
+    grave = f"{lockpath}.stale.{os.getpid()}"
+    with open(grave) as fh:
+        assert fh.read() == fresh  # displaced sentinel parked, not lost
+
+
+def test_store_lock_three_way_no_second_holder(tmp_path, monkeypatch):
+    # Same interleaving driven through the FULL acquire path, with C
+    # holding through the restore window: pre-r15 the failed restore was
+    # `pass`-ed and the loop re-entered the create path — if C released a
+    # moment later, B acquired while A (its sentinel stranded in B's
+    # grave) still believed it held: two holders. Now the contested
+    # restore raises straight out of __enter__ — B never reaches the
+    # create retry at all, whatever C does next.
+    import os
+    import socket
+    import time
+
+    import pytest
+
+    lockpath = str(tmp_path / "s__lock")
+    now = time.time()
+    host = socket.gethostname()
+    stale = f"1 {now - 2 * sketches._LOCK_STALE_SEC} {host}"
+    fresh = f"88888 {now} {host}"
+    c_lock = f"99999 {now} {host}"
+    with open(lockpath, "w") as f:
+        f.write(stale)
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst, **kw):
+        if src == lockpath and os.path.exists(src):
+            with open(src) as fh:
+                cur = fh.read()
+            if cur == stale:
+                with open(src, "w") as fh:
+                    fh.write(fresh)
+                real_rename(src, dst, **kw)
+                with open(lockpath, "w") as fh:
+                    fh.write(c_lock)  # C claims the freed path and holds
+                return
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    with pytest.raises(sketches.StoreLockedError, match="contested"):
+        lk.__enter__()
+    assert lk._token is None  # B never wrote a sentinel — it never held
+    with open(lockpath) as fh:
+        assert fh.read() == c_lock  # C's lock intact, never clobbered
+
+
+def test_store_lock_benign_restore_then_held(tmp_path, monkeypatch):
+    # The SAME A-recreates-inside-B's-window race but with the path still
+    # free at restore time: the link-restore hands A its lock back and B
+    # simply reports it held — the convergent outcome, exactly one holder.
+    import os
+    import socket
+    import time
+
+    import pytest
+
+    lockpath = str(tmp_path / "s__lock")
+    now = time.time()
+    host = socket.gethostname()
+    stale = f"1 {now - 2 * sketches._LOCK_STALE_SEC} {host}"
+    fresh = f"{os.getpid()} {now} {host}"  # our pid: probes alive
+    with open(lockpath, "w") as f:
+        f.write(stale)
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst, **kw):
+        if src == lockpath and os.path.exists(src):
+            with open(src) as fh:
+                cur = fh.read()
+            if cur == stale:
+                with open(src, "w") as fh:
+                    fh.write(fresh)
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    with pytest.raises(sketches.StoreLockedError, match="held"):
+        lk.__enter__()
+    with open(lockpath) as fh:
+        assert fh.read() == fresh  # A's lock restored, exactly one holder
+    assert not os.path.exists(f"{lockpath}.stale.{os.getpid()}")
+
+
+def test_store_lock_readback_detects_displacement(tmp_path, monkeypatch):
+    # A breaker whose staleness judgment predates OUR create can rename
+    # our fresh sentinel aside right after we write it. The post-acquire
+    # readback must catch the theft instead of returning as a holder.
+    import os
+    import socket
+    import time
+
+    import pytest
+
+    lockpath = str(tmp_path / "s__lock")
+    host = socket.gethostname()
+    thief = f"55555 {time.time()} {host}"
+    real_fdopen = os.fdopen
+
+    def thieving_fdopen(fd, *a, **kw):
+        f = real_fdopen(fd, *a, **kw)
+
+        class Stealer:
+            def __enter__(self_inner):
+                return f.__enter__()
+
+            def __exit__(self_inner, *exc):
+                r = f.__exit__(*exc)
+                # between our write landing and the readback: breaker
+                # renames our sentinel aside, a new holder claims the path
+                os.rename(lockpath, f"{lockpath}.stale.999")
+                with open(lockpath, "w") as fh:
+                    fh.write(thief)
+                return r
+
+        return Stealer()
+
+    monkeypatch.setattr(os, "fdopen", thieving_fdopen)
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    with pytest.raises(sketches.StoreLockedError):
+        lk.__enter__()
+    with open(lockpath) as fh:
+        assert fh.read() == thief  # the live holder was never disturbed
+
+
+def test_store_lock_reclaims_own_restored_sentinel(tmp_path):
+    # If our displaced sentinel is link-restored by the breaker after we
+    # re-queued, the path holds OUR token: adopting it is safe and avoids
+    # waiting out our own pid-alive sentinel.
+    import os
+    import socket
+    import time
+
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    tok = f"{os.getpid()} {time.time()} {socket.gethostname()}"
+    lk._token = tok
+    with open(lk._lock, "w") as f:
+        f.write(tok)
+    assert lk.__enter__() is lk
+    lk.__exit__(None, None, None)
+    assert not os.path.exists(lk._lock)
+
+
+def test_store_lock_release_is_content_checked(tmp_path):
+    # An instance whose lock was broken-and-reacquired by someone else
+    # must not release the new holder's lock on exit.
+    import os
+    import socket
+    import time
+
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    lk._token = "mine 0 nowhere"
+    other = f"4242 {time.time()} {socket.gethostname()}"
+    with open(lk._lock, "w") as f:
+        f.write(other)
+    lk.__exit__(None, None, None)
+    assert os.path.exists(lk._lock)
+    with open(lk._lock) as f:
+        assert f.read() == other
