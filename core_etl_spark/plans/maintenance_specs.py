@@ -832,12 +832,12 @@ _O2B_ROWS, _O2B_PER_FILE, _O2B_MOD = 200, 50, 12
 _O2B_ORACLE = f"""
     WITH base AS (
         SELECT ts, event_id, user_id, event_type,
-               row_number() OVER (ORDER BY ts, event_id, user_id) - 1 AS rn
+               row_number() OVER (ORDER BY ts, event_id, user_id, event_type) - 1 AS rn
         FROM (SELECT * FROM events
               WHERE ts IS NOT NULL AND user_id IS NOT NULL
           AND {_TS_BOUND_SQL}
                 AND event_type IS NOT NULL
-              ORDER BY ts, event_id, user_id LIMIT {_O2B_ROWS})
+              ORDER BY ts, event_id, user_id, event_type LIMIT {_O2B_ROWS})
     ),
     batched AS (
         SELECT CAST(user_id % {_O2B_MOD} AS VARCHAR) AS fp, event_type,
@@ -908,7 +908,7 @@ def o2b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             F.col("user_id").isNotNull()
             & F.col("event_type").isNotNull()
         )
-        .orderBy("ts", "event_id", "user_id")
+        .orderBy("ts", "event_id", "user_id", "event_type")
         .limit(_O2B_ROWS)
         .select(
             "ts", "event_id", "event_type",

@@ -101,21 +101,33 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
               ON v.event_id = e.event_id - 5
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
-    # ADVICE r14 item 1: the o2b/o2c/o2e/o2f fixture windows ORDER BY
-    # (ts, event_id, user_id) — arm 14 plants exact (ts, event_id)
-    # duplicate pairs, so the user_id tiebreaker is what keeps the window
-    # order TOTAL on this dirty table. Assert that here: a future arm that
-    # also collided user_id would make window membership engine-arbitrary
-    # again, and this sweep must fail loudly instead of passing by luck.
+    # ADVICE r14 item 1: arm 14 plants exact (ts, event_id) duplicate
+    # pairs, so the o2b/o2c/o2e/o2f fixture windows carry content
+    # tiebreakers — ORDER BY (ts, event_id, user_id[, event_type in o2b]).
+    # That chain is deliberately NOT a total order (user_id/event_type are
+    # low-cardinality, and pairs DO collide at sf0.001/sf0.01); it doesn't
+    # need to be, because the four windows project ONLY functions of
+    # exactly those chain columns (fp/key = user_id % M; event_type) — any
+    # rows still tied after the chain are IDENTICAL in every projected
+    # column, so an engine-arbitrary rank/LIMIT assignment between them is
+    # unobservable. The tripwire below guards the two ways that argument
+    # can rot: (a) a future corruption arm planting FULLY identical rows
+    # would surface here first (read this comment, then relax knowingly);
+    # (b) if an o2* window ever projects value/props, extend the GROUP BY
+    # below to the new chain and re-run — a full-content tie group is the
+    # only shape whose window placement could silently diverge.
     ties = con.execute(f"""
         SELECT count(*) FROM (
             SELECT 1 FROM read_parquet('{DST}/events.parquet')
             WHERE ts IS NOT NULL AND user_id IS NOT NULL
-            GROUP BY ts, event_id, user_id HAVING count(*) > 1)
+            GROUP BY ts, event_id, user_id, event_type, props,
+                     CAST(value AS VARCHAR)
+            HAVING count(*) > 1)
     """).fetchone()[0]
     assert ties == 0, (
-        f"(ts, event_id, user_id) is not a total order on the dirty "
-        f"events table: {ties} tied groups — extend the tiebreaker"
+        f"{ties} fully-identical event rows on the dirty table — window "
+        "membership for them is engine-arbitrary only if a fixture window "
+        "projects beyond (user_id, event_type); see comment above"
     )
     # TPC-H tables (r13 third leg): null dates, flags, measures and
     # foreign keys in lineitem/orders — integrity violations a real

@@ -84,3 +84,38 @@ def test_corrupt_data_parity(name, spark, corrupt_dir, corrupt_duck):
     sdf = spec.builder(spark, corrupt_dir)
     problems = compare(sdf, corrupt_duck.execute(spec.oracle).fetchdf())
     assert not problems, f"{name} diverged on corrupted tables: {problems}"
+
+
+#: float-bearing family representatives for the NULL-vs-NaN mask check
+#: (VERDICT r14 directive 8): the ledger-cast contract on TPC-H and events
+#: surfaces, the similarity validity gate, the loglin saturation rail, the
+#: sampling thresholds, and the time-RANGE frame — the surfaces where a
+#: NULL-vs-NaN regression would hide from the pandas-mediated value hash.
+MASK_REPRESENTATIVES = (
+    "g01_hash_agg_tpch_q1",
+    "g16_tumbling_window",
+    "g21d_loglin_quantiles",
+    "g24_time_range_frame",
+    "l09_cosine_topk",
+    "l37_temperature_sampling",
+)
+
+
+@pytest.mark.parametrize("name", MASK_REPRESENTATIVES)
+def test_corrupt_data_mask_parity(name, spark, corrupt_dir, corrupt_duck):
+    # Native-fetch NULL/NaN/Inf mask compare (tests/parity.mask_diffs, the
+    # r14 audit promoted into the default suite): pandas conflates SQL NULL
+    # and IEEE NaN in float64 columns, so test_corrupt_data_parity alone
+    # cannot see a spec emitting NULL on one engine and NaN on the other.
+    # Per key-joined row where the result carries a stable key (ADVICE r14:
+    # catches compensating swaps inside a column), per-column multiset
+    # otherwise.
+    from tests.parity import mask_diffs
+
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, corrupt_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    cur = corrupt_duck.execute(spec.oracle)
+    o_cols = [d[0] for d in cur.description]
+    diffs = mask_diffs(s_rows, list(sdf.columns), cur.fetchall(), o_cols)
+    assert not diffs, f"{name} NULL/NaN mask diverged: {diffs}"
