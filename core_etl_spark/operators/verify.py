@@ -154,3 +154,60 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS (col, n_nonnull, n_distinct)",
         "_n AS n_rows",
     ).select("col", "n_rows", "n_nonnull", "n_distinct")
+
+
+def measure_cast_quarantine(
+    df: DataFrame, cols: list[str], precision: int = 12, scale: int = 2
+) -> DataFrame:
+    """Observability for the ledger-cast contract (r15, ADVICE r14): the
+    contract maps any measure the DECIMAL(p,s) grid cannot represent —
+    NaN, ±Inf, or a finite overflow like 1e308 — to NULL, which SUM then
+    skips while COUNT(*)-based averages still count the row. Correct and
+    engine-consistent, but silent: a corrupt-but-finite money value simply
+    vanishes from totals. This audit makes the drop channel visible — one
+    row per measure column with the quarantine counts by class:
+
+    ``(col, n_rows, n_nonnull, n_nan, n_inf, n_overflow, n_quarantined)``
+
+    where ``n_overflow`` counts finite values rejected by the decimal cast
+    and ``n_quarantined`` is the total excluded from SUM (everything
+    non-null the ledger cast NULLs). Run it next to any money aggregate
+    the way ``bound_event_time``'s inverse predicate audits watermark
+    poisoning: totals stay clean, drops stay counted.
+
+    Scale shape mirrors :func:`profile_columns`: every class count rides
+    ONE aggregation over one scan (row-local column expressions, no
+    shuffle beyond the single 1-row agg), then a zero-shuffle ``stack`` to
+    one-row-per-column."""
+    if not cols:
+        raise ValueError("measure_cast_quarantine: cols must name at least one column")
+    dec = f"decimal({precision},{scale})"
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        is_nan = F.isnan(col)
+        is_inf = col.cast("double").isin(float("inf"), float("-inf"))
+        finite = col.isNotNull() & ~is_nan & ~is_inf
+        rejected = finite & col.try_cast(dec).isNull()
+        aggs.append(F.count(col).alias(f"_nn_{c}"))
+        aggs.append(F.sum(is_nan.cast("long")).alias(f"_nan_{c}"))
+        aggs.append(F.sum(is_inf.cast("long")).alias(f"_inf_{c}"))
+        aggs.append(F.sum(rejected.cast("long")).alias(f"_ov_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nan_{c}, _inf_{c}, _ov_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nonnull, n_nan, n_inf, n_overflow)",
+        "_n AS n_rows",
+    ).select(
+        "col",
+        "n_rows",
+        "n_nonnull",
+        "n_nan",
+        "n_inf",
+        "n_overflow",
+        (F.col("n_nan") + F.col("n_inf") + F.col("n_overflow")).alias(
+            "n_quarantined"
+        ),
+    )

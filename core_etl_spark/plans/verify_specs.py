@@ -257,3 +257,49 @@ def v06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         .unionByName(chk("order_orphans", o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")))
         .unionByName(chk("childless_orders", o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti")))
     )
+
+
+def _quar_leg(c: str) -> str:
+    # nested CASE keeps TRY_CAST away from NaN rows — DuckDB's TRY_CAST
+    # errors on NaN (Invalid Input) instead of returning NULL, the same
+    # trap the ledger-cast contract guards (plans/relational.py)
+    return f"""
+        SELECT '{c}' AS col, COUNT(*) AS n_rows,
+               COUNT({c}) AS n_nonnull,
+               CAST(SUM(CASE WHEN isnan({c}) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+               CAST(SUM(CASE WHEN isinf({c}) THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+               CAST(SUM(CASE WHEN {c} IS NOT NULL AND NOT isnan({c})
+                                  AND NOT isinf({c})
+                             THEN CASE WHEN TRY_CAST({c} AS DECIMAL(12,2)) IS NULL
+                                       THEN 1 ELSE 0 END
+                             ELSE 0 END) AS BIGINT) AS n_overflow
+        FROM lineitem"""
+
+
+@register(
+    "v07_measure_cast_quarantine",
+    tables=("lineitem",),
+    oracle=f"""
+        SELECT col, n_rows, n_nonnull, n_nan, n_inf, n_overflow,
+               n_nan + n_inf + n_overflow AS n_quarantined
+        FROM ({_quar_leg("l_quantity")}
+              UNION ALL {_quar_leg("l_extendedprice")}
+              UNION ALL {_quar_leg("l_discount")}
+              UNION ALL {_quar_leg("l_tax")})
+    """,
+    tags=("verify", "v7", "quarantine", "extension", "adversarial"),
+)
+def v07(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """V7 extension (r15, ADVICE r14): the ledger-cast quarantine audit —
+    per measure column, how many values the DECIMAL(12,2) ledger grid
+    rejects (NaN / ±Inf / finite overflow), i.e. how many rows SUM
+    silently skips while COUNT(*)-based averages still count them. Zero
+    everywhere on clean data (this oracle proves the formula); the
+    adversarial sweep's NaN/Inf/1e308 arms make every class non-zero
+    (pinned with exact counts in tests/test_adversarial_data.py). One
+    scan, one 1-row aggregate, zero extra shuffles — cheap enough to run
+    beside every money rollup."""
+    return VF.measure_cast_quarantine(
+        t["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

@@ -461,3 +461,35 @@ def test_max_tokens_valve_bounds_pathological_docs(spark):
     ).collect()}
     assert capped[2] == want[2]                      # over: prefix shingles
     assert len(capped[2]) == 6 and len(full[2]) == 498
+
+
+def test_measure_cast_quarantine_counts(spark):
+    # ADVICE r14: the ledger-cast contract silently NULLs any measure the
+    # DECIMAL(12,2) grid rejects; the quarantine audit must count every
+    # such drop by class so the channel is observable. Planted fixture:
+    # each class exactly once, plus NULL (not quarantined — it was never a
+    # value) and representable values (kept).
+    from core_etl_spark.operators.verify import measure_cast_quarantine
+
+    rows = [
+        (1.0,),
+        (9_999_999_999.99,),   # decimal(12,2) max — representable
+        (float("nan"),),
+        (float("inf"),),
+        (float("-inf"),),
+        (1e308,),              # finite overflow
+        (10_000_000_000.0,),   # 1e10: finite, just past the grid
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "m double")
+    out = {r["col"]: r for r in measure_cast_quarantine(df, ["m"]).collect()}
+    m = out["m"]
+    assert m["n_rows"] == 8
+    assert m["n_nonnull"] == 7
+    assert m["n_nan"] == 1
+    assert m["n_inf"] == 2
+    assert m["n_overflow"] == 2
+    assert m["n_quarantined"] == 5
+    # and the audit itself never raises on the values it counts
+    with pytest.raises(ValueError):
+        measure_cast_quarantine(df, [])
