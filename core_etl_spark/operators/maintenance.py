@@ -35,14 +35,26 @@ def detect_reorgs(stored_blocks: DataFrame, incoming_headers: DataFrame) -> Data
     analogue) and a parent-hash mismatch at ``number - 1`` (the stored
     parent is on a dead branch). One column out: ``forked_number``.
 
-    Comparisons are null-safe IS-DISTINCT-FROM (r14 chain-corruption
-    audit): with plain ``!=`` a NULL hash on either side makes the
-    predicate NULL and the row silently DROPS — a reorg at a height whose
-    stored or incoming hash is corrupt would be missed, exactly where
-    vigilance matters most. IS DISTINCT FROM flags the height unless the
-    hashes are provably the same, so a corrupt/NULL stored hash
-    self-heals by re-ingest instead of lingering unverifiable (two NULLs
-    compare same: nothing to act on, nothing provable)."""
+    The two signals carry DIFFERENT null semantics, because they differ in
+    repairability (r15, found by scripts/dirty_chain_soak.py at nb=3000):
+
+    - **same-height**: null-safe IS-DISTINCT-FROM (r14 chain-corruption
+      audit) — with plain ``!=`` a NULL hash on either side makes the
+      predicate NULL and the row silently DROPS, missing a reorg exactly
+      where vigilance matters most. Flagging on NULL is SAFE here: the
+      incoming batch by definition carries that height, so after the
+      truncate the replacement row re-ingests in the same batch — a
+      corrupt stored hash self-heals, no data can be lost.
+    - **parent-mismatch**: requires a DEFINITE disagreement (both hashes
+      non-null and different). The flagged height (``number - 1``) is
+      usually NOT carried by the incoming batch, so truncating it cannot
+      self-heal in-batch — it must be re-fetched. A NULL stored hash at
+      the parent height is *unknowable*, not *disagreeing*: flagging it
+      (the r14 behavior) let one dirty NULL-hash block sitting at a
+      micro-batch boundary truncate real data the stream could never
+      restore. Unknowable parents are left alone; if the chain truly
+      forked there, the same-height signal fires as soon as any batch
+      re-delivers that height with a definite hash."""
     stored = stored_blocks.select(
         F.col("number").alias("_s_number"), F.col("hash").alias("_s_hash")
     )
@@ -54,7 +66,11 @@ def detect_reorgs(stored_blocks: DataFrame, incoming_headers: DataFrame) -> Data
     )
     parent_mismatch = (
         inc.join(stored, inc["number"] - 1 == stored["_s_number"])
-        .filter(~F.col("parent_hash").eqNullSafe(F.col("_s_hash")))
+        .filter(
+            F.col("parent_hash").isNotNull()
+            & F.col("_s_hash").isNotNull()
+            & (F.col("parent_hash") != F.col("_s_hash"))
+        )
         .select(F.col("_s_number").alias("forked_number"))
     )
     return same_height.unionByName(parent_mismatch).distinct()

@@ -66,9 +66,19 @@ _REWITNESS: tuple[str, ...] = (
     "k78_partition_mutations",
     # r15: the threshold samplers gained the bounded-strata guard and
     # mixture_rebalance now pushes the target-strata filter into the count
-    # scan (values unchanged, code changed — sampling._strata_counts).
+    # scan (values unchanged, code changed — sampling._strata_counts; l35
+    # is the seated variant witness, l37's identical change rides the
+    # rotation with a local re-drive this session).
     "l35_mixture_rebalance",
-    "l37_temperature_sampling",
+    # r15: detect_reorgs' parent-mismatch signal now requires DEFINITE
+    # disagreement (both hashes non-null) — the nb=3000 dirty-chain soak
+    # caught the r14 flag-on-unknowable-parent truncating a NULL-hash
+    # block at a micro-batch boundary that the stream could never
+    # restore; same-height keeps IS-DISTINCT-FROM (self-healing). k10x's
+    # VALUES change; k10's clean-chain values are identical but both
+    # builder and oracle text changed.
+    "k10_reorg_detect",
+    "k10x_reorg_detect_dirty",
     # r15 (ADVICE r14 item 1): the o2b/o2c/o2e/o2f fixture windows gained
     # a user_id content tiebreaker (builders + oracles) so the planted
     # (ts, event_id) duplicate pairs of the dirty-warehouse sweep can
@@ -77,11 +87,10 @@ _REWITNESS: tuple[str, ...] = (
     # seated witness for the mechanical change, the other three share the
     # identical one-line rewrite and were locally re-driven this session.
     "o2b_stateful_streaming",
-    # r15: the sketch-store writer lock's restore path is now atomic
-    # no-clobber (link(2)) with loud contested-restore failure, plus
-    # post-acquire readback and content-checked release (VERDICT r14 item
-    # 2); c10 represents the locked-store family.
-    "c10_corpus_telemetry",
+    # (the r15 sketch-store lock rewrite — atomic link(2) restore, loud
+    # contested failure, readback, content-checked release — is
+    # concurrency-only: no spec's single-threaded values change, and the
+    # protocol is pinned by six interleaving unit tests, so no seat.)
     # VERDICT r14 directive 2 — the r14-deferred mechanical twins, seated
     # so the deferred-twin list empties THIS round: the TPC-H ledger-cast
     # tail (identical try_cast contract as the nine r14-witnessed

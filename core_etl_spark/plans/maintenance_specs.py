@@ -82,7 +82,8 @@ def k06(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         parent_mismatch AS (
             SELECT s.number AS forked_number
             FROM incoming i JOIN chain s ON i.number - 1 = s.number
-            WHERE i.parent_hash IS DISTINCT FROM s.hash
+            WHERE i.parent_hash IS NOT NULL AND s.hash IS NOT NULL
+              AND i.parent_hash <> s.hash
         )
         SELECT DISTINCT forked_number
         FROM (SELECT * FROM same_height UNION ALL SELECT * FROM parent_mismatch)
@@ -149,7 +150,8 @@ incoming AS (
         parent_mismatch AS (
             SELECT s.number AS forked_number
             FROM incoming i JOIN stored s ON i.number - 1 = s.number
-            WHERE i.parent_hash IS DISTINCT FROM s.hash
+            WHERE i.parent_hash IS NOT NULL AND s.hash IS NOT NULL
+              AND i.parent_hash <> s.hash
         )
         SELECT DISTINCT forked_number
         FROM (SELECT * FROM same_height UNION ALL SELECT * FROM parent_mismatch)
@@ -157,11 +159,15 @@ incoming AS (
     tags=("k10", "maintenance", "join", "adversarial"),
 )
 def k10x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
-    """K10 on CORRUPT hashes: a NULL hash — stored or incoming — must flag
-    the height, not silently pass (with plain ``!=`` the NULL predicate
-    dropped the row and a reorg at a corrupt height was invisible; r14
-    audit). IS-DISTINCT-FROM semantics: flag unless provably same, so a
-    corrupt stored hash self-heals by re-ingest."""
+    """K10 on CORRUPT hashes, with per-signal null semantics (r15 —
+    operators/maintenance.py::detect_reorgs): a NULL hash at the SAME
+    height flags (the batch carries the replacement, so flag-on-NULL
+    self-heals by re-ingest; with plain ``!=`` the NULL predicate dropped
+    the row and a reorg at a corrupt height was invisible — r14 audit),
+    while the PARENT-mismatch signal requires definite disagreement —
+    the r14 flag-on-unknowable-parent let one NULL-hash block at a
+    micro-batch boundary truncate data the stream could never restore
+    (found by the nb=3000 dirty-chain soak, scripts/dirty_chain_soak.py)."""
     chain = spark.sql(_CHAIN_SQL)
     stored = chain.select(
         "number",

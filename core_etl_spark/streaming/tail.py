@@ -110,6 +110,26 @@ def make_tail_batch_processor(
         # are above the new tip, so they pass it naturally.
         last = lake.latest_block_number()
         fresh = raw.filter(F.col("number") > F.lit(last))
+        # Contiguity guard (r15, found by the nb=3000 dirty-chain soak):
+        # write only the contiguous prefix starting at last+1. Writing past
+        # a gap — a boundary fork just truncated the previous tip, or the
+        # subscription dropped blocks — would advance latest_block_number
+        # beyond a PERMANENT hole that resume (O3: start at latest+1) can
+        # never see again. Skipped heights are not lost: the warehouse tip
+        # stays at the gap, so the alternating backfill (run_with_retry's
+        # loop, or the next catch-up pass) re-fetches from exactly there —
+        # the documented repair story, now actually true. The rank window
+        # is a single in-memory pass over one micro-batch (bounded by the
+        # poll cadence), not over the table.
+        from pyspark.sql import Window as _W
+
+        fresh = (
+            fresh.withColumn(
+                "_rk", F.row_number().over(_W.orderBy("number"))
+            )
+            .filter(F.col("number") == F.col("_rk") + F.lit(last))
+            .drop("_rk")
+        )
         if fresh.isEmpty():
             return
 

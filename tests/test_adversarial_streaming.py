@@ -273,11 +273,14 @@ def test_tail_batch_survives_null_header_fields(spark, tmp_path):
 
 def test_tail_reorg_check_null_hash_headers_no_crash(spark, tmp_path):
     # detect_reorgs over headers with NULL hash/parent_hash: no crash, and
-    # (r14 IS-DISTINCT-FROM contract — see maintenance.detect_reorgs) a
-    # NULL incoming hash against a real stored hash FLAGS the height
-    # rather than silently passing it: the stored block cannot be proven
-    # canonical, so it self-heals by re-ingest. A fully-null header
-    # (NULL number) joins nothing and is inert.
+    # the r15 per-signal null contract (maintenance.detect_reorgs): a NULL
+    # incoming hash against a real stored hash at the SAME height FLAGS it
+    # (the batch carries the replacement — self-heals by re-ingest), but a
+    # NULL incoming PARENT is unknowable, not disagreeing — the flagged
+    # parent height is not in the batch, so truncating it could never
+    # self-heal (the r14 behavior deleted a block at a micro-batch
+    # boundary for good; caught by scripts/dirty_chain_soak.py). A
+    # fully-null header (NULL number) joins nothing and is inert.
     from core_etl_spark.lake import Lake
     from core_etl_spark.operators.transforms import normalize_blocks
     from core_etl_spark.sources import fixtures as FX
@@ -290,13 +293,78 @@ def test_tail_reorg_check_null_hash_headers_no_crash(spark, tmp_path):
         [
             (None, None, None),        # fully null header: joins nothing
             (2, None, None),           # NULL hash at stored height 2 → flag 2;
-                                       # NULL parent vs stored hash 1 → flag 1
+                                       # NULL parent: unknowable → NOT flagged
             (2, "FORK", stored_h1),    # real same-height conflict, valid parent
         ],
         "number long, hash string, parent_hash string",
     )
     forked = {r.forked_number for r in lake.detect_reorgs(headers).collect()}
-    assert forked == {1, 2}
+    assert forked == {2}
+
+
+def test_parent_mismatch_needs_definite_disagreement(spark):
+    # r15 (nb=3000 dirty-chain soak finding): a stored NULL-hash block at
+    # a micro-batch boundary must NOT be flagged by the next batch's
+    # parent link — the batch doesn't carry that height, so the truncate
+    # could never self-heal and the block was permanently lost. Definite
+    # parent disagreement still flags.
+    from core_etl_spark.operators.maintenance import detect_reorgs
+
+    stored = spark.createDataFrame(
+        [(274, "h274"), (275, None), (299, "h299")],
+        "number long, hash string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (276, "h276", "definite-parent"),  # parent vs stored-275 NULL:
+                                               # unknowable → NOT flagged
+            (300, "h300", "wrong-parent"),     # vs stored-299 h299 → flag 299
+        ],
+        "number long, hash string, parent_hash string",
+    )
+    out = {r.forked_number for r in detect_reorgs(stored, incoming).collect()}
+    assert out == {299}
+
+
+def test_tail_contiguity_guard_never_writes_past_a_gap(spark, tmp_path):
+    # r15 (same soak): after a boundary-fork truncate — or a subscription
+    # that dropped blocks — the batch's heights start past last+1. Writing
+    # them would advance the resume point over a PERMANENT hole; the
+    # contiguity guard writes only the contiguous prefix and leaves the
+    # tip at the gap so backfill re-fetches from exactly there.
+    from core_etl_spark.lake import Lake
+    from core_etl_spark.operators.transforms import normalize_blocks
+    from core_etl_spark.sources import fixtures as FX
+    from core_etl_spark.streaming.tail import make_tail_batch_processor
+
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    raw = FX.raw_blocks(spark, n_blocks=25, txs_per_block=0)
+    lake.write_all(normalize_blocks(raw.filter(F.col("number") < 10)), None)
+
+    # batch carrying 12..14 (gap at 10-11): nothing may be written
+    make_tail_batch_processor(lake)(
+        raw.filter((F.col("number") >= 12) & (F.col("number") < 15)), 0
+    )
+    assert lake.latest_block_number() == 9
+    assert lake.blocks().count() == 10
+
+    # batch carrying 10..18: contiguous from last+1 → all written
+    make_tail_batch_processor(lake)(
+        raw.filter((F.col("number") >= 10) & (F.col("number") < 19)), 1
+    )
+    assert lake.latest_block_number() == 18
+    assert lake.blocks().count() == 19
+
+    # batch with an INTERNAL gap (19, 20, then 23, 24): prefix only
+    make_tail_batch_processor(lake)(
+        raw.filter(F.col("number").isin(19, 20, 23, 24)), 2
+    )
+    assert lake.latest_block_number() == 20
+    assert lake.blocks().count() == 21
+    # and the skipped heights re-ingest cleanly once the gap is filled
+    make_tail_batch_processor(lake)(raw.filter(F.col("number") >= 21), 3)
+    assert lake.latest_block_number() == 24
+    assert lake.blocks().select("number").distinct().count() == 25
 
 
 # --- stateful operators: null keys -------------------------------------------
