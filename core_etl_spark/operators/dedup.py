@@ -473,7 +473,21 @@ def band_buckets(
     exactly once (Catalyst collapses projections and would otherwise
     duplicate the full signature computation per band). No shuffle.
     With ``xxhash64`` the bucket key is a single multi-arg xxhash64 over
-    the band's minhashes — no string concat in the hot path."""
+    the band's minhashes — no string concat in the hot path.
+
+    ZERO-SHINGLE DOCS ARE EXCLUDED (r15, found by the sf10 corrupt soak):
+    an empty shingle array minhashes to ``array_min([]) = NULL`` for every
+    permutation, so every blank/NULL doc lands in the SAME constant bucket
+    (``xxhash64(NULL..)`` / ``md5('')``) — the r13 blank-doc valve closed
+    this for the shingle-index explode but left the banding path open, and
+    at sf10 with a realistic 13% dirt ratio the resulting single bucket
+    held 65k docs → ~4×10⁹ candidate pairs per band → map-side hash-agg
+    OOM before verification could drop them. A doc with no shingles has no
+    content to near-match and could never pass Jaccard verification
+    anyway; excluding it here changes no final pair set (the oracles keep
+    banding blanks and agree, because verification kills those pairs on
+    both engines)."""
+    doc_sh = doc_sh.filter(F.size("shingles") > 0)
 
     def _mh(j: int) -> Column:
         return F.array_min(

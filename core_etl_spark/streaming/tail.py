@@ -130,6 +130,13 @@ def make_tail_batch_processor(
             .filter(F.col("number") == F.col("_rk") + F.lit(last))
             .drop("_rk")
         )
+        # Materialize the admitted batch ONCE (r15): three sinks, the
+        # receipt set, and the idempotency key probes all derive from
+        # ``fresh`` — without this each of them re-runs the dedup-window +
+        # guard lineage (the backfill path gets the same treatment from
+        # ``ingest_raw``'s checkpoint). A micro-batch is bounded by the
+        # poll cadence, so the checkpointed partitions are small.
+        fresh = fresh.localCheckpoint(eager=True)
         if fresh.isEmpty():
             return
 

@@ -15,7 +15,12 @@ NULL/blank — dirt ratio is preserved). Run the real registry builders
 for l06x / l07x / c04 and compare wall time against the CLEAN sf1
 numbers in SCALE.md (6.0 / 6.8 / 12.8 s).
 
-Usage: python scripts/corrupt_scale_soak.py [out_root]
+Usage: python scripts/corrupt_scale_soak.py [out_root] [K]
+
+``K`` is the replication factor over the corrupted sf0.1 base (default
+10 → sf1, the r14 leg; 100 → sf10, VERDICT r14 directive 4 — the same
+vocabulary-disjoint replication the clean sf10 rows in SCALE.md used,
+so dirty and clean sf10 wall-times are directly comparable).
 """
 
 from __future__ import annotations
@@ -58,12 +63,19 @@ def corrupt_documents(src: str, dst_parquet: str) -> None:
     """)
 
 
-def scale_10x(spark, corrupted_parquet: str, out_dir: str) -> None:
+def scale_kx(spark, corrupted_parquet: str, out_dir: str, k: int) -> None:
     base = spark.read.parquet(corrupted_parquet)
-    reps = spark.range(10).withColumnRenamed("id", "r")
+    reps = spark.range(k).withColumnRenamed("id", "r")
+    # Suffix only REAL tokens (r15): split('') yields [''] and split('   ')
+    # yields ['','',''] — suffixing those turned every blank doc in replica
+    # r into the identical one-token doc '_r', i.e. the generator
+    # fabricated ~217-doc cliques of genuinely identical docs per replica
+    # (~4.7M true near-dup pairs at sf10) that say nothing about dirt
+    # handling. Dropping empty fragments first keeps blank docs blank, so
+    # the dirt ratio AND the known pair counts replicate unchanged.
     suffixed = F.array_join(
         F.transform(
-            F.split(F.col("text"), " "),
+            F.filter(F.split(F.col("text"), " "), lambda t: t != ""),
             lambda t: F.concat(t, F.lit("_"), F.col("r").cast("string")),
         ),
         " ",
@@ -83,6 +95,7 @@ def scale_10x(spark, corrupted_parquet: str, out_dir: str) -> None:
 
 def main() -> None:
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/corrupt_scale_soak"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out_root, exist_ok=True)
     spark = get_spark(app_name="corrupt_scale_soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,19 +104,26 @@ def main() -> None:
     if not os.path.exists(corrupted):
         corrupt_documents(BASE, corrupted)
         print("corrupted sf0.1 documents", flush=True)
-    sf1_dir = os.path.join(out_root, "sf1_corrupt")
-    if not os.path.exists(os.path.join(sf1_dir, "documents.parquet")):
+    out_dir = os.path.join(out_root, f"sf{k / 10:g}_corrupt")
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
         t0 = time.monotonic()
-        scale_10x(spark, corrupted, sf1_dir)
-        print(f"scaled to sf1 (10x) in {time.monotonic()-t0:.1f}s", flush=True)
+        scale_kx(spark, corrupted, out_dir, k)
+        print(f"scaled {k}x in {time.monotonic()-t0:.1f}s", flush=True)
 
-    n_docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet")).count()
-    print(f"sf1 corrupt corpus: {n_docs} docs (~13% dirty)", flush=True)
+    n_docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
+    print(f"sf{k / 10:g} corrupt corpus: {n_docs} docs (~13% dirty)", flush=True)
 
     specs = all_specs()
     for q in TARGETS:
+        # Reclaim the previous query's localCheckpoint blocks NOW (same as
+        # scale_soak.py): the ContextCleaner frees them only after a driver
+        # GC notices, and at sf10 several GB of stale blocks otherwise sit
+        # in the one local-mode heap — the first K=100 run of this script
+        # OOMed in l07x's checkpoint for exactly that reason.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.monotonic()
-        rows = specs[q].builder(spark, sf1_dir).count()
+        rows = specs[q].builder(spark, out_dir).count()
         print(f"{q}: {time.monotonic()-t0:.1f}s  rows={rows}", flush=True)
 
 

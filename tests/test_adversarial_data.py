@@ -493,3 +493,27 @@ def test_measure_cast_quarantine_counts(spark):
     # and the audit itself never raises on the values it counts
     with pytest.raises(ValueError):
         measure_cast_quarantine(df, [])
+
+
+def test_blank_docs_never_enter_band_buckets(spark):
+    # r15 (sf10 corrupt soak finding): zero-shingle docs minhash to
+    # array_min([]) = NULL for every permutation → ONE constant bucket
+    # shared by every blank/NULL doc in the corpus. 13% dirt at sf10 put
+    # 65k docs in that bucket (~4e9 candidate pairs per band — hash-agg
+    # OOM before verification could drop them). band_buckets must exclude
+    # them at the source; the pair pipeline's final output is unchanged
+    # (blank pairs could never pass Jaccard verification).
+    from core_etl_spark.operators.dedup import (
+        band_buckets,
+        doc_shingles,
+        minhash_dedup_pairs,
+    )
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, None), (4, ""), (5, "   "), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in ("md5", "xxhash64"):
+        b = band_buckets(doc_shingles(df), hash_fn=fn)
+        assert {r.doc_id for r in b.select("doc_id").distinct().collect()} == {1, 2}
+        pairs = minhash_dedup_pairs(df, hash_fn=fn).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
