@@ -112,7 +112,13 @@ class Lake:
 
     # --- writes (K4/K5) --------------------------------------------------------
 
-    def write(self, name: str, df: DataFrame, mode: str = "append") -> None:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "append",
+        height_range: tuple[int, int] | None = None,
+    ) -> None:
         """Append a micro-batch. Adds the bucket column, sorts within
         partitions by height (clustering for min/max skipping — the index
         replacement), and writes through the partition layout. ``mode`` may
@@ -125,9 +131,15 @@ class Lake:
         the stale staged rewrite. Re-entrant for the streaming tail's outer
         hold."""
         with self.mutex:
-            self._write_unlocked(name, df, mode)
+            self._write_unlocked(name, df, mode, height_range)
 
-    def _write_unlocked(self, name: str, df: DataFrame, mode: str) -> None:
+    def _write_unlocked(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str,
+        height_range: tuple[int, int] | None = None,
+    ) -> None:
         # Lock-free body so write_all's pool workers (different threads — an
         # RLock hold doesn't extend to them) can run concurrently under the
         # single group hold taken by the submitting thread.
@@ -136,7 +148,7 @@ class Lake:
         num = _NUMBER_COL[name]
         out = df.withColumn("block_bucket", self._bucket(num))
         if mode == "append":
-            out = self._drop_redelivered(name, out)
+            out = self._drop_redelivered(name, out, height_range)
         parts = _PARTITION_COLS[name]
         (
             out.repartition(*[F.col(c) for c in parts])
@@ -147,7 +159,12 @@ class Lake:
             .parquet(self.path(name))
         )
 
-    def _drop_redelivered(self, name: str, out: DataFrame) -> DataFrame:
+    def _drop_redelivered(
+        self,
+        name: str,
+        out: DataFrame,
+        height_range: tuple[int, int] | None = None,
+    ) -> DataFrame:
         """Ingest-level idempotency (r15, the last reference-parity gap):
         drop incoming rows whose natural key (``_NATURAL_KEY``) already
         exists in the lake, so a crashed-and-retried backfill chunk or a
@@ -181,12 +198,23 @@ class Lake:
         committed = self._bucket_leaf_dirs(name)
         if not committed:
             return out
-        row = out.agg(
-            F.min("block_bucket").alias("lo"), F.max("block_bucket").alias("hi")
-        ).first()
-        if row is None or row["lo"] is None:
-            return out  # empty batch
-        overlap = [b for b in committed if row["lo"] <= b <= row["hi"]]
+        if height_range is not None:
+            # Caller-supplied covering range (the backfill loop knows each
+            # chunk's [lo, hi] exactly): the touched buckets follow by
+            # arithmetic — the probe costs ZERO extra jobs on the hot
+            # path. The hint must COVER the batch's heights; a narrower
+            # range would let out-of-range rows bypass the key probe.
+            lo_b = height_range[0] // self.bucket_size
+            hi_b = height_range[1] // self.bucket_size
+        else:
+            row = out.agg(
+                F.min("block_bucket").alias("lo"),
+                F.max("block_bucket").alias("hi"),
+            ).first()
+            if row is None or row["lo"] is None:
+                return out  # empty batch
+            lo_b, hi_b = row["lo"], row["hi"]
+        overlap = [b for b in committed if lo_b <= b <= hi_b]
         if not overlap:
             return out
         keys = list(_NATURAL_KEY[name])
@@ -203,6 +231,7 @@ class Lake:
         transactions: DataFrame | None = None,
         token_transfers: DataFrame | None = None,
         mode: str = "append",
+        height_range: tuple[int, int] | None = None,
     ) -> None:
         """Write up to three modules as CONCURRENT Spark jobs: the sinks are
         independent (separate directories), so serializing them leaves the
@@ -226,11 +255,11 @@ class Lake:
         # a unit serializes against compact/retention stage-and-swap.
         with self.mutex:
             if len(todo) == 1:
-                self._write_unlocked(todo[0][0], todo[0][1], mode)
+                self._write_unlocked(todo[0][0], todo[0][1], mode, height_range)
                 return
             with ThreadPoolExecutor(max_workers=len(todo)) as pool:
                 futures = [
-                    pool.submit(self._write_unlocked, name, df, mode)
+                    pool.submit(self._write_unlocked, name, df, mode, height_range)
                     for name, df in todo
                 ]
                 for f in futures:

@@ -65,6 +65,7 @@ def ingest_raw(
     watch_contracts: tuple[str, ...] = (),
     receipts_for: Callable[[DataFrame], DataFrame] | None = None,
     pre_materialized: bool = False,
+    height_range: tuple[int, int] | None = None,
 ) -> None:
     """Normalize one batch of raw nested blocks and write all modules.
 
@@ -95,7 +96,10 @@ def ingest_raw(
             .withColumnRenamed("_ca", "created_at")
             .drop("_bn")
         )
-    lake.write_all(blocks, txs, transfers)
+    # height_range: the backfill loop knows each chunk's [lo, hi] exactly —
+    # passing it lets the idempotency key probe derive the touched buckets
+    # arithmetically instead of running a min/max job per sink (r15).
+    lake.write_all(blocks, txs, transfers, height_range=height_range)
 
 
 def backfill(
@@ -144,7 +148,7 @@ def backfill(
             if i + 1 < len(chunks):
                 fut = pool.submit(_materialize, *chunks[i + 1])
             ingest_raw(lake, raw, watch_contracts, receipts_for,
-                       pre_materialized=True)
+                       pre_materialized=True, height_range=(lo, hi))
             done += hi - lo + 1
             log.info("backfill: synced %d..%d (%d/%d)", lo, hi, done,
                      tip - start + 1)

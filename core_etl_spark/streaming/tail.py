@@ -137,8 +137,13 @@ def make_tail_batch_processor(
         # ``ingest_raw``'s checkpoint). A micro-batch is bounded by the
         # poll cadence, so the checkpointed partitions are small.
         fresh = fresh.localCheckpoint(eager=True)
-        if fresh.isEmpty():
+        n_fresh = fresh.count()
+        if n_fresh == 0:
             return
+        # The contiguity guard makes the admitted range exactly
+        # [last+1, last+n]: passing it as the write hint lets the
+        # idempotency key probe skip its min/max job per sink (r15).
+        height_range = (last + 1, last + n_fresh)
 
         blocks = normalize_blocks(fresh)
         txs = normalize_transactions(fresh)
@@ -163,7 +168,7 @@ def make_tail_batch_processor(
                 .withColumnRenamed("_ca", "created_at")
                 .drop("_bn")
             )
-        lake.write_all(blocks, txs, transfers)
+        lake.write_all(blocks, txs, transfers, height_range=height_range)
 
     return process
 
