@@ -377,17 +377,38 @@ class _store_lock:
         self._token: str | None = None
 
     @staticmethod
-    def _holder_alive(lock: str) -> bool:
+    def _read_sentinel(lock: str) -> str | None:
+        """The lock's current content, or None if the file is gone. The
+        acquire loop judges staleness on THIS content and passes the SAME
+        bytes to the breaker — judging one read and breaking another is
+        the r15 multi-process stress finding (see ``__enter__``)."""
+        try:
+            with open(lock) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _holder_alive(self, lock: str) -> bool:
+        """Legacy single-shot probe (reads + judges in one call). The
+        acquire path does NOT use this — it must pin judgment and break
+        to one read — but it remains the right shape for one-off
+        diagnostics and the older tests."""
+        content = self._read_sentinel(lock)
+        if content is None:
+            return False  # vanished — holder finished
+        return self._sentinel_alive(lock, content)
+
+    @staticmethod
+    def _sentinel_alive(lock: str, content: str) -> bool:
         import os
         import socket
         import time
 
         try:
-            with open(lock) as f:
-                parts = f.read().split()
+            parts = content.split()
             pid, ts = int(parts[0]), float(parts[1])
             host = parts[2] if len(parts) > 2 else None
-        except (OSError, ValueError, IndexError):
+        except (ValueError, IndexError):
             # unreadable/torn sentinel: only age can judge it
             try:
                 return time.time() - os.path.getmtime(lock) < _LOCK_STALE_SEC
@@ -411,21 +432,34 @@ class _store_lock:
         except PermissionError:
             return True  # alive, owned by someone else
 
-    def _break_stale(self) -> None:
+    def _break_stale(self, judged: str | None = None) -> None:
         """Break a stale sentinel atomically: rename it aside first — only
         one of N concurrent breakers wins the rename, so two waiters that
         both judged the same sentinel stale cannot each unlink a lock (the
         loser of the race would otherwise remove the winner's FRESH lock —
         the TOCTOU in ADVICE r13). The caught file is re-verified by
         content before deletion; catching a different (fresh) sentinel
-        restores it."""
+        restores it.
+
+        ``judged`` MUST be the exact content the caller's staleness
+        decision was made on (r15 multi-process stress finding): when this
+        method re-read the lock itself, a caller whose judged file had
+        VANISHED (holder released between create-fail and probe) would
+        hand the breaker a lock that now held a fresh third-party
+        sentinel — which the breaker then read as ``judged``, renamed
+        aside, saw ``caught == judged``, and deleted: a live holder's lock
+        destroyed, two holders after the retry (measured: 9 lost
+        increments per 480 contended cycles, tests/test_lock_multiprocess).
+        With the caller's bytes pinned, a recreated lock always fails the
+        content verify and is restored."""
         import os
 
-        try:
-            with open(self._lock) as f:
-                judged = f.read()
-        except OSError:
-            return  # vanished/unreadable — retry the create
+        if judged is None:
+            try:
+                with open(self._lock) as f:
+                    judged = f.read()
+            except OSError:
+                return  # vanished/unreadable — retry the create
         grave = f"{self._lock}.stale.{os.getpid()}"
         try:
             os.rename(self._lock, grave)
@@ -492,7 +526,7 @@ class _store_lock:
         import time
 
         broke = False
-        for _attempt in range(3):
+        for _attempt in range(6):
             try:
                 fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
@@ -508,9 +542,18 @@ class _store_lock:
                                 return self
                     except OSError:
                         pass
-                if not broke and not self._holder_alive(self._lock):
+                judged = self._read_sentinel(self._lock)
+                if judged is None:
+                    # the holder released between our create-fail and the
+                    # probe: the path is (or is about to be) free — retry
+                    # the create, and NEVER enter the break path off a
+                    # vanished file (the r15 two-holder hole: the breaker
+                    # would re-read and destroy a THIRD party's fresh lock
+                    # whose content trivially matched its own re-read)
+                    continue
+                if not broke and not self._sentinel_alive(self._lock, judged):
                     broke = True
-                    self._break_stale()  # may raise StoreLockedError
+                    self._break_stale(judged)  # may raise StoreLockedError
                     continue
                 raise StoreLockedError(
                     f"store writer lock held: {self._lock} — another "
