@@ -347,6 +347,89 @@ def ckpt_leg() -> None:
             time.sleep(2)
 
 
+def ingest_leg() -> None:
+    """r15: executor loss mid-BACKFILL under the full recovery story.
+
+    A kill mid-chunk severs the eagerly-localCheckpointed batch's
+    lineage (non-recomputable by design — the documented trade), so the
+    backfill JOB fails; ``run_with_retry`` then truncates the top 100
+    heights and replays — and the replayed chunk re-delivers rows the
+    crashed run already committed, which is exactly what the r15
+    idempotent append (``Lake._drop_redelivered``) must absorb. The
+    warehouse end state must be row-identical to a kill-free control
+    backfill: retry + truncate + idempotent re-append, all invisible in
+    the data."""
+    import shutil
+    import tempfile
+
+    from core_etl_spark.lake import Lake
+    from core_etl_spark.pipeline import backfill, run_with_retry
+    from core_etl_spark.sources.fixtures import WATCH_CONTRACT
+    from core_etl_spark.sources.provider import FixtureBlockProvider
+
+    spark = fresh_session("chaos_ingest")
+    try:
+        root = tempfile.mkdtemp(prefix="chaos_ingest_")
+        provider = FixtureBlockProvider(n_blocks=2000, txs_per_block=4)
+
+        # cold run warms codegen/workers; the WARM wall calibrates the kill
+        warm = Lake(spark, f"{root}/warmup", bucket_size=125)
+        backfill(spark, warm, provider, (WATCH_CONTRACT,), chunk_size=250)
+        control = Lake(spark, f"{root}/control", bucket_size=125)
+        t0 = time.perf_counter()
+        backfill(spark, control, provider, (WATCH_CONTRACT,), chunk_size=250)
+        clean_wall = time.perf_counter() - t0
+
+        victim = Lake(spark, f"{root}/victim", bucket_size=125)
+        killer = Killer(delay=max(0.5, clean_wall * 0.35))
+        attempts = {"n": 0}
+
+        def job() -> int:
+            attempts["n"] += 1
+            return backfill(
+                spark, victim, provider, (WATCH_CONTRACT,), chunk_size=250
+            )
+
+        before = executor_pids()
+        t0 = time.perf_counter()
+        killer.start()
+        run_with_retry(job, victim, attempts=10, truncate_blocks=100)
+        chaos_wall = time.perf_counter() - t0
+        killer.join()
+        time.sleep(3)
+        after = executor_pids()
+
+        identical = True
+        counts = {}
+        for name in ("blocks", "transactions", "token_transfers"):
+            ch, n1 = value_hash(victim.read(name).drop("block_bucket"))
+            cc, n2 = value_hash(control.read(name).drop("block_bucket"))
+            counts[name] = n1
+            identical = identical and ch == cc and n1 == n2
+        print(
+            json.dumps(
+                {
+                    "leg": "ingest_backfill_retry",
+                    "identical": identical,
+                    "job_attempts": attempts["n"],
+                    "killed_pid": killer.killed_pid,
+                    "kill_landed_mid_job": killer.killed_pid is not None
+                    and chaos_wall > killer.delay,
+                    "executors_before": len(before),
+                    "executors_after": len(after),
+                    "clean_wall_s": round(clean_wall, 2),
+                    "chaos_wall_s": round(chaos_wall, 2),
+                    **counts,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    finally:
+        spark.stop()
+        time.sleep(2)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "batch"):
@@ -357,3 +440,5 @@ if __name__ == "__main__":
         stream_loglin_leg()
     if which in ("all", "ckpt"):
         ckpt_leg()
+    if which in ("all", "ingest"):
+        ingest_leg()
