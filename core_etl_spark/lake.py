@@ -256,14 +256,78 @@ class Lake:
         with self.mutex:
             if len(todo) == 1:
                 self._write_unlocked(todo[0][0], todo[0][1], mode, height_range)
-                return
-            with ThreadPoolExecutor(max_workers=len(todo)) as pool:
-                futures = [
-                    pool.submit(self._write_unlocked, name, df, mode, height_range)
-                    for name, df in todo
-                ]
-                for f in futures:
-                    f.result()
+            else:
+                with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+                    futures = [
+                        pool.submit(
+                            self._write_unlocked, name, df, mode, height_range
+                        )
+                        for name, df in todo
+                    ]
+                    for f in futures:
+                        f.result()
+            if todo and mode == "append" and height_range is not None:
+                self._advance_commit_marker(height_range[1])
+
+    # --- group-commit watermark (r15 review) ------------------------------------
+    #
+    # ``write_all``'s sinks are independent jobs: a crash between them
+    # leaves a TORN group (blocks committed, transactions not), and the
+    # blocks-derived tip then hides the tear from both the tail's stale
+    # guard and backfill resume — the idempotent anti-join can only heal
+    # what gets re-delivered. The marker records the highest height through
+    # which a whole append GROUP committed; ``resume_point`` reads it, so a
+    # torn range is always re-delivered (and the anti-join absorbs the
+    # already-committed sinks). Atomic tmp+rename under the lake mutex;
+    # height-removing mutations clamp it back. A marker-less warehouse
+    # (pre-r15, or ad-hoc writes without a height_range) falls back to the
+    # legacy blocks-tip resume.
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.root, "_ingest_commit")
+
+    def _read_marker(self) -> int | None:
+        import json as _json
+
+        try:
+            with open(self._marker_path()) as f:
+                return int(_json.load(f)["hi"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    def _write_marker(self, hi: int) -> None:
+        import json as _json
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{self._marker_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump({"hi": int(hi)}, f)
+        os.replace(tmp, self._marker_path())
+
+    def _advance_commit_marker(self, hi: int) -> None:
+        prev = self._read_marker()
+        if prev is None or hi > prev:
+            self._write_marker(hi)
+
+    def _clamp_marker(self) -> None:
+        """After a height-removing mutation the marker may exceed the real
+        tip; resuming from it would skip the re-fetch and leave a hole —
+        clamp it to the surviving tip."""
+        m = self._read_marker()
+        if m is None:
+            return
+        tip = self.latest_block_number()
+        if tip < m:
+            self._write_marker(tip)
+
+    def resume_point(self) -> int:
+        """Highest height through which ingest is known COMPLETE across all
+        modules: the group-commit marker when present, else the legacy
+        blocks-tip fallback chain. This — not ``latest_block_number`` — is
+        what O3 resume and the tail's stale guard must key on, or a torn
+        ``write_all`` strands per-sink holes forever (r15 review)."""
+        m = self._read_marker()
+        return m if m is not None else self.latest_block_number()
 
     # --- reads -----------------------------------------------------------------
 
@@ -520,6 +584,7 @@ class Lake:
         table."""
         for name in self.modules:
             self._delete_where(name, lambda c: c == F.lit(number))
+        self._clamp_marker()
 
     # --- truncate last N (K8) --------------------------------------------------------
 
@@ -533,6 +598,7 @@ class Lake:
         cutoff = tip - n
         for name in self.modules:
             self._delete_where(name, lambda c: c > F.lit(cutoff))
+        self._clamp_marker()
 
     # --- retention cleanup (K9) -------------------------------------------------------
 

@@ -54,7 +54,18 @@ def detect_reorgs(stored_blocks: DataFrame, incoming_headers: DataFrame) -> Data
       micro-batch boundary truncate real data the stream could never
       restore. Unknowable parents are left alone; if the chain truly
       forked there, the same-height signal fires as soon as any batch
-      re-delivers that height with a definite hash."""
+      re-delivers that height with a definite hash.
+
+      The alternative — keep flag-on-NULL and rely on the tail's
+      contiguity guard to freeze the tip until backfill re-fetches — is
+      loss-free but not LIVE: a node that persistently returns a NULL
+      hash for one height (the dirty fixture does, ``num % 17 == 3``)
+      re-fetches to NULL again, the next batch re-flags it, and the
+      truncate/refetch cycle stalls the stream at that height forever.
+      The residual trade accepted here: a genuine dead-branch block
+      whose stored hash is NULL goes undetected until some delivery
+      carries that height again; progress under permanently-dirty data
+      wins over detection of an unverifiable corner (r15 review)."""
     stored = stored_blocks.select(
         F.col("number").alias("_s_number"), F.col("hash").alias("_s_hash")
     )

@@ -460,7 +460,18 @@ class _store_lock:
                     judged = f.read()
             except OSError:
                 return  # vanished/unreadable — retry the create
-        grave = f"{self._lock}.stale.{os.getpid()}"
+        # Unique per CALL, not per pid: two threads of one process breaking
+        # the same stale sentinel would otherwise share a grave path — the
+        # second rename silently REPLACES the first grave (os.rename), and
+        # the first thread's pending unlink then deletes whatever lock the
+        # second thread caught, possibly a live third party's (r15 review).
+        import threading as _th
+        import uuid as _uuid
+
+        grave = (
+            f"{self._lock}.stale.{os.getpid()}."
+            f"{_th.get_ident()}.{_uuid.uuid4().hex[:8]}"
+        )
         try:
             os.rename(self._lock, grave)
         except OSError:

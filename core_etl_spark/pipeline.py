@@ -115,7 +115,10 @@ def backfill(
     Chunk size trades crash granularity against job overhead; within a chunk
     Spark owns all parallelism. Aligning it to the lake's bucket size keeps
     every chunk's write inside whole partitions (idempotent replay)."""
-    start = lake.latest_block_number() + 1  # O3 resume (etl.rs:84-89)
+    # O3 resume (etl.rs:84-89) — from the group-commit watermark, not the
+    # blocks tip: a torn write_all (blocks committed, txs not) must be
+    # re-delivered so the idempotent append can heal the lagging sinks.
+    start = lake.resume_point() + 1
     tip = end if end is not None else provider.chain_tip()
     if tip < start:
         return 0

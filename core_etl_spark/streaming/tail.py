@@ -106,9 +106,13 @@ def make_tail_batch_processor(
             if tip >= fork_point:
                 lake.truncate_from_last_saved(tip - fork_point + 1)
 
-        # Stale guard (etl.rs:134-136); after a truncate the fork heights
-        # are above the new tip, so they pass it naturally.
-        last = lake.latest_block_number()
+        # Stale guard (etl.rs:134-136) keyed on the group-commit watermark
+        # (r15 review): the blocks-derived tip would hide a torn write_all
+        # (blocks committed, transactions not) and filter the replayed
+        # batch to empty, stranding per-sink holes the idempotent append
+        # exists to heal. After a truncate the fork heights are above the
+        # clamped watermark, so they pass it naturally.
+        last = lake.resume_point()
         fresh = raw.filter(F.col("number") > F.lit(last))
         # Contiguity guard (r15, found by the nb=3000 dirty-chain soak):
         # write only the contiguous prefix starting at last+1. Writing past
@@ -121,11 +125,9 @@ def make_tail_batch_processor(
         # the documented repair story, now actually true. The rank window
         # is a single in-memory pass over one micro-batch (bounded by the
         # poll cadence), not over the table.
-        from pyspark.sql import Window as _W
-
         fresh = (
             fresh.withColumn(
-                "_rk", F.row_number().over(_W.orderBy("number"))
+                "_rk", F.row_number().over(W.orderBy("number"))
             )
             .filter(F.col("number") == F.col("_rk") + F.lit(last))
             .drop("_rk")

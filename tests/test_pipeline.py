@@ -629,3 +629,68 @@ def test_redelivery_drops_nothing_new(spark, tmp_path):
     P.backfill(spark, lake, provider, chunk_size=15)
     assert lake.blocks().count() == 30
     assert lake.blocks().select("number").distinct().count() == 30
+
+
+def test_torn_write_all_healed_by_tail(spark, tmp_path):
+    """r15 review: a torn write_all (blocks committed, transactions not)
+    must not hide behind the blocks-derived tip — the tail's stale guard
+    keys on the group-commit watermark, so the replayed batch re-delivers
+    the torn range and the idempotent append fills the lagging sinks."""
+    from core_etl_spark.operators.transforms import (
+        normalize_blocks,
+        normalize_transactions,
+    )
+    from core_etl_spark.streaming.tail import make_tail_batch_processor
+
+    control = Lake(spark, str(tmp_path / "control"), bucket_size=10)
+    victim = Lake(spark, str(tmp_path / "victim"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=20, txs_per_block=3)
+    P.backfill(spark, control, provider, (FX.WATCH_CONTRACT,), chunk_size=10)
+    P.backfill(spark, victim, provider, (FX.WATCH_CONTRACT,), chunk_size=10,
+               end=9)
+
+    # torn delivery of 10..19: only the blocks sink commits (no marker —
+    # the group never completed)
+    raw = provider.fetch_blocks(spark, 10, 19).localCheckpoint(eager=True)
+    victim.write("blocks", normalize_blocks(raw))
+    assert victim.latest_block_number() == 19  # the tip HIDES the tear
+    assert victim.resume_point() == 9          # the watermark does not
+
+    # checkpoint replay delivers the same batch to the tail processor
+    make_tail_batch_processor(
+        victim, (FX.WATCH_CONTRACT,), provider.receipts_for
+    )(raw, 0)
+    assert _warehouse_rows(victim) == _warehouse_rows(control)
+    assert victim.resume_point() == 19
+
+
+def test_torn_chunk_healed_by_backfill_resume(spark, tmp_path):
+    """Same tear, batch path: backfill resume starts at the watermark, so
+    the torn chunk is re-ingested whole and the anti-join dedupes the
+    already-committed sink."""
+    from core_etl_spark.operators.transforms import normalize_blocks
+
+    control = Lake(spark, str(tmp_path / "control"), bucket_size=10)
+    victim = Lake(spark, str(tmp_path / "victim"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=30, txs_per_block=3)
+    P.backfill(spark, control, provider, (FX.WATCH_CONTRACT,), chunk_size=10)
+
+    P.backfill(spark, victim, provider, (FX.WATCH_CONTRACT,), chunk_size=10,
+               end=19)
+    raw = provider.fetch_blocks(spark, 20, 29).localCheckpoint(eager=True)
+    victim.write("blocks", normalize_blocks(raw))  # torn: blocks only
+    n = P.backfill(spark, victim, provider, (FX.WATCH_CONTRACT,),
+                   chunk_size=10)
+    assert n == 10  # resumed from the watermark, not the torn tip
+    assert _warehouse_rows(victim) == _warehouse_rows(control)
+
+
+def test_truncate_clamps_commit_marker(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=30, txs_per_block=2)
+    P.backfill(spark, lake, provider, chunk_size=10)
+    assert lake.resume_point() == 29
+    lake.truncate_from_last_saved(7)
+    assert lake.resume_point() == 22  # marker clamped with the tip
+    assert P.backfill(spark, lake, provider) == 7  # and resume re-fetches
+    assert lake.blocks().select("number").distinct().count() == 30

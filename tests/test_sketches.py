@@ -1139,10 +1139,13 @@ def test_store_lock_three_way_contested_restore(tmp_path, monkeypatch):
     lk = sketches._store_lock(str(tmp_path / "s"))
     with pytest.raises(sketches.StoreLockedError, match="contested"):
         lk._break_stale()
+    import glob
+
     with open(lockpath) as fh:
         assert fh.read() == c_lock  # C's lock never clobbered
-    grave = f"{lockpath}.stale.{os.getpid()}"
-    with open(grave) as fh:
+    graves = glob.glob(f"{lockpath}.stale.*")
+    assert len(graves) == 1
+    with open(graves[0]) as fh:
         assert fh.read() == fresh  # displaced sentinel parked, not lost
 
 
@@ -1226,9 +1229,11 @@ def test_store_lock_benign_restore_then_held(tmp_path, monkeypatch):
     lk = sketches._store_lock(str(tmp_path / "s"))
     with pytest.raises(sketches.StoreLockedError, match="held"):
         lk.__enter__()
+    import glob
+
     with open(lockpath) as fh:
         assert fh.read() == fresh  # A's lock restored, exactly one holder
-    assert not os.path.exists(f"{lockpath}.stale.{os.getpid()}")
+    assert not glob.glob(f"{lockpath}.stale.*")
 
 
 def test_store_lock_readback_detects_displacement(tmp_path, monkeypatch):
