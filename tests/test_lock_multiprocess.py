@@ -106,3 +106,113 @@ def test_store_lock_multiprocess_report(tmp_path):
     wall = time.monotonic() - t0
     print(json.dumps({"procs": 4, "iters": 40, "wall_s": round(wall, 2)}))
     assert wall < 60
+
+
+def _threaded_worker(store: str, counter: str, n_iters: int, n_threads: int, out_q) -> None:
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from core_etl_spark.operators.sketches import StoreLockedError, _store_lock
+
+    results = []
+
+    def loop():
+        done = 0
+        for _ in range(n_iters):
+            for _attempt in range(5000):
+                try:
+                    with _store_lock(store):
+                        with open(counter) as f:
+                            v = int(f.read())
+                        time.sleep(0.0003)
+                        tmp = f"{counter}.{os.getpid()}.{threading.get_ident()}"
+                        with open(tmp, "w") as f:
+                            f.write(str(v + 1))
+                        os.replace(tmp, counter)
+                    done += 1
+                    break
+                except StoreLockedError:
+                    time.sleep(0.001)
+            else:
+                results.append(("starved", done))
+                return
+        results.append(("ok", done))
+
+    ts = [threading.Thread(target=loop) for _ in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    out_q.put((os.getpid(), results))
+
+
+def _stale_planter(store: str, stop_flag: str) -> None:
+    """Plant a STALE sentinel whenever the lock path is free: workers must
+    stale-break to proceed, so concurrent breakers (across threads AND
+    processes) run constantly — the regime where pid-shared grave names
+    let one breaker's unlink destroy another's caught lock (r15 review).
+    Planting only on a free path never harms a live holder."""
+    import random
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from core_etl_spark.operators import sketches
+
+    lock = f"{store}__lock"
+    stale = (
+        f"999999 {time.time() - 2 * sketches._LOCK_STALE_SEC} "
+        f"{socket.gethostname()}"
+    )
+    while not os.path.exists(stop_flag):
+        if not os.path.exists(lock) and random.random() < 0.4:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(stale)
+            except FileExistsError:
+                pass
+        time.sleep(0.002)
+
+
+def test_store_lock_threads_and_processes_with_stale_storm(tmp_path):
+    # 2 processes x 4 threads, with a planter keeping the break path hot:
+    # acquisitions repeatedly contend through stale-breaking across thread
+    # AND process boundaries, and mutual exclusion must hold throughout.
+    # (The same-pid grave collision this round fixed is prevented
+    # STRUCTURALLY — grave names carry pid+thread+uuid, pinned by
+    # test_sketches.py::test_store_lock_grave_names_unique_per_call — a
+    # stochastic storm can't reliably reach its microsecond window, so
+    # this test's claim is the broader exclusion property.)
+    store = str(tmp_path / "store")
+    counter = str(tmp_path / "counter")
+    stop_flag = str(tmp_path / "stop")
+    with open(counter, "w") as f:
+        f.write("0")
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    n_procs, n_threads, n_iters = 2, 4, 25
+    planter = ctx.Process(target=_stale_planter, args=(store, stop_flag))
+    planter.start()
+    procs = [
+        ctx.Process(
+            target=_threaded_worker, args=(store, counter, n_iters, n_threads, q)
+        )
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=300) for _ in procs]
+    for p in procs:
+        p.join(30)
+    with open(stop_flag, "w") as f:
+        f.write("stop")
+    planter.join(10)
+    flat = [r for _, rs in results for r in rs]
+    assert all(r[0] == "ok" for r in flat), flat
+    with open(counter) as f:
+        final = int(f.read())
+    want = n_procs * n_threads * n_iters
+    assert final == want, (
+        f"mutual exclusion violated under stale storm: {final} != {want}"
+    )

@@ -1311,3 +1311,51 @@ def test_store_lock_release_is_content_checked(tmp_path):
     assert os.path.exists(lk._lock)
     with open(lk._lock) as f:
         assert f.read() == other
+
+
+def test_store_lock_grave_names_unique_per_call(tmp_path):
+    # r15 review: the stale-break grave path was unique per PID only, so
+    # two threads of one process breaking concurrently shared it — the
+    # second rename replaced the first grave and the first unlink could
+    # delete a live third party's caught lock. Names now carry
+    # pid+thread+uuid; observable as: two contested breaks park two
+    # DISTINCT grave files.
+    import glob
+    import os
+    import socket
+    import time
+
+    import pytest
+
+    lockpath = str(tmp_path / "s__lock")
+    now = time.time()
+    host = socket.gethostname()
+    stale = f"1 {now - 2 * sketches._LOCK_STALE_SEC} {host}"
+    fresh = f"{os.getpid()} {now} {host}"
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    for _ in range(2):
+        with open(lockpath, "w") as f:
+            f.write(fresh)  # the breaker will catch a FRESH lock...
+        os.rename(lockpath, lockpath + ".hold")
+        with open(lockpath, "w") as f:
+            f.write(fresh)
+        # ...and a third party claims during the restore window
+        real_link = os.link
+
+        def contested_link(src, dst, **kw):
+            raise FileExistsError(dst)
+
+        os.link = contested_link
+        try:
+            with pytest.raises(sketches.StoreLockedError):
+                lk._break_stale(stale)  # judged stale, catches fresh
+        finally:
+            os.link = real_link
+        os.unlink(lockpath + ".hold")
+        try:
+            os.unlink(lockpath)
+        except FileNotFoundError:
+            pass
+    graves = glob.glob(f"{lockpath}.stale.*")
+    assert len(graves) == 2, graves  # distinct names — no clobber possible
+    assert len(set(graves)) == 2
