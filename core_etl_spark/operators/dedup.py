@@ -381,7 +381,16 @@ def editdist_pairs(
         F.col(id_col).alias("doc_id"),
         norm.alias("_t"),
         F.substring(norm, 1, prefix_len).alias("_blk"),
-    )
+    ).filter(F.length(F.trim(F.col("_t"))) > 0)
+    # Zero-content docs are excluded at the source (r15, rule 17 — every
+    # candidate-generation path needs its own degenerate-content valve):
+    # NULL/empty/whitespace-only texts all normalize into the '' / ' '
+    # prefix blocks, and since their pairwise distance is 0 ≤ max_dist the
+    # block join doesn't just COMPUTE the quadratic blank-pair set, it
+    # EMITS it — millions of blank docs at corpus scale would output n²/2
+    # degenerate "near-dup" pairs that exact dedup (l01) already collapses
+    # for free. Blank docs have no text to edit-distance; dropping them
+    # here mirrors the shingle/banding valves (rules 3/17).
     if max_block_df is not None:
         hot = (
             b.groupBy("_blk")

@@ -90,7 +90,12 @@ _REWITNESS: tuple[str, ...] = (
     # (the r15 sketch-store lock rewrite — atomic link(2) restore, loud
     # contested failure, readback, content-checked release — is
     # concurrency-only: no spec's single-threaded values change, and the
-    # protocol is pinned by six interleaving unit tests, so no seat.)
+    # protocol is pinned by six interleaving unit tests + a multi-process
+    # stress, so no seat. Likewise l22's rule-17 blank-block valve and
+    # the LSH banding valve change NO clean-data values (the driver's
+    # documents have no blank texts; the dirty sweep re-drove l22 and the
+    # l07 family green on the corrupted tables this session) and ride the
+    # r16 rotation rather than displace an r10-floor seat.)
     # VERDICT r14 directive 2 — the r14-deferred mechanical twins, seated
     # so the deferred-twin list empties THIS round: the TPC-H ledger-cast
     # tail (identical try_cast contract as the nine r14-witnessed

@@ -1269,7 +1269,11 @@ def l45(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
             FROM documents
         ),
-        b AS (SELECT doc_id, t, substring(t, 1, 16) AS blk FROM n)
+        -- zero-content docs excluded like the Spark side (r15 rule 17):
+        -- blanks pool into the ''/' ' blocks and emit quadratic 0-distance
+        -- pairs on a dirty corpus
+        b AS (SELECT doc_id, t, substring(t, 1, 16) AS blk FROM n
+              WHERE length(trim(t)) > 0)
         SELECT x.doc_id AS id_a, y.doc_id AS id_b,
                CAST(levenshtein(x.t, y.t) AS BIGINT) AS edit_dist
         FROM b x JOIN b y USING (blk)

@@ -517,3 +517,17 @@ def test_blank_docs_never_enter_band_buckets(spark):
         assert {r.doc_id for r in b.select("doc_id").distinct().collect()} == {1, 2}
         pairs = minhash_dedup_pairs(df, hash_fn=fn).collect()
         assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_blank_docs_never_enter_editdist_blocks(spark):
+    # r15 rule-17 sweep of the remaining candidate-generation paths:
+    # NULL/empty/whitespace texts normalize into the ''/' ' prefix blocks
+    # and their pairwise distance is 0 ≤ max_dist — the block join would
+    # EMIT the quadratic blank-pair set, not just compute it. Excluded at
+    # the source; real near-dups unaffected.
+    rows = [(1, "the quick brown fox jumps over it"),
+            (2, "the quick brown fox jumps over at"),
+            (3, None), (4, ""), (5, "   "), (6, "\t\n "), (7, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in D.editdist_pairs(df, max_dist=20).collect()}
+    assert pairs == {(1, 2)}
