@@ -47,6 +47,15 @@ def pack_sequences(
 
     One window function per group; no shuffle beyond the window's
     hash-partition on ``group_col``."""
+    ctx = int(ctx_len)
+    if ctx < 1:
+        # fail at call time, not as a DIVIDE_BY_ZERO mid-stage (r15 review)
+        raise ValueError(f"ctx_len must be >= 1, got {ctx_len}")
+    # Whitespace split WITHOUT the text.tokens() empty-fragment filter, on
+    # purpose: packing positions/counts must match the oracles'
+    # string_split arithmetic exactly (l20/l31), where '' fragments COUNT —
+    # reusing tokens() here would silently shift every offset (r15 review
+    # considered and rejected the dedup).
     toks = (
         F.col(token_count_col)
         if token_count_col
@@ -57,7 +66,6 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    ctx = int(ctx_len)
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
         df.select(group_col, id_col, toks.cast("long").alias("n_tokens"))
@@ -68,8 +76,13 @@ def pack_sequences(
             "n_tokens",
             F.expr(f"cum_before div {ctx}").alias("chunk_id"),
             (F.col("cum_before") % ctx).alias("chunk_offset"),
-            # windows touched: floor(last_token/ctx) - floor(first_token/ctx) + 1
-            (
+            # windows touched: floor(last_token/ctx) - floor(first_token/ctx) + 1.
+            # Zero-token docs (possible only via a precomputed
+            # token_count_col; split() never yields 0) span 0 windows
+            # CONSISTENTLY — the raw formula said 1 mid-window but 0 when
+            # cum_before sat exactly on a boundary (r15 review).
+            F.when(F.col("n_tokens") <= 0, F.lit(0).cast("long"))
+            .otherwise(
                 F.expr(f"(cum_before + n_tokens - 1) div {ctx}")
                 - F.expr(f"cum_before div {ctx}")
                 + F.lit(1)
@@ -103,6 +116,15 @@ def chunk_documents(
     ~n_tokens/stride per doc, the same fan-out any chunk indexer pays."""
     if stride < 1 or chunk_len < 1:
         raise ValueError(f"chunk_len/stride must be >= 1, got {chunk_len}/{stride}")
+    if stride > chunk_len:
+        # tokens chunk_len..stride-1 of every doc would land in NO chunk —
+        # silent training-data loss, reachable straight from the CLI's
+        # --stride (r15 review); the documented invariant is every token
+        # in >= 1 chunk
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_len ({chunk_len}): a "
+            "larger stride skips tokens between windows"
+        )
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_len, F.lit(1)).otherwise(

@@ -219,7 +219,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     multiprobe: bool = True,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors whose hyperplane bucket is
@@ -228,8 +228,13 @@ def lsh_ann_topk(
     vector, so the candidate join stays an equi-join: with 6 planes and
     hamming-1 probing each query touches ~7/64 of a uniformly-bucketed
     corpus, not all of it. Malformed vectors are excluded on both sides
-    (:func:`valid_vectors`, anchored on the declared ``dim``)."""
-    corpus, _ = valid_vectors(corpus, vec_col, dim)
+    (:func:`valid_vectors`, anchored on the declared ``dim``).
+
+    ``dim=None`` (r15 review) infers the modal dimension instead of the
+    old hard-coded 64, which silently dropped EVERY vector of any other
+    dimensionality on both sides and returned an empty result with no
+    signal; declare ``dim`` when known to skip the inference job."""
+    corpus, dim = valid_vectors(corpus, vec_col, dim)
     queries, _ = valid_vectors(queries, vec_col, dim)
     c = with_norm(corpus, vec_col).withColumn(
         "bucket", hyperplane_signature(F.col("_dec"), n_planes, dim)
@@ -265,6 +270,29 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def _first_k_centroids(n: DataFrame, n_centroids: int) -> DataFrame:
+    """Default centroid table: the VALID vectors with id < K — the
+    deterministic, oracle-replayable rule every IVF/IVF-PQ function and
+    oracle shares. Malformed vectors among ids < K shrink the set (the
+    dirty sweep depends on that), but an EMPTY result is always caller
+    error — ids that don't start near 0 (offset ranges, UUIDs) match
+    nothing and every downstream join silently returns zero rows (r15
+    review) — so emptiness fails loudly with the remedy."""
+    cents = n.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("cent_id"),
+        F.col("dec").alias("c_dec"),
+        F.col("normsq").alias("c_normsq"),
+    )
+    if cents.isEmpty():
+        raise ValueError(
+            f"default first-K centroids: no valid vectors with id < "
+            f"{n_centroids} — ids must be dense from ~0 for the default "
+            "rule; pass centroids=kmeans_centroids(...) (or an explicit "
+            "centroid frame) for arbitrary id spaces"
+        )
+    return cents
 
 
 def ivf_assign_cells(
@@ -378,11 +406,7 @@ def ivf_ann_topk(
     if centroids is not None:
         cents = centroids  # e.g. kmeans_centroids(): (cent_id, c_dec, c_normsq)
     else:
-        cents = n.filter(F.col("id") < n_centroids).select(
-            F.col("id").alias("cent_id"),
-            F.col("dec").alias("c_dec"),
-            F.col("normsq").alias("c_normsq"),
-        )
+        cents = _first_k_centroids(n, n_centroids)
     lists = ivf_assign_cells(n, cents).select(
         F.col("id").alias("neighbor_id"), "cell",
         F.col("dec").alias("c_dec2"), F.col("normsq").alias("c_normsq2"),
@@ -430,7 +454,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int | None = 4,
-    dim: int = 64,
+    dim: int | None = None,
     multiprobe: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
@@ -447,8 +471,10 @@ def embedding_near_dups(
     with corpus size to keep buckets small (4 planes / hamming-1 probing =
     5/16 of the corpus per vector; 16 planes → 17/65536). ``n_planes=None``
     falls back to exact all-pairs — small corpora only. Malformed
-    vectors are excluded (:func:`valid_vectors`, anchored on ``dim``)."""
-    df, _ = valid_vectors(df, vec_col, dim)
+    vectors are excluded (:func:`valid_vectors`, anchored on ``dim``;
+    ``dim=None`` infers the modal dimension — the old hard-coded 64
+    silently emptied any other-dimensional corpus, r15 review)."""
+    df, dim = valid_vectors(df, vec_col, dim)
     n = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_dec").alias("dec"), F.col("_normsq").alias("normsq")
     )
@@ -508,11 +534,7 @@ def write_ivf_index(
     if centroids is not None:
         cents = centroids
     else:
-        cents = n.filter(F.col("id") < n_centroids).select(
-            F.col("id").alias("cent_id"),
-            F.col("dec").alias("c_dec"),
-            F.col("normsq").alias("c_normsq"),
-        )
+        cents = _first_k_centroids(n, n_centroids)
     lists = ivf_assign_cells(n, cents)
     lists.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -605,6 +627,7 @@ def pq_codebooks_first_k(
     ksub: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> list[list[list]]:
     """Deterministic PQ codebooks: sub-codebook j = the j-th subvector
     slices of the VALID vectors among the first ``ksub`` corpus ids (the
@@ -614,8 +637,10 @@ def pq_codebooks_first_k(
     crashing the collect (r13 adversarial-data audit: a NULL embedding
     at id 0 was len(None)). Returns ``codebooks[j][code] -> list of
     Decimal`` — a bounded collect of ≤ ksub rows (the training artifact
-    is bytes, never data-sized)."""
-    corpus, _ = valid_vectors(corpus, vec_col)
+    is bytes, never data-sized). Pass ``dim`` when the caller already
+    validated the corpus (skips a redundant full-corpus modal-dimension
+    inference job, r15 review)."""
+    corpus, _ = valid_vectors(corpus, vec_col, dim)
     rows = (
         corpus.filter(F.col(id_col) < ksub)
         .select(F.col(id_col).alias("id"), _dec_vec(F.col(vec_col)).alias("dec"))
@@ -790,9 +815,19 @@ def pq_encode_pandas(
             if not len(pdf):
                 continue
             vals = list(pdf[vec_col])
-            valid = [
-                i for i, v in enumerate(vals) if v is not None and len(v) > 0
-            ]
+            # element-NULL/NaN/Inf vectors get NULL codes like the literal
+            # encoder (which null-propagates); without the finiteness test
+            # a null element became numpy nan, every subspace distance was
+            # nan, and argmin returned code 0 — a syntactically valid but
+            # meaningless code that later ranked normally in ADC top-k
+            # (r15 review).
+            def _ok(v) -> bool:
+                if v is None or len(v) == 0:
+                    return False
+                arr = np.asarray(v, dtype=np.float64)
+                return bool(np.isfinite(arr).all())
+
+            valid = [i for i, v in enumerate(vals) if _ok(v)]
             out: list = [null_codes] * len(vals)
             if valid:
                 vecs = np.round(
@@ -831,6 +866,28 @@ def pq_encode_pandas(
 #: test_pq_encode_auto_selects_by_layout so a refactor can't silently
 #: route a production layout onto the unplannable literal path.
 _PQ_LITERAL_BUDGET = 16_384
+
+
+def _require_literal_budget(codebooks: list[list[list]], where: str) -> None:
+    """The literal PQ expression trees (``_pq_code_array`` /
+    ``_pq_table_array``) are O(m·ksub·dsub) SCALAR EXPRESSIONS — past the
+    budget the plan takes longer to construct than the pandas encoder
+    takes to RUN (measured >7 min of py4j at m=96/ksub=256/dim=768,
+    scripts/ivfpq_dim768_bench.py). ``pq_encode_auto`` dispatches
+    automatically; the IVF-PQ convenience paths below are literal-only by
+    design (they exist for the oracle-parity layout), so they fail loudly
+    with the production recipe instead of silently hanging (r15 review)."""
+    m = len(codebooks)
+    ksub = len(codebooks[0]) if m else 0
+    dsub = len(codebooks[0][0]) if ksub else 0
+    if m * ksub * dsub > _PQ_LITERAL_BUDGET:
+        raise ValueError(
+            f"{where}: codebook layout m={m} ksub={ksub} dsub={dsub} "
+            f"exceeds the literal-expression budget ({_PQ_LITERAL_BUDGET}) "
+            "— build the index with pq_encode_pandas + partitioned "
+            "inverted lists instead (scripts/ivfpq_dim768_bench.py is the "
+            "benchmarked production recipe)"
+        )
 
 
 def pq_encode_auto(
@@ -881,8 +938,9 @@ def pq_adc_topk(
     corpus, dim = valid_vectors(corpus, vec_col, dim)
     queries, _ = valid_vectors(queries, vec_col, dim)
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
-        corpus, m, ksub, vec_col, id_col
+        corpus, m, ksub, vec_col, id_col, dim=dim
     )
+    _require_literal_budget(cb, "pq_adc_topk (query ADC tables)")
     codes = pq_encode_auto(corpus, cb, vec_col, id_col).withColumnRenamed(
         "id", "neighbor_id"
     )
@@ -938,19 +996,16 @@ def ivfpq_adc_topk(
     corpus, dim = valid_vectors(corpus, vec_col, dim)
     queries, _ = valid_vectors(queries, vec_col, dim)
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
-        corpus, m, ksub, vec_col, id_col
+        corpus, m, ksub, vec_col, id_col, dim=dim
     )
+    _require_literal_budget(cb, "ivfpq_adc_topk")
     n = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("id"), "_dec", "_normsq"
     ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
     if centroids is not None:
         cents = centroids
     else:
-        cents = n.filter(F.col("id") < n_centroids).select(
-            F.col("id").alias("cent_id"),
-            F.col("dec").alias("c_dec"),
-            F.col("normsq").alias("c_normsq"),
-        )
+        cents = _first_k_centroids(n, n_centroids)
     # inverted lists carry ONLY (neighbor_id, cell, codes) — the raw
     # decimal vectors drop out right here; that is PQ's shrink (measured
     # 8.6× on the dim-64 synthetic table, ~100× at production dims — see
@@ -1010,6 +1065,7 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     codebooks: list[list[list]] | None = None,
+    dim: int | None = None,
 ) -> None:
     """Materialize the COMPRESSED inverted lists: (id, m codes) parquet-
     partitioned by cell, plus centroids and PQ codebooks alongside — the
@@ -1032,21 +1088,18 @@ def write_ivfpq_index(
     float32 (**40.1×**) — inside the classic 30-100× PQ band. Probe cost
     scales with the same ratio: each query batch reads
     nprobe/n_centroids of an already-compressed index."""
-    corpus, _ = valid_vectors(corpus, vec_col)  # see write_ivf_index
+    corpus, dim = valid_vectors(corpus, vec_col, dim)  # see write_ivf_index
     cb = codebooks if codebooks is not None else pq_codebooks_first_k(
-        corpus, m, ksub, vec_col, id_col
+        corpus, m, ksub, vec_col, id_col, dim=dim
     )
+    _require_literal_budget(cb, "write_ivfpq_index")
     n = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("id"), "_dec", "_normsq"
     ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
     if centroids is not None:
         cents = centroids
     else:
-        cents = n.filter(F.col("id") < n_centroids).select(
-            F.col("id").alias("cent_id"),
-            F.col("dec").alias("c_dec"),
-            F.col("normsq").alias("c_normsq"),
-        )
+        cents = _first_k_centroids(n, n_centroids)
     lists = ivf_assign_cells(n, cents).select(
         "id", "cell", _pq_code_array(F.col("dec"), cb).alias("codes")
     )
@@ -1099,6 +1152,7 @@ def ivfpq_index_topk(
     dim = len(cents.select("c_dec").first()["c_dec"])
     queries, _ = valid_vectors(queries, vec_col, dim)
     cb = read_pq_codebooks(spark, path)
+    _require_literal_budget(cb, "ivfpq_index_topk (query ADC tables)")
     q = with_norm(queries, vec_col, parallelize=False).select(
         F.col(id_col).alias("query_id"),
         F.col("_dec").alias("q_dec"),

@@ -1875,3 +1875,98 @@ def test_strata_cardinality_guard(spark):
         assert set(thr) == {"u1", "u2"}
     finally:
         S.MAX_STRATA = old
+
+
+# --- r15 review fixes: similarity/packing guards ----------------------------
+
+
+def test_ivf_default_centroids_fail_loud_on_offset_ids(spark, sf_dir):
+    import pytest
+
+    from core_etl_spark.io import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    offset = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="ids must be dense"):
+        S.ivf_ann_topk(offset, offset.limit(3)).collect()
+
+
+def test_lsh_ann_topk_infers_dim(spark):
+    # the old hard-coded dim=64 silently emptied any other-dimensional
+    # corpus; dim=None must infer and return real neighbors
+    from core_etl_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 7 + j) % 5) + 0.1 for j in range(32)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.lsh_ann_topk(df, df.limit(4), k=3)
+    assert out.count() > 0
+
+
+def test_chunk_documents_rejects_token_skipping_stride(spark):
+    import pytest
+
+    from core_etl_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be <= chunk_len"):
+        chunk_documents(df, chunk_len=64, stride=100)
+
+
+def test_pack_sequences_guards_and_zero_token_consistency(spark):
+    import pytest
+
+    from core_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("en", 1, 512), ("en", 2, 0), ("en", 3, 100), ("en", 4, 0)],
+        "lang string, doc_id long, n_tok long",
+    )
+    with pytest.raises(ValueError, match="ctx_len must be >= 1"):
+        pack_sequences(df, ctx_len=0, token_count_col="n_tok")
+    out = {r.doc_id: r for r in pack_sequences(
+        df, ctx_len=512, token_count_col="n_tok"
+    ).collect()}
+    # doc 2 sits EXACTLY on a chunk boundary (cum_before=512), doc 4
+    # mid-window (cum_before=612): both zero-token docs span 0 chunks now
+    # (the raw formula said 0 and 1 respectively)
+    assert out[2].spans_chunks == 0 and out[4].spans_chunks == 0
+    assert out[1].spans_chunks == 1 and out[3].spans_chunks == 1
+
+
+def test_pq_encode_pandas_nulls_nonfinite_vectors(spark):
+    # element-NULL/NaN vectors must get NULL codes like the literal
+    # encoder, never argmin-over-nan garbage code 0
+    from core_etl_spark.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, None, 3.0, 4.0]),
+        (3, [float("nan"), 2.0, 3.0, 4.0]),
+        (4, None),
+        (5, [4.0, 3.0, 2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = [[[1.0, 2.0], [9.0, 9.0]], [[3.0, 4.0], [9.0, 9.0]]]
+    got = {r.id: r.codes for r in S.pq_encode_pandas(df, cb).collect()}
+    assert got[1] == [0, 0]
+    assert got[2] == [None, None]
+    assert got[3] == [None, None]
+    assert got[4] == [None, None]
+    assert all(c is not None for c in got[5])
+
+
+def test_ivfpq_literal_budget_fails_loud(spark):
+    import pytest
+
+    from core_etl_spark.operators import similarity as S
+
+    big_cb = [[[0.0] * 8 for _ in range(256)] for _ in range(96)]  # 196k scalars
+    df = spark.createDataFrame(
+        [(1, [0.0] * 768)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="literal-expression budget"):
+        S.ivfpq_adc_topk(df, df, codebooks=big_cb)
+    with pytest.raises(ValueError, match="literal-expression budget"):
+        S.write_ivfpq_index(df, "/tmp/never_written", codebooks=big_cb)
