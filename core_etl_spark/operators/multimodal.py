@@ -86,6 +86,8 @@ def _decode_png_stdlib(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG with no IHDR chunk")
     w, h, depth, color, _comp, _filt, interlace = ihdr
+    if w < 1 or h < 1:
+        raise ValueError(f"zero-dimension PNG: w={w} h={h}")
     if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"stdlib PNG decode covers 8-bit non-interlaced color types "
@@ -149,7 +151,16 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
             "environment has no image codecs — use PNG payloads (stdlib "
             "decoder), the fake codec, or install PIL"
         ) from e
-    arr = np.asarray(Image.open(io.BytesIO(payload)))
+    img = Image.open(io.BytesIO(payload))
+    if img.mode == "P":
+        # palette images yield palette INDICES as pixel values — features
+        # and ahash over indices make visually identical images with
+        # permuted palettes diverge wildly (r15 review); the stdlib path
+        # rejects color type 3 outright, the Pillow path must normalize
+        img = img.convert("RGB")
+    arr = np.asarray(img)
+    if arr.ndim < 2 or arr.shape[0] < 1 or arr.shape[1] < 1:
+        raise ValueError(f"zero-dimension image: shape={arr.shape}")
     return arr[:, :, None] if arr.ndim == 2 else arr
 
 
@@ -159,6 +170,12 @@ def _decode_image_fake(payload: bytes) -> np.ndarray:
         raise ValueError("not a fake-codec image payload")
     w, h = struct.unpack_from("<HH", payload, 1)
     c = payload[5]
+    if w < 1 or h < 1 or c < 1:
+        # a zero-dimension "image" decodes to an empty array whose first
+        # real indexing (resize grid, ahash sample points) raises
+        # IndexError OUTSIDE the _try_decode guard — a stage-killer the
+        # skip/quarantine modes could not catch (r15 review)
+        raise ValueError(f"zero-dimension image payload: w={w} h={h} c={c}")
     pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=6)
     return pix.reshape(h, w, c)
 
@@ -326,6 +343,17 @@ def _decode_video_fake(payload: bytes) -> tuple[int, int, int, bytes]:
     if not payload or payload[:1] != b"V":
         raise ValueError("not a fake-codec video payload")
     n, w, h = struct.unpack_from("<HHH", payload, 1)
+    if n > 0 and (w < 1 or h < 1):
+        raise ValueError(f"zero-dimension video frames: w={w} h={h}")
+    if len(payload) - 7 != n * w * h:
+        # a lying header is a claim, not a fact (the batchTransfer rule):
+        # without this check a truncated video decoded "successfully" and
+        # sample_frames emitted short/empty frame payloads downstream as
+        # valid rows (r15 review; the image decoder already rejects
+        # truncation via frombuffer's count=)
+        raise ValueError(
+            f"video payload length {len(payload) - 7} != n*w*h = {n * w * h}"
+        )
     return n, w, h, payload[7:]
 
 
@@ -350,8 +378,13 @@ def _payload_errors() -> tuple[type[BaseException], ...]:
     import wave
     import zlib
 
+    # OSError covers Pillow's UnidentifiedImageError and truncated-file
+    # load errors: _try_decode only ever operates on IN-MEMORY bytes
+    # (BytesIO), so an OSError inside the decode call is a malformed
+    # payload, never device I/O (r15 review — without it one corrupt
+    # real-codec image failed the stage despite skip/quarantine).
     return (ValueError, IndexError, struct.error, EOFError, zlib.error,
-            wave.Error)
+            wave.Error, OSError)
 
 
 def _check_on_error(on_error: str) -> None:
@@ -475,7 +508,14 @@ def image_features(
                     continue
                 iv = img.reshape(-1).astype(np.int64)
                 n, sx, sxx = iv.size, int(iv.sum()), int((iv * iv).sum())
-                hist = np.bincount(iv // (256 // bins), minlength=bins)
+                # exact-integer bucketing valid for ANY bins >= 1: for the
+                # 256-divisible bins the specs use this equals iv//(256//bins)
+                # bit-for-bit; the old form emitted bins+1 buckets when bins
+                # didn't divide 256 and floor-divided by zero past 256
+                # (r15 review)
+                hist = np.bincount(
+                    np.minimum(iv * bins // 256, bins - 1), minlength=bins
+                )
                 rows.append(
                     {
                         "media_id": mid,
@@ -682,7 +722,8 @@ AHASH_DDL = "media_id long, ahash string"
 
 
 def image_ahash(
-    media: DataFrame, grid: int = 8, on_error: str = "fail"
+    media: DataFrame, grid: int = 8, on_error: str = "fail",
+    codec: str = "fake",
 ) -> DataFrame:
     """Perceptual average-hash per image: downsample the grayscale to a
     ``grid``×``grid`` patch (nearest-neighbor), threshold each cell at the
@@ -704,15 +745,17 @@ def image_ahash(
     ``on_error="skip"`` drops malformed payloads; ``"quarantine"`` keeps
     them as NULL-hash rows with a ``decode_error`` column."""
     _check_on_error(on_error)
+    decode = _pick(_IMAGE_DECODERS, codec)  # hardcoding the fake decoder
+    # silently dropped EVERY row of a real-codec corpus under "skip" —
+    # the exact whole-corpus-drop failure _payload_errors' docstring
+    # forbids (r15 review)
     out_ddl = _quarantine_ddl(AHASH_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img, err = _try_decode(
-                    _decode_image_fake, bytes(payload), on_error
-                )
+                img, err = _try_decode(decode, bytes(payload), on_error)
                 if img is None:
                     if err is not None and on_error == "quarantine":
                         rows.append(_quarantined_row(mid, out_ddl, err))
@@ -739,7 +782,8 @@ def image_ahash(
 
 
 def image_dedup_groups(
-    media: DataFrame, grid: int = 8, on_error: str = "fail"
+    media: DataFrame, grid: int = 8, on_error: str = "fail",
+    codec: str = "fake",
 ) -> DataFrame:
     """Image-level dedup report: aHash buckets with their member count and
     keeper (min media_id) — the image twin of text exact-dedup. One hash
@@ -747,7 +791,7 @@ def image_dedup_groups(
     NULL-hash quarantine rows are excluded from the buckets (they'd
     otherwise pool into one bogus NULL group); audit them via
     :func:`quarantine_split` on :func:`image_ahash` instead."""
-    hashes = image_ahash(media, grid, on_error=on_error)
+    hashes = image_ahash(media, grid, on_error=on_error, codec=codec)
     if on_error == "quarantine":
         hashes, _ = quarantine_split(hashes)
     return (

@@ -216,6 +216,10 @@ def remove_boilerplate_chunks(
     ``array_sort`` on (pos, chunk) structs, never a window over the whole
     corpus. Returns (id, clean_text, n_kept, n_dropped); a fully-
     boilerplate document comes back with empty text, not silently missing.
+    NULL-text documents have no chunks to explode and are ABSENT from the
+    output (the module convention — vocab_coverage/token_rarity/
+    bpe_token_counts drop them the same way; re-join against the corpus
+    when per-doc completeness matters), which the l23 oracle mirrors.
     """
     words = tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("long")
@@ -225,7 +229,13 @@ def remove_boilerplate_chunks(
             F.slice(words, (i * chunk_words + 1).cast("int"), chunk_words), " "
         ),
     )
-    base = df.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
+    # materialized once (r15 review): base feeds BOTH the hot aggregate
+    # and the join probe, and with the hot side broadcast there is no
+    # exchange for Spark to reuse — the corpus-wide explode otherwise
+    # runs twice, doubling the operator's dominant cost
+    base = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    ).localCheckpoint(eager=False)
     hot = (
         base.groupBy("chunk")
         .agg(F.count_distinct(id_col).alias("_dc"))
@@ -263,7 +273,12 @@ def vocab_coverage(
     driver) and joins back as a broadcast; per-document scoring is then
     one explode + partial+final groupBy. ``oov_rate`` is an exact
     long/long IEEE divide — bit-identical across engines."""
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    # materialized once (r15 review): the exploded tokens feed both the
+    # vocab aggregate and the broadcast-join probe side, with no common
+    # exchange for Spark to reuse — measured 4 corpus scans in the plan
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).localCheckpoint(eager=False)
     vocab = (
         tok.groupBy("token")
         .agg(F.count("*").alias("_n"))
@@ -398,7 +413,11 @@ def gopher_quality(
     # mean word length over the single-space corpus: chars minus the
     # (n-1) separators, divided by n — exact ints in, one double out
     mean_wl = (F.length(F.col(text_col)) - (n - 1)) / n
-    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    # case-insensitive (r15 review): tokens() does NOT lowercase, so the
+    # old "[a-z]" counted acronym/header tokens (NASA, FBI, I) as
+    # NON-alphabetic and failed legitimate documents on the alpha rule —
+    # Gopher's rule is "contains an alphabetic character", any case
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("(?i)[a-z]")))
     stop_hits = stopword_hits(F.col(text_col), STOPWORDS_EN)
     rule_words = (n >= min_words) & (n <= max_words)
     rule_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
@@ -480,7 +499,11 @@ def token_rarity(
     map-combinable vocab agg, one equi-join on the token (vocab-sized
     build side — broadcastable for natural-language vocabularies), one
     per-doc agg. No log(), no floats until the final division."""
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    # materialized once (r15 review): feeds the corpus-frequency agg AND
+    # the join probe — measured 4 corpus scans without it
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).localCheckpoint(eager=False)
     cf = toks.groupBy("tok").agg(F.count("*").alias("cf"))
     return (
         toks.join(cf, "tok")

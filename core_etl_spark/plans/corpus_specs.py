@@ -296,7 +296,7 @@ def _c05_oracle() -> str:
         g AS (
             SELECT doc_id, text, len(t) AS n,
                    (length(text) - (len(t) - 1)) / len(t) AS mwl,
-                   len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS na,
+                   len(list_filter(t, w -> regexp_matches(w, '[a-z]', 'i'))) AS na,
                    len(list_filter(t, w -> list_contains(
                        ['the','of','and','to','a'], w))) AS sh
             FROM tk

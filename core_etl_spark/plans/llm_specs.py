@@ -1626,7 +1626,7 @@ def l29(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         s AS (
             SELECT doc_id, n,
                    (length(text) - (n - 1)) / n AS mean_wl,
-                   len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                   len(list_filter(tk, w -> regexp_matches(w, '[a-z]', 'i'))) AS n_alpha,
                    len(list_filter(tk, w -> list_contains(
                        ['the','of','and','to','a'], w))) AS stop_hits
             FROM t

@@ -1970,3 +1970,17 @@ def test_ivfpq_literal_budget_fails_loud(spark):
         S.ivfpq_adc_topk(df, df, codebooks=big_cb)
     with pytest.raises(ValueError, match="literal-expression budget"):
         S.write_ivfpq_index(df, "/tmp/never_written", codebooks=big_cb)
+
+
+def test_gopher_alpha_rule_is_case_insensitive(spark):
+    # tokens() does not lowercase, so the old "[a-z]" alpha test counted
+    # acronym tokens (NASA, FBI, I) as NON-alphabetic and failed
+    # legitimate documents (r15 review)
+    base = "the of and to a " * 11  # 55 stopword tokens: passes every rule
+    doc_up = base + "NASA FBI USA I CERN"  # 60 tokens, 5 uppercase-only
+    df = spark.createDataFrame(
+        [(1, doc_up.strip())], "doc_id long, text string"
+    )
+    row = X.gopher_quality(df).collect()[0]
+    assert row.alpha_ratio == 1.0
+    assert row.pass_alpha

@@ -784,3 +784,89 @@ def test_streaming_quarantine_foreachbatch_two_tables_one_decode(spark, tmp_path
     # survivors' features equal the batch skip-mode answer
     want = sorted(map(tuple, M.image_features(media, on_error="skip").collect()))
     assert sorted(map(tuple, feats.collect())) == want
+
+
+# --- r15 review fixes --------------------------------------------------------
+
+
+def test_zero_dimension_image_is_quarantined_not_stage_killed(spark):
+    # a zero-width "image" decoded fine but its first real indexing
+    # (resize grid / ahash sample points) raised IndexError OUTSIDE the
+    # _try_decode guard — one bad blob killed the stage despite
+    # skip/quarantine (r15 review)
+    import struct
+
+    bad = b"I" + struct.pack("<HH", 0, 5) + bytes([3])
+    good = b"I" + struct.pack("<HH", 2, 2, ) + bytes([1]) + bytes(4)
+    df = spark.createDataFrame(
+        [(1, "image", bad, None), (2, "image", good, None)],
+        M.MEDIA_DDL,
+    )
+    out = M.resize_images(df, 2, 2, on_error="quarantine").collect()
+    assert {r.media_id for r in out} == {1, 2}
+    errs = {r.media_id: r.decode_error for r in out}
+    assert errs[1] is not None and "zero-dimension" in errs[1]
+    assert errs[2] is None
+    hashes = M.image_ahash(df, on_error="skip").collect()
+    assert [r.media_id for r in hashes] == [2]
+
+
+def test_truncated_video_is_quarantined(spark):
+    # a lying video header decoded "successfully" and emitted short/empty
+    # frame payloads downstream as valid rows (r15 review)
+    import struct
+
+    lying = b"V" + struct.pack("<HHH", 10, 6, 4) + bytes(24)  # claims 240
+    ok = b"V" + struct.pack("<HHH", 2, 2, 2) + bytes(8)
+    df = spark.createDataFrame(
+        [(1, "video", lying, None), (2, "video", ok, None)],
+        M.MEDIA_DDL,
+    )
+    frames = M.sample_frames(df, every_k=1, on_error="quarantine").collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0].decode_error is not None
+    assert len(by_id[2]) == 2
+    assert all(len(r.frame_payload) == 4 for r in by_id[2])
+
+
+def test_histogram_bins_not_dividing_256(spark):
+    # bins=10 used to emit 11 buckets (pixel 255 // 25 == 10); the
+    # exact-integer form stays bit-identical for divisor bins
+    import struct
+
+    payload = b"I" + struct.pack("<HH", 2, 2) + bytes([1]) + bytes([0, 100, 200, 255])
+    df = spark.createDataFrame([(1, "image", payload, None)], M.MEDIA_DDL)
+    row = M.image_features(df, bins=10).collect()[0]
+    assert len(row.histogram) == 10
+    assert sum(row.histogram) == 4
+    row8 = M.image_features(df, bins=8).collect()[0]
+    assert row8.histogram == [1, 0, 0, 1, 0, 0, 1, 1]  # same as iv//32
+
+
+def test_image_ahash_codec_param(spark):
+    # image_ahash hardcoded the fake decoder: a real-codec (PNG) corpus
+    # under "skip" silently dropped EVERY row — the exact whole-corpus
+    # drop _payload_errors' docstring forbids (r15 review). Build a tiny
+    # valid PNG by hand (the stdlib decoder does not verify CRCs).
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray8
+    raw = b"\x00" + bytes([10, 20]) + b"\x00" + bytes([30, 250])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, "image", png, None)], M.MEDIA_DDL)
+    assert M.image_ahash(df, on_error="skip").count() == 0  # fake codec: dropped
+    got = M.image_ahash(df, codec="real", on_error="skip").collect()
+    assert len(got) == 1 and got[0].ahash is not None
+    groups = M.image_dedup_groups(df, codec="real").collect()
+    assert len(groups) == 1 and groups[0].n_images == 1
