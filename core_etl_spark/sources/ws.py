@@ -430,7 +430,7 @@ class WsJsonRpcTransport:
                 self._mark_dead()
         raise WsError(f"{method}: request failed after reconnect") from last
 
-    def subscribe_blocks(self) -> Iterator[dict]:
+    def subscribe_blocks(self, stop=None) -> Iterator[dict]:
         """S2 — the new-heads subscription (provider.rs:45-47): subscribe
         via ``<ns>_subscribe(["newHeads"])`` and yield each header payload
         as it arrives. Blocking generator; drive it from the poller that
@@ -439,7 +439,14 @@ class WsJsonRpcTransport:
 
         Survives both quiet chains (each 30 s recv timeout just polls
         again) and connection loss (reconnect with the retry policy, then
-        re-subscribe — the reference provider behaves the same way)."""
+        re-subscribe — the reference provider behaves the same way).
+
+        ``stop`` (optional ``threading.Event``) ends the generator at the
+        next recv timeout: without it a QUIET chain never yields, so a
+        consumer like ``HeadPoller`` that checks its stop flag between
+        heads could not be joined until the next block arrived (r15
+        review — the poller docstring's "join is bounded by the socket
+        timeout" was only true on an active chain)."""
         sub_id = json.loads(self(f"{self.namespace}_subscribe", '["newHeads"]'))
 
         def heads() -> Iterator[dict]:
@@ -454,6 +461,8 @@ class WsJsonRpcTransport:
                         # a None they'd crash on (r13 adversarial audit)
                         if isinstance(head, dict):
                             yield head
+                if stop is not None and stop.is_set():
+                    return
                 try:
                     self._recv_one()
                 except socket.timeout:

@@ -99,7 +99,11 @@ class HeadPoller:
 
     def _run(self) -> None:
         pending: list[dict] = []
-        for head in self.transport.subscribe_blocks():
+        try:
+            heads = self.transport.subscribe_blocks(stop=self._stop)
+        except TypeError:  # transports predating the stop-aware signature
+            heads = self.transport.subscribe_blocks()
+        for head in heads:
             if self._stop.is_set():
                 break
             raw = self._fetch_full(head)
@@ -112,6 +116,8 @@ class HeadPoller:
                 pending
             ) >= self.max_blocks:
                 break
+        # the final drop must run even when the loop exits via an
+        # exception from a fetch — see the finally in _run_safe's caller
         if pending:
             self._drop(pending)
 
@@ -133,16 +139,30 @@ class HeadPoller:
                 log.warning("head poller: skipping malformed head %r", head)
             return None
         try:
-            if isinstance(number, str):  # hex-quantity form
-                number = int(number, 16)
+            if isinstance(number, str):
+                # hex-quantity OR decimal-string form — the same arrival
+                # shapes provider._quantity documents; parsing every
+                # string as base-16 silently fetched the wrong block for
+                # a decimal push (int("291", 16) == 657, r15 review)
+                number = int(number, 16) if number.startswith("0x") else int(number)
             number = int(number)
         except (ValueError, TypeError):
             log.warning("head poller: skipping head with bad number %r", number)
             return None
-        payload = self.transport(
-            f"{self.namespace}_getBlockByNumber", json.dumps([hex(number), True])
-        )
-        raw = json.loads(payload)
+        try:
+            payload = self.transport(
+                f"{self.namespace}_getBlockByNumber",
+                json.dumps([hex(number), True]),
+            )
+            raw = json.loads(payload)
+        except Exception as e:  # noqa: BLE001 — transient RPC failure must
+            # not kill the long-lived daemon (r15 review: a node restart
+            # mid-fetch raised through _run and live ingest silently
+            # stopped forever); the skipped height re-syncs via the
+            # tail's contiguity guard + backfill like any missed push
+            log.warning("head poller: fetch of %s failed (%s); skipping",
+                        hex(number), e)
+            return None
         if not isinstance(raw, dict):
             log.warning(
                 "head poller: skipping non-object block reply for %s", hex(number)

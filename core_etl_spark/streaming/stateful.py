@@ -84,7 +84,13 @@ def first_seen(
     repeats. With ``timeout_ms``, the per-key marker expires after that much
     idle processing time — the dedup horizon; a key recurring later is
     emitted again (the deliberate memory/recall trade every streaming dedup
-    makes)."""
+    makes).
+
+    ``n_dropped_dups`` counts duplicates WITHIN the key's first-arrival
+    micro-batch only: append mode emits each key once and cannot update
+    the row, so repeats arriving in LATER batches are dropped without
+    being counted anywhere (r15 review) — a dup-pressure monitor needs
+    ``running_counts`` (update mode) instead."""
 
     def update(
         key: Tuple[Any, ...],
@@ -198,9 +204,14 @@ def running_totals_tws(
                 # accepts — probed by the r13 adversarial audit
                 # (tests/test_adversarial_streaming.py), matching SUM()'s
                 # null semantics (nulls count toward n, not the sum).
-                amt_new += int(b[amount_col].sum())
+                # float accumulation across chunks, ONE truncation at
+                # the end: int() per pandas chunk accumulated error for
+                # fractional amounts (0.6 + 0.6 → 0 instead of 1), and
+                # Arrow batch boundaries made the loss replay-unstable
+                # (r15 review)
+                amt_new += b[amount_col].sum()
             prev = self._totals.get() if self._totals.exists() else (0, 0)
-            n, tot = prev[0] + n_new, prev[1] + amt_new
+            n, tot = prev[0] + n_new, prev[1] + int(amt_new)
             self._totals.update((n, tot))
             yield pd.DataFrame(
                 {
@@ -218,5 +229,9 @@ def running_totals_tws(
         statefulProcessor=_Totals(),
         outputStructType="key string, n_batch long, n_total long, amount_total long",
         outputMode="Update",
-        timeMode="None",
+        # TTL state REQUIRES TimeMode.ProcessingTime — under "None" the
+        # JVM raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+        # at query start, so the advertised ttl_ms could never work
+        # (r15 review; verified against Spark 4.1.2 error-conditions)
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

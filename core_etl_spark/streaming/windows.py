@@ -59,17 +59,10 @@ def tumbling_counts(
     """Per-window event counts (tumbling). Partial aggregation happens
     map-side; the shuffle key is (window, *keys) so state is evenly spread
     unless a key is skewed — salt upstream if one is."""
-    src = with_watermark(events, ts_col, delay)
-    return (
-        src.groupBy(F.window(ts_col, width).alias("w"), *[F.col(k) for k in keys])
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            *keys,
-            "n_events",
-        )
-    )
+    # a tumbling window IS a sliding window with slide == width
+    # (F.window(ts, w) defaults the slide to w) — one aggregation body,
+    # no drift between the two shapes (r15 review)
+    return sliding_counts(events, ts_col, width, width, keys, delay)
 
 
 def sliding_counts(
