@@ -58,7 +58,18 @@ def is_transfer_call(input_col: Column, to_addr_col: Column, contract: str) -> C
 
 def decode_transfer(input_col: Column, sender_col: Column) -> list[Column]:
     """T5 — single ``transfer``: sender is the tx originator; to/value are
-    calldata words (cbc20.rs:41-46)."""
+    calldata words (cbc20.rs:41-46).
+
+    KNOWN, ORACLE-PINNED TOLERANCE (r15 review): unlike the batch path's
+    ``batch_wellformed`` gate, the single/``transferFrom`` decoders carry
+    no length guard — truncated-but-selector-matching calldata yields a
+    short ``to_addr`` / empty ``value`` row rather than being dropped.
+    The dirty-chain oracles replay exactly these slices (the arm is part
+    of t45x/t4678x's pinned surface), and no DoS is possible here (fixed
+    slices, no ``sequence``); consumers that need well-formed rows filter
+    on ``length(to_addr) = 44``. Revisit with a seat in a future rotation
+    if the drop semantics are preferred — both engines must change
+    together."""
     return [
         sender_col.alias("from_addr"),
         _slice(input_col, 28, 44).alias("to_addr"),

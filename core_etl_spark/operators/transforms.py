@@ -30,7 +30,12 @@ def normalize_blocks(raw: DataFrame) -> DataFrame:
     cols = [f.name for f in BLOCK_SCHEMA.fields]
     out = raw.select(
         "*",
-        F.size("transactions").cast("long").alias("transaction_count"),
+        # NULL transactions array (header-only/garbage reply) counts 0 like
+        # the reference's len() (block.rs:59) — bare size() yields NULL
+        # under ANSI and silently drops the block from count sums (r15)
+        F.coalesce(F.size("transactions"), F.lit(0)).cast("long").alias(
+            "transaction_count"
+        ),
         F.lit(0).cast("long").alias("matured"),
         created_at(F.col("timestamp")).alias("created_at"),
     )
@@ -81,24 +86,37 @@ def propagate_created_at(
 ) -> DataFrame:
     """T11 — the reference's timestamp/block_number HashMap propagation
     (sqlite3.rs:407-460): a transfer inherits created_at (+ block_number if
-    missing) from its tx; a tx inherits from its block. Expressed as two
-    broadcast hash joins — the maps the reference builds driver-side are
-    exactly the small join sides here."""
+    missing) from its tx; a tx inherits from its block. Two hash joins
+    whose sides AQE broadcasts while small — never FORCED broadcasts (r15
+    review): both sides scale with the chunk, the exact pattern the r09
+    receipts rule removed (a 1M-block chunk forced through the driver is
+    a guaranteed OOM).
+
+    created_at COALESCES down the inheritance chain (r15 review): block
+    join result, then the tx's own created_at, then whatever the transfer
+    already carried — the old unconditional overwrite stamped NULL
+    whenever the block-hash hop missed (a dirty NULL-hash block) even
+    though the tx row carried the timestamp all along."""
     tx_ts = transactions.select(
         F.col("hash").alias("_tx_hash"),
         F.col("block_hash").alias("_blk_hash"),
         F.col("block_number").alias("_tx_block_number"),
+        F.col("created_at").alias("_tx_created_at"),
     )
     blk_ts = blocks.select(
         F.col("hash").alias("_b_hash"), F.col("created_at").alias("_b_created_at")
     )
+    chain = [F.col("_b_created_at"), F.col("_tx_created_at")]
+    if "created_at" in transfers.columns:
+        chain.append(transfers["created_at"])
     return (
-        transfers.join(F.broadcast(tx_ts), transfers["tx_hash"] == tx_ts["_tx_hash"], "left")
-        .join(F.broadcast(blk_ts), F.col("_blk_hash") == F.col("_b_hash"), "left")
-        .withColumn("created_at", F.col("_b_created_at"))
+        transfers.join(tx_ts, transfers["tx_hash"] == tx_ts["_tx_hash"], "left")
+        .join(blk_ts, F.col("_blk_hash") == F.col("_b_hash"), "left")
+        .withColumn("created_at", F.coalesce(*chain))
         .withColumn(
             "block_number",
             F.coalesce(F.col("block_number"), F.col("_tx_block_number")).cast("long"),
         )
-        .drop("_tx_hash", "_blk_hash", "_tx_block_number", "_b_hash", "_b_created_at")
+        .drop("_tx_hash", "_blk_hash", "_tx_block_number", "_b_hash",
+              "_b_created_at", "_tx_created_at")
     )

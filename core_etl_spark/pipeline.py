@@ -85,7 +85,29 @@ def ingest_raw(
     txs = normalize_transactions(raw)
     transfers = None
     if watch_contracts:
-        receipts = receipts_for(raw) if receipts_for else None
+        receipts = None
+        if receipts_for:
+            # Receipts for MATCHED transfer calls only (the reference's
+            # shape, etl.rs:357-360) — fetching for every tx in the chunk
+            # fired orders of magnitude more RPCs than the decode ever
+            # joins (r15 review). The hint is advisory: providers that
+            # predate it (TypeError) fall back to the full sweep, and the
+            # fixture provider ignores it (deterministic local generation).
+            from .operators.decode import is_transfer_call
+
+            cand = None
+            for c in watch_contracts:
+                p_ = is_transfer_call(F.col("input"), F.col("to_addr"), c)
+                cand = p_ if cand is None else (cand | p_)
+            matched = txs.filter(cand).select(F.col("hash").alias("tx_hash"))
+            try:
+                receipts = receipts_for(raw, matched)
+            except TypeError:
+                receipts = receipts_for(raw)
+            # materialized ONCE: each watched contract's extract branch
+            # joins this same frame — without the checkpoint the whole
+            # receipt RPC sweep re-executed per contract (r15 review)
+            receipts = receipts.localCheckpoint(eager=False)
         parts = [extract_token_transfers(txs, c, receipts=receipts) for c in watch_contracts]
         transfers = parts[0]
         for p in parts[1:]:

@@ -280,3 +280,127 @@ def test_load_tables_normalizes_both_ts_encodings(spark, tmp_path):
         assert str(df.schema["ts"].dataType) == "TimestampType()", str(d)
         [row] = df.collect()
         assert row.ts == t0, (str(d), row.ts)
+
+
+# --- r15 review: wire normalization + propagation fixes ----------------------
+
+
+def test_wire_block_normalization_roundtrip():
+    from core_etl_spark.sources.provider import _normalize_wire_block
+
+    wire = {
+        "number": "0x2a",
+        "hash": "0x" + "ab" * 32,
+        "parentHash": "0x" + "cd" * 32,
+        "energyLimit": "0x7a1200",
+        "energyUsed": 100,
+        "timestamp": "0x6553f000",
+        "difficulty": "0xff",
+        "totalDifficulty": "255",
+        "extraData": "0x00",
+        "transactions": [
+            {
+                "hash": "0x" + "ee" * 32,
+                "transactionIndex": "0x1",
+                "from": "0x" + "aa" * 22,
+                "to": "0x" + "bb" * 22,
+                "value": "0xde0b6b3a7640000",  # 10^18
+                "energyPrice": "0x3b9aca00",
+                "input": "0x4b40e901" + "0" * 128,
+                "blockHash": "0x" + "ab" * 32,
+            }
+        ],
+    }
+    out = _normalize_wire_block(wire)
+    assert out["number"] == 42
+    assert out["hash"] == "ab" * 32 and out["parent_hash"] == "cd" * 32
+    assert out["energy_limit"] == 8000000 and out["timestamp"] == 0x6553F000
+    assert out["difficulty"] == "255" and out["total_difficulty"] == "255"
+    tx = out["transactions"][0]
+    assert tx["transaction_index"] == 1
+    assert tx["value"] == str(10**18)
+    assert tx["energy_price"] == "1000000000"
+    assert tx["input"].startswith("4b40e901")  # decode offsets now line up
+    assert tx["block_hash"] == "ab" * 32
+
+    # canonical (fixture-shaped) input passes through unchanged
+    canonical = {"number": 7, "hash": "ff" * 32, "timestamp": 1700000000,
+                 "difficulty": "123", "transactions": []}
+    assert _normalize_wire_block(dict(canonical)) == canonical
+    # an error envelope / header fragment with no height is NOT a block
+    assert _normalize_wire_block({"jsonrpc": "2.0", "code": -32000}) is None
+    assert _normalize_wire_block({"number": "garbage"}) is None
+
+
+def test_rpc_fetch_skips_error_replies(spark):
+    import json as _json
+
+    from core_etl_spark.sources.provider import RpcBlockProvider
+
+    def transport(method, params):
+        if method == "xcb_getBlockByNumber":
+            n = int(_json.loads(params)[0], 16)
+            if n == 2:
+                raise RuntimeError("block not found")  # RpcError-shaped
+            return _json.dumps({"number": hex(n), "hash": "aa" * 32,
+                                "timestamp": 1700000000 + n,
+                                "transactions": []})
+        raise AssertionError(method)
+
+    provider = RpcBlockProvider(transport=transport, chunk_size=10)
+    got = sorted(r.number for r in provider.fetch_blocks(spark, 0, 4).collect())
+    assert got == [0, 1, 3, 4]  # height 2 skipped, stage alive
+
+
+def test_chain_tip_quantity_forms():
+    import json as _json
+
+    import pytest
+
+    from core_etl_spark.sources.provider import RpcBlockProvider
+
+    def mk(reply):
+        return RpcBlockProvider(transport=lambda m, p: _json.dumps(reply))
+
+    assert mk("0x2a").chain_tip() == 42
+    assert mk("42").chain_tip() == 42
+    assert mk(42).chain_tip() == 42
+    with pytest.raises(ValueError, match="non-quantity"):
+        mk(None).chain_tip()
+    with pytest.raises(ValueError, match="non-quantity"):
+        mk("garbage").chain_tip()
+
+
+def test_propagate_created_at_survives_null_block_hash(spark):
+    # r15 review: the block-hash hop misses for a dirty NULL-hash block,
+    # but the tx row carries the timestamp — coalesce, don't overwrite
+    from core_etl_spark.operators import transforms as T
+
+    blocks = spark.createDataFrame(
+        [(1, None, "2024-01-01 00:00:00")],
+        "number long, hash string, created_at string",
+    ).select("number", "hash", F.col("created_at").cast("timestamp"))
+    txs = spark.createDataFrame(
+        [("t1", "", 1, "2024-01-01 00:00:00")],
+        "hash string, block_hash string, block_number long, created_at string",
+    ).select("hash", "block_hash", "block_number",
+             F.col("created_at").cast("timestamp"))
+    transfers = spark.createDataFrame(
+        [("t1", None)], "tx_hash string, block_number long"
+    )
+    out = T.propagate_created_at(transfers, txs, blocks).collect()[0]
+    assert out.created_at is not None
+    assert out.block_number == 1
+
+
+def test_normalize_blocks_null_tx_array_counts_zero(spark):
+    from core_etl_spark.operators import transforms as T
+    from core_etl_spark.sources import fixtures as FX
+
+    raw = FX.raw_blocks(spark, n_blocks=2, txs_per_block=1)
+    nulled = raw.withColumn(
+        "transactions",
+        F.when(F.col("number") == 0, F.lit(None)).otherwise(F.col("transactions")),
+    )
+    out = {r.number: r.transaction_count for r in T.normalize_blocks(nulled).collect()}
+    assert out[0] == 0 and out[1] == 1
