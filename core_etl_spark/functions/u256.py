@@ -27,8 +27,11 @@ def strip_0x(h: Column) -> Column:
 
 
 def hex_to_long(h: Column) -> Column:
-    """Exact hex→bigint for words up to 15 hex chars (60 bits)."""
-    return F.conv(strip_0x(h), 16, 10).cast("long")
+    """Exact hex→bigint for words up to 15 hex chars (60 bits); wider
+    words go NULL (try_cast) instead of killing the stage under ANSI —
+    one dirty 16-char word otherwise raised CAST_INVALID_INPUT from
+    conv's unsigned 2^63.. output (r15 review, module NULL policy)."""
+    return F.conv(strip_0x(h), 16, 10).try_cast("long")
 
 
 def hex_u256_to_decimal(h: Column) -> Column:
@@ -48,5 +51,8 @@ def hex_u256_to_decimal(h: Column) -> Column:
 
 
 def dec_u256_to_decimal(s: Column) -> Column:
-    """Decimal-string u256 → Decimal(38,0); NULL when > 38 digits."""
-    return s.cast(DEC38)
+    """Decimal-string u256 → Decimal(38,0); NULL when > 38 digits or
+    non-numeric — try_cast, because ANSI's plain cast RAISES on both
+    (verified live: 2^256-1 killed the job; the docstring always
+    promised NULL — r15 review)."""
+    return s.try_cast(DEC38)

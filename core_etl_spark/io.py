@@ -79,12 +79,24 @@ def load_tables(
             path = table_path(sf_dir, name)
             if not os.path.exists(path):
                 continue
-            hit = (_fix_nanos_timestamps(spark.read.parquet(path)), False)
-        df, registered = hit
-        if register and not registered:
+            hit = (_fix_nanos_timestamps(spark.read.parquet(path)), None)
+        df, registered_dir = hit
+        # The view registry is GLOBAL per session while the cache key is
+        # per (sf_dir, table): tracking a boolean left the temp view
+        # pointing at whichever sf_dir registered LAST, so after
+        # alternating scales a spark.sql() over the view name silently
+        # read the wrong corpus (r15 review, verified live). Track WHICH
+        # dir the view points at and re-register on change.
+        norm_dir = key[0]
+        if register and registered_dir != norm_dir:
             df.createOrReplaceTempView(name)
-            registered = True
-        session_cache[key] = (df, registered)
+            registered_dir = norm_dir
+            # every other sf_dir's cache entry for this table no longer
+            # owns the view
+            for k2 in list(session_cache):
+                if k2[1] == name and k2 != key:
+                    session_cache[k2] = (session_cache[k2][0], None)
+        session_cache[key] = (df, registered_dir)
         out[name] = df
     return out
 

@@ -59,18 +59,43 @@ def cluster_by_zorder(
     handles skew), one shuffle total — the same cost as any clustering
     rewrite; pruning pays it back on every subsequent scan.
     """
-    # pmod, not %: Spark's % keeps the dividend's sign, so negative keys
-    # would hit shiftright sign-extension and z-cluster as garbage
-    # (ADVICE r06). pmod maps every key into [0, 2^bits).
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(
+            f"cluster_by_zorder: num_partitions must be >= 1, got {num_partitions}"
+        )
+    # MONOTONIC min-max bucketing into [0, 2^bits), not pmod (r15 review):
+    # pmod WRAPS any domain wider than 2^bits, scattering far-apart keys
+    # into the same bucket — each output file's min/max then spans nearly
+    # the whole real domain and range predicates prune NOTHING, defeating
+    # the function's purpose. The scale is order-preserving, so every
+    # file's stats stay tight on both columns; the one extra cost is a
+    # 1-row min/max aggregate (broadcast back via crossJoin). Equal-width
+    # buckets tolerate outlier skew because repartitionByRange samples the
+    # Z DISTRIBUTION, not the bucket ids, when sizing files.
+    top = F.lit((1 << bits) - 1)
+
+    def _scaled(c: str, lo: F.Column, hi: F.Column) -> F.Column:
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1))
+        return ((F.col(c).cast("double") - lo) * top.cast("double") / span.cast(
+            "double"
+        )).cast("long")
+
+    bounds = df.agg(
+        F.min(F.col(col_x).cast("long")).alias("_xlo"),
+        F.max(F.col(col_x).cast("long")).alias("_xhi"),
+        F.min(F.col(col_y).cast("long")).alias("_ylo"),
+        F.max(F.col(col_y).cast("long")).alias("_yhi"),
+    )
+    out = df.crossJoin(F.broadcast(bounds))
     z = zorder_value(
-        F.pmod(F.col(col_x), F.lit(1 << bits)),
-        F.pmod(F.col(col_y), F.lit(1 << bits)),
+        _scaled(col_x, F.col("_xlo"), F.col("_xhi")),
+        _scaled(col_y, F.col("_ylo"), F.col("_yhi")),
         bits,
     )
-    out = df.withColumn("_z", z)
+    out = out.withColumn("_z", z).drop("_xlo", "_xhi", "_ylo", "_yhi")
     out = (
         out.repartitionByRange(num_partitions, "_z")
-        if num_partitions
+        if num_partitions is not None
         else out.repartitionByRange("_z")
     )
     return out.sortWithinPartitions("_z").drop("_z")

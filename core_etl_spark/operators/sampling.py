@@ -166,13 +166,25 @@ def weighted_sample(
     probability ~k·2⁻⁵² per run. The rank key itself is NOT exported
     (callers compare membership, not keys), so the tiny divergence
     surface ends at the boundary row."""
+    # concat (NULL-propagating), not concat_ws (NULL-skipping): with
+    # concat_ws every NULL-key row hashed to the same salt-only value and
+    # was ADMITTED with a NULL tiebreaker (nondeterministic at the k
+    # boundary), while the oracle's `salt || ':' || key` null-propagated
+    # and sorted those rows out — a live-verified cross-engine divergence
+    # on NULL keys (r15 review). Rule 1: undefined identities are
+    # excluded, identically on both sides.
     u = (
-        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("long")
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("long")
         + F.lit(0.5)
     ) / F.lit(float(_HEX_SPACE))
     key = F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
     return (
-        df.filter(F.col(weight_col) > 0)
+        # NaN compares greater than every number in Spark, so `> 0` alone
+        # let NaN-weight rows through — and their NaN rank keys sorted
+        # ABOVE every real key, unconditionally occupying the sample
+        # (live-verified, r15 review). NULL keys have no identity to hash.
+        df.filter(F.col(key_col).isNotNull() & (w > 0) & ~F.isnan(w))
         .withColumn("_wkey", key)
         .orderBy(F.col("_wkey").desc(), F.col(key_col))
         .limit(k)
@@ -215,6 +227,15 @@ def deterministic_split(
         raise ValueError(
             "deterministic_split: weights before the last split sum to "
             f"{head} > 1 — splits after the excess would be empty"
+        )
+    total = head + weights[names[-1]]
+    if total > 1.0 + 1e-9:
+        # the last split receives 1 - head regardless of its stated
+        # weight, so a dict totalling > 1 silently mis-allocated it
+        # (r15 review): {'train': .5, 'val': .9} gave val 50%, not 90%
+        raise ValueError(
+            f"deterministic_split: weights sum to {total} > 1 — the last "
+            "split would receive less than its stated fraction"
         )
     h = F.substring(
         F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
@@ -267,12 +288,14 @@ def shuffle_shards(
         8,
     )
     shard = (F.conv(h, 16, 10).cast("long") % n_shards).cast("int")
-    w = Window.partitionBy("shard").orderBy("h", key_col)
+    # underscore-prefixed temp name (module convention): the bare "h"
+    # silently clobbered-then-dropped any input column named h (r15)
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
     return (
-        df.withColumn("h", h)
+        df.withColumn("_h", h)
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("h")
+        .drop("_h")
     )
 
 

@@ -1240,7 +1240,12 @@ def l21(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
                          CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
                       / 4294967296.0)
                    / CAST(n_chars AS DOUBLE) AS wkey
-            FROM documents WHERE n_chars > 0
+            -- mirror the operator's validity gate (r15): NULL keys have
+            -- no identity to hash, NaN weights outrank everything in
+            -- Spark and poison the sample
+            FROM documents
+            WHERE doc_id IS NOT NULL AND n_chars > 0
+              AND NOT isnan(CAST(n_chars AS DOUBLE))
         )
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100

@@ -404,3 +404,23 @@ def test_normalize_blocks_null_tx_array_counts_zero(spark):
     )
     out = {r.number: r.transaction_count for r in T.normalize_blocks(nulled).collect()}
     assert out[0] == 0 and out[1] == 1
+
+
+def test_load_tables_view_follows_sf_dir(spark, tmp_path):
+    # r15 review (live-verified): the view-registered flag was global per
+    # (dir, table) but the temp view is global per session — alternating
+    # sf_dirs left spark.sql() reading whichever dir registered LAST.
+    import os
+
+    from core_etl_spark.io import load_tables
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a); os.makedirs(b)
+    spark.createDataFrame([(1,)], "v long").write.parquet(f"{a}/region.parquet")
+    spark.createDataFrame([(2,)], "v long").write.parquet(f"{b}/region.parquet")
+    load_tables(spark, a, ("region",))
+    assert spark.sql("select v from region").collect()[0].v == 1
+    load_tables(spark, b, ("region",))
+    assert spark.sql("select v from region").collect()[0].v == 2
+    load_tables(spark, a, ("region",))  # cache hit — view must follow
+    assert spark.sql("select v from region").collect()[0].v == 1

@@ -1984,3 +1984,80 @@ def test_gopher_alpha_rule_is_case_insensitive(spark):
     row = X.gopher_quality(df).collect()[0]
     assert row.alpha_ratio == 1.0
     assert row.pass_alpha
+
+
+def test_weighted_sample_null_keys_and_nan_weights(spark):
+    # r15 review (live-verified divergences): NULL keys hashed to a shared
+    # salt-only value via concat_ws and were admitted with NULL
+    # tiebreakers; NaN weights passed `> 0` (NaN > everything in Spark)
+    # and their NaN rank keys unconditionally occupied the sample.
+    from core_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(None, 100.0), (1, float("nan")), (2, 5.0), (3, 9.0), (4, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    got = {r.doc_id for r in weighted_sample(df, "w", k=3).collect()}
+    assert None not in got and 1 not in got
+    assert got <= {2, 3, 4} and len(got) == 3
+
+
+def test_deterministic_split_rejects_total_over_one(spark):
+    import pytest
+
+    from core_etl_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1.4"):
+        deterministic_split(df, {"train": 0.5, "val": 0.9})
+
+
+def test_shuffle_shards_preserves_h_column(spark):
+    from core_etl_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(1, "keepme"), (2, "metoo")], "doc_id long, h string")
+    out = shuffle_shards(df, n_shards=2)
+    assert {r.h for r in out.collect()} == {"keepme", "metoo"}
+
+
+def test_zorder_cluster_prunes_wide_domains(spark):
+    # r15 review: pmod(col, 2^bits) wrapped wide domains, scattering
+    # far-apart keys into shared buckets and making every file's min/max
+    # span the whole domain; min-max scaling keeps file stats tight.
+    from core_etl_spark.operators.layout import cluster_by_zorder
+
+    df = spark.createDataFrame(
+        [(i * 100_000, (10_000_000 - i) * 37) for i in range(4000)],
+        "x long, y long",
+    )
+    out = cluster_by_zorder(df, "x", "y", bits=8, num_partitions=8)
+    # each output partition's x-range must be a narrow slice of the domain
+    import pyspark.sql.functions as SF
+
+    stats = (
+        out.withColumn("_pid", SF.spark_partition_id())
+        .groupBy("_pid")
+        .agg(SF.min("x").alias("lo"), SF.max("x").alias("hi"))
+        .collect()
+    )
+    domain = 4000 * 100_000
+    widths = [(r.hi - r.lo) / domain for r in stats if r.hi is not None]
+    assert sum(w < 0.5 for w in widths) >= len(widths) - 1, widths
+    import pytest
+
+    with pytest.raises(ValueError, match="num_partitions"):
+        cluster_by_zorder(df, "x", "y", num_partitions=0)
+
+
+def test_u256_casts_null_not_raise(spark):
+    from core_etl_spark.functions.u256 import dec_u256_to_decimal, hex_to_long
+
+    df = spark.createDataFrame(
+        [(str(2**256 - 1), "ffffffffffffffff"), ("42", "ff")],
+        "dec string, hx string",
+    )
+    got = df.select(
+        dec_u256_to_decimal(F.col("dec")).alias("d"),
+        hex_to_long(F.col("hx")).alias("h"),
+    ).collect()
+    by = {str(r.d): r.h for r in got}
+    assert by.get("42") == 255
+    assert None in {r.d for r in got} and None in {r.h for r in got}
