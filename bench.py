@@ -60,10 +60,40 @@ def _family(name: str) -> int:
     return 2  # o*, k*: ingest / mutation paths
 
 
+def _calibrate(spark, runs: int = RUNS) -> list[float]:
+    """Host-drift index (VERDICT r15 directive 1): a fixed-cost, data-free,
+    CPU-bound job — 32 tasks folding 64M longs through the same JVM
+    whole-stage-codegen path every query uses. Its wall time depends ONLY
+    on host scheduling (no IO, no shuffle, no Python workers, constant
+    work), so a future reader can separate host contention from code
+    regressions WITHOUT re-driving: normalize any query's time by the
+    same artifact's calibration time and compare ratios across rounds
+    (the r15 "1.26× regression" was exactly this — two outlier queries
+    whose g01-normalized ratios were at or below r14). min-of-``runs``
+    after one untimed warmup, same statistic as every headline query."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 64_000_000, 1, 32)
+            .select(F.sum(F.col("id") % 7).alias("s"))
+            .collect()
+        )
+        return round(time.perf_counter() - t0, 4)
+
+    one()  # warmup: JIT the codegen path
+    return [one() for _ in range(runs)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="core_etl_spark_bench")
+
+    # calibration brackets the whole run — drift DURING the bench window
+    # shows up as pre/post disagreement, not just a shifted baseline
+    calib_pre = _calibrate(spark)
 
     specs = {n: s for n, s in all_specs().items() if s.headline}
     names = sorted(specs)
@@ -88,11 +118,23 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    calib_post = _calibrate(spark)
+
     out = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # host-drift index (VERDICT r15 directive 1): fixed-cost CPU-bound
+        # job timed before and after the query sweep. To adjudicate a
+        # cross-round delta, compare query/calibration RATIOS — a delta
+        # that disappears under normalization is host scheduling, not
+        # code. pre/post disagreement flags drift inside this very run.
+        "calibration": {
+            "sec": min(calib_pre + calib_post),
+            "pre_runs": calib_pre,
+            "post_runs": calib_post,
+        },
         # per-run wall times so readers can separate host contention from
         # real regressions (r2's recorded l07 was 2.6× its idle-machine time)
         "runs": runs,

@@ -15,3 +15,31 @@ The engine is Spark SQL / DataFrame over partitioned Parquet:
 """
 
 __version__ = "0.1.0"
+
+
+def accepts_kwarg(fn, name: str) -> bool:
+    """True when ``fn`` can be called with keyword argument ``name``.
+
+    Capability detection for optional provider/transport hints (the
+    ``receipts_for`` matched-hash hint, ``subscribe_blocks``'s stop event)
+    by INSPECTION rather than by catching TypeError around the real call
+    (ADVICE r15): a TypeError raised *inside* the callee's body must
+    propagate as the bug it is, not silently select degraded legacy
+    behavior. Uninspectable callables (C extensions) count as modern —
+    they get the hint, and a genuine signature mismatch then fails loudly.
+    """
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return True
+    for p in sig.parameters.values():
+        if p.kind is inspect.Parameter.VAR_KEYWORD:
+            return True
+        if p.name == name and p.kind in (
+            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            inspect.Parameter.KEYWORD_ONLY,
+        ):
+            return True
+    return False

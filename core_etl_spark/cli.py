@@ -501,6 +501,15 @@ def cmd_verify(args: argparse.Namespace) -> int:
         print(f"FOUND {n} gap(s):")
         _show(gaps)
         return 1
+    # V2 extension (ADVICE r15): NULL-hash blocks can never anchor a
+    # parent-hash check and no automatic path re-delivers them — surface
+    # them here; pipeline.repair_unverifiable_blocks is the repair.
+    unv = V.unverifiable_blocks(blocks)
+    n = unv.count()
+    if n:
+        print(f"FOUND {n} unverifiable (NULL-hash) block(s):")
+        _show(unv)
+        return 1
     tip = lake.latest_block_number()
     print(f"blocks contiguous; tip={tip}")
     return 0

@@ -223,7 +223,13 @@ class Lake:
             .filter(F.col("block_bucket").isin(overlap))
             .select(*keys)
         )
-        return out.join(existing, on=keys, how="left_anti")
+        # Re-select the incoming column order: a list-form equi-join moves
+        # the key columns to the FRONT, so a deduped append would write
+        # parquet files whose column order differs from fresh appends —
+        # by-name parquet resolution hides it on reads, but positional
+        # consumers (exceptAll, byte-identity sweeps) then see garbage
+        # (r16, found by the integrity-sweep repair test).
+        return out.join(existing, on=keys, how="left_anti").select(*out.columns)
 
     def write_all(
         self,
@@ -267,7 +273,54 @@ class Lake:
                     for f in futures:
                         f.result()
             if todo and mode == "append" and height_range is not None:
-                self._advance_commit_marker(height_range[1])
+                hi = self._verified_contiguous_hi(blocks, height_range)
+                if hi is not None:
+                    self._advance_commit_marker(hi)
+
+    def _verified_contiguous_hi(
+        self, blocks: DataFrame | None, height_range: tuple[int, int]
+    ) -> int | None:
+        """Highest height through which THIS chunk's delivery is verifiably
+        contiguous (ADVICE r15): ``fetch_blocks`` silently skips heights
+        (null/pruned replies, raised transport errors), and advancing the
+        group-commit marker to the *requested* hi would make those heights
+        permanent holes — ``resume_point`` starts past them and the
+        idempotent anti-join can only heal ranges that get re-delivered.
+        Mirrors the streaming tail's contiguity guard: verify the delivered
+        block numbers cover ``[lo, hi]`` with one 1-row aggregate over the
+        (already materialized) chunk; on a gap, advance only to the prefix
+        before the first missing height so the next resume re-fetches it.
+        Returns ``None`` when there is no evidence to advance on (no blocks
+        frame in the group, or nothing delivered at ``lo``)."""
+        if blocks is None:
+            return None  # no delivery evidence — keep the old watermark
+        lo, hi = height_range
+        nums = blocks.select(F.col("number")).filter(
+            F.col("number").between(lo, hi)
+        )
+        row = nums.agg(
+            F.countDistinct("number").alias("cnt"),
+            F.min("number").alias("mn"),
+            F.max("number").alias("mx"),
+        ).first()
+        if row is None or row["cnt"] == 0 or row["mn"] != lo:
+            return None
+        if row["cnt"] == hi - lo + 1:
+            return hi  # common path: one cheap aggregate, full range verified
+        # Gap somewhere in (lo, hi]: find the first missing height with one
+        # bounded anti-join (chunk-sized range frame vs chunk-sized key set —
+        # O(chunk), never O(table)).
+        missing = (
+            self.spark.range(lo, hi + 1)
+            .withColumnRenamed("id", "number")
+            .join(nums, on="number", how="left_anti")
+            .agg(F.min("number").alias("m"))
+            .first()
+        )
+        first_gap = missing["m"] if missing is not None else None
+        if first_gap is None:
+            return hi
+        return int(first_gap) - 1 if first_gap > lo else None
 
     # --- group-commit watermark (r15 review) ------------------------------------
     #
@@ -584,6 +637,18 @@ class Lake:
         table."""
         for name in self.modules:
             self._delete_where(name, lambda c: c == F.lit(number))
+        self._clamp_marker()
+
+    def clean_blocks(self, numbers: list[int]) -> None:
+        """Batch form of :func:`clean_block_data`: remove a SET of heights
+        in one bucket-scoped rewrite pass per table (the integrity sweep
+        repairs many flagged heights at once — per-height calls would pay
+        one staged-swap per height per table; ADVICE r15)."""
+        numbers = [int(n) for n in numbers]
+        if not numbers:
+            return
+        for name in self.modules:
+            self._delete_where(name, lambda c: c.isin(numbers))
         self._clamp_marker()
 
     # --- truncate last N (K8) --------------------------------------------------------

@@ -741,7 +741,7 @@ def bpe_merges(
         )
         state_col = F.col("state")
         for w1, w2, total in selected:
-            merges.append((len(merges) + 1, w1, w2, total))
+            merges.append((len(merges) + 1, w1, w2, total, rounds))
             # " w1  w2 " leaves the outer half of each boundary space in
             # place, so leftmost non-overlapping replace advances exactly
             # two symbols per match == canonical left-to-right greedy BPE.
@@ -757,9 +757,22 @@ def bpe_merges(
             # lazy: the next round's top-k collect (or the caller's final
             # action) materializes it — ONE job per round, not a job pair
         ).localCheckpoint(eager=False)
-    merges_df = spark.createDataFrame(
-        merges, "merge_idx int, w1 string, w2 string, pair_count bigint"
-    )
+    # batch>1 additionally exposes the selection ROUND each merge came
+    # from, so callers can audit the batched-selection invariants
+    # (within-round rank order + symbol-disjointness) from the output
+    # alone — the l41c self-validity column (VERDICT r15 directive 7).
+    # batch=1 keeps the original 4-column schema: round == merge_idx
+    # there, and the l41/l41b oracles replay that exact shape.
+    if batch > 1:
+        merges_df = spark.createDataFrame(
+            merges,
+            "merge_idx int, w1 string, w2 string, pair_count bigint, round int",
+        )
+    else:
+        merges_df = spark.createDataFrame(
+            [m[:4] for m in merges],
+            "merge_idx int, w1 string, w2 string, pair_count bigint",
+        )
     return (merges_df, vocab) if return_vocab else merges_df
 
 

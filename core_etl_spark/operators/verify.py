@@ -120,6 +120,30 @@ def positional_check(df: DataFrame, col: str = "number", bucket: int = 1_000_000
     )
 
 
+def unverifiable_blocks(blocks: DataFrame) -> DataFrame:
+    """V2 extension (ADVICE r15): stored block heights whose ``hash`` is
+    NULL — rows that can never anchor a parent-hash verification.
+
+    ``detect_reorgs``' parent-mismatch signal deliberately skips NULL-hash
+    parents (unknowable ≠ disagreeing, the r15 liveness trade), and no
+    automatic path ever re-delivers a height *below* the resume point —
+    backfill resumes from ``resume_point()+1`` and the tail's stale guard
+    filters old heights — so without this sweep an unverifiable parent
+    persists forever. The sweep's output feeds
+    :func:`~core_etl_spark.pipeline.repair_unverifiable_blocks`, which
+    cleans the flagged heights and re-fetches them so they are eventually
+    repaired rather than only on coincidental redelivery.
+
+    One column-pruned scan, no shuffle; output is one ``(number)`` row per
+    flagged height (NULL-number rows are excluded — a height-less row has
+    no repair address and is :func:`profile_columns`' finding)."""
+    return (
+        blocks.filter(F.col("hash").isNull() & F.col("number").isNotNull())
+        .select(F.col("number").cast("long").alias("number"))
+        .distinct()
+    )
+
+
 def tip_lag(stored: DataFrame, chain_tip: int, col: str = "number") -> DataFrame:
     """V4 — stored tip vs node tip (reference verify.rs:35-39,60-67).
     One row: (stored_tip, chain_tip, behind)."""

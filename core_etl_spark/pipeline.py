@@ -91,8 +91,13 @@ def ingest_raw(
             # shape, etl.rs:357-360) — fetching for every tx in the chunk
             # fired orders of magnitude more RPCs than the decode ever
             # joins (r15 review). The hint is advisory: providers that
-            # predate it (TypeError) fall back to the full sweep, and the
-            # fixture provider ignores it (deterministic local generation).
+            # predate it fall back to the full sweep — detected by
+            # signature INSPECTION, not by catching TypeError around the
+            # real call (ADVICE r15: a TypeError raised inside a modern
+            # receipts_for would silently re-run the full per-tx sweep
+            # and mask the bug). The fixture provider accepts-and-ignores
+            # the hint (deterministic local generation).
+            from . import accepts_kwarg
             from .operators.decode import is_transfer_call
 
             cand = None
@@ -100,9 +105,9 @@ def ingest_raw(
                 p_ = is_transfer_call(F.col("input"), F.col("to_addr"), c)
                 cand = p_ if cand is None else (cand | p_)
             matched = txs.filter(cand).select(F.col("hash").alias("tx_hash"))
-            try:
-                receipts = receipts_for(raw, matched)
-            except TypeError:
+            if accepts_kwarg(receipts_for, "tx_hashes"):
+                receipts = receipts_for(raw, tx_hashes=matched)
+            else:
                 receipts = receipts_for(raw)
             # materialized ONCE: each watched contract's extract branch
             # joins this same frame — without the checkpoint the whole
@@ -194,6 +199,68 @@ def wait_until_synced(provider, poll_seconds: float = 60.0, max_polls: int | Non
         log.info("node still syncing; next poll in %.0fs", poll_seconds)
         _time.sleep(poll_seconds)
     return True
+
+
+def _contiguous_ranges(heights: list[int]) -> list[tuple[int, int]]:
+    """Sorted heights → maximal contiguous [lo, hi] runs (one fetch per
+    run instead of one RPC round per height)."""
+    runs: list[tuple[int, int]] = []
+    for h in sorted(set(heights)):
+        if runs and h == runs[-1][1] + 1:
+            runs[-1] = (runs[-1][0], h)
+        else:
+            runs.append((h, h))
+    return runs
+
+
+def repair_unverifiable_blocks(
+    spark: SparkSession,
+    lake: Lake,
+    provider,
+    watch_contracts: tuple[str, ...] = (),
+    limit: int = 10_000,
+) -> int:
+    """Integrity sweep + targeted repair (ADVICE r15): NULL-hash stored
+    blocks are *unverifiable* — ``detect_reorgs`` deliberately skips them
+    as parents (unknowable ≠ disagreeing), and no automatic path
+    re-delivers a height below ``resume_point()`` — so without this sweep
+    they persist forever. Flag them (``verify.unverifiable_blocks``), drop
+    the flagged heights across all modules in ONE bucket-scoped rewrite
+    pass per table, then re-fetch and re-ingest each contiguous flagged
+    range. Returns the number of heights repaired.
+
+    Crash posture: a crash between clean and re-ingest leaves the flagged
+    heights as plain GAPS — visible to the V2 gap check (`cli verify`),
+    whose finding is re-fetchable the same way; nothing verified is lost.
+    A node that persistently serves a NULL hash for a height re-flags it
+    next sweep — progress elsewhere is unaffected (the same liveness
+    stance as ``detect_reorgs``' parent rule).
+
+    The flagged-height collect is LIMIT-bounded and fails loudly past
+    ``limit`` (the bounded-strata stance, sampling.py): millions of
+    flagged heights mean a poisoned warehouse, and silently repairing an
+    unbounded set would both OOM the driver and hide the real problem."""
+    from .operators import verify as V
+
+    rows = V.unverifiable_blocks(lake.blocks()).limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"integrity sweep flagged more than {limit} unverifiable "
+            "blocks — warehouse-scale corruption; raise `limit` only "
+            "after diagnosing the source"
+        )
+    flagged = [r["number"] for r in rows]
+    if not flagged:
+        return 0
+    log.warning("integrity sweep: repairing %d unverifiable block(s)",
+                len(flagged))
+    lake.clean_blocks(flagged)
+    receipts_for = getattr(provider, "receipts_for", None)
+    for lo, hi in _contiguous_ranges(flagged):
+        raw = provider.fetch_blocks(spark, lo, hi).localCheckpoint(eager=True)
+        ingest_raw(lake, raw, watch_contracts, receipts_for,
+                   pre_materialized=True, height_range=(lo, hi))
+    return len(flagged)
 
 
 def retention_loop(

@@ -51,76 +51,38 @@ from . import maintenance_specs  # noqa: F401,E402
 # row. A typo here would silently waste snapshot slots — fail loudly instead
 # (the r05 guard).
 _REWITNESS: tuple[str, ...] = (
-    # r15: cleared at round open (all r14 entries got green r14 rows) and
-    # repopulated per VERDICT r14 directives 1/2/7.
+    # r16: cleared at round open (all r15 entries got green r15 rows) and
+    # repopulated per VERDICT r15 / ADVICE r15.
     #
-    # r15 behavior changes: the lake write path gained ingest-level
-    # idempotency — every append anti-joins incoming natural keys against
-    # the touched buckets (Lake._drop_redelivered, the reference's PK
-    # semantics, etl.rs:147-169). o1d is the new duplicate-redelivery
-    # proof; o1/o2/k78 re-witness the backfill, streaming-tail, and
-    # mutation paths whose every write now runs through the new code.
+    # r16 behavior changes on the lake write path: (a) the group-commit
+    # marker now advances only to the VERIFIED contiguous prefix of each
+    # delivered chunk (ADVICE r15 high — silently skipped heights were
+    # becoming permanent holes past the marker); (b) the idempotency
+    # anti-join re-selects the incoming column order, so deduped appends
+    # write parquet files with the same column order as fresh appends;
+    # (c) the receipts_for legacy-signature probe is inspect-based, not
+    # except-TypeError. o1d exercises (b) directly (its write IS a
+    # deduped re-delivery); o1/o2 re-witness backfill + tail whose every
+    # write runs the new marker/probe code.
     "o1d_duplicate_redelivery",
     "o1_backfill_pipeline",
     "o2_streaming_tail",
-    "k78_partition_mutations",
-    # r15: the threshold samplers gained the bounded-strata guard and
-    # mixture_rebalance now pushes the target-strata filter into the count
-    # scan (values unchanged, code changed — sampling._strata_counts; l35
-    # is the seated variant witness, l37's identical change rides the
-    # rotation with a local re-drive this session).
-    "l35_mixture_rebalance",
-    # r15: detect_reorgs' parent-mismatch signal now requires DEFINITE
-    # disagreement (both hashes non-null) — the nb=3000 dirty-chain soak
-    # caught the r14 flag-on-unknowable-parent truncating a NULL-hash
-    # block at a micro-batch boundary that the stream could never
-    # restore; same-height keeps IS-DISTINCT-FROM (self-healing). k10x's
-    # VALUES change; k10's clean-chain values are identical but both
-    # builder and oracle text changed.
-    "k10_reorg_detect",
-    "k10x_reorg_detect_dirty",
-    # r15 (ADVICE r14 item 1): the o2b/o2c/o2e/o2f fixture windows gained
-    # a user_id content tiebreaker (builders + oracles) so the planted
-    # (ts, event_id) duplicate pairs of the dirty-warehouse sweep can
-    # never straddle a LIMIT/batch boundary ambiguously. Clean-data
-    # values identical (the driver's events have no ties); o2b is the
-    # seated witness for the mechanical change, the other three share the
-    # identical one-line rewrite and were locally re-driven this session.
-    "o2b_stateful_streaming",
-    # (the r15 sketch-store lock rewrite — atomic link(2) restore, loud
-    # contested failure, readback, content-checked release — is
-    # concurrency-only: no spec's single-threaded values change, and the
-    # protocol is pinned by six interleaving unit tests + a multi-process
-    # stress, so no seat. Likewise l22's rule-17 blank-block valve and
-    # the LSH banding valve change NO clean-data values (the driver's
-    # documents have no blank texts; the dirty sweep re-drove l22 and the
-    # l07 family green on the corrupted tables this session) and ride the
-    # r16 rotation rather than displace an r10-floor seat.)
-    # VERDICT r14 directive 2 — the r14-deferred mechanical twins, seated
-    # so the deferred-twin list empties THIS round: the TPC-H ledger-cast
-    # tail (identical try_cast contract as the nine r14-witnessed
-    # variants) and the ANN gate twins (same valid_vectors change as
-    # l09/l12/l29, r14-witnessed). l12b is deliberately ABSENT: it is
-    # rows-only by design (docs/rows-only-specs.md) and directive 7 keeps
-    # designed rows-only specs out of snapshot seats — it stays pinned by
-    # tests and twinned by l12's full oracle.
-    "g07b_cube",
-    "g07c_grouping_sets",
-    "g36_promo_revenue_tpch_q14",
-    "g37_forecast_revenue_tpch_q6",
-    "g38_small_quantity_revenue_tpch_q17",
-    "g39_mincost_supplier_tpch_q2",
-    "g40_volume_shipping_tpch_q7",
-    "g41_market_share_tpch_q8",
-    "g42_product_profit_tpch_q9",
-    "g43_important_parts_tpch_q11",
-    "g44_order_distribution_tpch_q13",
-    "g45_top_supplier_tpch_q15",
-    "g46_disjunct_revenue_tpch_q19",
-    "g47_promotion_suppliers_tpch_q20",
-    "l10_ann_lsh_topk",
-    "l11_embedding_neardup",
-    "l28_pq_adc_topk",
+    # r16 (VERDICT r15 item 2/directive 4): _first_k_centroids now builds
+    # the default centroid table from a PRE-shuffle id<K corpus slice —
+    # the emptiness probe no longer re-executes the corpus-wide
+    # repartition as an extra job per IVF call. Same rows/values by
+    # construction (filter commutes with the row-local norm), but the
+    # centroid lineage changed, so the two oracle-backed consumers
+    # re-witness. (l12b shares the change but is rows-only by design —
+    # self-validated since r16, stays out of snapshot seats.)
+    "l12_ann_ivf_topk",
+    "l29_ivfpq_topk",
+    # (v08_unverifiable_blocks is NEW this round — never-witnessed specs
+    # sort to the very front of the computed rotation automatically, no
+    # seat needed. The five rows-only specs gained self-validity columns
+    # (VERDICT r15 directive 7) — schema-only additions pinned by
+    # test_parity; they remain sorted behind every oracle-backed spec by
+    # design, so no seats there either.)
 )
 
 

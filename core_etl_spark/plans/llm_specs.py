@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -450,9 +450,19 @@ def l07x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     every hash is JVM-native ``xxhash64`` (64-bit longs end to end — no hex
     strings, no concat in the hot path). The final pair set matches l07
     whenever true near-dups band-collide under both schemes, because
-    candidates are re-verified with exact Jaccard either way."""
-    return D.minhash_dedup_pairs(
+    candidates are re-verified with exact Jaccard either way.
+
+    Self-validating output (VERDICT r15 directive 7): ``valid`` pins the
+    per-row contract the xxhash banding cannot bypass — every emitted pair
+    is canonically ordered and its EXACT (hash-free) Jaccard clears the
+    threshold, i.e. banding only ever generated candidates, never
+    results. Row-local projection over columns the pipeline already
+    carries — bench-neutral (l07x is a headline query)."""
+    out = D.minhash_dedup_pairs(
         t["documents"], n_hashes=12, rows_per_band=4, threshold=0.5, hash_fn="xxhash64"
+    )
+    return out.withColumn(
+        "valid", (F.col("id_a") < F.col("id_b")) & (F.col("jaccard") >= 0.5)
     )
 
 
@@ -726,14 +736,31 @@ def l12b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     Same downstream plan as l12: broadcast assignment, probe expansion,
     equi-join on cell. Rows-only check (training is iterative, no SQL
     twin); tests/test_llm_ops.py asserts its recall ≥ the first-K variant
-    on unbiased queries."""
+    on unbiased queries.
+
+    Self-validating output (VERDICT r15 directive 7): ``valid`` pins the
+    top-k contract per row — ranks are the dense sequence 1..k per query
+    with cosine non-increasing along it, the neighbor is never the query
+    itself, and the score is a lawful cosine (|cos| ≤ 1 + ε). Recall
+    can't be a per-row flag (IVF trades it by design, nprobe 3/16); the
+    recall bound lives in tests/test_llm_ops.py. One window over the
+    ≤ 150-row output — negligible."""
     emb = t["embeddings"]
     cents = S.kmeans_centroids(emb, n_centroids=16, seed=7)
     out = S.ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < 30), k=5, nprobe=3,
         centroids=cents, dim=64,
+    ).withColumn("rank", F.col("rank").cast("int"))
+    w = W.partitionBy("query_id").orderBy("rank")
+    prev_cos = F.lag("cosine_sim").over(w)
+    prev_rank = F.lag("rank").over(w)
+    return out.withColumn(
+        "valid",
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.abs(F.col("cosine_sim")) <= 1.0 + 1e-9)
+        & F.coalesce(F.col("rank") == prev_rank + 1, F.col("rank") == 1)
+        & F.coalesce(prev_cos >= F.col("cosine_sim"), F.lit(True)),
     )
-    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 def _neardup_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
@@ -2181,11 +2208,37 @@ def l41c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     synthetic documents table has 31 distinct words and exhausts BPE at
     89 merges; md5(event_id) gives an sf-scaled distinct-word corpus).
     The 5k-merge/49-round scale run is recorded by
-    scripts/bpe_scale_bench.py in PROGRESS.md r09."""
+    scripts/bpe_scale_bench.py in PROGRESS.md r09.
+
+    Self-validating output (VERDICT r15 directive 7): ``valid`` audits
+    the batched-selection invariants from the OUTPUT alone, through
+    window expressions independent of the driver-side selection code —
+    within each selection round, counts are non-increasing in rank
+    order, and no merge shares a symbol with (or has a symbol equal to
+    the concatenation of) any higher-ranked merge of its round. A bug in
+    ``_bpe_select_disjoint`` would flip the flag. One window over the
+    256-row merge table — negligible."""
     corpus = t["events"].select(
         F.md5(F.col("event_id").cast("string")).alias("text")
     )
-    return X.bpe_merges(corpus, n_merges=256, batch=64)
+    m = X.bpe_merges(corpus, n_merges=256, batch=64)
+    w = W.partitionBy("round").orderBy("merge_idx")
+    earlier = F.coalesce(
+        F.flatten(
+            F.collect_list(
+                F.array("w1", "w2", F.concat("w1", "w2"))
+            ).over(w.rowsBetween(W.unboundedPreceding, -1))
+        ),
+        F.array().cast("array<string>"),
+    )
+    prev_cnt = F.lag("pair_count").over(w)
+    return m.withColumn(
+        "valid",
+        (F.col("pair_count") > 0)
+        & ~F.array_contains(earlier, F.col("w1"))
+        & ~F.array_contains(earlier, F.col("w2"))
+        & F.coalesce(prev_cnt >= F.col("pair_count"), F.lit(True)),
+    )
 
 
 @register(

@@ -208,10 +208,18 @@ shared_sql(
 def g06b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     """``approx_count_distinct`` (HyperLogLog++) — the constant-memory
     distinct for 100 TB cardinality estimation. Sketches are
-    engine-specific, so no cross-engine oracle (rows-only check)."""
+    engine-specific, so no cross-engine oracle (rows-only check) — so the
+    output is SELF-VALIDATING (VERDICT r15 directive 7): it carries the
+    exact count from the same pass and a ``valid`` flag pinning the
+    estimate inside 3× the declared rsd; tests/test_parity.py asserts the
+    flag is all-true for every rows-only spec."""
+    est, exact = F.col("approx_customers"), F.col("exact_customers")
     return t["orders"].agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
+    ).withColumn(
+        "valid",
+        (exact > 0) & (F.abs(est - exact) <= 0.06 * exact),  # 3 × rsd 2%
     )
 
 

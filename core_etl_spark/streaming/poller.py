@@ -33,6 +33,7 @@ import threading
 
 from pyspark.sql import SparkSession
 
+from .. import accepts_kwarg
 from .tail import RAW_BLOCK_DDL
 
 log = logging.getLogger(__name__)
@@ -99,9 +100,14 @@ class HeadPoller:
 
     def _run(self) -> None:
         pending: list[dict] = []
-        try:
+        # Legacy-signature detection by INSPECTION, not by catching
+        # TypeError around the real call (ADVICE r15): a TypeError raised
+        # *inside* a stop-aware subscribe_blocks would silently degrade to
+        # a stop-less subscription, and HeadPoller.stop() would then block
+        # forever on a quiet chain — masking the real bug.
+        if accepts_kwarg(self.transport.subscribe_blocks, "stop"):
             heads = self.transport.subscribe_blocks(stop=self._stop)
-        except TypeError:  # transports predating the stop-aware signature
+        else:  # transports predating the stop-aware signature
             heads = self.transport.subscribe_blocks()
         for head in heads:
             if self._stop.is_set():

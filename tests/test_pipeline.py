@@ -694,3 +694,134 @@ def test_truncate_clamps_commit_marker(spark, tmp_path):
     assert lake.resume_point() == 22  # marker clamped with the tip
     assert P.backfill(spark, lake, provider) == 7  # and resume re-fetches
     assert lake.blocks().select("number").distinct().count() == 30
+
+
+class _LossyProvider(FixtureBlockProvider):
+    """Silently drops a set of heights from every fetch — the real-world
+    shape of null/pruned replies and skipped transport errors that
+    ``RpcBlockProvider.fetch_blocks`` absorbs per-height (ADVICE r15)."""
+
+    def __init__(self, holes: set[int], **kw) -> None:
+        super().__init__(**kw)
+        self.holes = set(holes)
+
+    def fetch_blocks(self, spark, start, end):
+        raw = super().fetch_blocks(spark, start, end)
+        return raw.filter(~F.col("number").isin(list(self.holes)))
+
+
+def test_partial_delivery_never_advances_marker_past_hole(spark, tmp_path):
+    """ADVICE r15 (high): a chunk whose provider silently skipped heights
+    must advance the group-commit marker only to the verified contiguous
+    prefix — advancing to the requested hi makes the skipped heights
+    PERMANENT holes (resume starts past them, and the idempotent anti-join
+    can only heal ranges that get re-delivered)."""
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    lossy = _LossyProvider({13, 17}, n_blocks=30, txs_per_block=2)
+    P.backfill(spark, lake, lossy, chunk_size=10, end=19)
+    # heights 0..12 delivered contiguously; 13 is the first hole
+    assert lake.resume_point() == 12
+    assert lake.latest_block_number() == 19  # the tip HIDES the holes
+
+    # the node recovers (holes now served): plain resume heals everything
+    healed = FixtureBlockProvider(n_blocks=30, txs_per_block=2)
+    P.backfill(spark, lake, healed, chunk_size=10)
+    assert lake.resume_point() == 29
+    assert lake.blocks().select("number").distinct().count() == 30
+    assert lake.blocks().count() == 30  # anti-join deduped the re-delivery
+
+    control = Lake(spark, str(tmp_path / "control"), bucket_size=10)
+    P.backfill(spark, control, healed, chunk_size=10)
+    assert _warehouse_rows(lake) == _warehouse_rows(control)
+
+
+def test_empty_delivery_never_advances_marker(spark, tmp_path):
+    """A chunk where NOTHING was delivered (whole range pruned) must leave
+    the marker untouched, not claim completeness through hi."""
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=10, txs_per_block=2)
+    P.backfill(spark, lake, provider, chunk_size=10)
+    assert lake.resume_point() == 9
+    lossy = _LossyProvider(set(range(10, 20)), n_blocks=20, txs_per_block=2)
+    P.backfill(spark, lake, lossy, chunk_size=10)
+    assert lake.resume_point() == 9  # unchanged — no evidence to advance on
+
+
+class _NullHashProvider(FixtureBlockProvider):
+    """Serves a NULL hash for a set of heights — the persistent-dirty-node
+    shape that makes stored blocks unverifiable as parents (ADVICE r15)."""
+
+    def __init__(self, null_hash_at: set[int], **kw) -> None:
+        super().__init__(**kw)
+        self.null_hash_at = set(null_hash_at)
+
+    def fetch_blocks(self, spark, start, end):
+        raw = super().fetch_blocks(spark, start, end)
+        return raw.withColumn(
+            "hash",
+            F.when(F.col("number").isin(list(self.null_hash_at)), F.lit(None))
+            .otherwise(F.col("hash")),
+        )
+
+
+def test_integrity_sweep_repairs_null_hash_blocks(spark, tmp_path):
+    """ADVICE r15: a NULL-hash block below the resume point has no
+    automatic re-delivery trigger — the sweep must flag it, clean it, and
+    re-fetch it, ending row-identical to a never-dirty warehouse."""
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    dirty = _NullHashProvider({7, 8, 23}, n_blocks=30, txs_per_block=2)
+    P.backfill(spark, lake, dirty, (FX.WATCH_CONTRACT,), chunk_size=10)
+    assert lake.resume_point() == 29  # NULL hash ≠ missing height
+    from core_etl_spark.operators.verify import unverifiable_blocks
+    assert sorted(r["number"] for r in
+                  unverifiable_blocks(lake.blocks()).collect()) == [7, 8, 23]
+    assert cli.main(["--warehouse", str(tmp_path / "wh"),
+                     "verify", "blocks"]) == 1  # surfaced by V2 extension
+
+    healed = FixtureBlockProvider(n_blocks=30, txs_per_block=2)
+    n = P.repair_unverifiable_blocks(spark, lake, healed,
+                                     (FX.WATCH_CONTRACT,))
+    assert n == 3
+    assert unverifiable_blocks(lake.blocks()).count() == 0
+    assert lake.resume_point() == 29  # marker survived the mid-chain clean
+
+    control = Lake(spark, str(tmp_path / "control"), bucket_size=10)
+    P.backfill(spark, control, healed, (FX.WATCH_CONTRACT,), chunk_size=10)
+    assert _warehouse_rows(lake) == _warehouse_rows(control)
+    # idempotent: a second sweep finds nothing
+    assert P.repair_unverifiable_blocks(spark, lake, healed,
+                                        (FX.WATCH_CONTRACT,)) == 0
+
+
+def test_integrity_sweep_bounded_collect_fails_loud(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    dirty = _NullHashProvider(set(range(12)), n_blocks=12, txs_per_block=1)
+    P.backfill(spark, lake, dirty, chunk_size=12)
+    with pytest.raises(ValueError, match="more than 5"):
+        P.repair_unverifiable_blocks(spark, lake, dirty, limit=5)
+
+
+def test_receipts_hint_detected_by_signature_not_typeerror(spark, tmp_path):
+    """ADVICE r15: a TypeError raised INSIDE a modern receipts_for must
+    propagate, not silently select the legacy full-sweep path; a provider
+    without the tx_hashes hint still gets the legacy call."""
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=5, txs_per_block=2)
+    raw = provider.fetch_blocks(spark, 0, 4)
+
+    def buggy_modern(raw_df, tx_hashes=None):
+        raise TypeError("bug inside the callee body")
+
+    with pytest.raises(TypeError, match="inside the callee"):
+        P.ingest_raw(lake, raw, (FX.WATCH_CONTRACT,), buggy_modern)
+
+    calls = {"legacy": 0}
+
+    def legacy(raw_df):
+        calls["legacy"] += 1
+        return provider.receipts_for(raw_df)
+
+    lake2 = Lake(spark, str(tmp_path / "wh2"), bucket_size=10)
+    P.ingest_raw(lake2, provider.fetch_blocks(spark, 0, 4),
+                 (FX.WATCH_CONTRACT,), legacy)
+    assert calls["legacy"] == 1
