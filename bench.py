@@ -82,7 +82,8 @@ def _calibrate(spark, runs: int = RUNS) -> list[float]:
         )
         return round(time.perf_counter() - t0, 4)
 
-    one()  # warmup: JIT the codegen path
+    for _ in range(3):  # one warmup leaves the JIT still compiling — the
+        one()  # first measured bracket then reads ~1.8× the second (r16)
     return [one() for _ in range(runs)]
 
 

@@ -70,7 +70,7 @@ def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     survive one loss at the cost of doubled storage and CacheManager
     retention.)"""
     mode = CHECKPOINT_MODE if mode is None else mode
-    if mode not in ("eager", "lazy", "none", "persist2"):
+    if mode not in ("eager", "lazy", "none", "persist2", "disk"):
         # a typo'd mode would silently run as "lazy" otherwise
         raise ValueError(f"unknown materialization mode {mode!r}")
     if mode == "none":
@@ -79,7 +79,42 @@ def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
         from pyspark import StorageLevel
 
         return df.persist(StorageLevel.MEMORY_AND_DISK_2)
+    if mode == "disk":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
     return df.localCheckpoint(eager=(mode == "eager"))
+
+
+#: Source-size threshold above which `jaccard_pairs` stages its shingle
+#: index to DISK_ONLY instead of localCheckpoint (VERDICT r15 directive
+#: 2): at clean sf10 the eagerly-checkpointed ~2 GB index sat at the
+#: 8g-heap edge on local[32] — checkpoint blocks fill the unified memory
+#: region and compete with AQE broadcast builds. Disk staging frees that
+#: region for the self-join's execution memory; the small case keeps the
+#: faster in-memory checkpoint. The decision reads Catalyst's optimized-
+#: plan size estimate of the INPUT (file bytes for parquet scans — zero
+#: jobs); an unknown estimate (Catalyst's ~Long.Max default) keeps the
+#: in-memory path, matching prior behavior. Calibration: compressed text
+#: parquet expands ~50-100× into exploded (doc_id, shingle-hash) rows
+#: (sf0.1's 0.6 MB file → ~40 MB index; the sf10 soak's ~60 MB estimate
+#: → the measured ~2-4 GB), so 8 MB of source ≈ a ~0.5 GB index — past
+#: that, memory blocks start to matter on an 8g local heap. On a real
+#: cluster the checkpoint is distributed and executors are bigger; raise
+#: this global when memory-staging larger indexes is measured to win.
+DISK_STAGE_SOURCE_BYTES = 8 * 1024 * 1024
+_STATS_UNKNOWN = 1 << 60
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate — free (no job). Returns -1
+    when unavailable or when the estimate is the unknown-stats default."""
+    try:
+        # py4j hands java.math.BigInteger back as a Python int already
+        n = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — sizing is advisory, never fatal
+        return -1
+    return n if 0 <= n < _STATS_UNKNOWN else -1
 
 
 def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
@@ -249,7 +284,18 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
-    sh = _materialize(sh)
+    # Large-corpus staging (VERDICT r15 directive 2): past the source-size
+    # threshold the index goes to DISK_ONLY — see DISK_STAGE_SOURCE_BYTES.
+    # Only the module default is overridden; an explicit CHECKPOINT_MODE
+    # experiment (the bench A/B harness) still wins.
+    src_bytes = _plan_size_bytes(df)
+    if CHECKPOINT_MODE == "eager" and src_bytes >= DISK_STAGE_SOURCE_BYTES:
+        sh = _materialize(sh, "disk")
+        sh.count()  # populate the disk blocks NOW — one dedicated job, the
+        # same provably-runs-once guarantee eager localCheckpoint gives
+        # (lazy persist would race under concurrently-launched AQE stages)
+    else:
+        sh = _materialize(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")

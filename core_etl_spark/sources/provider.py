@@ -275,9 +275,18 @@ class RpcBlockProvider:
             for pdf in batches:
                 out = []
                 for h in pdf["tx_hash"]:
+                    # The engine's canonical hash form is UNPREFIXED hex,
+                    # but DATA params on the JSON-RPC wire are 0x-prefixed
+                    # (the reference round-trips through B256, which
+                    # serializes prefixed) — an unprefixed param is an
+                    # invalid-params error on a strict node, which the
+                    # per-hash guard then masked as status=1 (r16, caught
+                    # by the recorded-frame replay, tests/fixtures/).
+                    wire_h = h if str(h).startswith("0x") else f"0x{h}"
                     try:
                         rec = json.loads(
-                            transport("xcb_getTransactionReceipt", json.dumps([h]))
+                            transport("xcb_getTransactionReceipt",
+                                      json.dumps([wire_h]))
                         )
                     except NotImplementedError:
                         raise

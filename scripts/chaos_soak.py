@@ -430,6 +430,103 @@ def ingest_leg() -> None:
         time.sleep(2)
 
 
+def tail_leg() -> None:
+    """r16 (VERDICT r15 directive 6): executor SIGKILL mid-*microbatch* of
+    the STREAMING tail — the r15 chaos leg killed mid-backfill only; the
+    tail's contiguity guard + commit-watermark had unit tests but no
+    kill-mid-foreachBatch soak.
+
+    A kill severs the micro-batch's eager localCheckpoint lineage, the
+    foreachBatch job fails, and the QUERY terminates with an error — the
+    designed behavior. Recovery is a checkpoint RESTART: the source offset
+    log replays the failed batch, the stale guard + idempotent append
+    absorb whatever the crashed batch already committed (including a torn
+    write_all), and the warehouse must end row-identical to a kill-free
+    control drain of the same drops."""
+    import shutil
+    import tempfile
+
+    from core_etl_spark.lake import Lake
+    from core_etl_spark.sources.fixtures import WATCH_CONTRACT
+    from core_etl_spark.sources.provider import FixtureBlockProvider
+    from core_etl_spark.streaming.tail import start_tail
+
+    spark = fresh_session("chaos_tail")
+    try:
+        root = tempfile.mkdtemp(prefix="chaos_tail_")
+        provider = FixtureBlockProvider(n_blocks=1200, txs_per_block=4)
+        drops = f"{root}/drops"
+        for i in range(12):  # 12 drops → 12 micro-batches (1 file/trigger)
+            provider.fetch_blocks(spark, i * 100, i * 100 + 99).coalesce(
+                1
+            ).write.mode("append").parquet(drops)
+
+        def drain(lake: Lake, ck: str):
+            q = start_tail(spark, lake, drops, ck, (WATCH_CONTRACT,),
+                           provider.receipts_for)
+            q.awaitTermination()
+
+        warm = Lake(spark, f"{root}/warmup", bucket_size=125)
+        drain(warm, f"{root}/ck_w")
+        control = Lake(spark, f"{root}/control", bucket_size=125)
+        t0 = time.perf_counter()
+        drain(control, f"{root}/ck_c")
+        clean_wall = time.perf_counter() - t0
+
+        victim = Lake(spark, f"{root}/victim", bucket_size=125)
+        killer = Killer(delay=max(0.5, clean_wall * 0.4))
+        before = executor_pids()
+        killer.start()
+        t0 = time.perf_counter()
+        restarts = 0
+        query_error = None
+        while True:
+            try:
+                drain(victim, f"{root}/ck_v")
+                break
+            except Exception as e:  # noqa: BLE001 — the failed query IS the drill
+                query_error = type(e).__name__
+                restarts += 1
+                if restarts > 5:
+                    raise
+                time.sleep(2)  # let the worker relaunch the executor
+        chaos_wall = time.perf_counter() - t0
+        killer.join()
+        time.sleep(3)
+        after = executor_pids()
+
+        identical = True
+        counts = {}
+        for name in ("blocks", "transactions", "token_transfers"):
+            ch, n1 = value_hash(victim.read(name).drop("block_bucket"))
+            cc, n2 = value_hash(control.read(name).drop("block_bucket"))
+            counts[name] = n1
+            identical = identical and ch == cc and n1 == n2
+        print(
+            json.dumps(
+                {
+                    "leg": "tail_kill_mid_microbatch",
+                    "identical": identical,
+                    "checkpoint_restarts": restarts,
+                    "query_error": query_error,
+                    "killed_pid": killer.killed_pid,
+                    "kill_landed_mid_stream": killer.killed_pid is not None
+                    and chaos_wall > killer.delay,
+                    "executors_before": len(before),
+                    "executors_after": len(after),
+                    "clean_wall_s": round(clean_wall, 2),
+                    "chaos_wall_s": round(chaos_wall, 2),
+                    **counts,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    finally:
+        spark.stop()
+        time.sleep(2)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "batch"):
@@ -442,3 +539,5 @@ if __name__ == "__main__":
         ckpt_leg()
     if which in ("all", "ingest"):
         ingest_leg()
+    if which in ("all", "tail"):
+        tail_leg()

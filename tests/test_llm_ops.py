@@ -2061,3 +2061,34 @@ def test_u256_casts_null_not_raise(spark):
     by = {str(r.d): r.h for r in got}
     assert by.get("42") == 255
     assert None in {r.d for r in got} and None in {r.h for r in got}
+
+
+def test_jaccard_disk_staging_same_pairs_and_disk_level(spark, sf_dir):
+    """VERDICT r15 directive 2: past DISK_STAGE_SOURCE_BYTES the shingle
+    index persists DISK_ONLY (storage blocks must not compete with AQE
+    broadcast builds at the 8g-heap edge) — and the pair set is identical
+    to the in-memory path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert D._plan_size_bytes(docs) > 0  # Catalyst file-size estimate works
+
+    def pairs():
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in D.jaccard_pairs(
+                docs, threshold=0.5, max_shingle_df=64, shingle_key="xxhash64"
+            ).collect()
+        )
+
+    baseline = pairs()
+    old = D.DISK_STAGE_SOURCE_BYTES
+    try:
+        D.DISK_STAGE_SOURCE_BYTES = 1  # force the big-corpus path
+        spark.catalog.clearCache()
+        staged = pairs()
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        levels = {str(i.storageLevel().description()) for i in infos}
+        assert any("Disk" in lv and "Memory" not in lv for lv in levels), levels
+    finally:
+        D.DISK_STAGE_SOURCE_BYTES = old
+        spark.catalog.clearCache()
+    assert staged == baseline and len(staged) > 0
