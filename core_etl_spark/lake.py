@@ -275,7 +275,7 @@ class Lake:
             if todo and mode == "append" and height_range is not None:
                 hi = self._verified_contiguous_hi(blocks, height_range)
                 if hi is not None:
-                    self._advance_commit_marker(hi)
+                    self._advance_commit_marker(hi, lo=height_range[0])
 
     def _verified_contiguous_hi(
         self, blocks: DataFrame | None, height_range: tuple[int, int]
@@ -357,8 +357,21 @@ class Lake:
             _json.dump({"hi": int(hi)}, f)
         os.replace(tmp, self._marker_path())
 
-    def _advance_commit_marker(self, hi: int) -> None:
+    def _advance_commit_marker(self, hi: int, lo: int | None = None) -> None:
+        """Advance the watermark to ``hi`` — but never ACROSS a gap: when
+        the caller supplies the verified range's ``lo``, the advance is
+        refused if ``lo > marker + 1`` (r16 self-review: a hole in chunk N
+        made that chunk advance only to the verified prefix, but chunk
+        N+1's blind max-advance then papered over the hole permanently —
+        the exact defect the contiguity guard exists to prevent, one
+        chunk later). A refused advance is not lost progress: resume
+        re-fetches from the marker, the already-committed heights above
+        the hole dedup via the anti-join, and the re-delivered chunks
+        re-advance the marker chunk by chunk. ``lo=None`` (legacy callers,
+        marker-less bootstrap) keeps the plain max semantics."""
         prev = self._read_marker()
+        if prev is not None and lo is not None and lo > prev + 1:
+            return
         if prev is None or hi > prev:
             self._write_marker(hi)
 

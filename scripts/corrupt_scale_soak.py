@@ -15,12 +15,16 @@ NULL/blank — dirt ratio is preserved). Run the real registry builders
 for l06x / l07x / c04 and compare wall time against the CLEAN sf1
 numbers in SCALE.md (6.0 / 6.8 / 12.8 s).
 
-Usage: python scripts/corrupt_scale_soak.py [out_root] [K]
+Usage: python scripts/corrupt_scale_soak.py [out_root] [K] [targets]
 
 ``K`` is the replication factor over the corrupted sf0.1 base (default
 10 → sf1, the r14 leg; 100 → sf10, VERDICT r14 directive 4 — the same
 vocabulary-disjoint replication the clean sf10 rows in SCALE.md used,
-so dirty and clean sf10 wall-times are directly comparable).
+so dirty and clean sf10 wall-times are directly comparable; 1000 →
+sf100-equivalent, 5M docs, VERDICT r15 directive 8 — the banded paths
+only: pass ``targets`` as a comma list, the all-pairs-adjacent l06x
+shingle self-join is deliberately out of scope at that size).
+``targets`` defaults to the full TARGETS tuple.
 """
 
 from __future__ import annotations
@@ -96,6 +100,7 @@ def scale_kx(spark, corrupted_parquet: str, out_dir: str, k: int) -> None:
 def main() -> None:
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/corrupt_scale_soak"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    targets = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else TARGETS
     os.makedirs(out_root, exist_ok=True)
     spark = get_spark(app_name="corrupt_scale_soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,7 +119,7 @@ def main() -> None:
     print(f"sf{k / 10:g} corrupt corpus: {n_docs} docs (~13% dirty)", flush=True)
 
     specs = all_specs()
-    for q in TARGETS:
+    for q in targets:
         # Reclaim the previous query's localCheckpoint blocks NOW (same as
         # scale_soak.py): the ContextCleaner frees them only after a driver
         # GC notices, and at sf10 several GB of stale blocks otherwise sit

@@ -825,3 +825,22 @@ def test_receipts_hint_detected_by_signature_not_typeerror(spark, tmp_path):
     P.ingest_raw(lake2, provider.fetch_blocks(spark, 0, 4),
                  (FX.WATCH_CONTRACT,), legacy)
     assert calls["legacy"] == 1
+
+
+def test_later_clean_chunk_never_papers_over_earlier_hole(spark, tmp_path):
+    """r16 self-review: chunk N's hole lowers ITS advance to the verified
+    prefix, but chunk N+1 is delivered clean — a blind max-advance would
+    jump the marker past the hole anyway. The frontier rule (advance only
+    when lo <= marker+1) must hold the marker at the hole until the
+    re-fetch heals it."""
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    lossy = _LossyProvider({13}, n_blocks=30, txs_per_block=2)
+    P.backfill(spark, lake, lossy, chunk_size=10)  # chunks (0,9)(10,19)(20,29)
+    assert lake.latest_block_number() == 29        # clean chunk 3 committed
+    assert lake.resume_point() == 12               # marker held at the hole
+
+    healed = FixtureBlockProvider(n_blocks=30, txs_per_block=2)
+    P.backfill(spark, lake, healed, chunk_size=10)
+    assert lake.resume_point() == 29
+    assert lake.blocks().count() == 30
+    assert lake.blocks().select("number").distinct().count() == 30
