@@ -259,11 +259,25 @@ class Lake:
         # One mutex hold around the whole group: the sinks stay concurrent
         # with each other (workers run the lock-free body) while the group as
         # a unit serializes against compact/retention stage-and-swap.
+        need_marker = bool(todo) and mode == "append" and height_range is not None
         with self.mutex:
-            if len(todo) == 1:
+            if len(todo) == 1 and not need_marker:
                 self._write_unlocked(todo[0][0], todo[0][1], mode, height_range)
             else:
-                with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+                # The delivery-contiguity probe (one 1-row aggregate over
+                # the materialized chunk) rides the SAME pool as the sink
+                # writes — a sequential probe added one driver-scheduled
+                # job per chunk to the hot ingest path (bench o1 +20%,
+                # r16); concurrent, its wall cost hides behind the writes.
+                # It must still COMPLETE before the marker advances.
+                with ThreadPoolExecutor(max_workers=len(todo) + 1) as pool:
+                    verify_fut = (
+                        pool.submit(
+                            self._verified_contiguous_hi, blocks, height_range
+                        )
+                        if need_marker
+                        else None
+                    )
                     futures = [
                         pool.submit(
                             self._write_unlocked, name, df, mode, height_range
@@ -272,9 +286,8 @@ class Lake:
                     ]
                     for f in futures:
                         f.result()
-            if todo and mode == "append" and height_range is not None:
-                hi = self._verified_contiguous_hi(blocks, height_range)
-                if hi is not None:
+                    hi = verify_fut.result() if verify_fut is not None else None
+                if need_marker and hi is not None:
                     self._advance_commit_marker(hi, lo=height_range[0])
 
     def _verified_contiguous_hi(

@@ -546,12 +546,16 @@ def test_receipts_null_reply_and_hex_status(spark):
 
     def transport(method, params_json):
         h = json.loads(params_json)[0]
+        # the provider must send the 0x-prefixed wire DATA form even for
+        # canonical unprefixed hashes (r16, recorded-frame replay fix) —
+        # this stub, like a strict node, only answers the wire form
+        assert h.startswith("0x"), f"non-wire hash param {h!r}"
         return {
-            "t0": '{"status": "0x0"}',
-            "t1": '{"status": "0x1"}',
-            "t2": "null",
-            "t3": '{"status": 0}',
-            "t4": '{"status": "bogus"}',
+            "0xt0": '{"status": "0x0"}',
+            "0xt1": '{"status": "0x1"}',
+            "0xt2": "null",
+            "0xt3": '{"status": 0}',
+            "0xt4": '{"status": "bogus"}',
         }[h]
 
     raw = spark.createDataFrame(

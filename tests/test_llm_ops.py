@@ -2092,3 +2092,16 @@ def test_jaccard_disk_staging_same_pairs_and_disk_level(spark, sf_dir):
         D.DISK_STAGE_SOURCE_BYTES = old
         spark.catalog.clearCache()
     assert staged == baseline and len(staged) > 0
+
+
+def test_first_k_centroids_probe_is_preshuffle(spark, sf_dir):
+    """VERDICT r15 item 2 pin: the default-centroid emptiness probe must
+    run on the pre-shuffle id<K slice — a pruned scan with NO Exchange —
+    not re-execute the corpus-wide with_norm repartition as an extra job
+    per IVF call."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus, _ = S.valid_vectors(emb, dim=64)
+    cents = S._first_k_centroids(corpus, 16, "embedding", "vec_id")
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert cents.count() == 16  # dense ids 0..15 all valid at this sf
