@@ -17,6 +17,34 @@ The engine is Spark SQL / DataFrame over partitioned Parquet:
 __version__ = "0.1.0"
 
 
+def accepts_extra_positional(fn, n_required: int) -> bool:
+    """True when ``fn`` can be called with ``n_required + 1`` positional
+    arguments — capability detection for optional positional hints by
+    INSPECTION (same rationale as :func:`accepts_kwarg`: a TypeError from
+    inside the callee must propagate, not silently select legacy
+    behavior). Unlike a keyword-name probe, this accepts providers whose
+    hint parameter is named anything (``tx_hashes``, ``hashes``, ...),
+    is positional-only, or arrives via ``*args`` (r16 review).
+    Uninspectable callables count as capable — a genuine mismatch then
+    fails loudly."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return True
+    n_positional = 0
+    for p in sig.parameters.values():
+        if p.kind is inspect.Parameter.VAR_POSITIONAL:
+            return True
+        if p.kind in (
+            inspect.Parameter.POSITIONAL_ONLY,
+            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+        ):
+            n_positional += 1
+    return n_positional >= n_required + 1
+
+
 def accepts_kwarg(fn, name: str) -> bool:
     """True when ``fn`` can be called with keyword argument ``name``.
 

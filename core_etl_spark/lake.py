@@ -238,13 +238,22 @@ class Lake:
         token_transfers: DataFrame | None = None,
         mode: str = "append",
         height_range: tuple[int, int] | None = None,
+        delivery_verified: bool = False,
     ) -> None:
         """Write up to three modules as CONCURRENT Spark jobs: the sinks are
         independent (separate directories), so serializing them leaves the
         cluster idle during each job's commit phase. Wall time per batch is
         max(write) instead of sum(write); inputs must derive from a
         materialized batch (see ``pipeline.ingest_raw``) so the concurrent
-        jobs don't race to recompute shared lineage."""
+        jobs don't race to recompute shared lineage.
+
+        ``delivery_verified=True`` asserts the caller ALREADY proved the
+        batch covers ``height_range`` contiguously (the streaming tail's
+        rank-window guard constructs exactly ``[last+1, last+n]``), so the
+        delivery-contiguity probe is skipped — one fewer aggregate job per
+        micro-batch on the live path (r16 review). Never pass it for
+        provider-fetched chunks: silently skipped heights are precisely
+        what the probe exists to catch."""
         from concurrent.futures import ThreadPoolExecutor
 
         todo = [
@@ -275,7 +284,7 @@ class Lake:
                         pool.submit(
                             self._verified_contiguous_hi, blocks, height_range
                         )
-                        if need_marker
+                        if need_marker and not delivery_verified
                         else None
                     )
                     futures = [
@@ -286,7 +295,11 @@ class Lake:
                     ]
                     for f in futures:
                         f.result()
-                    hi = verify_fut.result() if verify_fut is not None else None
+                    hi = (
+                        verify_fut.result()
+                        if verify_fut is not None
+                        else (height_range[1] if need_marker else None)
+                    )
                 if need_marker and hi is not None:
                     self._advance_commit_marker(hi, lo=height_range[0])
 
@@ -303,8 +316,16 @@ class Lake:
         block numbers cover ``[lo, hi]`` with one 1-row aggregate over the
         (already materialized) chunk; on a gap, advance only to the prefix
         before the first missing height so the next resume re-fetches it.
-        Returns ``None`` when there is no evidence to advance on (no blocks
-        frame in the group, or nothing delivered at ``lo``)."""
+        Returns ``None`` only when there is no delivery evidence at all (no
+        blocks frame in the group). When the chunk's FIRST height is the
+        missing one (or nothing was delivered), it returns ``lo - 1`` — the
+        vacuous verified prefix — rather than ``None``: on a marker-less
+        warehouse (fresh bootstrap, pre-marker legacy) a ``None`` would
+        leave no marker file at all and ``resume_point`` would fall back to
+        the blocks TIP, silently skipping the hole forever (r16 review).
+        ``lo - 1`` is uniformly safe: with an existing marker the frontier
+        rule reduces it to a no-op, and on bootstrap it pins resume at the
+        hole."""
         if blocks is None:
             return None  # no delivery evidence — keep the old watermark
         lo, hi = height_range
@@ -317,7 +338,7 @@ class Lake:
             F.max("number").alias("mx"),
         ).first()
         if row is None or row["cnt"] == 0 or row["mn"] != lo:
-            return None
+            return lo - 1
         if row["cnt"] == hi - lo + 1:
             return hi  # common path: one cheap aggregate, full range verified
         # Gap somewhere in (lo, hi]: find the first missing height with one

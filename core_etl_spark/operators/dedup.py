@@ -289,8 +289,9 @@ def jaccard_pairs(
     # Only the module default is overridden; an explicit CHECKPOINT_MODE
     # experiment (the bench A/B harness) still wins.
     src_bytes = _plan_size_bytes(df)
+    staged = None
     if CHECKPOINT_MODE == "eager" and src_bytes >= DISK_STAGE_SOURCE_BYTES:
-        sh = _materialize(sh, "disk")
+        sh = staged = _materialize(sh, "disk")
         sh.count()  # populate the disk blocks NOW — one dedicated job, the
         # same provably-runs-once guarantee eager localCheckpoint gives
         # (lazy persist would race under concurrently-launched AQE stages)
@@ -306,7 +307,7 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"}), "id_b")
         .select(
@@ -320,6 +321,25 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if staged is not None:
+        # A persist — unlike the localCheckpoint it replaces, whose RDD
+        # blocks the ContextCleaner reclaims on GC — is pinned by the
+        # session CacheManager until an explicit unpersist, so each large
+        # call would otherwise leak a multi-GB DISK_ONLY entry for the
+        # session lifetime (r16 review). Tie its life to the RESULT: when
+        # the caller drops the last reference, the staged index unpersists.
+        # Safe ordering: persist keeps lineage, so a derived plan that
+        # somehow outlives `out` recomputes instead of failing.
+        import weakref
+
+        def _unpersist_quietly(staged_df=staged):
+            try:
+                staged_df.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+
+        weakref.finalize(out, _unpersist_quietly)
+    return out
 
 
 # --- MinHash + LSH -----------------------------------------------------------

@@ -688,7 +688,7 @@ def bpe_merges(
         # lazy: round 1's argmax collect materializes the base vocab
         .localCheckpoint(eager=False)
     )
-    merges: list[tuple[int, str, str, int]] = []
+    merges: list[tuple[int, str, str, int, int]] = []  # (+round, r16)
     rounds = 0
     while len(merges) < n_merges:
         rounds += 1

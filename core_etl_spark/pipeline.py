@@ -95,9 +95,12 @@ def ingest_raw(
             # signature INSPECTION, not by catching TypeError around the
             # real call (ADVICE r15: a TypeError raised inside a modern
             # receipts_for would silently re-run the full per-tx sweep
-            # and mask the bug). The fixture provider accepts-and-ignores
-            # the hint (deterministic local generation).
-            from . import accepts_kwarg
+            # and mask the bug). The probe checks arity, not a parameter
+            # NAME, so a provider whose hint parameter is named anything
+            # (or is positional-only / *args) still gets the narrowed
+            # fetch (r16 review). The fixture provider accepts-and-
+            # ignores the hint (deterministic local generation).
+            from . import accepts_extra_positional
             from .operators.decode import is_transfer_call
 
             cand = None
@@ -105,8 +108,8 @@ def ingest_raw(
                 p_ = is_transfer_call(F.col("input"), F.col("to_addr"), c)
                 cand = p_ if cand is None else (cand | p_)
             matched = txs.filter(cand).select(F.col("hash").alias("tx_hash"))
-            if accepts_kwarg(receipts_for, "tx_hashes"):
-                receipts = receipts_for(raw, tx_hashes=matched)
+            if accepts_extra_positional(receipts_for, 1):
+                receipts = receipts_for(raw, matched)
             else:
                 receipts = receipts_for(raw)
             # materialized ONCE: each watched contract's extract branch
@@ -252,6 +255,23 @@ def repair_unverifiable_blocks(
     flagged = [r["number"] for r in rows]
     if not flagged:
         return 0
+    # Refuse silent transfer loss (r16 review): clean_blocks sweeps ALL
+    # modules, but the re-ingest below only writes transfers for the
+    # contracts in ``watch_contracts`` — repairing a warehouse that HAS
+    # transfer rows at the flagged heights without repeating the watch
+    # list would delete those rows and re-create nothing, with no
+    # detectable signal afterward (blocks contiguous, hashes non-NULL).
+    # The probe is partition-pruned to the flagged heights' buckets and
+    # LIMIT 1.
+    if not watch_contracts:
+        tt = lake.token_transfers()
+        if tt.filter(F.col("block_number").isin(flagged)).limit(1).count():
+            raise ValueError(
+                "repair_unverifiable_blocks: flagged heights carry "
+                "token_transfers rows but watch_contracts is empty — the "
+                "repair would delete them and re-ingest nothing; pass the "
+                "warehouse's watch list"
+            )
     log.warning("integrity sweep: repairing %d unverifiable block(s)",
                 len(flagged))
     lake.clean_blocks(flagged)

@@ -452,17 +452,24 @@ def l07x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     whenever true near-dups band-collide under both schemes, because
     candidates are re-verified with exact Jaccard either way.
 
-    Self-validating output (VERDICT r15 directive 7): ``valid`` pins the
-    per-row contract the xxhash banding cannot bypass — every emitted pair
-    is canonically ordered and its EXACT (hash-free) Jaccard clears the
-    threshold, i.e. banding only ever generated candidates, never
-    results. Row-local projection over columns the pipeline already
-    carries — bench-neutral (l07x is a headline query)."""
+    Self-validating output (VERDICT r15 directive 7): ``valid`` re-checks,
+    from the emitted columns, that every pair is canonically ordered and
+    its exact-Jaccard score clears the spec threshold. Honest scope (r16
+    review): the score itself was computed by the pipeline's verification
+    join, so this catches an mis-ordered or under-threshold row leaking
+    through (a broken final filter / ordering convention), NOT a banding
+    bug upstream of verification — THAT contract is pinned by
+    tests/test_llm_ops.py's xxhash-equals-md5 pair-set equivalence, which
+    recomputes both pipelines end to end. Row-local projection —
+    bench-neutral (l07x is a headline query)."""
+    threshold = 0.5
     out = D.minhash_dedup_pairs(
-        t["documents"], n_hashes=12, rows_per_band=4, threshold=0.5, hash_fn="xxhash64"
+        t["documents"], n_hashes=12, rows_per_band=4,
+        threshold=threshold, hash_fn="xxhash64",
     )
     return out.withColumn(
-        "valid", (F.col("id_a") < F.col("id_b")) & (F.col("jaccard") >= 0.5)
+        "valid",
+        (F.col("id_a") < F.col("id_b")) & (F.col("jaccard") >= threshold),
     )
 
 

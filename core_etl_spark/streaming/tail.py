@@ -170,7 +170,12 @@ def make_tail_batch_processor(
                 .withColumnRenamed("_ca", "created_at")
                 .drop("_bn")
             )
-        lake.write_all(blocks, txs, transfers, height_range=height_range)
+        # delivery_verified: the contiguity guard above CONSTRUCTED the
+        # admitted range as exactly [last+1, last+n], so the lake's own
+        # delivery probe would be a redundant aggregate job per
+        # micro-batch on the live path (r16 review).
+        lake.write_all(blocks, txs, transfers, height_range=height_range,
+                       delivery_verified=True)
 
     return process
 

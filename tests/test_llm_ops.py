@@ -2071,23 +2071,34 @@ def test_jaccard_disk_staging_same_pairs_and_disk_level(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert D._plan_size_bytes(docs) > 0  # Catalyst file-size estimate works
 
-    def pairs():
-        return sorted(
-            (r.id_a, r.id_b, round(r.jaccard, 9))
-            for r in D.jaccard_pairs(
-                docs, threshold=0.5, max_shingle_df=64, shingle_key="xxhash64"
-            ).collect()
+    def build():
+        return D.jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=64, shingle_key="xxhash64"
         )
 
-    baseline = pairs()
+    def rows(frame):
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9)) for r in frame.collect()
+        )
+
+    baseline = rows(build())
     old = D.DISK_STAGE_SOURCE_BYTES
     try:
         D.DISK_STAGE_SOURCE_BYTES = 1  # force the big-corpus path
         spark.catalog.clearCache()
-        staged = pairs()
+        out = build()  # keep the reference — GC of the result unpersists
+        staged = rows(out)
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
         levels = {str(i.storageLevel().description()) for i in infos}
         assert any("Disk" in lv and "Memory" not in lv for lv in levels), levels
+        # the staged index must NOT outlive the result (r16 review: a
+        # persist is CacheManager-pinned, unlike localCheckpoint blocks)
+        import gc
+
+        del out
+        gc.collect()
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert not list(infos), [str(i) for i in infos]
     finally:
         D.DISK_STAGE_SOURCE_BYTES = old
         spark.catalog.clearCache()
