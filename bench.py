@@ -82,8 +82,8 @@ def _calibrate(spark, runs: int = RUNS) -> list[float]:
         )
         return round(time.perf_counter() - t0, 4)
 
-    for _ in range(3):  # one warmup leaves the JIT still compiling — the
-        one()  # first measured bracket then reads ~1.8× the second (r16)
+    for _ in range(3):
+        one()
     return [one() for _ in range(runs)]
 
 
@@ -128,11 +128,19 @@ def main() -> None:
         "queries": timings,
         # host-drift index (VERDICT r15 directive 1): fixed-cost CPU-bound
         # job timed before and after the query sweep. To adjudicate a
-        # cross-round delta, compare query/calibration RATIOS — a delta
-        # that disappears under normalization is host scheduling, not
-        # code. pre/post disagreement flags drift inside this very run.
+        # cross-round delta, compare query/calibration RATIOS using "sec"
+        # — a delta that disappears under normalization is host
+        # scheduling, not code. "sec" is the min of the POST bracket: the
+        # measured queries run in a warmed session, and the calibration
+        # plateau drops a further ~35% once real queries have compiled
+        # the shared codegen infrastructure (measured r16: a fresh
+        # session plateaus at ~0.15 s after 15 iterations; post-sweep it
+        # reads ~0.10 s), so post is the bracket on the same footing as
+        # the timings. The PRE bracket is the cold-session index — a
+        # pre/post gap much beyond that ~1.5× JIT factor means the host
+        # got quieter/busier DURING the run.
         "calibration": {
-            "sec": min(calib_pre + calib_post),
+            "sec": min(calib_post),
             "pre_runs": calib_pre,
             "post_runs": calib_post,
         },
