@@ -79,9 +79,17 @@ def _hash_words(key: Column, word_hex: int = 8) -> tuple[Column, Column]:
 
 def _alpha(m: int) -> str:
     """HLL bias constant as a SQL-literal expression (kept textual so the
-    Spark and DuckDB sides evaluate the identical IEEE expression)."""
+    Spark and DuckDB sides evaluate the identical IEEE expression).
+
+    Every literal is e-notation (r16 review, verified live on both
+    engines): ``0.7213 / (1 + 1.079 / 4096.0)`` parses as DECIMAL
+    arithmetic on Spark — which ROUNDS the inner quotient to scale 9 —
+    but DOUBLE on DuckDB, a ~2.7e-10 relative drift that exceeds the
+    4-dp floor grid for any estimate above ~4e5 and can even flip the
+    linear-counting branch. E-notation literals are DOUBLE in both
+    dialects, so the expression is bit-identical again."""
     assert m >= 128, "portable HLL supports p >= 7"
-    return f"0.7213 / (1 + 1.079 / {m}.0)"
+    return f"0.7213e0 / (1e0 + 1.079e0 / {m}e0)"
 
 
 def hll_registers(
@@ -102,6 +110,13 @@ def hll_registers(
     """
     m = 1 << p
     rho_max = _rho_max(word_hex)
+    # the register sum must stay inside BIGINT: contribution 2^rho_max per
+    # empty bucket × m buckets → needs rho_max + p < 63 (r16 review; the
+    # old comment documented "p <= 12" but nothing enforced it, and the
+    # overflow wraps SILENTLY under Spark's non-ANSI default)
+    assert rho_max + p < 63, (
+        f"register sum overflows BIGINT: 4*word_hex+1+p = {rho_max + p} >= 63"
+    )
     w1, w2 = _hash_words(F.col(col), word_hex)
     rho = (
         F.when(w2 == 0, F.lit(rho_max))
@@ -109,7 +124,12 @@ def hll_registers(
         .cast("int")
     )
     return (
-        df.select(*group_cols, (w1 % m).alias("bucket"), rho.alias("rho"))
+        # NULL keys carry no distinct identity (COUNT DISTINCT and HLL++
+        # both ignore them); unfiltered, md5(NULL)=NULL minted a phantom
+        # (bucket NULL, rho NULL) register that corrupted used_buckets/
+        # zero_buckets/sum_scaled (r16 review)
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, (w1 % m).alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -272,6 +292,7 @@ def hll_oracle_sql(
     return f"""
         WITH hashed AS (
             SELECT {g_sel}{key_expr} AS k FROM {table}
+            WHERE {key_expr} IS NOT NULL
         ), buckets AS (
             SELECT {g_col}{hll_buckets_sql("k", p, word_hex)} FROM hashed
         ), regs AS (
@@ -303,6 +324,19 @@ def hll_split_overlap(
     regs0 = hll_registers(df, key_col, p=p, group_cols=(split_col,)).localCheckpoint(
         eager=False
     )
+    # The synthetic row reuses the user's split domain, so a REAL split
+    # literally named 'union' would silently double-count into the
+    # overlap arithmetic (duplicate (split, bucket) rows past the
+    # aggregate) — fail loudly instead (r16 review). The probe runs on
+    # the register table (≤ m × n_splits rows) and doubles as the eager
+    # materialization of the lazy checkpoint, so the run-once property
+    # is kept, not broken.
+    if regs0.filter(F.col(split_col) == "union").limit(1).count():
+        raise ValueError(
+            f"hll_split_overlap: the {split_col!r} domain contains the "
+            "reserved label 'union' — rename that split (the synthetic "
+            "union row would silently collide with it)"
+        )
     regs_union = (
         regs0.groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
@@ -414,23 +448,39 @@ class _store_lock:
                 return time.time() - os.path.getmtime(lock) < _LOCK_STALE_SEC
             except OSError:
                 return False  # vanished — holder finished
-        if time.time() - ts >= _LOCK_STALE_SEC:
-            return False
         if host != socket.gethostname():
             # Foreign holder (store on a shared volume updated from another
             # container/host, or a pre-r14 two-field sentinel): probing the
             # pid on THIS host says nothing about the writer — kill(pid, 0)
             # would break a LIVE remote lock the moment the pid happens to
-            # be free locally (ADVICE r13). Treat un-probeable holders as
-            # alive until the age test above says stale.
-            return True
+            # be free locally (ADVICE r13). Age is the only available
+            # judge for un-probeable holders.
+            return time.time() - ts < _LOCK_STALE_SEC
+        # Same-host holder: the pid probe is AUTHORITATIVE and runs FIRST
+        # (r16 review) — the old age-first order broke a LIVE holder whose
+        # single update legitimately ran past _LOCK_STALE_SEC (a corpus-
+        # scale batch hash pass + write inside the lock), reintroducing
+        # the two-writer interleave the lock exists to prevent. A live
+        # process IS a live holder, whatever the sentinel's age; age only
+        # judges holders that cannot be probed.
         try:
             os.kill(pid, 0)  # signal 0: existence probe, nothing delivered
-            return True
         except ProcessLookupError:
             return False
         except PermissionError:
             return True  # alive, owned by someone else
+        # pid exists — but guard the recycled-pid residual (without an age
+        # fallback a stranger wearing the dead holder's pid would hold the
+        # lock forever): a process whose start time postdates the sentinel
+        # cannot be its writer. /proc ctime ≈ process start; unreadable →
+        # assume genuine holder (never break a live holder on doubt).
+        try:
+            started = os.stat(f"/proc/{pid}").st_ctime
+            if started > ts + 60.0:  # 60 s slack for clock fuzz
+                return False
+        except OSError:
+            pass
+        return True
 
     def _break_stale(self, judged: str | None = None) -> None:
         """Break a stale sentinel atomically: rename it aside first — only
@@ -753,6 +803,17 @@ def _cms_cells(key: Column, width: int = _CMS_WIDTH) -> Column:
     return F.array(*cells)
 
 
+def _quantile_col_name(q: float) -> str:
+    """Column name for quantile ``q`` — p50, p95, p999... Validates the
+    open interval (r16 review: ``q=1.0`` produced the name ``p1.0``,
+    emitted verbatim as ``AS p1.0`` in generated DuckDB SQL — a parse
+    error; use max()/min() for the endpoints, they are exact order
+    statistics, not quantile estimates)."""
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"quantile probs must be in (0, 1), got {q}")
+    return "p" + f"{q:.6f}".split(".")[1].rstrip("0").ljust(2, "0")
+
+
 def cms_build(df: DataFrame, col: str, width: int = _CMS_WIDTH) -> DataFrame:
     """Count-Min sketch table: (row_idx, col_idx, n). One pass; the
     groupBy's map-side partial sum bounds every mapper's output at
@@ -763,7 +824,12 @@ def cms_build(df: DataFrame, col: str, width: int = _CMS_WIDTH) -> DataFrame:
     by the SCALE.md rule in the geometry note above."""
     cells = _cms_cells(F.col(col), width)
     return (
-        df.select(F.explode(cells).alias("c"))
+        # NULL keys: md5(NULL) propagates to col_idx NULL cells that no
+        # probe join can ever match (NULL equality) — they'd bloat the
+        # sketch past the depth×width bound and ride the persisted store
+        # forever (r16 review); frequency of NULL is profile_columns' job
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("c"))
         .select("c.row_idx", "c.col_idx")
         .groupBy("row_idx", "col_idx")
         .agg(F.count("*").alias("n"))
@@ -848,7 +914,7 @@ def sampled_quantiles(
     sampled = df.filter(w1 < F.lit(1 << (32 - shift)))
     aggs = [F.count("*").cast("long").alias("n_sample")]
     for q in probs:
-        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        name = _quantile_col_name(q)
         pct = F.expr(f"percentile({value_col}, {q})")
         aggs.append(
             (F.floor(pct * F.lit(10000.0)) / F.lit(10000.0)).alias(name)
@@ -1102,7 +1168,7 @@ def _loglin_est_exprs(
     # interpolation base is −hi with the same (hi − lo) slope.
     pb = "(CASE WHEN bucket >= 0 THEN bucket ELSE -bucket - 2 END)"
     for q in probs:
-        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        name = _quantile_col_name(q)
         rank = f"greatest(1, CAST(ceil({q} * total) AS BIGINT))"
         oct_ = f"CAST(floor({pb} / {s}.0) AS BIGINT)"
         pot = f"pow(2.0, {oct_})"

@@ -77,6 +77,19 @@ _REWITNESS: tuple[str, ...] = (
     # self-validated since r16, stays out of snapshot seats.)
     "l12_ann_ivf_topk",
     "l29_ivfpq_topk",
+    # r16 sketch review (targeted high-effort pass on sketches.py): the
+    # portable-HLL alpha constant is now forced to DOUBLE arithmetic in
+    # BOTH dialects (Spark parsed the old text as DECIMAL and rounded the
+    # inner quotient at scale 9 — a verified cross-engine drift above the
+    # 4-dp floor grid for estimates ≳ 4e5), and NULL keys are excluded
+    # from HLL registers and CMS cells on both sides (COUNT DISTINCT
+    # semantics; a NULL key minted a phantom register that corrupted the
+    # bucket accounting). Builder AND oracle texts changed together, so
+    # the four oracle-backed HLL/CMS consumers re-witness.
+    "g06c_portable_hll",
+    "l44_overlap_sketch",
+    "c10_corpus_telemetry",
+    "c11_incremental_telemetry",
     # (v08_unverifiable_blocks is NEW this round — never-witnessed specs
     # sort to the very front of the computed rotation automatically, no
     # seat needed. The five rows-only specs gained self-validity columns

@@ -575,7 +575,9 @@ def _telemetry_oracle() -> str:
 
     return f"""
         WITH hll AS (
-            WITH hashed AS (SELECT lang, text AS k FROM documents),
+            WITH hashed AS (
+                SELECT lang, text AS k FROM documents WHERE text IS NOT NULL
+            ),
             buckets AS (SELECT lang, {SK.hll_buckets_sql("k")} FROM hashed),
             regs AS (
                 SELECT lang, bucket, MAX(rho) AS rho FROM buckets

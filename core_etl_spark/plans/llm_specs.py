@@ -1188,6 +1188,7 @@ def l19(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             SELECT CASE WHEN {_BENCH_PRED} THEN 'eval' ELSE 'train' END AS split,
                    shingle
             FROM sh
+            WHERE shingle IS NOT NULL
         ),
         buckets AS (
             SELECT split, {SK.hll_buckets_sql("shingle")} FROM tagged

@@ -19,6 +19,20 @@ def _frame_equal(a, b, keys):
     return sa == sb
 
 
+def _dead_pid() -> int:
+    """A pid that is deterministically judged DEAD by the r16 pid-first
+    sentinel semantics: a reaped child's pid either no longer exists
+    (ProcessLookupError -> stale) or was recycled by a process that
+    started AFTER any backdated sentinel timestamp (/proc ctime check ->
+    stale). The old fixtures used pid 1, which is ALIVE — exactly the
+    live-holder case the r16 fix now refuses to break."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()  # reaped — the pid is free (or recycled by a NEWER process)
+    return p.pid
+
+
 def test_hll_linear_counting_accuracy_small(spark):
     # 5 distinct keys: deep in the linear-counting branch, where the
     # correction is near-exact.
@@ -1008,7 +1022,7 @@ def test_store_lock_break_restores_fresh_lock(tmp_path, monkeypatch):
     import pytest
 
     lockpath = str(tmp_path / "s__lock")
-    stale = f"1 {time.time() - 2 * sketches._LOCK_STALE_SEC} {socket.gethostname()}"
+    stale = f"{_dead_pid()} {time.time() - 2 * sketches._LOCK_STALE_SEC} {socket.gethostname()}"
     fresh = f"{os.getpid()} {time.time()} {socket.gethostname()}"
     with open(lockpath, "w") as f:
         f.write(stale)
@@ -1114,7 +1128,7 @@ def test_store_lock_three_way_contested_restore(tmp_path, monkeypatch):
     lockpath = str(tmp_path / "s__lock")
     now = time.time()
     host = socket.gethostname()
-    stale = f"1 {now - 2 * sketches._LOCK_STALE_SEC} {host}"
+    stale = f"{_dead_pid()} {now - 2 * sketches._LOCK_STALE_SEC} {host}"
     fresh = f"{os.getpid()} {now} {host}"
     c_lock = f"77777 {now} {host}"
     with open(lockpath, "w") as f:
@@ -1166,7 +1180,7 @@ def test_store_lock_three_way_no_second_holder(tmp_path, monkeypatch):
     lockpath = str(tmp_path / "s__lock")
     now = time.time()
     host = socket.gethostname()
-    stale = f"1 {now - 2 * sketches._LOCK_STALE_SEC} {host}"
+    stale = f"{_dead_pid()} {now - 2 * sketches._LOCK_STALE_SEC} {host}"
     fresh = f"88888 {now} {host}"
     c_lock = f"99999 {now} {host}"
     with open(lockpath, "w") as f:
@@ -1209,7 +1223,7 @@ def test_store_lock_benign_restore_then_held(tmp_path, monkeypatch):
     lockpath = str(tmp_path / "s__lock")
     now = time.time()
     host = socket.gethostname()
-    stale = f"1 {now - 2 * sketches._LOCK_STALE_SEC} {host}"
+    stale = f"{_dead_pid()} {now - 2 * sketches._LOCK_STALE_SEC} {host}"
     fresh = f"{os.getpid()} {now} {host}"  # our pid: probes alive
     with open(lockpath, "w") as f:
         f.write(stale)
@@ -1330,7 +1344,7 @@ def test_store_lock_grave_names_unique_per_call(tmp_path):
     lockpath = str(tmp_path / "s__lock")
     now = time.time()
     host = socket.gethostname()
-    stale = f"1 {now - 2 * sketches._LOCK_STALE_SEC} {host}"
+    stale = f"{_dead_pid()} {now - 2 * sketches._LOCK_STALE_SEC} {host}"
     fresh = f"{os.getpid()} {now} {host}"
     lk = sketches._store_lock(str(tmp_path / "s"))
     for _ in range(2):
@@ -1359,3 +1373,51 @@ def test_store_lock_grave_names_unique_per_call(tmp_path):
     graves = glob.glob(f"{lockpath}.stale.*")
     assert len(graves) == 2, graves  # distinct names — no clobber possible
     assert len(set(graves)) == 2
+
+
+def test_store_lock_live_holder_never_broken_by_age(tmp_path, monkeypatch):
+    """r16 review: a LIVE same-host holder whose single update runs past
+    _LOCK_STALE_SEC (a corpus-scale batch inside the lock) must NOT have
+    its lock broken — the pid probe is authoritative and runs FIRST; age
+    judges only holders that cannot be probed (foreign hosts, torn
+    sentinels). The stale window is shrunk so the sentinel can age past
+    it while still POSTDATING this process's start (a genuine holder
+    always writes its sentinel after it starts — a ts older than the
+    writer's start is the recycled-pid case, which IS stale)."""
+    import os
+    import socket
+    import time
+
+    import pytest
+
+    monkeypatch.setattr(sketches, "_LOCK_STALE_SEC", 0.2)
+    lockpath = str(tmp_path / "s__lock")
+    aged = time.time() - 1.0  # after our start, past the shrunken window
+    with open(lockpath, "w") as f:
+        f.write(f"{os.getpid()} {aged} {socket.gethostname()}")
+    lk = sketches._store_lock(str(tmp_path / "s"))
+    with pytest.raises(sketches.StoreLockedError, match="held"):
+        lk.__enter__()
+    with open(lockpath) as f:  # and the live lock was never touched
+        assert f.read().startswith(f"{os.getpid()} ")
+
+
+def test_store_lock_recycled_pid_judged_stale(tmp_path):
+    """A sentinel wearing a pid that was RECYCLED by a process started
+    after the sentinel was written is stale (the /proc start-time guard)
+    — without it, pid-first semantics would hold the lock forever."""
+    import socket
+    import time
+
+    lockpath = str(tmp_path / "s__lock")
+    ancient = time.time() - 2 * sketches._LOCK_STALE_SEC
+    # our own pid IS a live process, but it started after `ancient`
+    # (within 60s slack of now), so it cannot be the sentinel's writer
+    import os
+
+    content = f"{os.getpid()} {ancient} {socket.gethostname()}"
+    with open(lockpath, "w") as f:
+        f.write(content)
+    assert not sketches._store_lock._sentinel_alive(lockpath, content)
+    with sketches._store_lock(str(tmp_path / "s")):  # breaks + acquires
+        pass
