@@ -152,6 +152,10 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
             "decoder), the fake codec, or install PIL"
         ) from e
     img = Image.open(io.BytesIO(payload))
+    if img.mode == "PA":
+        # palette+alpha: indices in band 0 — same permuted-palette trap as
+        # mode P, missed by the r15 fix (r16 review); keep the alpha band
+        img = img.convert("RGBA")
     if img.mode == "P":
         # palette images yield palette INDICES as pixel values — features
         # and ahash over indices make visually identical images with
@@ -270,6 +274,11 @@ def _decode_avi_stdlib(payload: bytes) -> tuple[int, int, int, bytes]:
                         f"(BI_RGB) 8/24-bit frames, got biCompression={comp} "
                         f"biBitCount={bits} — compressed AVI needs PyAV"
                     )
+                if w < 1 or abs(h) < 1:
+                    # the fake codec's guard rejects zero-dimension video;
+                    # the stdlib path must hold the same invariant or it
+                    # emits empty frame payloads as valid rows (r16 review)
+                    raise ValueError(f"zero-dimension AVI frame: {w}x{h}")
                 bmp = (w, abs(h), bits, h < 0)
                 if bits == 8:
                     # palette follows BITMAPINFOHEADER (biSize bytes in):
@@ -368,23 +377,34 @@ def _pick(decoders: dict, codec: str):
     return decoders[codec]
 
 
+_PAYLOAD_ERRORS_CACHE: tuple[type[BaseException], ...] | None = None
+
+
 def _payload_errors() -> tuple[type[BaseException], ...]:
     """The MALFORMED-PAYLOAD error class — what ``on_error="skip"`` may
     skip. Deliberately excludes ``NotImplementedError`` (a missing codec
     library or unsupported compression is an ENVIRONMENT problem: under
     "skip" it would silently drop the entire corpus, so it always
     propagates) and anything else that signals a bug rather than bad
-    bytes."""
-    import wave
-    import zlib
+    bytes.
 
-    # OSError covers Pillow's UnidentifiedImageError and truncated-file
-    # load errors: _try_decode only ever operates on IN-MEMORY bytes
-    # (BytesIO), so an OSError inside the decode call is a malformed
-    # payload, never device I/O (r15 review — without it one corrupt
-    # real-codec image failed the stage despite skip/quarantine).
-    return (ValueError, IndexError, struct.error, EOFError, zlib.error,
-            wave.Error, OSError)
+    Memoized (r16 review): this runs once per decoded row via
+    ``_try_decode``'s except clause — rebuilding the tuple (plus two
+    import lookups) per row was measurable overhead in the hottest
+    per-payload loop."""
+    global _PAYLOAD_ERRORS_CACHE
+    if _PAYLOAD_ERRORS_CACHE is None:
+        import wave
+        import zlib
+
+        # OSError covers Pillow's UnidentifiedImageError and truncated-file
+        # load errors: _try_decode only ever operates on IN-MEMORY bytes
+        # (BytesIO), so an OSError inside the decode call is a malformed
+        # payload, never device I/O (r15 review — without it one corrupt
+        # real-codec image failed the stage despite skip/quarantine).
+        _PAYLOAD_ERRORS_CACHE = (ValueError, IndexError, struct.error,
+                                 EOFError, zlib.error, wave.Error, OSError)
+    return _PAYLOAD_ERRORS_CACHE
 
 
 def _check_on_error(on_error: str) -> None:
@@ -432,7 +452,16 @@ def _try_decode(decode, payload: bytes, on_error: str):
     quarantine list come out of ONE decode pass, where pairing "skip"
     with :func:`media_decode_errors` decodes everything twice."""
     try:
-        return decode(payload), None
+        if payload is None:
+            # a nullable binary column WILL carry NULLs at scale; outside
+            # this guard bytes(None) raised TypeError before any error
+            # mode could apply and killed the stage (r16 review)
+            raise ValueError("NULL payload")
+        try:
+            data = bytes(payload)
+        except TypeError as e:
+            raise ValueError(f"non-binary payload: {e}") from e
+        return decode(data), None
     except _payload_errors() as e:
         if on_error == "fail":
             raise
@@ -495,13 +524,17 @@ def image_features(
     ``(n·Σx² − (Σx)²)/n²``)."""
     decode = _pick(_IMAGE_DECODERS, codec)
     _check_on_error(on_error)
+    if bins < 1:
+        # fail at the driver, not as an uncatchable np.bincount ValueError
+        # inside the executor UDF (r16 review)
+        raise ValueError(f"bins must be >= 1, got {bins}")
     out_ddl = _quarantine_ddl(IMAGE_FEATURE_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img, err = _try_decode(decode, bytes(payload), on_error)
+                img, err = _try_decode(decode, payload, on_error)
                 if img is None:
                     if err is not None and on_error == "quarantine":
                         rows.append(_quarantined_row(mid, out_ddl, err))
@@ -549,13 +582,20 @@ def resize_images(
     them as NULL rows with a ``decode_error`` column."""
     decode = _pick(_IMAGE_DECODERS, codec)
     _check_on_error(on_error)
+    if not (1 <= out_w <= 65535 and 1 <= out_h <= 65535):
+        # the fake-raw header packs <HH — out of range failed per row at
+        # pack time inside the UDF; 0 would emit payloads the codec's own
+        # decoder rejects (r16 review)
+        raise ValueError(
+            f"out_w/out_h must be in [1, 65535], got {out_w}x{out_h}"
+        )
     out_ddl = _quarantine_ddl(RESIZE_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img, err = _try_decode(decode, bytes(payload), on_error)
+                img, err = _try_decode(decode, payload, on_error)
                 if img is None:
                     if err is not None and on_error == "quarantine":
                         rows.append(_quarantined_row(mid, out_ddl, err))
@@ -596,7 +636,7 @@ def audio_features(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded, err = _try_decode(decode, bytes(payload), on_error)
+                decoded, err = _try_decode(decode, payload, on_error)
                 if decoded is None:
                     if err is not None and on_error == "quarantine":
                         rows.append(_quarantined_row(mid, out_ddl, err))
@@ -637,13 +677,17 @@ def sample_frames(
     that didn't decode)."""
     decode = _pick(_VIDEO_DECODERS, codec)
     _check_on_error(on_error)
+    if every_k < 1:
+        # 0 raised range()'s ValueError inside the executor; negatives
+        # silently emitted ZERO frames for every video (r16 review)
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     out_ddl = _quarantine_ddl(FRAME_DDL, on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded, err = _try_decode(decode, bytes(payload), on_error)
+                decoded, err = _try_decode(decode, payload, on_error)
                 if decoded is None:
                     if err is not None and on_error == "quarantine":
                         rows.append(_quarantined_row(mid, out_ddl, err))
@@ -745,6 +789,11 @@ def image_ahash(
     ``on_error="skip"`` drops malformed payloads; ``"quarantine"`` keeps
     them as NULL-hash rows with a ``decode_error`` column."""
     _check_on_error(on_error)
+    if grid < 1 or grid * grid > 64:
+        # grid <= 0 silently hashed EVERY image to '0' * 16 — one dedup
+        # bucket for the whole corpus, keeper=min(id), everything else
+        # discarded (r16 review); grids past 8 overflow the 64-bit pack
+        raise ValueError(f"grid must be in [1, 8], got {grid}")
     decode = _pick(_IMAGE_DECODERS, codec)  # hardcoding the fake decoder
     # silently dropped EVERY row of a real-codec corpus under "skip" —
     # the exact whole-corpus-drop failure _payload_errors' docstring
@@ -755,7 +804,7 @@ def image_ahash(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img, err = _try_decode(decode, bytes(payload), on_error)
+                img, err = _try_decode(decode, payload, on_error)
                 if img is None:
                     if err is not None and on_error == "quarantine":
                         rows.append(_quarantined_row(mid, out_ddl, err))
@@ -826,7 +875,6 @@ def media_decode_errors(media: DataFrame, codec: str = "fake") -> DataFrame:
     }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        errs = _payload_errors()
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(
@@ -835,15 +883,12 @@ def media_decode_errors(media: DataFrame, codec: str = "fake") -> DataFrame:
                 decode = decoders.get(kind)
                 if decode is None:
                     continue
-                try:
-                    decode(bytes(payload))
-                except errs as e:
+                # same decode-or-report body as every feature operator —
+                # including the NULL/non-binary payload guard (r16 review)
+                _, err = _try_decode(decode, payload, "skip")
+                if err is not None:
                     rows.append(
-                        {
-                            "media_id": mid,
-                            "kind": kind,
-                            "error": f"{type(e).__name__}: {e}"[:200],
-                        }
+                        {"media_id": mid, "kind": kind, "error": err}
                     )
             yield _frame(rows, DECODE_ERROR_DDL)
 

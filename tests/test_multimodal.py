@@ -870,3 +870,55 @@ def test_image_ahash_codec_param(spark):
     assert len(got) == 1 and got[0].ahash is not None
     groups = M.image_dedup_groups(df, codec="real").collect()
     assert len(groups) == 1 and groups[0].n_images == 1
+
+
+def test_null_payload_survives_skip_and_quarantine(spark):
+    """r16 review: a NULL payload (nullable binary column — a certainty at
+    scale) must be treated as a malformed payload by every error mode,
+    not raise bytes(None) TypeError outside the guard and kill the stage
+    in ALL modes."""
+    pix = np.full((4, 4, 1), 9, dtype=np.uint8)
+    rows = [
+        (1, "image", _img_payload(pix), None),
+        (2, "image", None, None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_DDL)
+
+    got = M.image_features(df, on_error="skip").collect()
+    assert [r.media_id for r in got] == [1]
+
+    q = M.image_features(df, on_error="quarantine").collect()
+    by_id = {r.media_id: r for r in q}
+    assert by_id[2].decode_error.startswith("ValueError: NULL payload")
+    assert by_id[1].decode_error is None
+
+    with pytest.raises(Exception, match="NULL payload"):
+        M.image_features(df, on_error="fail").collect()
+
+    errs = M.media_decode_errors(df).collect()
+    assert len(errs) == 1 and errs[0].media_id == 2
+
+    # the other three payload operators share the same central guard
+    assert [r.media_id for r in M.image_ahash(df, on_error="skip").collect()] == [1]
+    assert M.resize_images(df, 2, 2, on_error="skip").count() == 1
+
+
+def test_bad_arguments_fail_at_the_driver(spark):
+    """r16 review: argument errors must raise at the driver, not surface
+    as per-row executor failures (or silent data loss) inside the UDF."""
+    df = spark.createDataFrame(
+        [(1, "image", _img_payload(np.ones((2, 2, 1), dtype=np.uint8)), None)],
+        M.MEDIA_DDL,
+    )
+    with pytest.raises(ValueError, match="bins"):
+        M.image_features(df, bins=0)
+    with pytest.raises(ValueError, match="every_k"):
+        M.sample_frames(df, every_k=0)
+    with pytest.raises(ValueError, match="every_k"):
+        M.sample_frames(df, every_k=-1)
+    with pytest.raises(ValueError, match="out_w/out_h"):
+        M.resize_images(df, 0, 8)
+    with pytest.raises(ValueError, match="out_w/out_h"):
+        M.resize_images(df, 70000, 8)
+    with pytest.raises(ValueError, match="grid"):
+        M.image_ahash(df, grid=0)
