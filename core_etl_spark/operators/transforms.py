@@ -26,7 +26,18 @@ def normalize_blocks(raw: DataFrame) -> DataFrame:
     """T1 — raw block → blocks row: derived ``transaction_count``
     (= len(transactions), block.rs:59), ``matured`` initialized 0
     (block.rs:61), ``created_at`` derived. Hex fields arrive normalized
-    from the fixture/RPC reader; u256s stay strings (SURVEY §1.2)."""
+    from the fixture/RPC reader; u256s stay strings (SURVEY §1.2).
+
+    ROW-PRESERVING BY CONTRACT (r16 review, pinned by
+    tests/test_etl.py::test_normalize_blocks_is_row_preserving): the
+    streaming tail's ``delivery_verified=True`` marker advance rests on
+    "the contiguity guard proved ``fresh`` covers [last+1, last+n], and
+    the written blocks frame is normalize_blocks(fresh)". Adding ANY
+    filter here (e.g. dropping NULL-hash rows) would let the marker
+    claim heights whose block rows were never written — the permanent
+    resume-past-a-hole defect. Malformed-row handling belongs in the
+    providers (wire normalization) or downstream sweeps
+    (unverifiable_blocks), never in this projection."""
     cols = [f.name for f in BLOCK_SCHEMA.fields]
     out = raw.select(
         "*",

@@ -36,6 +36,16 @@ from pyspark.sql import SparkSession
 from .. import accepts_kwarg
 from .tail import RAW_BLOCK_DDL
 
+
+def _inspectable(fn) -> bool:
+    import inspect
+
+    try:
+        inspect.signature(fn)
+        return True
+    except (TypeError, ValueError):
+        return False
+
 log = logging.getLogger(__name__)
 
 
@@ -65,6 +75,9 @@ class HeadPoller:
         self.batch_size = max(1, batch_size)
         self.max_blocks = max_blocks
         self.blocks_written = 0
+        #: the exception that killed the loop, if any — a daemon death is
+        #: logged AND surfaced, never only swallowed (r16 review)
+        self.error: Exception | None = None
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._run_safe, daemon=True, name="head-poller"
@@ -95,7 +108,8 @@ class HeadPoller:
     def _run_safe(self) -> None:
         try:
             self._run()
-        except Exception:  # noqa: BLE001 — daemon thread: log, don't kill the driver
+        except Exception as e:  # noqa: BLE001 — daemon thread: log, don't kill the driver
+            self.error = e  # surfaced to callers — `alive` False + error set
             log.exception("head poller died")
 
     def _run(self) -> None:
@@ -104,28 +118,45 @@ class HeadPoller:
         # TypeError around the real call (ADVICE r15): a TypeError raised
         # *inside* a stop-aware subscribe_blocks would silently degrade to
         # a stop-less subscription, and HeadPoller.stop() would then block
-        # forever on a quiet chain — masking the real bug.
+        # forever on a quiet chain — masking the real bug. Uninspectable
+        # callables (accepts_kwarg can't see a signature) get ONE
+        # call-site retry without the kwarg: calling with an unexpected
+        # keyword raises before a generator body executes, so that narrow
+        # catch can only ever mask a signature mismatch, not a callee bug
+        # — and without it a signature-less legacy transport killed the
+        # daemon outright (r16 review).
         if accepts_kwarg(self.transport.subscribe_blocks, "stop"):
-            heads = self.transport.subscribe_blocks(stop=self._stop)
+            try:
+                heads = self.transport.subscribe_blocks(stop=self._stop)
+            except TypeError:
+                if _inspectable(self.transport.subscribe_blocks):
+                    raise  # the signature really accepts stop= — a real bug
+                heads = self.transport.subscribe_blocks()
         else:  # transports predating the stop-aware signature
             heads = self.transport.subscribe_blocks()
-        for head in heads:
-            if self._stop.is_set():
-                break
-            raw = self._fetch_full(head)
-            if raw is not None:
-                pending.append(raw)
-            if len(pending) >= self.batch_size:
+        try:
+            for head in heads:
+                if self._stop.is_set():
+                    break
+                raw = self._fetch_full(head)
+                if raw is not None:
+                    pending.append(raw)
+                if len(pending) >= self.batch_size:
+                    self._drop(pending)
+                    pending = []
+                if self.max_blocks is not None and self.blocks_written + len(
+                    pending
+                ) >= self.max_blocks:
+                    break
+        finally:
+            # the final drop runs even when the SUBSCRIPTION iterator dies
+            # (WS reconnect exhaustion mid-stream): already-fetched blocks
+            # must land, not silently evaporate with the thread (r16
+            # review — the old comment claimed a finally that didn't
+            # exist; _fetch_full swallows its own errors, so the iterator
+            # and the drop itself are the only escape paths).
+            if pending:
                 self._drop(pending)
-                pending = []
-            if self.max_blocks is not None and self.blocks_written + len(
-                pending
-            ) >= self.max_blocks:
-                break
-        # the final drop must run even when the loop exits via an
-        # exception from a fetch — see the finally in _run_safe's caller
-        if pending:
-            self._drop(pending)
 
     def _fetch_full(self, head: dict) -> dict | None:
         """One ``getBlockByNumber(number, full_txs=True)`` per head —

@@ -424,3 +424,17 @@ def test_load_tables_view_follows_sf_dir(spark, tmp_path):
     assert spark.sql("select v from region").collect()[0].v == 2
     load_tables(spark, a, ("region",))  # cache hit — view must follow
     assert spark.sql("select v from region").collect()[0].v == 1
+
+
+def test_normalize_blocks_is_row_preserving(spark):
+    """r16 review pin: the streaming tail advances the commit marker with
+    delivery_verified=True on the strength of its contiguity guard over
+    the RAW batch — sound only while normalize_blocks never drops a row.
+    Exercised on the DIRTY fixture (NULL hashes, NULL transactions,
+    malformed fields): every raw row must yield exactly one block row."""
+    from core_etl_spark.operators.transforms import normalize_blocks
+    from core_etl_spark.sources import fixtures as FX
+
+    for dirty in (False, True):
+        raw = FX.raw_blocks(spark, n_blocks=60, txs_per_block=3, dirty=dirty)
+        assert normalize_blocks(raw).count() == raw.count(), f"dirty={dirty}"
