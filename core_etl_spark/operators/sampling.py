@@ -52,6 +52,25 @@ def _strata_counts(df: DataFrame, strata_col: str, caller: str) -> dict:
     return {r[0]: r[1] for r in rows}
 
 
+def _gate_hex(key_col: str, salt: str) -> F.Column:
+    """The module's ONE hash-gate recipe: first 8 hex chars of
+    ``md5(salt || ':' || key)``. Shared so the expression (and a future
+    recipe change) lives in one place — five hand-copies had already let
+    the NULL policy drift between functions (r16 review).
+
+    NULL-key policy (Rule 1, r15): ``concat`` null-propagates, so a NULL
+    key yields a NULL gate. Every caller must EXCLUDE NULL keys
+    explicitly — an undefined identity has no deterministic hash, and
+    letting the NULL gate flow into comparisons/windows routes such rows
+    somewhere arbitrary (all-WHENs-false branch, NULL window partition)
+    differently per engine."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        1,
+        8,
+    )
+
+
 def _admit_by_thresholds(
     df: DataFrame,
     thresholds: dict,
@@ -69,15 +88,7 @@ def _admit_by_thresholds(
     thr_df = spark.createDataFrame(
         [(s, int(t)) for s, t in thresholds.items()], ["_stratum", "_thr"]
     )
-    gate = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    gate = F.conv(_gate_hex(key_col, salt), 16, 10).cast("long")
     return (
         df.join(F.broadcast(thr_df), F.col(strata_col) == F.col("_stratum"))
         .filter(gate < F.col("_thr"))
@@ -115,11 +126,16 @@ def deterministic_stratified_sample(
     ``F.when`` (one CASE branch per stratum degenerates at 10k+ strata;
     same strata-proof form as :func:`_admit_by_thresholds`).
     """
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-        1,
-        8,
-    )
+    if rates and any(k is None for k in rates):
+        # an equality join never matches NULL, so a None-key rate entry is
+        # silently inert (NULL strata get default_rate regardless) —
+        # reject it loudly (r16 review)
+        raise ValueError(
+            "deterministic_stratified_sample: rates must not contain a "
+            "None stratum — NULL strata always take default_rate (join "
+            "equality never matches NULL)"
+        )
+    h = _gate_hex(key_col, salt)
     default_thr = F.lit(rate_threshold(default_rate))
     if not rates:
         return df.filter(h < default_thr)
@@ -165,7 +181,13 @@ def weighted_sample(
     selection only if two keys straddle the k-th boundary within 1 ulp —
     probability ~k·2⁻⁵² per run. The rank key itself is NOT exported
     (callers compare membership, not keys), so the tiny divergence
-    surface ends at the boundary row."""
+    surface ends at the boundary row.
+
+    ``key_col`` must be UNIQUE per row (every table here carries a
+    natural unique id): duplicated keys tie exactly on (rank, key), so
+    which copy survives at the k boundary is partition-dependent — the
+    same caller invariant every deterministic sampler in this module
+    states (r16 review)."""
     # concat (NULL-propagating), not concat_ws (NULL-skipping): with
     # concat_ws every NULL-key row hashed to the same salt-only value and
     # was ADMITTED with a NULL tiebreaker (nondeterministic at the k
@@ -173,9 +195,10 @@ def weighted_sample(
     # and sorted those rows out — a live-verified cross-engine divergence
     # on NULL keys (r15 review). Rule 1: undefined identities are
     # excluded, identically on both sides.
+    if k < 0:
+        raise ValueError(f"weighted_sample: k must be >= 0, got {k}")
     u = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("long")
-        + F.lit(0.5)
+        F.conv(_gate_hex(key_col, salt), 16, 10).cast("long") + F.lit(0.5)
     ) / F.lit(float(_HEX_SPACE))
     key = F.log(u) / F.col(weight_col).cast("double")
     w = F.col(weight_col).cast("double")
@@ -237,11 +260,7 @@ def deterministic_split(
             f"deterministic_split: weights sum to {total} > 1 — the last "
             "split would receive less than its stated fraction"
         )
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-        1,
-        8,
-    )
+    h = _gate_hex(key_col, salt)
     # chained whens from the lowest cumulative bound upward, so the first
     # matching threshold wins; rows above every bound land in the last split
     bounds = []
@@ -252,7 +271,11 @@ def deterministic_split(
     expr = F.lit(names[-1])
     for name, bound in reversed(bounds):
         expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
-    return df.withColumn(split_col, expr)
+    # Rule 1 (r16 review): a NULL key has no hash, and the NULL gate made
+    # every `h < bound` condition falsy — 100% of corrupt/NULL-id rows
+    # silently piled into the LAST split (usually the eval split: the
+    # worst place for garbage). Excluded, identically in the oracles.
+    return df.filter(F.col(key_col).isNotNull()).withColumn(split_col, expr)
 
 
 def shuffle_shards(
@@ -282,17 +305,17 @@ def shuffle_shards(
 
     if n_shards < 1:
         raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-        1,
-        8,
-    )
+    h = _gate_hex(key_col, salt)
     shard = (F.conv(h, 16, 10).cast("long") % n_shards).cast("int")
     # underscore-prefixed temp name (module convention): the bare "h"
     # silently clobbered-then-dropped any input column named h (r15)
     w = Window.partitionBy("shard").orderBy("_h", key_col)
     return (
-        df.withColumn("_h", h)
+        # Rule 1 (r16 review): NULL keys got shard NULL and a partition-
+        # dependent pos inside the NULL window partition — breaking the
+        # bit-for-bit replay guarantee; excluded, identically in the oracle
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("_h", h)
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_h")

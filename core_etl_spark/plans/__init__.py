@@ -90,6 +90,15 @@ _REWITNESS: tuple[str, ...] = (
     "l44_overlap_sketch",
     "c10_corpus_telemetry",
     "c11_incremental_telemetry",
+    # r16 sampling review (Rule 1 sweep over sampling.py): NULL-key rows
+    # are now EXCLUDED from deterministic_split and shuffle_shards (they
+    # previously piled into the last split / a NULL shard with
+    # partition-dependent pos), and the oracle texts gained the matching
+    # `WHERE doc_id IS NOT NULL`. Builder AND oracle changed together →
+    # the three oracle-backed consumers re-witness.
+    "l21_hash_split",
+    "l26_training_shuffle",
+    "c05_training_ready",
     # (v08_unverifiable_blocks is NEW this round — never-witnessed specs
     # sort to the very front of the computed rotation automatically, no
     # seat needed. The five rows-only specs gained self-validity columns

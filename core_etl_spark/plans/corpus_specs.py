@@ -311,7 +311,8 @@ def _c05_oracle() -> str:
             SELECT * FROM q
             WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
         ),
-        s AS (  -- 95/5 hash split + 4-way epoch shard (l21/l26 gates)
+        s AS (  -- 95/5 hash split + 4-way epoch shard (l21/l26 gates;
+                -- NULL doc_ids excluded like the operators, r16)
             SELECT doc_id, n,
                    CASE WHEN substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8)
                         < '{t_train}' THEN 'train' ELSE 'val' END AS split,
@@ -319,6 +320,7 @@ def _c05_oracle() -> str:
                         md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                         % 4 AS INT) AS shard
             FROM d
+            WHERE doc_id IS NOT NULL
         )
         SELECT split, shard,
                CAST(count(*) AS BIGINT) AS n_docs,

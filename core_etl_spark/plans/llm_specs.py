@@ -1244,6 +1244,7 @@ def _split_oracle() -> str:
                  ELSE 'test'
                END AS split
         FROM documents
+        WHERE doc_id IS NOT NULL
     """
 
 
@@ -1400,6 +1401,7 @@ def l19x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             SELECT doc_id,
                    substring(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
             FROM documents
+            WHERE doc_id IS NOT NULL
         ),
         s AS (
             SELECT doc_id, hx,

@@ -526,6 +526,45 @@ def test_deterministic_split_rejects_bad_weights(spark, sf_dir):
     deterministic_split(docs, {"train": 1.0, "rest": 0.0})
 
 
+def test_samplers_exclude_null_keys_and_reject_bad_args(spark):
+    """Rule 1 across the sampling module (r16 review): a NULL key has no
+    deterministic hash, so NULL-key rows must be EXCLUDED — previously
+    deterministic_split piled 100% of NULL-id rows into the LAST split
+    (the all-whens-false branch) and shuffle_shards gave them shard NULL
+    with a partition-dependent pos. Plus the loud-failure edges: a None
+    stratum in rates is silently inert (equality join never matches
+    NULL), and a negative k has no meaning."""
+    import pytest as _pytest
+
+    from core_etl_spark.operators.sampling import (
+        deterministic_split,
+        deterministic_stratified_sample,
+        shuffle_shards,
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 10.0), (2, "fr", 5.0), (None, "en", 7.0), (3, None, 1.0)],
+        "doc_id int, lang string, w double",
+    )
+    # split: NULL-key row dropped, no NULL split values anywhere
+    out = deterministic_split(df, {"train": 0.5, "test": 0.5}).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3}
+    assert all(r.split in ("train", "test") for r in out)
+    # shards: NULL-key row dropped, positions still dense per shard
+    sh = shuffle_shards(df, n_shards=2, salt="ep0").collect()
+    assert {r.doc_id for r in sh} == {1, 2, 3}
+    assert all(r.shard in (0, 1) and r.pos >= 1 for r in sh)
+    # a None stratum key would be silently inert — reject loudly
+    with _pytest.raises(ValueError, match="None stratum"):
+        deterministic_stratified_sample(df, {None: 0.5}, strata_col="lang")
+    # negative k is meaningless
+    with _pytest.raises(ValueError, match="k must be >= 0"):
+        weighted_sample(df, "w", k=-1)
+    # k=0 stays legal and empty
+    assert weighted_sample(df, "w", k=0).count() == 0
+
+
 def test_editdist_pairs_blocking_and_distance(spark):
     """Pairs within the edit budget AND sharing the prefix block are
     found; near-identical texts with different prefixes are (by design)
