@@ -151,12 +151,17 @@ def all_specs() -> dict[str, QuerySpec]:
     # never-witnessed (latest 0) first, then ascending staleness; ties in
     # registration order so the ordering is fully deterministic. The five
     # designed rows-only specs (docs/rows-only-specs.md — no portable
-    # oracle BY CONSTRUCTION) sort behind every oracle-backed spec
-    # regardless of staleness (VERDICT r14 directive 7): a snapshot seat
-    # spent on a `no_oracle` row carries no hash evidence, and each of
-    # them is test-pinned and twinned by a fully-hash-checked sibling.
+    # oracle BY CONSTRUCTION) yield to oracle-backed specs of the SAME
+    # staleness, but staleness stays the primary key (r16, revising the
+    # r15 oracle-first order): sorting them behind the whole registry
+    # starved them of seats permanently, freezing the global witness
+    # floor at whatever round they were last seen (g21b pinned the floor
+    # at r11 while every oracle-backed spec had moved on). Since r16 each
+    # rows-only spec emits an in-plan all-true `valid` column, so its
+    # rows-only driver row DOES carry semantic evidence — a seat is no
+    # longer wasted, just weaker than a hash match, hence the tiebreak.
     rest.sort(
-        key=lambda n: (REGISTRY[n].oracle is None, latest.get(n, 0), reg_idx[n])
+        key=lambda n: (latest.get(n, 0), REGISTRY[n].oracle is None, reg_idx[n])
     )
     ordered: dict[str, QuerySpec] = {}
     for name in (*_REWITNESS, *rest):
