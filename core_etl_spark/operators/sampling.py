@@ -222,9 +222,13 @@ def deterministic_split(
     salt: str = "split1",
     split_col: str = "split",
 ) -> DataFrame:
-    """Assign every row to exactly one named split (train/val/test/...) by
-    hash bucket — the reproducible alternative to ``randomSplit`` (whose
-    per-partition RNG reshuffles rows whenever partitioning changes).
+    """Assign every NON-NULL-keyed row to exactly one named split
+    (train/val/test/...) by hash bucket — the reproducible alternative to
+    ``randomSplit`` (whose per-partition RNG reshuffles rows whenever
+    partitioning changes). Rows with a NULL ``key_col`` are EXCLUDED
+    (Rule 1: an undefined identity has no deterministic hash; before
+    r16 they all silently landed in the last split), so the output is a
+    partition of the non-NULL-keyed input, not of ``df``.
 
     ``weights`` maps split name → fraction; fractions must sum to ≤ 1
     (any remainder falls into the **last** named split, so weights that
@@ -290,10 +294,13 @@ def shuffle_shards(
     ``n_shards`` balanced output shards that data-loader workers consume
     independently.
 
-    Each row gets ``shard = int(md5(salt:key)[0:8], 16) % n_shards`` and
-    ``pos`` = its 1-based rank within the shard by the same hash (key as
-    total tiebreaker). The salt is the epoch seed: a new salt reshuffles,
-    the same salt replays bit-for-bit on any engine and any partitioning.
+    Each NON-NULL-keyed row gets ``shard = int(md5(salt:key)[0:8], 16) %
+    n_shards`` and ``pos`` = its 1-based rank within the shard by the
+    same hash (key as total tiebreaker); NULL-key rows are EXCLUDED
+    (Rule 1, r16 — they used to get a NULL shard and a
+    partition-dependent pos, breaking bit-for-bit replay). The salt is
+    the epoch seed: a new salt reshuffles, the same salt replays
+    bit-for-bit on any engine and any partitioning.
 
     Scale shape: ONE hash-partition shuffle on ``shard`` + an in-partition
     sort — exactly the ``repartition(n_shards).sortWithinPartitions`` layout

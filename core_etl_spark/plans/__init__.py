@@ -72,9 +72,12 @@ _REWITNESS: tuple[str, ...] = (
     # the emptiness probe no longer re-executes the corpus-wide
     # repartition as an extra job per IVF call. Same rows/values by
     # construction (filter commutes with the row-local norm), but the
-    # centroid lineage changed, so the two oracle-backed consumers
-    # re-witness. (l12b shares the change but is rows-only by design —
-    # self-validated since r16, stays out of snapshot seats.)
+    # centroid lineage changed, so the two consumers of the DEFAULT
+    # centroid path re-witness. (l12b is untouched: it passes explicit
+    # kmeans_centroids, so _first_k_centroids is never on its path —
+    # and under the r16 staleness-first rotation a rows-only spec that
+    # DID change would take a _REWITNESS seat like any other; the policy
+    # is that behavior changes never ride on a pre-change green row.)
     "l12_ann_ivf_topk",
     "l29_ivfpq_topk",
     # r16 sketch review (targeted high-effort pass on sketches.py): the
@@ -103,8 +106,8 @@ _REWITNESS: tuple[str, ...] = (
     # sort to the very front of the computed rotation automatically, no
     # seat needed. The five rows-only specs gained self-validity columns
     # (VERDICT r15 directive 7) — schema-only additions pinned by
-    # test_parity; they remain sorted behind every oracle-backed spec by
-    # design, so no seats there either.)
+    # test_parity; under the r16 staleness-first rotation they compete
+    # for seats like any spec, yielding only within a same-round tie.)
 )
 
 

@@ -60,7 +60,7 @@ def main() -> None:
 
     def _unit(a, b):  # hash(a, b) → [-1, 1)
         return (
-            F.pmod(F.xxhash64(a, b), F.lit(2_000_001)) / F.lit(1_000_000.0)
+            F.pmod(F.xxhash64(a, b), F.lit(2_000_000)) / F.lit(1_000_000.0)
             - F.lit(1.0)
         )
 
@@ -85,7 +85,15 @@ def main() -> None:
     )
     gen_s = time.perf_counter() - t0
     corpus = spark.read.parquet(corpus_path)
-    queries = corpus.filter(F.pmod(F.col("vec_id"), F.lit(max(1, N // NQ))) == 0).limit(NQ)
+    # orderBy before limit: a bare limit over the pmod filter is
+    # plan/partition-dependent whenever the filter passes more than NQ
+    # rows, so the brute and IVF runs could measure DIFFERENT query sets
+    # (and recall would count phantom misses)
+    queries = (
+        corpus.filter(F.pmod(F.col("vec_id"), F.lit(max(1, N // NQ))) == 0)
+        .orderBy("vec_id")
+        .limit(NQ)
+    )
     nq = queries.count()
     print(f"corpus N={N} dim={DIM} gen={gen_s:.1f}s queries={nq}", flush=True)
 
