@@ -142,11 +142,20 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly one row (min id) per distinct text — a ranked-window
-    filter, one shuffle on the fingerprint."""
+    """Keep exactly one row (min NON-NULL id) per distinct text — a
+    ranked-window filter, one shuffle on the fingerprint.
+
+    NULL-id rows are EXCLUDED (Rule 1, r16 NULL-primary-key sweep): the
+    keeper choice is "min id", and a row without an id cannot be it —
+    but Spark's ascending window sort puts NULLS FIRST, so a NULL-id row
+    silently WON its fingerprint group (rank 1, nondeterministically
+    among several NULL-id copies) while every SQL twin's ``min(id)``
+    keeper dropped it — a live cross-engine divergence found by the
+    dirty-corpus sweep's arm 8."""
     w = W.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
@@ -1289,8 +1298,14 @@ def excise_duplicated_spans(
     suffix-array pipeline does to training text, at n-gram granularity.
 
     Returns ``(doc_id, cleaned_text, n_tokens, n_removed)`` for every
-    input doc (docs with no duplicated spans pass through unchanged; a
-    doc that is entirely boilerplate comes back as the empty string).
+    NON-NULL-id input doc (docs with no duplicated spans pass through
+    unchanged; a doc that is entirely boilerplate comes back as the
+    empty string). NULL-id docs still CONTRIBUTE to span detection —
+    their text is real — but emit no output row (Rule 1, r16
+    NULL-primary-key sweep): the excision join is keyed by ``id_col``,
+    where a NULL never matches, so such rows previously passed through
+    UNCLEANED while the SQL twin's grouped reassembly scrambled them —
+    a live cross-engine divergence on the dirty corpus.
 
     Scale shape: span detection is the linear pipeline documented on
     :func:`duplicated_ngram_spans`; the excision itself is ONE left join
@@ -1303,7 +1318,11 @@ def excise_duplicated_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     toks = F.split(F.col(text_col), " ")
-    joined = df.select(id_col, toks.alias("_toks")).join(per_doc, id_col, "left")
+    joined = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(id_col, toks.alias("_toks"))
+        .join(per_doc, id_col, "left")
+    )
     sps = F.coalesce(F.col("_spans"), F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
     indexed = F.transform(F.col("_toks"), lambda x, i: F.struct(x.alias("tok"), i.cast("long").alias("pos")))
     kept = F.filter(

@@ -46,11 +46,19 @@ def pack_sequences(
       docs, >1 when it straddles boundaries (long docs).
 
     One window function per group; no shuffle beyond the window's
-    hash-partition on ``group_col``."""
+    hash-partition on ``group_col``.
+
+    NULL-``id_col`` rows are EXCLUDED (Rule 1, r16 NULL-primary-key
+    sweep): a doc's packed position is defined by the id order, and a
+    NULL id has no place in that order — Spark's ascending window sort
+    put it FIRST (DuckDB: last), silently shifting every subsequent
+    offset in the group, a live cross-engine divergence on the dirty
+    corpus."""
     ctx = int(ctx_len)
     if ctx < 1:
         # fail at call time, not as a DIVIDE_BY_ZERO mid-stage (r15 review)
         raise ValueError(f"ctx_len must be >= 1, got {ctx_len}")
+    df = df.filter(F.col(id_col).isNotNull())
     # Whitespace split WITHOUT the text.tokens() empty-fragment filter, on
     # purpose: packing positions/counts must match the oracles'
     # string_split arithmetic exactly (l20/l31), where '' fragments COUNT —

@@ -220,7 +220,14 @@ def remove_boilerplate_chunks(
     output (the module convention — vocab_coverage/token_rarity/
     bpe_token_counts drop them the same way; re-join against the corpus
     when per-doc completeness matters), which the l23 oracle mirrors.
+    NULL-``id_col`` rows are EXCLUDED (Rule 1, r16 NULL-primary-key
+    sweep): the output is keyed by id, and several id-less docs would
+    otherwise MERGE into one reassembly group whose chunk order is a
+    cross-engine coin flip (pos ties across distinct source docs). Their
+    chunks also never counted toward document frequency anyway
+    (count_distinct ignores NULL), so corpus-side results are unchanged.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     words = tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("long")
     chunks = F.transform(
@@ -311,7 +318,15 @@ def dedup_chunks_within_doc(
     Scale shape: ZERO shuffle — a pure higher-order array expression per
     row (a chunk at 1-based position i survives iff ``array_position``
     finds its first occurrence at i), so at 100 TB this is a narrow
-    projection fused into whatever scan precedes it."""
+    projection fused into whatever scan precedes it.
+
+    NULL-``id_col`` rows are EXCLUDED (Rule 1, r16 NULL-primary-key
+    sweep): the computation is row-local and would not care, but the
+    output is keyed by id — and the SQL twin must reassemble per doc_id,
+    where several id-less docs MERGE into one group (a live divergence
+    on the dirty corpus). An id-less output row is unusable downstream
+    anyway."""
+    df = df.filter(F.col(id_col).isNotNull())
     words = tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("long")
     chunks = F.transform(

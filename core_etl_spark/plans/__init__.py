@@ -102,6 +102,20 @@ _REWITNESS: tuple[str, ...] = (
     "l21_hash_split",
     "l26_training_shuffle",
     "c05_training_ready",
+    # r16 NULL-primary-key sweep (adv_data_parity arm 8 / embeddings arm
+    # 7): seven live cross-engine divergences on NULL-id rows, fixed by
+    # Rule-1 exclusions (exact_dedup keeper windows, pack ordering,
+    # chunk reassembly grouping, excision join, c04's NOT-IN-vs-anti-join
+    # edge) or deterministic batching (c11). Builders and/or oracles
+    # changed → re-witness. (c02/c03/c05 call the changed exact_dedup
+    # too but their NULL-id rows died later on both engines already —
+    # dirty sweep green before and after, outputs byte-identical.)
+    "l20_sequence_packing",
+    "l23_boilerplate_chunks",
+    "l25_intradoc_chunk_dedup",
+    "c01_corpus_prep",
+    "c04_fuzzy_dedup",
+    "c08_span_excision",
     # (v08_unverifiable_blocks is NEW this round — never-witnessed specs
     # sort to the very front of the computed rotation automatically, no
     # seat needed. The five rows-only specs gained self-validity columns

@@ -272,7 +272,12 @@ def c04(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     duplicates lost to the cluster canonical never travel, so the join's
     build side is only the loser set (dup-rate × corpus, typically a few
     percent). The oracle replays pairs + closure with a recursive CTE."""
-    docs = t["documents"]
+    # Rule 1 (r16 NULL-primary-key sweep): a doc without an id has no
+    # dedup identity and cannot appear in a keep-one-per-component
+    # output — and the oracle's `NOT IN` drops it anyway (NULL NOT IN
+    # (...) is NULL), while a bare anti-join would KEEP it (NULL keys
+    # never match) — a live 22-row divergence on the dirty corpus.
+    docs = t["documents"].filter(F.col("doc_id").isNotNull())
     pairs = (
         D.minhash_dedup_pairs(docs, n_hashes=12, rows_per_band=4, threshold=0.5)
         .select("id_a", "id_b")
@@ -516,6 +521,10 @@ _SPAN_CTES = """
                CAST(len(t.toks) AS BIGINT) AS n_tokens,
                CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
         FROM t LEFT JOIN agg a USING (doc_id)
+        -- Rule 1 (r16): id-less docs still CONTRIBUTE to span detection
+        -- (their text is real) but emit no output row — the per-doc
+        -- excision join is keyed by doc_id, where NULL never matches
+        WHERE t.doc_id IS NOT NULL
     """,
     tags=("llm", "dedup", "substring", "excision", "composite"),
 )
@@ -686,7 +695,20 @@ def c11(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     root = tempfile.mkdtemp(prefix="c11_stores_")
     hll_p, cms_p, ll_p = f"{root}/hll", f"{root}/cms", f"{root}/loglin"
     try:
-        batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        # coalesce(pmod(id,3), 0): telemetry counts EVERY doc — the oracle
+        # is a single pass over the whole corpus — so a NULL-id doc must
+        # land in a batch, not vanish (a bare `doc_id % 3 == i` is NULL
+        # for NULL ids and matched NO batch: the stores under-counted by
+        # exactly the NULL-id docs, a live divergence found by the dirty
+        # sweep's arm 8). Unlike dedup/split, telemetry needs no row
+        # identity, so Rule 1's exclusion does not apply — batch 0 is the
+        # deterministic home for id-less rows.
+        batches = [
+            docs.filter(
+                F.coalesce(F.pmod(F.col("doc_id"), F.lit(3)), F.lit(0)) == i
+            )
+            for i in range(3)
+        ]
         for i, b in enumerate(batches):
             SK.update_hll_store(b, "text", hll_p, group_cols=("lang",))
             SK.update_cms_store(b, "lang", cms_p, batch_id=str(i))

@@ -949,7 +949,8 @@ def l16(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     tables=("documents",),
     oracle="""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-                   FROM documents),
+                   FROM documents
+                   WHERE doc_id IS NOT NULL),  -- Rule 1 (r16): id-keyed output
         p AS (SELECT doc_id, words,
                      unnest(generate_series(
                          0, CAST(ceil(len(words) / 3.0) AS BIGINT) - 1)) AS pos
@@ -1014,7 +1015,8 @@ def l24(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     tables=("documents",),
     oracle="""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
-                   FROM documents),
+                   FROM documents
+                   WHERE doc_id IS NOT NULL),  -- Rule 1 (r16): id-keyed output
         p AS (SELECT doc_id, words,
                      unnest(generate_series(
                          0, CAST(ceil(len(words) / 2.0) AS BIGINT) - 1)) AS pos
@@ -1337,6 +1339,11 @@ def l22(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             SELECT lang, doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents
+            -- Rule 1 (r16): the packed position is defined by the id
+            -- ORDER; a NULL id has no place in it (and Spark sorts NULLS
+            -- FIRST where DuckDB sorts NULLS LAST — every offset after
+            -- the NULL row shifted, a live dirty-sweep divergence)
+            WHERE doc_id IS NOT NULL
         ),
         c AS (
             SELECT *, COALESCE(SUM(n_tokens) OVER (

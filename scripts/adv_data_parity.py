@@ -203,9 +203,17 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
     # combining accents, RTL — and char-length/substring/case/regex
     # semantics are where engines classically diverge; n_chars keeps its
     # ORIGINAL value so the metadata also lies about the new text.
+    # arm 8 (r16 NULL-primary-key leg): a NULL doc_id on an otherwise
+    # healthy row — failed id extraction upstream is how a real crawl is
+    # corrupt. This is where Spark (ORDER BY ASC = NULLS FIRST) and
+    # DuckDB (NULLS LAST) classically diverge the moment a NULL key
+    # reaches an ordering, window partition, or hash gate — Rule 1 says
+    # every operator must EXCLUDE undefined identities explicitly, and
+    # this arm enforces it sweep-wide.
     con.execute(f"""
         COPY (
-            SELECT doc_id,
+            SELECT CASE WHEN doc_id % 23 = 8 THEN NULL
+                        ELSE doc_id END AS doc_id,
                    CASE doc_id % 23
                         WHEN 0 THEN NULL
                         WHEN 1 THEN ''
@@ -225,8 +233,11 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
         -- otherwise-plausible vectors — no agreed similarity exists for
         -- them (any dot product is NaN/Inf), so like element-NULLs they
         -- must be excluded by the validity gate on BOTH engines.
+        -- arm 7 (r16 NULL-primary-key leg, mirroring documents arm 8):
+        -- a healthy vector under a NULL vec_id.
         COPY (
-            SELECT vec_id,
+            SELECT CASE WHEN vec_id % 19 = 7 THEN NULL
+                        ELSE vec_id END AS vec_id,
                    CASE vec_id % 19
                         WHEN 0 THEN NULL
                         WHEN 1 THEN []::FLOAT[]

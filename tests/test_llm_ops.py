@@ -565,6 +565,50 @@ def test_samplers_exclude_null_keys_and_reject_bad_args(spark):
     assert weighted_sample(df, "w", k=0).count() == 0
 
 
+def test_id_keyed_operators_exclude_null_ids(spark):
+    """Rule 1 across the id-keyed corpus operators (r16 NULL-primary-key
+    sweep): a NULL doc_id has no identity — exact_dedup's keeper window
+    put it FIRST (Spark NULLS FIRST) where every SQL twin's min(id)
+    dropped it; pack_sequences shifted every subsequent offset;
+    the chunk reassemblers merged distinct id-less docs into one group;
+    excise passed them through uncleaned. All now exclude NULL-id rows
+    (excise still counts their text toward span detection)."""
+    from core_etl_spark.operators.dedup import (
+        exact_dedup,
+        excise_duplicated_spans,
+    )
+    from core_etl_spark.operators.packing import pack_sequences
+    from core_etl_spark.operators.text import (
+        dedup_chunks_within_doc,
+        remove_boilerplate_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a b c d"),
+            (2, "en", "a b c d"),
+            (None, "en", "a b c d"),
+            (None, "en", "x y z w"),
+            (3, "fr", "p q r s"),
+        ],
+        "doc_id int, lang string, text string",
+    )
+    # exact_dedup: the NULL-id copy must not WIN the fingerprint group
+    kept = exact_dedup(df).select("doc_id").collect()
+    assert {r.doc_id for r in kept} == {1, 3}
+    # pack_sequences: offsets computed over non-NULL ids only
+    packed = pack_sequences(df, ctx_len=4, group_col="lang").collect()
+    assert {r.doc_id for r in packed} == {1, 2, 3}
+    # chunk reassemblers: no merged NULL group in the output
+    for out in (
+        remove_boilerplate_chunks(df, chunk_words=2, max_df=10),
+        dedup_chunks_within_doc(df, chunk_words=2),
+        excise_duplicated_spans(df, n=2, min_docs=5),
+    ):
+        ids = {r.doc_id for r in out.select("doc_id").collect()}
+        assert None not in ids and ids == {1, 2, 3}
+
+
 def test_editdist_pairs_blocking_and_distance(spark):
     """Pairs within the edit budget AND sharing the prefix block are
     found; near-identical texts with different prefixes are (by design)
