@@ -116,6 +116,13 @@ _REWITNESS: tuple[str, ...] = (
     "c01_corpus_prep",
     "c04_fuzzy_dedup",
     "c08_span_excision",
+    # ...and the events arm (15, NULL event_id): k12's prev/batch split
+    # silently lost NULL-id events on the Spark side only (coalesce-pmod
+    # batching now, same fix as c11); o2e's parity split met Python None
+    # on the driver (a TypeError stage-killer) — NULL-id events are now
+    # excluded before the 300-row fixture window on both engines.
+    "k12_incremental_agg",
+    "o2e_stream_stream_join",
     # (v08_unverifiable_blocks is NEW this round — never-witnessed specs
     # sort to the very front of the computed rotation automatically, no
     # seat needed. The five rows-only specs gained self-validity columns

@@ -1377,8 +1377,15 @@ def k12(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
             .alias("total_v"),
         )
 
-    prev = agg(ev.filter(F.col("event_id") % 10 < 8))
-    batch = agg(ev.filter(F.col("event_id") % 10 >= 8))
+    # coalesce(pmod, 0): the prev/batch split is an arbitrary partition of
+    # history — the rollup itself needs no row identity, so a NULL
+    # event_id must land in a batch, not vanish (a bare `% 10` is NULL
+    # for NULL ids and matched NEITHER side: the merged rollup
+    # under-counted vs the whole-table oracle — a live divergence found
+    # by the dirty sweep's events arm 15; same fix as c11's batching)
+    split = F.coalesce(F.pmod(F.col("event_id"), F.lit(10)), F.lit(0))
+    prev = agg(ev.filter(split < 8))
+    batch = agg(ev.filter(split >= 8))
     merged = incremental_agg_merge(
         prev, batch, ("user_id", "event_type")
     )
@@ -1396,7 +1403,13 @@ _O2E_ORACLE = f"""
     WITH base AS (
         SELECT ts, event_id, user_id
         FROM events
+        -- event_id IS NOT NULL (r16, events arm 15): the stream split is
+        -- keyed on event_id parity, and a NULL id has none — excluded
+        -- BEFORE the LIMIT so both engines select the same 300 rows
+        -- (inside the window it would also be an ORDER BY NULLS
+        -- FIRST/LAST divergence)
         WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id IS NOT NULL
           AND {_TS_BOUND_SQL}
         ORDER BY ts, event_id, user_id LIMIT {_O2E_ROWS}
     ),
@@ -1444,7 +1457,11 @@ def o2e(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     fixture = (  # dirty-events + watermark-poisoning guards — see o2b
         bound_event_time(t["events"])
-        .filter(F.col("user_id").isNotNull())
+        # event_id notNull (r16, events arm 15): the parity split is
+        # keyed on event_id — a NULL id has none, and it reached the
+        # driver-side `% 2` as Python None (a TypeError stage-killer on
+        # the dirty corpus); excluded BEFORE the limit, like the oracle
+        .filter(F.col("user_id").isNotNull() & F.col("event_id").isNotNull())
         .orderBy("ts", "event_id", "user_id")
         .limit(_O2E_ROWS)
         .select("ts", "event_id", (F.col("user_id") % _O2E_MOD).alias("key"))
