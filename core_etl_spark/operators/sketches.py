@@ -909,15 +909,26 @@ def sampled_quantiles(
     one rounding rule (see ``hll_estimate``): round()'s half-boundary is
     implementation-defined across engines, floor of the identical IEEE
     double is bit-deterministic (ADVICE r10).
+
+    The grid is applied only below ``|pct| < 1e12`` (r16, NULL-PK sweep
+    finding): a huge-but-legal measure (1e308) overflowed the grid
+    arithmetic itself — ``pct * 1e4`` is +Inf in DuckDB while Spark's
+    ``floor(double)→long`` clamps at 2^63 — two different wrong answers
+    for the same data. Above the bound a double carries ≲4 fractional
+    digits anyway, so the raw IEEE percentile is already the
+    bit-deterministic value; SQL twins carry the same CASE.
     """
     w1, _ = _hash_words(row_key)
     sampled = df.filter(w1 < F.lit(1 << (32 - shift)))
     aggs = [F.count("*").cast("long").alias("n_sample")]
     for q in probs:
         name = _quantile_col_name(q)
-        pct = F.expr(f"percentile({value_col}, {q})")
         aggs.append(
-            (F.floor(pct * F.lit(10000.0)) / F.lit(10000.0)).alias(name)
+            F.expr(
+                f"CASE WHEN abs(percentile({value_col}, {q})) < 1e12 "
+                f"THEN floor(percentile({value_col}, {q}) * 10000.0) / 10000.0 "
+                f"ELSE percentile({value_col}, {q}) END"
+            ).alias(name)
         )
     return sampled.groupBy(*group_cols).agg(*aggs)
 

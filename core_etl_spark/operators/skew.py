@@ -142,10 +142,19 @@ def detect_hot_keys(
     across runs, engines, and retries (unlike a rand()-sampled probe)."""
     from . import sketches
 
+    # concat (NULL-propagating), not concat_ws (NULL-skipping): with
+    # concat_ws a NULL row_key collapsed to md5(salt) — ONE shared gate
+    # value for every such row, so the whole NULL-key population was
+    # sampled all-or-nothing while the SQL twin's `salt || ':' || rk`
+    # excluded it (NULL gate) — a live divergence found by the dirty
+    # sweep's NULL-PK arm (Rule 1; the same trap weighted_sample hit
+    # r15). A NULL row_key row now never enters the candidate sample.
     sampled = df.filter(
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.lit(salt), row_key.cast("string"))), 1, 8
+                F.md5(F.concat(F.lit(salt), F.lit(":"), row_key.cast("string"))),
+                1,
+                8,
             ),
             16,
             10,

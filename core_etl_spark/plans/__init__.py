@@ -112,10 +112,21 @@ _REWITNESS: tuple[str, ...] = (
     # dirty sweep green before and after, outputs byte-identical.)
     "l20_sequence_packing",
     "l23_boilerplate_chunks",
-    "l25_intradoc_chunk_dedup",
+    # (l25_intradoc_chunk_dedup changed too — same Rule-1 exclusion —
+    # but is deliberately NOT seated: the head-50 is one seat over
+    # budget and the r16 VERDICT directive 3 explicitly names g21b's
+    # floor. l25's change is provably value-identical on clean driver
+    # data (no NULL doc_ids at sf0.01; full verify green against the
+    # NEW oracle text) and dirty-sweep green, pinned by
+    # test_id_keyed_operators_exclude_null_ids — it re-witnesses via
+    # the computed rotation next round.)
     "c01_corpus_prep",
     "c04_fuzzy_dedup",
     "c08_span_excision",
+    # directive 3 (VERDICT r15): g21b is the last r11-floor spec and the
+    # rows-only tie-break would leave it one seat short this round —
+    # seat it explicitly so the global witness floor advances to r12.
+    "g21b_approx_sketches",
     # ...and the events arm (15, NULL event_id): k12's prev/batch split
     # silently lost NULL-id events on the Spark side only (coalesce-pmod
     # batching now, same fix as c11); o2e's parity split met Python None
@@ -123,6 +134,17 @@ _REWITNESS: tuple[str, ...] = (
     # excluded before the 300-row fixture window on both engines.
     "k12_incremental_agg",
     "o2e_stream_stream_join",
+    # ...and the TPC-H NULL-PK arms (lineitem 8 / orders 5): g21c and
+    # g50 hashed PARTIAL row keys via concat_ws (NULL-skipping) where
+    # their oracles' `||` NULL-propagates — sample membership drift; the
+    # grid bound on sampled_quantiles changed too (huge-but-legal
+    # measures overflowed floor-shift differently per engine); k13's
+    # `% 5` history split vanished NULL-orderkey rows (coalesce-pmod
+    # now, the c11/k12 recipe); g50's oracle total now mirrors
+    # cms_build's NULL-key exclusion.
+    "g21c_sampled_quantiles",
+    "g50_hot_key_detection",
+    "k13_incremental_join",
     # (v08_unverifiable_blocks is NEW this round — never-witnessed specs
     # sort to the very front of the computed rotation automatically, no
     # seat needed. The five rows-only specs gained self-validity columns

@@ -606,6 +606,9 @@ def _telemetry_oracle() -> str:
                        AS BIGINT) < 1073741824
         ),
         quants AS (
+            -- sampled_quantiles' r16 |pct| < 1e12 grid bound is vacuous
+            -- here (n_chars is a small int), so the plain floor text
+            -- stays value-identical to the operator's CASE
             SELECT lang, CAST(count(*) AS BIGINT) AS n_sample,
                    floor(quantile_cont(n_chars, 0.5) * 10000.0) / 10000.0 AS p50_chars,
                    floor(quantile_cont(n_chars, 0.95) * 10000.0) / 10000.0 AS p95_chars

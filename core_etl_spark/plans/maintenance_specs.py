@@ -1689,8 +1689,14 @@ def k13(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         F.col("o_custkey").alias("c_custkey"),
         F.col("o_totalprice"),
     ]
-    old = o.filter(F.col("o_orderkey") % 5 != 0).select(proj)
-    batch = o.filter(F.col("o_orderkey") % 5 == 0).select(proj)
+    # coalesce(pmod, 0): the old/batch split is an arbitrary partition of
+    # history — a NULL o_orderkey matched NEITHER side and its order
+    # vanished from the maintained table while the oracle's from-scratch
+    # join kept it (41 rows on the dirty corpus, NULL-PK arm r16; same
+    # fix as c11/k12's batching)
+    split = F.coalesce(F.pmod(F.col("o_orderkey"), F.lit(5)), F.lit(0))
+    old = o.filter(split != 0).select(proj)
+    batch = o.filter(split == 0).select(proj)
     stored = old.join(dim, "c_custkey")
     merged = incremental_join_append(stored, batch, dim, "c_custkey")
     return merged.select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")

@@ -152,8 +152,17 @@ def g21b(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         )
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n_sample,
-               floor(quantile_cont(l_extendedprice, 0.5) * 10000.0) / 10000.0 AS p50,
-               floor(quantile_cont(l_extendedprice, 0.95) * 10000.0) / 10000.0 AS p95
+               -- the |pct| < 1e12 CASE mirrors sampled_quantiles' grid
+               -- bound (r16): floor-shift overflows on huge-but-legal
+               -- measures (1e308 * 1e4 = +Inf here, a long clamp on
+               -- Spark); above the bound the raw IEEE percentile is
+               -- already bit-deterministic
+               CASE WHEN abs(quantile_cont(l_extendedprice, 0.5)) < 1e12
+                    THEN floor(quantile_cont(l_extendedprice, 0.5) * 10000.0) / 10000.0
+                    ELSE quantile_cont(l_extendedprice, 0.5) END AS p50,
+               CASE WHEN abs(quantile_cont(l_extendedprice, 0.95)) < 1e12
+                    THEN floor(quantile_cont(l_extendedprice, 0.95) * 10000.0) / 10000.0
+                    ELSE quantile_cont(l_extendedprice, 0.95) END AS p95
         FROM sampled GROUP BY l_returnflag
     """,
     tags=("agg", "percentile", "approx", "sketch", "portable", "scale"),
@@ -169,9 +178,16 @@ def g21c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     return sketches.sampled_quantiles(
         t["lineitem"],
         "l_extendedprice",
-        F.concat_ws(
-            "_",
+        # concat (NULL-propagating), not concat_ws (NULL-skipping): the
+        # oracle's `||` makes the whole key NULL when l_orderkey is NULL,
+        # excluding the row from the sample — concat_ws instead hashed
+        # the PARTIAL key ("_linenumber") and admitted NULL-key rows on
+        # the Spark side only, a live membership divergence found by the
+        # dirty sweep's NULL-PK arm (same trap weighted_sample hit r15;
+        # Rule 1: undefined identities leave the sample on both sides).
+        F.concat(
             F.col("l_orderkey").cast("string"),
+            F.lit("_"),
             F.col("l_linenumber").cast("string"),
         ),
         probs=(0.5, 0.95),
@@ -309,7 +325,12 @@ def _hotkey_oracle() -> str:
                   < 16777216
         ),
         base_cells AS (
-            SELECT row_idx, {col_expr} AS col_idx FROM skewed CROSS JOIN rows_
+            -- skewkey IS NOT NULL mirrors cms_build's r16 NULL-key
+            -- exclusion (COUNT DISTINCT semantics): a NULL key mints no
+            -- cells, so it must not inflate the row-0 total either
+            SELECT row_idx, {col_expr} AS col_idx
+            FROM skewed CROSS JOIN rows_
+            WHERE skewkey IS NOT NULL
         ),
         sketch AS (
             SELECT row_idx, col_idx, count(*) AS n
@@ -355,9 +376,11 @@ def g50(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         .otherwise(F.col("l_orderkey"))
         .cast("long")
         .alias("skewkey"),
-        F.concat_ws(
-            "_",
+        # concat, not concat_ws: NULL-propagating like the oracle's `||`
+        # (the NULL-PK arm found concat_ws hashing partial keys — r16)
+        F.concat(
             F.col("l_orderkey").cast("string"),
+            F.lit("_"),
             F.col("l_linenumber").cast("string"),
         ).alias("rk"),
     )

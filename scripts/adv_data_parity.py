@@ -73,7 +73,12 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
     # among tied rows.
     con.execute(f"""
         COPY (
+            -- arm 15 (r16 NULL-primary-key leg, mirroring documents arm
+            -- 8): a healthy event under a NULL event_id — probes the
+            -- temporal/window/verify family, where NULL keys meet
+            -- sequence checks, as-of tiebreakers, and window ordering.
             SELECT CASE WHEN e.event_id % 29 = 14 THEN e.event_id - 5
+                        WHEN e.event_id % 29 = 15 THEN NULL
                         ELSE e.event_id END AS event_id,
                    CASE WHEN e.event_id % 29 = 14 THEN v.ts
                         WHEN e.event_id % 29 = 0 THEN NULL
@@ -140,6 +145,10 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
     con.execute(f"""
         COPY (
             SELECT * REPLACE (
+                -- arm 8 (r16 NULL-primary-key leg): a NULL l_orderkey on
+                -- an otherwise healthy line item — probes the TPC-H/top-k
+                -- surface, where key tiebreakers meet NULLS FIRST/LAST
+                CASE WHEN l_orderkey % 31 = 8 THEN NULL ELSE l_orderkey END AS l_orderkey,
                 CASE WHEN l_orderkey % 31 = 0 THEN NULL ELSE l_shipdate END AS l_shipdate,
                 CASE WHEN l_orderkey % 31 = 1 THEN NULL ELSE l_returnflag END AS l_returnflag,
                 CASE WHEN l_orderkey % 31 = 2 THEN NULL
@@ -158,6 +167,8 @@ def build_corrupted_dir(src: str = None, dst: str = None) -> None:
     con.execute(f"""
         COPY (
             SELECT * REPLACE (
+                -- arm 5 (r16 NULL-primary-key leg, mirroring lineitem)
+                CASE WHEN o_orderkey % 37 = 5 THEN NULL ELSE o_orderkey END AS o_orderkey,
                 CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
                 CASE WHEN o_orderkey % 37 = 1 THEN NULL ELSE o_custkey END AS o_custkey,
                 CASE WHEN o_orderkey % 37 = 2 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
