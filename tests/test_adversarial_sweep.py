@@ -57,6 +57,18 @@ REPRESENTATIVES = (
     # planted pre-epoch / domain-edge timestamps (the as-of tie contract
     # rides the j01 rep above).
     "g24_time_range_frame",
+    # r16 NULL-primary-key arms (documents 8, embeddings 7, events 15,
+    # lineitem 8, orders 5): one representative per fixed divergence
+    # class — the keeper-window/reassembly exclusions (c01 composes
+    # exact_dedup + jaccard pairs), the id-ordered packing exclusion,
+    # vanishing coalesce-pmod history splits (k13 covers k12's recipe
+    # too), NULL-propagating row-key gates + the |pct|<1e12 grid bound
+    # (g21c), and the hot-key CMS total exclusion (g50).
+    "c01_corpus_prep",
+    "l20_sequence_packing",
+    "k13_incremental_join",
+    "g21c_sampled_quantiles",
+    "g50_hot_key_detection",
 )
 
 
