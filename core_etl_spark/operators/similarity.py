@@ -35,11 +35,25 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC))
 
 
+class EmptyVectorColumn(ValueError):
+    """The vector column holds no non-empty vectors at all — the whole
+    corpus is empty (day-zero deployment, a tenant/date slice before its
+    first ingest). Distinct from a *config* error (ids not dense from 0,
+    too few training rows) because the downstream QUERY result is still
+    perfectly well-defined: zero neighbors / zero pairs. Top-k and
+    near-dup operators catch this and return a schema-correct empty
+    frame (the r16 empty-table sweep found them raising instead, where
+    every DuckDB oracle agreed the answer was simply no rows); model
+    builds (k-means fit, PQ codebook training, index writes) let it
+    propagate — fitting a model to nothing has no defined output."""
+
+
 def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     """Modal vector dimension — one tiny aggregation over a narrow
     column (max count, ties to the larger dimension, so the answer is
     deterministic). The anchor for :func:`valid_vectors` when the caller
-    doesn't declare the corpus dimension."""
+    doesn't declare the corpus dimension. Raises
+    :class:`EmptyVectorColumn` when there is nothing to infer from."""
     rows = (
         df.filter(F.col(vec_col).isNotNull())
         .groupBy(F.size(F.col(vec_col)).alias("d"))
@@ -48,8 +62,28 @@ def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     )
     sizes = [(r["count"], r["d"]) for r in rows if r["d"] > 0]
     if not sizes:
-        raise ValueError(f"no non-empty vectors in column {vec_col!r}")
+        raise EmptyVectorColumn(f"no non-empty vectors in column {vec_col!r}")
     return max(sizes)[1]
+
+
+def _empty_ann_result(df: DataFrame, id_col: str, score_col: str) -> DataFrame:
+    """Zero-row (query_id, neighbor_id, rank, <score_col>) with the exact
+    dtypes the non-empty path produces — id columns typed off the input,
+    so unions/joins against real batches stay schema-stable."""
+    from pyspark.sql import types as T
+
+    idt = df.schema[id_col].dataType
+    return df.sparkSession.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("query_id", idt),
+                T.StructField("neighbor_id", idt),
+                T.StructField("rank", T.IntegerType(), False),
+                T.StructField(score_col, T.DoubleType()),
+            ]
+        ),
+    )
 
 
 def valid_vectors(
@@ -138,8 +172,13 @@ def brute_force_topk(
     (query_id, neighbor_id, rank, cosine_sim). Malformed vectors
     (NULL/empty/wrong-dim/zero-norm) are excluded on both sides — see
     :func:`valid_vectors`; declare ``dim`` when you know it (production
-    callers do) to skip the one-job modal-dimension inference."""
-    corpus, dim = valid_vectors(corpus, vec_col, dim)
+    callers do) to skip the one-job modal-dimension inference. An empty
+    corpus yields an empty result (r16 empty-table sweep), matching what
+    the declared-``dim`` path already did by dataflow."""
+    try:
+        corpus, dim = valid_vectors(corpus, vec_col, dim)
+    except EmptyVectorColumn:
+        return _empty_ann_result(corpus, id_col, "cosine_sim")
     queries, _ = valid_vectors(queries, vec_col, dim)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -233,8 +272,12 @@ def lsh_ann_topk(
     ``dim=None`` (r15 review) infers the modal dimension instead of the
     old hard-coded 64, which silently dropped EVERY vector of any other
     dimensionality on both sides and returned an empty result with no
-    signal; declare ``dim`` when known to skip the inference job."""
-    corpus, dim = valid_vectors(corpus, vec_col, dim)
+    signal; declare ``dim`` when known to skip the inference job. An
+    empty corpus yields an empty result (r16 empty-table sweep)."""
+    try:
+        corpus, dim = valid_vectors(corpus, vec_col, dim)
+    except EmptyVectorColumn:
+        return _empty_ann_result(corpus, id_col, "cosine_sim")
     queries, _ = valid_vectors(queries, vec_col, dim)
     c = with_norm(corpus, vec_col).withColumn(
         "bucket", hyperplane_signature(F.col("_dec"), n_planes, dim)
@@ -301,6 +344,15 @@ def _first_k_centroids(
         F.col("_normsq").alias("c_normsq"),
     )
     if cents.isEmpty():
+        # failure path only (never a job on the happy path): distinguish
+        # "the corpus has no valid vectors AT ALL" — a well-defined
+        # empty-query situation the top-k callers turn into an empty
+        # result (r16 empty-table sweep) — from the genuine config error
+        # of a non-empty corpus whose ids don't start near 0.
+        if corpus.isEmpty():
+            raise EmptyVectorColumn(
+                f"no valid vectors in column {vec_col!r} — empty corpus"
+            )
         raise ValueError(
             f"default first-K centroids: no valid vectors with id < "
             f"{n_centroids} — ids must be dense from ~0 for the default "
@@ -412,8 +464,13 @@ def ivf_ann_topk(
     vectors are excluded on both sides (:func:`valid_vectors`); the
     default first-K centroid table is therefore the VALID vectors with
     id < K (the oracle replays the same rule). Declare ``dim`` when
-    known to skip the modal-dimension inference job."""
-    corpus, dim = valid_vectors(corpus, vec_col, dim)
+    known to skip the modal-dimension inference job. An empty corpus
+    yields an empty result (r16 empty-table sweep) — a raise is reserved
+    for the config error of a non-empty corpus with non-dense ids."""
+    try:
+        corpus, dim = valid_vectors(corpus, vec_col, dim)
+    except EmptyVectorColumn:
+        return _empty_ann_result(corpus, id_col, "cosine_sim")
     queries, _ = valid_vectors(queries, vec_col, dim)
     n = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("id"), "_dec", "_normsq"
@@ -421,7 +478,10 @@ def ivf_ann_topk(
     if centroids is not None:
         cents = centroids  # e.g. kmeans_centroids(): (cent_id, c_dec, c_normsq)
     else:
-        cents = _first_k_centroids(corpus, n_centroids, vec_col, id_col)
+        try:
+            cents = _first_k_centroids(corpus, n_centroids, vec_col, id_col)
+        except EmptyVectorColumn:
+            return _empty_ann_result(corpus, id_col, "cosine_sim")
     lists = ivf_assign_cells(n, cents).select(
         F.col("id").alias("neighbor_id"), "cell",
         F.col("dec").alias("c_dec2"), F.col("normsq").alias("c_normsq2"),
@@ -488,8 +548,24 @@ def embedding_near_dups(
     falls back to exact all-pairs — small corpora only. Malformed
     vectors are excluded (:func:`valid_vectors`, anchored on ``dim``;
     ``dim=None`` infers the modal dimension — the old hard-coded 64
-    silently emptied any other-dimensional corpus, r15 review)."""
-    df, dim = valid_vectors(df, vec_col, dim)
+    silently emptied any other-dimensional corpus, r15 review). An empty
+    corpus yields an empty pair set (r16 empty-table sweep)."""
+    try:
+        df, dim = valid_vectors(df, vec_col, dim)
+    except EmptyVectorColumn:
+        from pyspark.sql import types as T
+
+        idt = df.schema[id_col].dataType
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", idt),
+                    T.StructField("id_b", idt),
+                    T.StructField("cosine_sim", T.DoubleType()),
+                ]
+            ),
+        )
     n = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), F.col("_dec").alias("dec"), F.col("_normsq").alias("normsq")
     )
@@ -573,7 +649,13 @@ def ivf_index_topk(
     excluded, anchored on the INDEX's dimension (read off the stored
     centroids — K rows, driver-cheap)."""
     cents = spark.read.parquet(f"{path}/centroids")
-    dim = len(cents.select("c_dec").first()["c_dec"])
+    head = cents.select("c_dec").first()
+    if head is None:  # corrupt/partial index: subscripting None was a TypeError
+        raise ValueError(
+            f"IVF index at {path!r} has an empty centroids table — "
+            "rebuild it with write_ivf_index"
+        )
+    dim = len(head["c_dec"])
     queries, _ = valid_vectors(queries, vec_col, dim)
     q = with_norm(queries, vec_col, parallelize=False).select(
         F.col(id_col).alias("query_id"),
@@ -663,6 +745,14 @@ def pq_codebooks_first_k(
         .collect()
     )
     if len(rows) < 2:
+        # failure path only: an entirely-empty valid corpus is the
+        # well-defined zero-neighbors situation (r16 empty-table sweep);
+        # a non-empty corpus with < 2 trainable vectors among the first
+        # ksub ids stays the loud config error.
+        if corpus.isEmpty():
+            raise EmptyVectorColumn(
+                f"no valid vectors in column {vec_col!r} — empty corpus"
+            )
         raise ValueError(
             f"pq_codebooks_first_k: < 2 valid vectors among ids < {ksub}"
         )
@@ -949,12 +1039,16 @@ def pq_adc_topk(
     before PQ shrinks WHAT is read. Output (query_id, neighbor_id, rank,
     adc_dist) — distances exact-decimal, so ranking is engine-portable.
     Malformed vectors are excluded on both sides (:func:`valid_vectors`;
-    declare ``dim`` when known to skip the inference job)."""
-    corpus, dim = valid_vectors(corpus, vec_col, dim)
+    declare ``dim`` when known to skip the inference job). An empty
+    corpus yields an empty result (r16 empty-table sweep)."""
+    try:
+        corpus, dim = valid_vectors(corpus, vec_col, dim)
+        cb = codebooks if codebooks is not None else pq_codebooks_first_k(
+            corpus, m, ksub, vec_col, id_col, dim=dim
+        )
+    except EmptyVectorColumn:
+        return _empty_ann_result(corpus, id_col, "adc_dist")
     queries, _ = valid_vectors(queries, vec_col, dim)
-    cb = codebooks if codebooks is not None else pq_codebooks_first_k(
-        corpus, m, ksub, vec_col, id_col, dim=dim
-    )
     _require_literal_budget(cb, "pq_adc_topk (query ADC tables)")
     codes = pq_encode_auto(corpus, cb, vec_col, id_col).withColumnRenamed(
         "id", "neighbor_id"
@@ -1007,20 +1101,26 @@ def ivfpq_adc_topk(
     ``kmeans_centroids(...)`` / ``pq_codebooks_kmeans(...)`` for the
     production data-adaptive versions — every downstream step is
     unchanged. Malformed vectors are excluded on both sides
-    (:func:`valid_vectors`; declare ``dim`` when known)."""
-    corpus, dim = valid_vectors(corpus, vec_col, dim)
+    (:func:`valid_vectors`; declare ``dim`` when known). An empty corpus
+    yields an empty result (r16 empty-table sweep)."""
+    try:
+        corpus, dim = valid_vectors(corpus, vec_col, dim)
+        cb = codebooks if codebooks is not None else pq_codebooks_first_k(
+            corpus, m, ksub, vec_col, id_col, dim=dim
+        )
+        # budget check before any centroid job: a too-big codebook is a
+        # pure driver-side config error and must fire first
+        _require_literal_budget(cb, "ivfpq_adc_topk")
+        if centroids is not None:
+            cents = centroids
+        else:
+            cents = _first_k_centroids(corpus, n_centroids, vec_col, id_col)
+    except EmptyVectorColumn:
+        return _empty_ann_result(corpus, id_col, "adc_dist")
     queries, _ = valid_vectors(queries, vec_col, dim)
-    cb = codebooks if codebooks is not None else pq_codebooks_first_k(
-        corpus, m, ksub, vec_col, id_col, dim=dim
-    )
-    _require_literal_budget(cb, "ivfpq_adc_topk")
     n = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("id"), "_dec", "_normsq"
     ).withColumnsRenamed({"_dec": "dec", "_normsq": "normsq"})
-    if centroids is not None:
-        cents = centroids
-    else:
-        cents = _first_k_centroids(corpus, n_centroids, vec_col, id_col)
     # inverted lists carry ONLY (neighbor_id, cell, codes) — the raw
     # decimal vectors drop out right here; that is PQ's shrink (measured
     # 8.6× on the dim-64 synthetic table, ~100× at production dims — see
@@ -1164,7 +1264,13 @@ def ivfpq_index_topk(
     bytes on the dim-64 synthetic table over the actually-probed cells —
     see write_ivfpq_index)."""
     cents = spark.read.parquet(f"{path}/centroids")
-    dim = len(cents.select("c_dec").first()["c_dec"])
+    head = cents.select("c_dec").first()
+    if head is None:  # corrupt/partial index: subscripting None was a TypeError
+        raise ValueError(
+            f"IVF-PQ index at {path!r} has an empty centroids table — "
+            "rebuild it with write_ivfpq_index"
+        )
+    dim = len(head["c_dec"])
     queries, _ = valid_vectors(queries, vec_col, dim)
     cb = read_pq_codebooks(spark, path)
     _require_literal_budget(cb, "ivfpq_index_topk (query ADC tables)")

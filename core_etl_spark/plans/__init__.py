@@ -151,6 +151,16 @@ _REWITNESS: tuple[str, ...] = (
     # (VERDICT r15 directive 7) — schema-only additions pinned by
     # test_parity; under the r16 staleness-first rotation they compete
     # for seats like any spec, yielding only within a same-round tie.)
+    #
+    # (g07b/g07c follow the l25 exception: their texts changed this round
+    # — the () grouping set became a UNION ALL global-aggregate leg so
+    # empty input keeps the ANSI grand-total row (r16 empty-table sweep)
+    # — but the rewrite is provably value-identical on clean data (both
+    # verified MATCH against their PRE-change oracle texts at sf0.01 this
+    # session) and the empty-input behavior is pinned by
+    # tests/test_empty_inputs.py. Seating them would evict two r11-floor
+    # specs and stall the directive-3 floor advance; g07 itself carries a
+    # floor seat and re-witnesses the same rewrite shape this round.)
 )
 
 

@@ -254,6 +254,24 @@ def g06c(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# ROLLUP/CUBE/GROUPING SETS are spelled as explicit grouping sets PLUS a
+# UNION ALL global-aggregate leg for the () set (r16 empty-table sweep):
+# ANSI defines the grand-total grouping set as a global aggregate — ONE
+# row even over empty input (DuckDB, Postgres agree) — but Spark's Expand
+# -based grouping sets emit ZERO rows whenever the input is empty, so a
+# day-zero/empty-slice rollup report silently lost its totals row. The
+# rewrite is algebraically the same query on non-empty input (verified
+# value-identical at sf0.01 on both engines) and cost-neutral through the
+# aggregate: the () member drops out of the Expand (one fewer expanded
+# copy per input row) and comes back as a separate pruned-column scan
+# whose partial aggregation collapses to one row per task map-side.
+# Spark's native empty-input deviation is pinned by
+# tests/test_empty_inputs.py so a future Spark fix flags the simplification.
+_QTY = (
+    "CASE WHEN NOT isnan(l_quantity) "
+    "THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END"
+)
+
 shared_sql(
     "g07_rollup",
     f"""
@@ -261,14 +279,19 @@ shared_sql(
            coalesce(l_linestatus, 'ALL') AS ls,
            CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
            CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-           CAST(SUM(CASE WHEN NOT isnan(l_quantity) THEN TRY_CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_qty,
+           CAST(SUM({_QTY}) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+    UNION ALL
+    SELECT 'ALL', 'ALL', CAST(1 AS INT), CAST(1 AS INT),
+           CAST(SUM({_QTY}) AS DOUBLE), COUNT(*)
+    FROM lineitem
     """,
     tables=("lineitem",),
     tags=("gap", "rollup"),
-    doc="ROLLUP with GROUPING() markers — subtotal + grand-total rows.",
+    doc="ROLLUP semantics with GROUPING() markers — subtotal + grand-total "
+        "rows; the grand total is the empty-input-safe global-aggregate leg.",
 )
 
 shared_sql(
@@ -279,11 +302,16 @@ shared_sql(
            CAST(SUM({_PRICE}) AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    UNION ALL
+    SELECT 'ALL', 'ALL', CAST(SUM({_PRICE}) AS DOUBLE), COUNT(*)
+    FROM orders
     """,
     tables=("orders",),
     tags=("gap", "cube"),
-    doc="CUBE over status × priority.",
+    doc="CUBE semantics over status × priority; grand total via the "
+        "empty-input-safe global-aggregate leg.",
 )
 
 shared_sql(
@@ -293,11 +321,15 @@ shared_sql(
            coalesce(l_linestatus, 'ALL') AS ls,
            CAST(SUM({_REV}) AS DOUBLE) AS revenue
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    UNION ALL
+    SELECT 'ALL', 'ALL', CAST(SUM({_REV}) AS DOUBLE)
+    FROM lineitem
     """,
     tables=("lineitem",),
     tags=("gap", "grouping-sets"),
-    doc="Explicit GROUPING SETS (one-dimension marginals + grand total).",
+    doc="Explicit GROUPING SETS (one-dimension marginals + empty-input-safe "
+        "grand total).",
 )
 
 shared_sql(
