@@ -392,6 +392,42 @@ def ivf_assign_cells(
     )
 
 
+def _fit_kmeans_clamped(
+    feats, arrs, k: int, seed: int, where: str
+) -> list[list[float]]:
+    """Fit KMeans(k) and return its centers, recovering from Spark ML's
+    known sharp edge: with fewer DISTINCT points than k, k-means|| init
+    returns fewer centers and the aggregator dies with a bare
+    ArrayIndexOutOfBoundsException. On that failure only, count the
+    distinct training arrays (``arrs`` is the pre-vectorized
+    array<double> frame — arrays hash, VectorUDT does not) and clamp k to
+    that count before refitting; with exactly one distinct vector it IS
+    the centroid (Spark ML rejects k < 2 outright), and an empty training
+    set raises a designed error. Happy path: one fit, zero extra jobs."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.ml.clustering import KMeans
+
+    def centers(model) -> list[list[float]]:
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    try:
+        return centers(KMeans(k=k, seed=seed, featuresCol="features").fit(feats))
+    except Py4JJavaError as e:
+        if "ArrayIndexOutOfBoundsException" not in str(e):
+            raise
+        n_distinct = arrs.distinct().count()
+        if n_distinct == 0:
+            raise ValueError(
+                f"{where}: training sample is empty — raise sample_fraction"
+            ) from e
+        if n_distinct >= k:  # not the under-k failure after all
+            raise
+        if n_distinct == 1:
+            return [[float(x) for x in arrs.first()["v"]]]
+        model = KMeans(k=n_distinct, seed=seed, featuresCol="features").fit(feats)
+        return centers(model)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -412,19 +448,24 @@ def kmeans_centroids(
     At 100 TB train on a sample (``sample_fraction`` ≈ 1e-5 → ~1e6
     vectors): centroid quality converges long before the full corpus, and
     the sample pass is a narrow scan, no shuffle beyond KMeans' own
-    aggregations."""
-    from pyspark.ml.clustering import KMeans
+    aggregations. A training set with fewer DISTINCT vectors than
+    ``n_centroids`` clamps k to that count instead of surfacing Spark
+    ML's raw ArrayIndexOutOfBoundsException (k-means|| init yields fewer
+    centers than k and the block aggregator indexes past them — the r16
+    one-row-table sweep hit this on a day-one corpus); fewer cells than
+    asked is exactly right when the data has no more structure to give.
+    The recovery is failure-path only — no extra jobs on the happy path."""
     from pyspark.ml.functions import array_to_vector
 
     # KMeans needs a uniform dimension; one NULL/short vector fails the
     # whole fit (r13 adversarial-data audit) -- gate malformed rows first.
     corpus, _ = valid_vectors(corpus, vec_col)
-    feats = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    arrs = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
-        feats = feats.sample(fraction=sample_fraction, seed=seed)
-    feats = feats.select(array_to_vector(F.col("v")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        arrs = arrs.sample(fraction=sample_fraction, seed=seed)
+    feats = arrs.select(array_to_vector(F.col("v")).alias("features"))
+    fitted = _fit_kmeans_clamped(feats, arrs, n_centroids, seed, "kmeans_centroids")
+    centers = list(enumerate(fitted))
     cdf = corpus.sparkSession.createDataFrame(
         centers, "cent_id long, emb array<double>"
     )
@@ -744,17 +785,22 @@ def pq_codebooks_first_k(
         .orderBy("id")
         .collect()
     )
-    if len(rows) < 2:
+    if not rows:
         # failure path only: an entirely-empty valid corpus is the
         # well-defined zero-neighbors situation (r16 empty-table sweep);
-        # a non-empty corpus with < 2 trainable vectors among the first
-        # ksub ids stays the loud config error.
+        # a non-empty corpus with NO trainable vectors among the first
+        # ksub ids stays the loud config error. (One vector is enough —
+        # a 1-word sub-codebook is a legitimate, if coarse, quantizer,
+        # and the r16 one-row-table sweep showed the old "< 2" guard
+        # rejecting a legitimate day-one corpus.)
         if corpus.isEmpty():
             raise EmptyVectorColumn(
                 f"no valid vectors in column {vec_col!r} — empty corpus"
             )
         raise ValueError(
-            f"pq_codebooks_first_k: < 2 valid vectors among ids < {ksub}"
+            f"pq_codebooks_first_k: no valid vectors among ids < {ksub} — "
+            "ids must be dense from ~0 for the default rule; pass "
+            "codebooks=pq_codebooks_kmeans(...) for arbitrary id spaces"
         )
     dim = len(rows[0].dec)
     if dim % m:
@@ -781,7 +827,6 @@ def pq_codebooks_kmeans(
     for IVF."""
     from decimal import Decimal
 
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     corpus, _ = valid_vectors(corpus, vec_col)  # see kmeans_centroids
@@ -799,15 +844,17 @@ def pq_codebooks_kmeans(
     dsub = dim // m
     books = []
     for j in range(m):
-        sub = feats.select(
-            array_to_vector(F.slice("v", j * dsub + 1, dsub)).alias("features")
+        sub_arr = feats.select(F.slice("v", j * dsub + 1, dsub).alias("v"))
+        sub = sub_arr.select(array_to_vector(F.col("v")).alias("features"))
+        # clamped fit: fewer distinct subvectors than ksub is routine on
+        # tiny/day-one corpora and Spark ML's raw failure mode for it is
+        # an AIOOBE (see _fit_kmeans_clamped); a narrower sub-codebook is
+        # the correct model there, and encode/ADC handle variable widths.
+        fitted = _fit_kmeans_clamped(
+            sub, sub_arr, ksub, seed + j, "pq_codebooks_kmeans"
         )
-        model = KMeans(k=ksub, seed=seed + j, featuresCol="features").fit(sub)
         books.append(
-            [
-                [Decimal(f"{x:.3f}") for x in center]
-                for center in model.clusterCenters()
-            ]
+            [[Decimal(f"{x:.3f}") for x in center] for center in fitted]
         )
     return books
 

@@ -152,6 +152,14 @@ _REWITNESS: tuple[str, ...] = (
     # test_parity; under the r16 staleness-first rotation they compete
     # for seats like any spec, yielding only within a same-round tie.)
     #
+    # (o2b follows the l25 exception too: its ORACLE text changed — run
+    # 2's first micro-batch is now derived as ceil(n/50)//2 in SQL
+    # instead of the literal 2, which only differs below 200 qualifying
+    # events (the r16 one-row sweep's finding); at the driver's sf0.01
+    # the subquery still evaluates to 2 and the compare was re-verified
+    # MATCH this session. Pinned by
+    # tests/test_empty_inputs.py::test_o2b_oracle_batch_split_is_formula_driven.)
+    #
     # (g07b/g07c follow the l25 exception: their texts changed this round
     # — the () grouping set became a UNION ALL global-aggregate leg so
     # empty input keeps the ANSI grand-total row (r16 empty-table sweep)

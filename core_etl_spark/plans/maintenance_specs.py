@@ -850,14 +850,25 @@ _O2B_ORACLE = f"""
                CAST(rn // {_O2B_PER_FILE} AS INT) AS b
         FROM base
     ),
-    -- running_counts, update mode, collected during run 2 (batches 2-3):
-    -- one emission per (source, batch where present) with the cumulative
-    -- lifetime total (state recovered from run 1's checkpoint)
+    -- run 2's first batch, formula-driven like the builder's
+    -- n_files // 2 split (r16 one-row-table sweep: a corpus smaller
+    -- than 200 rows makes fewer than 4 files — with ONE file run 1
+    -- streams nothing and run 2 is batch 0 — so the old literal
+    -- "b >= 2" excluded every run-2 emission on tiny/day-one slices;
+    -- at the driver's sf0.01 the subquery still evaluates to 2)
+    run2 AS (
+        SELECT CAST(ceil(count(*) / {_O2B_PER_FILE}.0) AS INT) // 2 AS b_start
+        FROM base
+    ),
+    -- running_counts, update mode, collected during run 2: one emission
+    -- per (source, batch where present) with the cumulative lifetime
+    -- total (state recovered from run 1's checkpoint)
     counts AS (
         SELECT 'counts' AS op, t.b, t.event_type AS key,
                (SELECT count(*) FROM batched x
                 WHERE x.event_type = t.event_type AND x.b <= t.b) AS value
-        FROM (SELECT DISTINCT event_type, b FROM batched WHERE b >= 2) t
+        FROM (SELECT DISTINCT event_type, b FROM batched
+              WHERE b >= (SELECT b_start FROM run2)) t
     ),
     -- first_seen, append mode, run 2: emits keys whose FIRST batch is in
     -- run 2, with the number of same-batch duplicates; keys first seen in
@@ -867,7 +878,7 @@ _O2B_ORACLE = f"""
         SELECT 'first_seen' AS op, f.b0 AS b, d.fp AS key,
                count(*) - 1 AS value
         FROM batched d JOIN firstb f ON d.fp = f.fp AND d.b = f.b0
-        WHERE f.b0 >= 2
+        WHERE f.b0 >= (SELECT b_start FROM run2)
         GROUP BY f.b0, d.fp
     )
     SELECT op, b, key, value FROM counts

@@ -151,8 +151,65 @@ def test_first_k_config_error_still_loud_on_nonempty_corpus(spark):
     )
     with pytest.raises(ValueError, match="dense from ~0"):
         S.ivf_ann_topk(emb, emb, k=2, dim=2)
-    with pytest.raises(ValueError, match="< 2 valid vectors"):
+    with pytest.raises(ValueError, match="no valid vectors among ids"):
         S.pq_codebooks_first_k(emb, m=1, ksub=16, dim=2)
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_one"))
+    build_empty_dir(SF, d, limit=1)
+    return d
+
+
+def test_kmeans_clamps_k_to_distinct_vectors(spark):
+    """Spark ML KMeans dies with a raw ArrayIndexOutOfBoundsException when
+    the training set has fewer DISTINCT points than k (k-means|| returns
+    fewer centers than the aggregator indexes). The wrappers recover on
+    that failure only: clamp k to the distinct count (a 1-vector corpus
+    IS its own centroid — Spark ML rejects k < 2 outright)."""
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    cents = S.kmeans_centroids(one, n_centroids=16)
+    assert cents.count() == 1
+    assert S.ivf_ann_topk(one, one, k=3, centroids=cents).count() == 0
+    dup = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    assert S.kmeans_centroids(dup, n_centroids=16).count() == 3
+    books = S.pq_codebooks_kmeans(dup, m=2, ksub=16)
+    assert [len(b) >= 1 for b in books] == [True, True]
+    assert S.pq_adc_topk(
+        dup, dup.filter(F.col("vec_id") < 2), k=2, codebooks=books
+    ).count() == 4
+
+
+def test_pq_first_k_accepts_single_vector_corpus(spark):
+    """One valid vector among the first ksub ids is a legitimate day-one
+    corpus: a 1-word sub-codebook quantizes it exactly, and the top-k
+    result (zero non-self neighbors) matches the oracle's replay. The
+    loud config error is reserved for NO valid early ids on a non-empty
+    corpus (see test_first_k_config_error_still_loud_on_nonempty_corpus)."""
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    books = S.pq_codebooks_first_k(one, m=2, ksub=16, dim=4)
+    assert [len(b) for b in books] == [1, 1]
+    assert S.pq_adc_topk(one, one, k=3, dim=4).count() == 0
+
+
+def test_o2b_oracle_batch_split_is_formula_driven(spark, one_row_dir):
+    """o2b's oracle derives run 2's first micro-batch from ceil(n/50)//2
+    exactly like the builder — the old literal "b >= 2" silently emptied
+    the oracle on any corpus under 200 qualifying events (1-row sweep:
+    spark=2, oracle=0)."""
+    spec = REGISTRY["o2b_stateful_streaming"]
+    sdf = spec.builder(spark, one_row_dir)
+    con = duck_connection(one_row_dir)
+    assert compare(sdf, con.execute(spec.oracle).fetchdf()) == []
+    assert sdf.count() == 2  # run 2 = batch 0 on a 1-file fixture
 
 
 def test_index_read_on_empty_centroids_is_designed_loud(spark, tmp_path):
