@@ -97,11 +97,19 @@ def cmd_export(args: argparse.Namespace) -> int:
         q = start_tail(spark, lake, args.tail, args.checkpoint, contracts,
                        getattr(provider, "receipts_for", None),
                        trigger_interval="10 seconds" if poller else None)
-        q.awaitTermination()
-        if poller is not None:
-            poller.stop()
-        if stop_retention is not None:
-            stop_retention()
+        # try/finally: Ctrl-C is the NORMAL way a tail run ends, and a
+        # dying stream raises out of awaitTermination — either way the
+        # poller must stop fetching (it would keep writing drops and
+        # holding the WS socket) and the retention scheduler must stop
+        # sweeping (both are daemons, so this is orderly-shutdown
+        # hygiene, not a hang fix).
+        try:
+            q.awaitTermination()
+        finally:
+            if poller is not None:
+                poller.stop()
+            if stop_retention is not None:
+                stop_retention()
     return 0
 
 
@@ -124,9 +132,15 @@ def cmd_view(args: argparse.Namespace) -> int:
         else:
             raise SystemExit("transactions view needs --block or --hash")
     elif args.entity == "token-transfers":
+        # a missing --token would filter on NULL and print an empty table
+        # with no signal — same argument contract as the transactions view
+        if not args.token:
+            raise SystemExit("token-transfers view needs --token")
         _show(Q.token_transfers_by_token(lake.token_transfers(), args.token,
                                          args.from_addr, args.to_addr))
     elif args.entity == "address-transfers":
+        if not args.address:
+            raise SystemExit("address-transfers view needs --address")
         _show(Q.transfers_by_address(lake.token_transfers(), args.address,
                                      args.direction))
     return 0

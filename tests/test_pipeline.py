@@ -171,6 +171,13 @@ def test_cli_export_view_verify(spark, tmp_path, capsys):
     assert cli.main(["--warehouse", wh, "verify", "blocks"]) == 1
     assert "gap" in capsys.readouterr().out
 
+    # missing selector args are loud errors, not silent empty tables
+    # (a NULL filter matched nothing and printed headers only — r16 review)
+    with pytest.raises(SystemExit, match="--token"):
+        cli.main(["--warehouse", wh, "view", "token-transfers"])
+    with pytest.raises(SystemExit, match="--address"):
+        cli.main(["--warehouse", wh, "view", "address-transfers"])
+
 
 def test_cli_similarity_kmeans_end_to_end(spark, sf_dir, capsys):
     """The similarity subcommand must run every method end-to-end on the
