@@ -91,6 +91,23 @@ tx AS (
 
 _TX_SQL = f"WITH {FIXTURE_CTE} SELECT * FROM tx"
 
+
+def _fixture_df(spark: SparkSession, sql: str) -> DataFrame:
+    """The synthetic tx fixture behind a plan barrier (lazy
+    localCheckpoint). Without it CollapseProject inlines the md5-chain
+    ``input`` expression into EVERY decode reference — selector slices,
+    the well-formed bound, each decoded column — and the duplicated tree
+    blows the generated ``processNext()`` past the JVM's 64 KB method
+    limit: the r16 probe caught five silent codegen→interpreted
+    fallbacks across t45x/t4678/t4678x. Production calldata is a STORED
+    column (attribute refs, no duplication), so the barrier also makes
+    these specs exercise the production plan shape: decode expressions
+    over materialized rows, whole-stage codegen intact. 150 rows — the
+    lazy checkpoint materializes on first use and is row-identical to
+    the inline CTE (same deterministic expressions of ``key``)."""
+    return spark.sql(sql).localCheckpoint(eager=False)
+
+
 _RECEIPT_STATUS = "CASE WHEN key % 7 = 0 THEN 0 ELSE 1 END"
 
 
@@ -206,7 +223,7 @@ def t4678(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     reference's per-tx RPC."""
     from pyspark.sql import functions as F
 
-    tx = spark.sql(_TX_SQL)
+    tx = _fixture_df(spark, _TX_SQL)
     receipts = tx.select(
         F.col("hash").alias("tx_hash"), F.expr(_RECEIPT_STATUS).alias("status")
     )
@@ -272,7 +289,7 @@ def t45x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
 
     from ..operators.decode import SELECTOR_TRANSFER, decode_transfer, is_transfer_call
 
-    tx = spark.sql(_DIRTY_TX_SQL)
+    tx = _fixture_df(spark, _DIRTY_TX_SQL)
     return (
         tx.filter(is_transfer_call(F.col("input"), F.col("to_addr"), CONTRACT))
         .filter(F.substring("input", 1, 8) == SELECTOR_TRANSFER)
@@ -299,7 +316,7 @@ def t4678x(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     to the byte-slicing oracle."""
     from pyspark.sql import functions as F
 
-    tx = spark.sql(_DIRTY_TX_SQL)
+    tx = _fixture_df(spark, _DIRTY_TX_SQL)
     receipts = tx.select(
         F.col("hash").alias("tx_hash"), F.expr(_RECEIPT_STATUS).alias("status")
     )

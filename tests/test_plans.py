@@ -411,3 +411,21 @@ def test_g21d_histogram_shuffles_buckets_not_rows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "g21d_loglin_quantiles")
     assert plan.count("HashAggregate") >= 2, "histogram lost map-side combine"
     assert plan.count("Scan parquet") == 1, "quantile stage re-scanned the data"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["t4678_cbc20_extract", "t45x_transfer_decode_dirty",
+     "t4678x_cbc20_extract_dirty"],
+)
+def test_decode_fixture_is_materialized_behind_a_barrier(spark, sf_dir, name):
+    """r16: without a plan barrier on the synthetic fixture,
+    CollapseProject inlines the md5-chain `input` expression into every
+    decode reference and the generated processNext() exceeds the JVM's
+    64 KB method limit — Spark silently drops the stage to interpreted
+    execution (five codegen fallbacks observed across these three specs).
+    The barrier (lazy localCheckpoint → an RDD scan) keeps decode
+    expressions over attribute refs — the production plan shape, since
+    real calldata is a stored column."""
+    plan = _plan(spark, sf_dir, name)
+    assert "ExistingRDD" in plan, plan[:800]
