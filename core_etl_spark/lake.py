@@ -31,6 +31,7 @@ This is the Spark-first replacement for the reference's storage backends
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import threading
@@ -70,6 +71,45 @@ _NATURAL_KEY = {
 }
 
 
+class WarehouseLockedError(RuntimeError):
+    """Another PROCESS holds this warehouse's writer lock.
+
+    Two processes appending to one warehouse root (two backfill jobs
+    pointed at the same path — an orchestration mistake that WILL happen
+    at scale) interleave parquet appends and group-commit marker writes
+    with no coordination: the marker records heights the other writer
+    never delivered, compact/retention stage-and-swaps silently drop the
+    other's committed batches, and the idempotency anti-join reads a
+    half-written view. The in-process ``Lake.mutex`` cannot see across
+    processes, so the first MUTATION a process performs takes a
+    create-exclusive on-disk writer lock (the sketch-store lock
+    machinery — pid/host sentinel, live-holder-never-broken, stale-break
+    with content pinning) and holds it for the process lifetime. A
+    second writing process fails loudly with this error instead of
+    corrupting silently. Read-only use (views, verify) never locks."""
+
+
+#: warehouse root (absolute) → held lock, process-wide: every Lake
+#: instance in one process shares one writer-lock holder per root, so
+#: re-opening a warehouse (tests, the CLI's backfill-then-tail flow)
+#: re-enters instead of self-colliding. Held until process exit — the
+#: single-WRITING-PROCESS contract is per process, not per Lake object.
+_WRITER_LOCKS: dict = {}
+_WRITER_LOCKS_GUARD = threading.Lock()
+
+
+def _release_writer_locks() -> None:
+    for lk in list(_WRITER_LOCKS.values()):
+        try:
+            lk.__exit__(None, None, None)
+        except Exception:  # noqa: BLE001 — exit path: never mask interpreter teardown
+            pass
+    _WRITER_LOCKS.clear()
+
+
+atexit.register(_release_writer_locks)
+
+
 class Lake:
     """One warehouse: paths, writes, reads, and partition-scoped mutations."""
 
@@ -92,6 +132,33 @@ class Lake:
         #: Re-entrant so a mutation inside the tail's own batch doesn't
         #: self-deadlock.
         self.mutex = threading.RLock()
+
+    def _ensure_writer_lock(self) -> None:
+        """Take (or re-enter) this process's on-disk writer lock for the
+        warehouse root before any mutation — see
+        :class:`WarehouseLockedError`. First call per (process, root)
+        pays one O_CREAT|O_EXCL + ~40-byte write; every later mutation is
+        a dict hit. Held until process exit (atexit); a crashed writer's
+        sentinel is stale-detected by pid probe and broken by the next
+        writer, so no manual cleanup is ever needed."""
+        from .operators.sketches import StoreLockedError, _store_lock
+
+        key = os.path.abspath(self.root)
+        with _WRITER_LOCKS_GUARD:
+            if key in _WRITER_LOCKS:
+                return
+            os.makedirs(key, exist_ok=True)
+            lk = _store_lock(os.path.join(key, ".writer"))
+            try:
+                lk.__enter__()
+            except StoreLockedError as e:
+                raise WarehouseLockedError(
+                    f"warehouse writer lock held: {key} — another process "
+                    "is writing this warehouse (two concurrent exports on "
+                    "one path interleave appends and the commit marker); "
+                    "stop it or point this job at its own warehouse root"
+                ) from e
+            _WRITER_LOCKS[key] = lk
 
     # --- layout --------------------------------------------------------------
 
@@ -130,6 +197,7 @@ class Lake:
         compact's scan and its directory swap would be silently dropped by
         the stale staged rewrite. Re-entrant for the streaming tail's outer
         hold."""
+        self._ensure_writer_lock()
         with self.mutex:
             self._write_unlocked(name, df, mode, height_range)
 
@@ -269,6 +337,7 @@ class Lake:
         # with each other (workers run the lock-free body) while the group as
         # a unit serializes against compact/retention stage-and-swap.
         need_marker = bool(todo) and mode == "append" and height_range is not None
+        self._ensure_writer_lock()
         with self.mutex:
             if len(todo) == 1 and not need_marker:
                 self._write_unlocked(todo[0][0], todo[0][1], mode, height_range)
@@ -615,6 +684,7 @@ class Lake:
         and a crash mid-swap loses no committed bucket)."""
         if name not in self.modules or not self.exists(name):
             return
+        self._ensure_writer_lock()
         with self.mutex:
             self._delete_where_locked(name, heights_pred)
 
@@ -720,6 +790,7 @@ class Lake:
         table). Heights are time-ordered, so the cutoff maps to one boundary
         height; whole buckets below it are dropped at the partition level and
         only the boundary bucket is rewritten."""
+        self._ensure_writer_lock()
         with self.mutex:  # one consistent sweep vs the streaming tail
             blocks = self.blocks()
             if BLOCKS in self.modules and self.exists(BLOCKS):
@@ -748,6 +819,7 @@ class Lake:
         Bucketing metadata only exists in the session catalog
         (``saveAsTable``), so mirrors are managed tables named
         ``<name>_bucketed``; call once per ingest epoch, not per query."""
+        self._ensure_writer_lock()
         num = _NUMBER_COL[name]
         table = f"{name}_bucketed"
         self.spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -777,6 +849,7 @@ class Lake:
         # bucket the swap then replaces with the stale staged rewrite,
         # silently dropping the committed rows (same discipline as
         # _delete_where and retention_cleanup).
+        self._ensure_writer_lock()
         with self.mutex:
             df = self.spark.read.parquet(self.path(name))
             per_bucket = (

@@ -374,3 +374,73 @@ def test_profile_columns_hand_case(spark):
 
     with _pt.raises(ValueError):
         profile_columns(df, [])
+
+
+# --- warehouse writer lock (r16: cross-process single-writer contract) -------
+
+
+def _plant_sentinel(root: str, pid: int, age_sec: float = 0.0) -> str:
+    """Write a writer-lock sentinel as another process would have."""
+    import socket
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, ".writer__lock")
+    with open(lock, "w") as f:
+        f.write(f"{pid} {time.time() - age_sec} {socket.gethostname()}")
+    return lock
+
+
+def _tiny_blocks(spark):
+    raw = FX.raw_blocks(spark, n_blocks=3, txs_per_block=1)
+    return T.normalize_blocks(raw)
+
+
+def test_second_process_writer_is_refused(spark, tmp_path):
+    """A LIVE foreign holder (here: pid 1, alive but not us) must refuse
+    this process's first mutation loudly — two processes appending to one
+    warehouse interleave the commit marker and stage-and-swaps."""
+    from core_etl_spark.lake import WarehouseLockedError
+
+    root = str(tmp_path / "wh_contested")
+    _plant_sentinel(root, pid=1)
+    lk = Lake(spark, root, bucket_size=BUCKET)
+    with pytest.raises(WarehouseLockedError, match="another process"):
+        lk.write_all(_tiny_blocks(spark))
+    # reads never need the lock
+    assert lk.latest_block_number() == -1
+
+
+def test_stale_writer_lock_is_broken(spark, tmp_path):
+    """A crashed writer's sentinel (dead pid) is stale — the next writer
+    breaks it and proceeds; no manual cleanup."""
+    import multiprocessing as mp
+
+    child = mp.Process(target=lambda: None)
+    child.start()
+    child.join()  # dead pid, guaranteed ours-to-know
+    root = str(tmp_path / "wh_stale")
+    _plant_sentinel(root, pid=child.pid, age_sec=7200.0)
+    lk = Lake(spark, root, bucket_size=BUCKET)
+    lk.write_all(_tiny_blocks(spark))
+    assert lk.blocks().count() == 3
+
+
+def test_same_process_reopen_reenters_lock(spark, tmp_path):
+    """Every Lake instance in one process shares the per-root holder —
+    re-opening a warehouse (backfill-then-tail, tests) must not
+    self-collide."""
+    root = str(tmp_path / "wh_reopen")
+    Lake(spark, root, bucket_size=BUCKET).write_all(_tiny_blocks(spark))
+    lk2 = Lake(spark, root, bucket_size=BUCKET)
+    lk2.truncate_from_last_saved(1)
+    assert lk2.blocks().count() == 2
+    assert os.path.exists(os.path.join(root, ".writer__lock"))
+
+
+def test_read_only_lake_takes_no_lock(spark, tmp_path):
+    root = str(tmp_path / "wh_readonly")
+    os.makedirs(root)
+    lk = Lake(spark, root, bucket_size=BUCKET)
+    assert lk.latest_block_number() == -1
+    assert not os.path.exists(os.path.join(root, ".writer__lock"))
