@@ -26,19 +26,32 @@ def strip_0x(h: Column) -> Column:
     return F.regexp_replace(F.lower(h), "^0x", "")
 
 
+def _valid_hex(clean: Column) -> Column:
+    """Non-empty all-hex-digits — the gate for the malformed→NULL policy.
+    ``conv`` alone does NOT enforce it: ``conv('zz', 16, 10)`` returns
+    ``'0'`` (r16 review, verified live), so without this guard garbage
+    hex silently became ZERO — counted into every downstream aggregate
+    instead of excluded like the module promises."""
+    return clean.rlike("^[0-9a-fA-F]+$")
+
+
 def hex_to_long(h: Column) -> Column:
     """Exact hex→bigint for words up to 15 hex chars (60 bits); wider
     words go NULL (try_cast) instead of killing the stage under ANSI —
     one dirty 16-char word otherwise raised CAST_INVALID_INPUT from
-    conv's unsigned 2^63.. output (r15 review, module NULL policy)."""
-    return F.conv(strip_0x(h), 16, 10).try_cast("long")
+    conv's unsigned 2^63.. output (r15 review, module NULL policy).
+    Non-hex / empty input → NULL, never 0 (r16 review)."""
+    clean = strip_0x(h)
+    return F.when(_valid_hex(clean), F.conv(clean, 16, 10).try_cast("long"))
 
 
 def hex_u256_to_decimal(h: Column) -> Column:
     """Hex word → Decimal(38,0). ``conv`` returns the base-10 digits as a
     string (unsigned 64-bit wraparound applies above 2^64 — so for wide
-    words we parse in two 16-char limbs and recombine in decimal space)."""
-    sig = F.regexp_replace(strip_0x(h), "^0+", "")  # significant digits
+    words we parse in two 16-char limbs and recombine in decimal space).
+    Non-hex / empty input → NULL, never 0 (r16 review)."""
+    clean = strip_0x(h)
+    sig = F.regexp_replace(clean, "^0+", "")  # significant digits
     # lpad TRUNCATES longer inputs, so guard >128-bit first (policy: NULL).
     x = F.lpad(sig, 32, "0")
     hi = F.conv(F.substring(x, 1, 16), 16, 10).cast(DEC38)
@@ -47,7 +60,9 @@ def hex_u256_to_decimal(h: Column) -> Column:
     # try_*: 128-bit values above Decimal(38) max go NULL under ANSI mode
     # instead of raising, matching the documented policy.
     combined = F.try_add(F.try_multiply(hi, two64), lo)
-    return F.when(F.length(sig) > 32, F.lit(None).cast(DEC38)).otherwise(combined)
+    return F.when(
+        _valid_hex(clean) & (F.length(sig) <= 32), combined
+    ).otherwise(F.lit(None).cast(DEC38))
 
 
 def dec_u256_to_decimal(s: Column) -> Column:

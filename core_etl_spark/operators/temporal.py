@@ -98,19 +98,44 @@ def range_join_bucketed(
     end: str = "end",
     bucket: Column | None = None,
     bucket_seconds: int = 3600,
+    max_cells: int = 10_000,
 ) -> DataFrame:
     """Interval containment join, bucketed: explode each right interval into
     the time cells it covers, equi-join cells, exact-filter. Equivalent to
     ``l JOIN r ON l.ts BETWEEN r.start AND r.end`` (the oracle) without the
-    nested-loop blowup."""
+    nested-loop blowup.
+
+    Two per-row explosion valves (r16 review — the same DoS class as the
+    batch-decode count word, missed here by the r13 audit):
+
+    - an INVERTED interval (``end < start`` — dirty data) is dropped
+      before the explode. BETWEEN never matches it, so this is
+      value-identical; without the filter, Spark's ``sequence`` happily
+      builds a DESCENDING cell array (step defaults to -1), and one
+      corrupt 1677..2262 inversion is a multi-billion-element stage
+      killer.
+    - an interval wider than ``max_cells`` buckets (legal but rare —
+      maintenance windows, open-ended sessions) is routed through an
+      exact broadcast join instead of the explode: wide intervals are
+      assumed FEW (it's the narrow ones that come in billions), so
+      broadcasting them costs KBs while exploding them costs
+      width/bucket rows EACH. The two paths partition the intervals, so
+      the union is exactly the BETWEEN semantics."""
     cell = lambda c: (F.unix_timestamp(c) / bucket_seconds).cast("long")  # noqa: E731
+    exact = (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    right = right.filter(F.col(end) >= F.col(start))
+    width = cell(F.col(end)) - cell(F.col(start))
+    narrow = right.filter(width < max_cells)
+    wide = right.filter(width >= max_cells)
     l_cells = left.withColumn("_cell", cell(F.col(ts)))
-    r_cells = right.withColumn(
+    r_cells = narrow.withColumn(
         "_cell",
         F.explode(F.sequence(cell(F.col(start)), cell(F.col(end)))),
     )
-    return (
+    bucketed = (
         l_cells.join(r_cells, "_cell")
-        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .filter(exact)
         .drop("_cell")
     )
+    wide_hits = left.join(F.broadcast(wide), exact)
+    return bucketed.unionByName(wide_hits)

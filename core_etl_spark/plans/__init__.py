@@ -152,6 +152,15 @@ _REWITNESS: tuple[str, ...] = (
     # test_parity; under the r16 staleness-first rotation they compete
     # for seats like any spec, yielding only within a same-round tie.)
     #
+    # (j02 follows the l25 exception too: range_join_bucketed gained two
+    # explosion valves this round — inverted intervals dropped pre-
+    # explode, >max_cells intervals routed through an exact broadcast
+    # leg. Both are provably value-identical (the legs PARTITION the
+    # interval set and BETWEEN never matches an inversion; j01/j02
+    # re-verified MATCH at sf0.01 this session) and pinned by three
+    # tests in test_temporal.py including an explicit narrow+wide vs
+    # BETWEEN equivalence check.)
+    #
     # (o2b follows the l25 exception too: its ORACLE text changed — run
     # 2's first micro-batch is now derived as ceil(n/50)//2 in SQL
     # instead of the literal 2, which only differs below 200 qualifying

@@ -438,3 +438,19 @@ def test_normalize_blocks_is_row_preserving(spark):
     for dirty in (False, True):
         raw = FX.raw_blocks(spark, n_blocks=60, txs_per_block=3, dirty=dirty)
         assert normalize_blocks(raw).count() == raw.count(), f"dirty={dirty}"
+
+
+def test_u256_garbage_hex_is_null_never_zero(spark):
+    """conv('zz',16,10) returns '0' (verified live) — without the hex
+    validity gate, garbage words silently became ZERO and were counted
+    into downstream aggregates instead of excluded (r16 review; the
+    module's documented policy is malformed → NULL)."""
+    cases = ["zz", "", "0x", "12g4", "0xgg", None, "1f", "0x1f", "00"]
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = df.select(
+        u256.hex_to_long(F.col("h")).alias("l"),
+        u256.hex_u256_to_decimal(F.col("h")).alias("d"),
+    ).collect()
+    expect = [None, None, None, None, None, None, 31, 31, 0]
+    assert [r.l for r in got] == expect
+    assert [None if r.d is None else int(r.d) for r in got] == expect
