@@ -95,6 +95,35 @@ def test_grouping_sets_rewrite_value_identical_on_clean_data(spark, name):
     assert compare(sdf, con.execute(head + native).fetchdf()) == []
 
 
+#: One spec per family — the per-push subset of the full empty-table
+#: sweep (scripts/empty_table_parity.py), same pattern as
+#: test_adversarial_sweep's dirty subset: a NEW operator that regresses
+#: the empty-in/empty-out contract turns red here, not in a script
+#: nobody remembered to run. Each runs sub-second on zero-row tables.
+_EMPTY_FAMILY_SAMPLE = [
+    "g01_hash_agg_tpch_q1",     # relational agg
+    "g07_rollup",               # grouping sets (the grand-total fix)
+    "g02_join_agg_topk_tpch_q3",  # join + top-k
+    "q01_latest_with_fallback",  # view layer's fallback chain
+    "l01_exact_dedup",          # dedup family
+    "l07_minhash_lsh_dedup",    # banded dedup
+    "l12_ann_ivf_topk",         # ANN (the short-circuit fix)
+    "l15_stratified_sample",    # sampling
+    "l20_sequence_packing",     # packing
+    "c10_corpus_telemetry",     # sketch telemetry
+    "v05_column_profile",       # verify family
+    "j02_range_join",           # temporal
+]
+
+
+@pytest.mark.parametrize("name", _EMPTY_FAMILY_SAMPLE)
+def test_empty_tables_family_sample_matches_oracle(spark, name, empty_dir):
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, empty_dir)
+    con = duck_connection(empty_dir)
+    assert compare(sdf, con.execute(spec.oracle).fetchdf()) == []
+
+
 def test_ann_topk_empty_corpus_returns_empty_not_raise(spark, empty_emb):
     for fn in (S.brute_force_topk, S.lsh_ann_topk):
         for dim in (None, 64):
