@@ -124,6 +124,17 @@ def test_empty_tables_family_sample_matches_oracle(spark, name, empty_dir):
     assert compare(sdf, con.execute(spec.oracle).fetchdf()) == []
 
 
+@pytest.mark.parametrize("name", _EMPTY_FAMILY_SAMPLE)
+def test_one_row_tables_family_sample_matches_oracle(spark, name, one_row_dir):
+    """Same sample over the 1-row twins — the day-one-of-ingest state
+    (broken referential integrity, everything below its k/strata/
+    centroid minimums)."""
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, one_row_dir)
+    con = duck_connection(one_row_dir)
+    assert compare(sdf, con.execute(spec.oracle).fetchdf()) == []
+
+
 def test_ann_topk_empty_corpus_returns_empty_not_raise(spark, empty_emb):
     for fn in (S.brute_force_topk, S.lsh_ann_topk):
         for dim in (None, 64):
