@@ -347,10 +347,18 @@ def run_with_retry(
     failure, drop the possibly-torn top ``truncate_blocks`` heights and
     retry; the resume point recomputes from the lake, so the retried job
     re-ingests exactly the truncated range."""
+    from .lake import WarehouseLockedError
+
     last_err: Exception | None = None
     for attempt in range(attempts):
         try:
             return job()
+        except WarehouseLockedError:
+            # Another PROCESS owns the warehouse (r16 writer lock): not a
+            # torn write — truncating can't help (it needs the same lock)
+            # and ten retries would only bury the operational error under
+            # a generic "failed after N attempts". Surface it immediately.
+            raise
         except Exception as e:  # noqa: BLE001 — the reference retries on any error
             last_err = e
             log.warning("attempt %d failed: %s; truncating %d and retrying",

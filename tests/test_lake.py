@@ -444,3 +444,25 @@ def test_read_only_lake_takes_no_lock(spark, tmp_path):
     lk = Lake(spark, root, bucket_size=BUCKET)
     assert lk.latest_block_number() == -1
     assert not os.path.exists(os.path.join(root, ".writer__lock"))
+
+
+def test_run_with_retry_fails_fast_on_foreign_writer(spark, tmp_path):
+    """A WarehouseLockedError is an operational error, not a torn write —
+    run_with_retry must surface it immediately instead of burning ten
+    truncate-and-retry cycles that each need the same lock."""
+    from core_etl_spark.lake import WarehouseLockedError
+    from core_etl_spark.pipeline import run_with_retry
+
+    root = str(tmp_path / "wh_foreign")
+    _plant_sentinel(root, pid=1)
+    lk = Lake(spark, root, bucket_size=BUCKET)
+    calls = []
+
+    def job():
+        calls.append(1)
+        lk.write_all(_tiny_blocks(spark))
+        return 0
+
+    with pytest.raises(WarehouseLockedError):
+        run_with_retry(job, lk, attempts=10)
+    assert len(calls) == 1  # no retry loop
