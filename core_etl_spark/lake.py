@@ -485,6 +485,10 @@ class Lake:
         m = self._read_marker()
         if m is None:
             return
+        # the callers' per-table deletes early-return on absent tables, so
+        # this can be the mutation's FIRST write — it still needs the
+        # cross-process writer lock (r16 completeness pass)
+        self._ensure_writer_lock()
         tip = self.latest_block_number()
         if tip < m:
             self._write_marker(tip)

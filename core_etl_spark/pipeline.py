@@ -66,6 +66,7 @@ def ingest_raw(
     receipts_for: Callable[[DataFrame], DataFrame] | None = None,
     pre_materialized: bool = False,
     height_range: tuple[int, int] | None = None,
+    delivery_verified: bool = False,
 ) -> None:
     """Normalize one batch of raw nested blocks and write all modules.
 
@@ -129,7 +130,12 @@ def ingest_raw(
     # height_range: the backfill loop knows each chunk's [lo, hi] exactly —
     # passing it lets the idempotency key probe derive the touched buckets
     # arithmetically instead of running a min/max job per sink (r15).
-    lake.write_all(blocks, txs, transfers, height_range=height_range)
+    # delivery_verified: the streaming tail's contiguity guard CONSTRUCTS
+    # its admitted range as [last+1, last+n], so it passes True to skip
+    # the lake's redundant delivery probe (r16: the tail now routes
+    # through this function instead of a hand-rolled copy).
+    lake.write_all(blocks, txs, transfers, height_range=height_range,
+                   delivery_verified=delivery_verified)
 
 
 def backfill(

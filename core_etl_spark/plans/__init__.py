@@ -152,6 +152,15 @@ _REWITNESS: tuple[str, ...] = (
     # test_parity; under the r16 staleness-first rotation they compete
     # for seats like any spec, yielding only within a same-round tie.)
     #
+    # (o2x follows the l25 exception: the tail's normalize→decode→write
+    # slice now routes through pipeline.ingest_raw instead of a
+    # hand-rolled copy (gaining the r15 matched-receipts narrowing and
+    # receipts checkpoint the copy lacked). Value-identical by
+    # construction — narrowing only shrinks the fetched receipt set to a
+    # superset of what the decode joins — and o2/o2x/o1/o1d were all
+    # re-verified MATCH at sf0.01 this session; o2 itself re-witnesses
+    # on its _REWITNESS seat above, exercising the same unified path.)
+    #
     # (j02 follows the l25 exception too: range_join_bucketed gained two
     # explosion valves this round — inverted intervals dropped pre-
     # explode, >max_cells intervals routed through an exact broadcast

@@ -30,8 +30,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..lake import Lake
-from ..operators.decode import extract_token_transfers
-from ..operators.transforms import normalize_blocks, normalize_transactions
 from ..sources.fixtures import raw_blocks  # noqa: F401  (fixture writer below)
 
 #: nested raw-block shape produced by the poller (fixture-compatible)
@@ -145,37 +143,21 @@ def make_tail_batch_processor(
         # The contiguity guard makes the admitted range exactly
         # [last+1, last+n]: passing it as the write hint lets the
         # idempotency key probe skip its min/max job per sink (r15).
-        height_range = (last + 1, last + n_fresh)
+        # delivery_verified: the guard CONSTRUCTED the range, so the
+        # lake's own delivery probe would be a redundant aggregate job
+        # per micro-batch on the live path (r16 review).
+        #
+        # The normalize→decode→write slice is ingest_raw — the SAME code
+        # the backfill runs (r16: the tail previously hand-rolled a copy
+        # that lacked the r15 receipts optimizations, so a live tail with
+        # several watched contracts re-ran the full per-tx receipt sweep
+        # once PER CONTRACT and never narrowed it to matched calls).
+        from ..pipeline import ingest_raw
 
-        blocks = normalize_blocks(fresh)
-        txs = normalize_transactions(fresh)
-        transfers = None
-        if watch_contracts:
-            receipts = receipts_for(fresh) if receipts_for else None
-            parts = [
-                extract_token_transfers(txs, c, receipts=receipts)
-                for c in watch_contracts
-            ]
-            transfers = parts[0]
-            for p in parts[1:]:
-                transfers = transfers.unionByName(p)
-            # transfers inherit created_at from their block (T11)
-            blk = blocks.select(
-                F.col("number").alias("_bn"), F.col("created_at").alias("_ca")
-            )
-            transfers = (
-                transfers.join(
-                    F.broadcast(blk), F.col("block_number") == F.col("_bn"), "left"
-                )
-                .withColumnRenamed("_ca", "created_at")
-                .drop("_bn")
-            )
-        # delivery_verified: the contiguity guard above CONSTRUCTED the
-        # admitted range as exactly [last+1, last+n], so the lake's own
-        # delivery probe would be a redundant aggregate job per
-        # micro-batch on the live path (r16 review).
-        lake.write_all(blocks, txs, transfers, height_range=height_range,
-                       delivery_verified=True)
+        ingest_raw(lake, fresh, watch_contracts, receipts_for,
+                   pre_materialized=True,
+                   height_range=(last + 1, last + n_fresh),
+                   delivery_verified=True)
 
     return process
 
