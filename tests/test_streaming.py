@@ -370,3 +370,32 @@ def test_tail_checkpoint_restart_replays_crashed_microbatch(spark, dirs):
                    key=repr)
         assert a == b, f"{name} diverged after checkpoint-restart replay"
     assert victim.resume_point() == 29
+
+
+def test_tail_receipts_fetched_once_and_narrowed(spark, tmp_path):
+    """r16 unification pin: the tail's batch body routes through
+    ingest_raw, so receipts_for runs ONCE per micro-batch (checkpointed,
+    not once per watched contract) and receives the matched-call hint —
+    the hand-rolled copy it replaced swept every tx and re-ran the sweep
+    per contract."""
+    from core_etl_spark.lake import Lake
+    from core_etl_spark.sources import fixtures as FX
+    from core_etl_spark.sources.provider import FixtureBlockProvider
+    from core_etl_spark.streaming.tail import make_tail_batch_processor
+
+    lake = Lake(spark, str(tmp_path / "wh"), bucket_size=10)
+    provider = FixtureBlockProvider(n_blocks=8, txs_per_block=3)
+    raw = provider.fetch_blocks(spark, 0, 7)
+    calls = {"n": 0, "hinted": 0}
+
+    def counting(raw_df, tx_hashes=None):
+        calls["n"] += 1
+        if tx_hashes is not None:
+            calls["hinted"] += 1
+        return provider.receipts_for(raw_df, tx_hashes)
+
+    other = "e" * 44  # second watched contract, no matches
+    proc = make_tail_batch_processor(lake, (FX.WATCH_CONTRACT, other), counting)
+    proc(raw, 0)
+    assert calls == {"n": 1, "hinted": 1}
+    assert lake.token_transfers().count() > 0
