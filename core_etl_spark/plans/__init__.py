@@ -54,6 +54,15 @@ _REWITNESS: tuple[str, ...] = (
     # r16: cleared at round open (all r15 entries got green r15 rows) and
     # repopulated per VERDICT r15 / ADVICE r15.
     #
+    # >>> r17 ROUND-OPEN TODO: when clearing this list, seat the five
+    # specs that changed under the l25 exception in r16's second session
+    # (value-identical, locally verified, test-pinned — but not driver
+    # re-witnessed on their NEW text/plan): g07b_cube,
+    # g07c_grouping_sets (grand-total union-leg rewrite), o2b (formula-
+    # driven oracle batch split), o2x (tail unified through ingest_raw),
+    # j02 (range-join explosion valves). Their l25 notes are at the
+    # bottom of this comment block. <<<
+    #
     # r16 behavior changes on the lake write path: (a) the group-commit
     # marker now advances only to the VERIFIED contiguous prefix of each
     # delivered chunk (ADVICE r15 high — silently skipped heights were
