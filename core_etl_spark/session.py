@@ -50,23 +50,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # parallelismFirst stays at Spark's TRUE default, by measurement
-        # (r16 session 4): flipping it false (the Spark docs' production
-        # suggestion, with advisory=64m) coalesced every sf0.1 shuffle to
-        # ~1 partition and regressed the bench 17.1 → 23.8 s — l06 +77%,
-        # l06x +80%, o1 +30%, g01 +39% — on a HOST THE CALIBRATION QUERY
-        # MEASURED AS FASTER during the B leg. Post-shuffle stages here
-        # (SMJ verify joins, window valves, hash aggs) still carry real
-        # compute at small shuffle sizes, and one task loses far more
-        # compute parallelism than it saves in dispatch; the r16 8-core
-        # evidence (8 tasks beat 32) does not extrapolate to 1. At 100 TB
-        # the two settings converge (shuffles ≫ advisory × cores), so the
-        # default costs nothing there either. The middle ground lost too:
-        # minPartitionSize=8m (the coalesce floor under parallelismFirst,
-        # i.e. "never schedule a sub-8MB reduce task") read l06 2.05 →
-        # 5.71 s and every relational query worse — the ~40 MB shingle
-        # index collapsing to ~5 post-shuffle partitions starves the
-        # window valve and verify joins. Both legs: same session,
-        # back-to-back, calibration-bracketed (OPTIMIZATION_r16.md).
+        # (r16 session 4, interleaved ABAB at fixed host conditions —
+        # single-leg bench magnitudes were host-confounded and are
+        # superseded): flipping it false (the Spark docs' production
+        # suggestion, with advisory=64m) coalesces every sf0.1 shuffle to
+        # ~1 partition and costs the dedup family +30-40% (l06 2.6→3.6-3.9,
+        # l06x 2.4→3.2-3.7 min-of-3, two interleaved pairs); the middle
+        # ground minPartitionSize=8m ("never schedule a sub-8MB reduce
+        # task") costs +46-57% (l06 2.52→3.94, l06x 2.37→3.47) — the
+        # ~40 MB shingle index collapsing to ~5 post-shuffle partitions
+        # starves the window valve and verify joins. Post-shuffle stages
+        # here carry real compute at small shuffle sizes, and fewer tasks
+        # lose more compute parallelism than they save in dispatch; the
+        # r16 8-core evidence (8 tasks beat 32) does not extrapolate
+        # below ~8. Relational g01/g03 are flat under both flips (their
+        # apparent regressions in the single-leg benches were host
+        # noise). At 100 TB the settings converge (shuffles ≫ advisory ×
+        # cores), so the default costs nothing there either. Full legs in
+        # OPTIMIZATION_r16.md "session 4".
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
