@@ -87,6 +87,37 @@ def _calibrate(spark, runs: int = RUNS) -> list[float]:
     return [one() for _ in range(runs)]
 
 
+def _calibrate_mem(spark, runs: int = RUNS) -> list[float]:
+    """Memory/allocation-bound host index (r16 session 4): the pure-ALU
+    calibration above proved BLIND to memory-bandwidth / hypervisor
+    contention — a bench leg read its best-ever calibration while the
+    dedup family ran 2-3× slow, and the queries recovered minutes later
+    with no code change (OPTIMIZATION_r16.md, "protocol finding"). This
+    second probe is fixed-cost and data-free like the first but
+    deliberately allocation- and string-heavy — md5 over materialized
+    decimal strings, the exact per-row profile of the shingle/minhash
+    family — so contention that only taxes the memory subsystem moves
+    THIS index. Adjudication rule: normalize relational-family deltas by
+    ``calibration``, dedup/pipeline-family deltas by ``calibration_mem``;
+    a delta that survives both still needs an interleaved ABBA re-drive
+    before it stands (SCALE.md bench protocol)."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .agg(F.max("h").alias("m"))
+            .collect()
+        )
+        return round(time.perf_counter() - t0, 4)
+
+    for _ in range(3):
+        one()
+    return [one() for _ in range(runs)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -95,6 +126,7 @@ def main() -> None:
     # calibration brackets the whole run — drift DURING the bench window
     # shows up as pre/post disagreement, not just a shifted baseline
     calib_pre = _calibrate(spark)
+    calib_mem_pre = _calibrate_mem(spark)
 
     specs = {n: s for n, s in all_specs().items() if s.headline}
     names = sorted(specs)
@@ -120,6 +152,7 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     calib_post = _calibrate(spark)
+    calib_mem_post = _calibrate_mem(spark)
 
     out = {
         "metric": "headline_query_wall_seconds",
@@ -143,6 +176,15 @@ def main() -> None:
             "sec": min(calib_post),
             "pre_runs": calib_pre,
             "post_runs": calib_post,
+        },
+        # memory/allocation-bound twin of the index above (r16 session 4:
+        # the ALU-bound index is blind to memory-bandwidth contention,
+        # which is what inflates the dedup family) — normalize
+        # dedup/pipeline-family deltas by THIS one
+        "calibration_mem": {
+            "sec": min(calib_mem_post),
+            "pre_runs": calib_mem_pre,
+            "post_runs": calib_mem_post,
         },
         # per-run wall times so readers can separate host contention from
         # real regressions (r2's recorded l07 was 2.6× its idle-machine time)
