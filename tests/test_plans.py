@@ -429,3 +429,16 @@ def test_decode_fixture_is_materialized_behind_a_barrier(spark, sf_dir, name):
     real calldata is a stored column."""
     plan = _plan(spark, sf_dir, name)
     assert "ExistingRDD" in plan, plan[:800]
+
+
+def test_bench_calibration_probes(spark):
+    """Both bench host-drift indexes (r16: ALU `calibration` + memory-bound
+    `calibration_mem`) must run and return positive wall times — the
+    artifact's adjudication protocol (SCALE.md) depends on both keys being
+    present and meaningful in every future BENCH JSON."""
+    import bench
+
+    alu = bench._calibrate(spark, runs=1)
+    mem = bench._calibrate_mem(spark, runs=1)
+    assert len(alu) == 1 and alu[0] > 0
+    assert len(mem) == 1 and mem[0] > 0
