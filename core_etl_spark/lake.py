@@ -307,6 +307,7 @@ class Lake:
         mode: str = "append",
         height_range: tuple[int, int] | None = None,
         delivery_verified: bool = False,
+        verified_hi: int | None = None,
     ) -> None:
         """Write up to three modules as CONCURRENT Spark jobs: the sinks are
         independent (separate directories), so serializing them leaves the
@@ -321,7 +322,15 @@ class Lake:
         delivery-contiguity probe is skipped — one fewer aggregate job per
         micro-batch on the live path (r16 review). Never pass it for
         provider-fetched chunks: silently skipped heights are precisely
-        what the probe exists to catch."""
+        what the probe exists to catch.
+
+        ``verified_hi`` (r17): the probe's PRECOMPUTED result, for callers
+        that already ran the exact contiguity aggregate over the
+        materialized chunk — the backfill loop fuses it into the prefetch
+        thread's checkpoint job (one job materializes the chunk AND
+        probes it, overlapped with the previous chunk's ingest), so the
+        ingest-path pool here shrinks to the three sink writes. Same
+        math, same marker rules; ``None`` keeps the in-pool probe."""
         from concurrent.futures import ThreadPoolExecutor
 
         todo = [
@@ -354,6 +363,7 @@ class Lake:
                             self._verified_contiguous_hi, blocks, height_range
                         )
                         if need_marker and not delivery_verified
+                        and verified_hi is None
                         else None
                     )
                     futures = [
@@ -364,11 +374,12 @@ class Lake:
                     ]
                     for f in futures:
                         f.result()
-                    hi = (
-                        verify_fut.result()
-                        if verify_fut is not None
-                        else (height_range[1] if need_marker else None)
-                    )
+                    if verify_fut is not None:
+                        hi = verify_fut.result()
+                    elif need_marker and verified_hi is not None and not delivery_verified:
+                        hi = verified_hi
+                    else:
+                        hi = height_range[1] if need_marker else None
                 if need_marker and hi is not None:
                     self._advance_commit_marker(hi, lo=height_range[0])
 

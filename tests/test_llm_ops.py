@@ -2218,3 +2218,53 @@ def test_first_k_centroids_probe_is_preshuffle(spark, sf_dir):
     plan = cents._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert cents.count() == 16  # dense ids 0..15 all valid at this sf
+
+
+def test_vec_arith_modes_identical(spark, sf_dir, tmp_path):
+    """r17 (VERDICT r16 directive 5): the scaled-int64 hot loop must be
+    BIT-IDENTICAL to the decimal(10,3) arithmetic on every similarity
+    entry point — both representations denote the same exact rationals
+    (millis = decimal × 1000; millis² sums convert back by an exact ÷10⁶
+    scale shift), so ranks, cosines and ADC distances cannot differ.
+    Also pins the index-schema versioning: a v1 (decimal) and a v2
+    (int64/millis) persisted IVF index must answer identically when read
+    from EITHER arithmetic mode."""
+    from core_etl_spark.io import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",), register=False)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    old = S.VEC_ARITH
+    results = {}
+    try:
+        for mode in ("decimal", "int64"):
+            S.VEC_ARITH = mode
+            results[mode] = {
+                "brute": snap(S.brute_force_topk(emb, queries, k=5)),
+                "lsh": snap(S.lsh_ann_topk(emb, queries, k=5)),
+                "ivf": snap(S.ivf_ann_topk(emb, queries, k=5)),
+                "pq": snap(S.pq_adc_topk(emb, queries, k=5)),
+                "ivfpq": snap(S.ivfpq_adc_topk(emb, queries, k=5)),
+                # threshold −1 keeps every bucket-collision pair: the point
+                # is bit-equality of the cosines, not the pair-set size
+                "neardup": snap(S.embedding_near_dups(emb, threshold=-1.0)),
+            }
+            S.write_ivf_index(emb, str(tmp_path / ("idx_" + mode)))
+        for key in results["decimal"]:
+            assert results["decimal"][key] == results["int64"][key], key
+            assert results["decimal"][key], f"{key} compared empty frames"
+        # cross-version index reads: {reader mode} × {index version}
+        base = None
+        for mode in ("decimal", "int64"):
+            S.VEC_ARITH = mode
+            for ver in ("decimal", "int64"):
+                got = snap(S.ivf_index_topk(spark, str(tmp_path / ("idx_" + ver)), queries, k=5))
+                base = got if base is None else base
+                assert got == base, (mode, ver)
+        assert base
+    finally:
+        S.VEC_ARITH = old
+        spark.catalog.clearCache()

@@ -442,3 +442,29 @@ def test_bench_calibration_probes(spark):
     mem = bench._calibrate_mem(spark, runs=1)
     assert len(alu) == 1 and alu[0] > 0
     assert len(mem) == 1 and mem[0] > 0
+
+
+def test_bench_artifact_contract():
+    """ADVICE r16: the JSON assembly itself (not just the probes) is the
+    contract the SCALE.md dual-index adjudication depends on — pin that
+    `build_artifact` emits BOTH calibration keys with sec/pre_runs/
+    post_runs plus the unchanged metric/value/queries/runs/spread/sf
+    keys, with value = the sum of the per-query minima."""
+    import bench
+
+    timings = {"q1": 1.0, "q2": 2.5}
+    runs = {"q1": [1.2, 1.0], "q2": [2.5, 3.0]}
+    art = bench.build_artifact(
+        timings, runs, [0.3, 0.28], [0.2, 0.21], [0.5, 0.45], [0.4, 0.41], "0.1"
+    )
+    assert art["metric"] == "headline_query_wall_seconds"
+    assert art["unit"] == "sec"
+    assert art["value"] == 3.5
+    assert art["queries"] == timings and art["runs"] == runs
+    assert art["sf"] == 0.1
+    for key, post in (("calibration", 0.2), ("calibration_mem", 0.4)):
+        block = art[key]
+        assert set(block) == {"sec", "pre_runs", "post_runs"}
+        assert block["sec"] == post  # min of the POST bracket
+        assert len(block["pre_runs"]) == 2 and len(block["post_runs"]) == 2
+    assert art["spread"]["q1"] == 1.2
